@@ -1,0 +1,189 @@
+"""Analytics plans — SURVEY §2 group G (the warehouse's purpose).
+
+The reference's warehouse schema exists to answer "which GMU has the
+highest success rate", "best unit for elk archery", multi-year trends
+(``planning/rough-idea.md:7,57,62``; ``planning/project-planning.md:
+22-24``) — declared but never built. These are those queries as
+first-class Spark plans, expressed on the driver's star schema
+(lineitem/orders/customer = the fact side, nation/region/part/supplier
+= dimensions) with the same shapes: grouped ratio aggregation (G1),
+fact⋈dimension equi-join (G2), per-group top-k ranking (G3), and
+year-over-year trend windows (G4).
+
+Scale notes per plan inline. All aggregates use decimal-exact helpers
+(functions.exact) so results hash-match any SQL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.functions.exact import (
+    davg,
+    dsum,
+    dsum_expr,
+    money,
+    to_double,
+    one_minus,
+    one_plus,
+)
+from bow_hunter_pipeline_spark.io.readers import read_table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 flagship: grouped multi-aggregate summary (TPC-H Q1 shape —
+    the reference's percent_success ≈ sum(harvest)/sum(hunters) ratio
+    computed per group, ``planning/project-planning.md:22``).
+
+    Scale: one scan + one partial-agg shuffle on a 6-value group key;
+    map-side combine collapses almost everything before the exchange.
+    Filter on l_shipdate is parquet-pushdown-eligible.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * one_minus("l_discount")
+    charge = disc_price * one_plus("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(disc_price, "sum_disc_price"),
+            dsum_expr(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", cast="decimal(7,4)"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def success_rate_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 (ratio flavor): per-group success-rate — the exact shape of
+    "harvest success per GMU" (sum(total_harvest)/sum(total_hunters)):
+    here revenue-weighted discount rate per returnflag group.
+
+    try_divide gives NULL on zero denominators (ANSI-safe), matching
+    SQL's NULL-on-zero via NULLIF in the oracle.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("qty_per_row", F.try_divide(F.col("sum_qty"), F.col("n_rows")))
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: fact ⋈ dimensions equi-join — the harvest⋈population join by
+    (state, species, year, unit) (SURVEY §2 G2), on the star schema:
+    lineitem ⋈ orders (fact-fact, shuffle) ⋈ customer ⋈ nation
+    (dimensions, broadcast).
+
+    Scale: nation (25 rows) and customer (1.5k×sf) broadcast — no
+    shuffle for the dimension side; the lineitem⋈orders join shuffles
+    on orderkey, which AQE can split on skew. Column pruning keeps the
+    scan to 4 columns of lineitem.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum_expr(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """G3: per-group top-k ranking ("best GMU for elk archery",
+    ``rough-idea.md:57``): top-k parts by revenue within each brand.
+
+    rank() over (partition by brand order by revenue desc, partkey)
+    — the explicit key tie-break makes the result deterministic and
+    order-insensitively comparable. Scale: the ranking window shuffles
+    once on p_brand; the upstream agg already reduced cardinality to
+    one row per (brand, part).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum_expr(revenue, "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        per_part.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+    )
+
+
+def yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: multi-year trend with lag deltas (``rough-idea.md:62`` wants
+    "3+ years historical data" integrated): yearly order totals per
+    priority with year-over-year delta.
+
+    lag() over (partition by priority order by year) — one window
+    shuffle over a tiny aggregated frame.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    yearly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(dsum("o_totalprice", "total_price"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("priority").orderBy("order_year")
+    return yearly.withColumn(
+        "yoy_delta", F.col("total_price") - F.lag("total_price").over(w)
+    )
+
+
+def market_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+G3 combined: each nation's share of global revenue — a
+    windowed ratio over an aggregate (sum over ()), the "percent of
+    total" shape the planning docs describe for statewide comparisons.
+
+    The grand total stays DECIMAL through the window sum (exact and
+    associative — a window over doubles would be order-dependent and
+    oracle-divergent); only the final ratio is a double division.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("__rev_dec"))
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        to_double(F.col("__rev_dec")).alias("revenue"),
+        F.try_divide(
+            to_double(F.col("__rev_dec")),
+            to_double(F.sum("__rev_dec").over(total)),
+        ).alias("revenue_share"),
+    )

@@ -1,0 +1,101 @@
+"""End-to-end pipeline analogs of the reference's stage→production flow.
+
+The reference's signature data movement (EP3, SURVEY §3): parquet glob
+→ stage (E1 full refresh) → regex gate (B3) → split+cast (D1) → UNNEST
+explode (D2) → keyed upsert with partial column update (E2) → PK
+uniqueness (E3). The driver's testdata has no bow-hunter tables, so
+these plans synthesize the same shapes from the star schema: a CSV
+"gmu_list" built per nation from customer keys, junk rows that must
+fail the anchored gate, an explode back to units, and a MERGE-semantics
+upsert on orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.functions.exact import dsum, factor, money
+from bow_hunter_pipeline_spark.io.readers import read_table
+from bow_hunter_pipeline_spark.operators.explode import gate_split_explode
+from bow_hunter_pipeline_spark.operators.upsert import duplicate_keys, upsert
+
+# Junk gmu_list rows — must FAIL the '^[0-9 ,]+$' gate, exactly like
+# the reference corpus's "see map"/"3,4a" cells (FIXTURES.md B1).
+_JUNK_ROWS = [(-1, "see map"), (-2, "3,4a"), (-3, "")]
+
+
+def population_explode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3+D1+D2+G2+G1 composite: build a stage table whose ``gmu_list``
+    is a sorted CSV of customer keys per nation (plus junk rows), gate
+    on the anchored numeric-CSV regex, split/cast/explode to one row
+    per unit, join each unit back to its customer row, and aggregate.
+
+    Scale: the stage build is one shuffle on nationkey; the explode is
+    narrow; the unit⋈customer join shuffles on custkey (or broadcasts
+    when the dimension side fits). This is byte-for-byte the reference's
+    herd→GMU fan-out (load_population_production.sql:10-29) at TPC-H
+    shape.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    stage = cust.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias("gmu_list")
+    )
+    junk = spark.createDataFrame(_JUNK_ROWS, "c_nationkey int, gmu_list string")
+    stage = stage.unionByName(junk)
+
+    exploded = gate_split_explode(
+        stage, "gmu_list", "unit", element_type="bigint"
+    ).withColumnRenamed("c_nationkey", "stage_nationkey")
+    joined = exploded.join(
+        cust,
+        (exploded.unit == cust.c_custkey)
+        & (exploded.stage_nationkey == cust.c_nationkey),
+    )
+    return (
+        joined.groupBy(F.col("stage_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            dsum("c_acctbal", "total_acctbal", cast="decimal(12,2)"),
+        )
+    )
+
+
+def orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: MERGE-semantics upsert on orders.
+
+    existing = pre-1995 orders; updates = 1994+ orders with a 10% price
+    bump and their own status — the overlap year (1994) exercises the
+    matched branch. Post-merge rows show: price (update_col) taken from
+    the update, status/priority kept from the existing row — the
+    reference's herd_name-not-updated quirk
+    (load_population_production.sql:30-32).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    existing = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.lit("XX").alias("o_orderstatus"),
+        (money("o_totalprice") * factor(F.lit(1.1)))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return upsert(existing, updates, ["o_orderkey"], ["o_totalprice"])
+
+
+def orders_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: uniqueness diagnostic on a frame with injected duplicates
+    (every 7th orderkey doubled)."""
+    orders = read_table(spark, sf_dir, "orders")
+    dup = orders.unionByName(orders.filter(F.col("o_orderkey") % 7 == 0))
+    return duplicate_keys(dup, ["o_orderkey"])

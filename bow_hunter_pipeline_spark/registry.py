@@ -1,0 +1,195 @@
+"""Query registry: name → (Spark plan, DuckDB oracle SQL).
+
+One entry per implemented operator/capability from SURVEY.md §2. The
+driver compares each Spark result against the oracle SQL on the same
+parquet tables (row count + schema + order-insensitive value hash), so
+every computed column is aliased identically on both sides and every
+float aggregate uses the decimal-exact discipline of functions.exact.
+
+Entries with ``oracle=None`` are genuinely non-SQL-expressible (or
+metadata-level) and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bow_hunter_pipeline_spark.plans import analytics, pipeline
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --- oracle SQL fragments (DuckDB dialect = ANSI here) -----------------
+
+_DEC_SUM = "CAST(round(SUM(CAST({c} AS DECIMAL(14,2))), 4) AS DOUBLE)"
+_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(7,4))"
+)
+
+_PRICING_SUMMARY_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {_DEC_SUM.format(c='l_quantity')} AS sum_qty,
+  {_DEC_SUM.format(c='l_extendedprice')} AS sum_base_price,
+  CAST(round(SUM({_REVENUE}), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(round(SUM({_REVENUE} * CAST(1 + l_tax AS DECIMAL(7,4))), 4) AS DOUBLE) AS sum_charge,
+  {_DEC_SUM.format(c='l_quantity')} / COUNT(l_quantity) AS avg_qty,
+  {_DEC_SUM.format(c='l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+  CAST(round(SUM(CAST(l_discount AS DECIMAL(7,4))), 4) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_SUCCESS_RATE_SQL = f"""
+SELECT
+  l_returnflag,
+  {_DEC_SUM.format(c='l_quantity')} AS sum_qty,
+  {_DEC_SUM.format(c='l_extendedprice')} AS sum_price,
+  COUNT(*) AS n_rows,
+  {_DEC_SUM.format(c='l_quantity')} / COUNT(*) AS qty_per_row
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+_REVENUE_BY_NATION_SQL = f"""
+SELECT
+  n_name,
+  CAST(round(SUM({_REVENUE}), 4) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_TOP_K_SQL = f"""
+WITH per_part AS (
+  SELECT p_brand, p_partkey, CAST(round(SUM({_REVENUE}), 4) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rnk FROM (
+  SELECT *, RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+  FROM per_part
+) WHERE rnk <= 3
+"""
+
+_YEARLY_TREND_SQL = f"""
+WITH yearly AS (
+  SELECT
+    o_orderpriority AS priority,
+    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+    {_DEC_SUM.format(c='o_totalprice')} AS total_price,
+    COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT priority, order_year, total_price, n_orders,
+       total_price - LAG(total_price) OVER (PARTITION BY priority ORDER BY order_year) AS yoy_delta
+FROM yearly
+"""
+
+_MARKET_SHARE_SQL = f"""
+WITH per_nation AS (
+  SELECT n_name, SUM({_REVENUE}) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       CAST(round(rev_dec, 4) AS DOUBLE) AS revenue,
+       CAST(round(rev_dec, 4) AS DOUBLE) / CAST(round(SUM(rev_dec) OVER (), 4) AS DOUBLE) AS revenue_share
+FROM per_nation
+"""
+
+_POPULATION_EXPLODE_SQL = """
+WITH stage AS (
+  SELECT c_nationkey, string_agg(c_custkey, ',' ORDER BY c_custkey) AS gmu_list
+  FROM customer GROUP BY c_nationkey
+  UNION ALL
+  SELECT * FROM (VALUES (-1, 'see map'), (-2, '3,4a'), (-3, '')) t(c_nationkey, gmu_list)
+),
+exploded AS (
+  SELECT c_nationkey, UNNEST(CAST(str_split(gmu_list, ',') AS BIGINT[])) AS unit
+  FROM stage WHERE regexp_matches(trim(gmu_list), '^[0-9 ,]+$')
+)
+SELECT e.c_nationkey AS nationkey,
+       COUNT(*) AS n_units,
+       CAST(round(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))), 4) AS DOUBLE) AS total_acctbal
+FROM exploded e
+JOIN customer c ON e.unit = c.c_custkey AND e.c_nationkey = c.c_nationkey
+GROUP BY e.c_nationkey
+"""
+
+_ORDERS_UPSERT_SQL = """
+WITH e AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+),
+u AS (
+  SELECT o_orderkey, 'XX' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(7,4)) AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+)
+SELECT
+  COALESCE(e.o_orderkey, u.o_orderkey) AS o_orderkey,
+  CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_orderstatus ELSE u.o_orderstatus END AS o_orderstatus,
+  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE e.o_totalprice END AS o_totalprice,
+  CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_orderpriority ELSE u.o_orderpriority END AS o_orderpriority
+FROM e FULL OUTER JOIN u ON e.o_orderkey = u.o_orderkey
+"""
+
+_DUPLICATE_KEYS_SQL = """
+WITH dup AS (
+  SELECT * FROM orders
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, COUNT(*) AS n_rows
+FROM dup GROUP BY o_orderkey HAVING COUNT(*) > 1
+"""
+
+# --- registry ----------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # Group G analytics
+    "g1_pricing_summary": (analytics.pricing_summary, _PRICING_SUMMARY_SQL),
+    "g1_success_rate": (analytics.success_rate_by_group, _SUCCESS_RATE_SQL),
+    "g2_revenue_by_nation": (analytics.revenue_by_nation, _REVENUE_BY_NATION_SQL),
+    "g3_top_k_per_group": (analytics.top_k_per_group, _TOP_K_SQL),
+    "g4_yearly_trend": (analytics.yearly_trend, _YEARLY_TREND_SQL),
+    "g3_market_share_window": (analytics.market_share_window, _MARKET_SHARE_SQL),
+    # Reference pipeline composites (B3/D1/D2/E2/E3)
+    "b3_d1_d2_population_explode": (
+        pipeline.population_explode_pipeline,
+        _POPULATION_EXPLODE_SQL,
+    ),
+    "e2_orders_upsert": (pipeline.orders_upsert, _ORDERS_UPSERT_SQL),
+    "e3_duplicate_keys": (pipeline.orders_duplicate_keys, _DUPLICATE_KEYS_SQL),
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoke-check plan: scan → gate/split/explode → join → agg (the
+    reference's whole EP3 shape in one query)."""
+    return pipeline.population_explode_pipeline(spark, sf_dir)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql.strip()
+        for name, (_, sql) in _REGISTRY.items()
+        if sql is not None
+    }
