@@ -48,6 +48,14 @@ def hash64(c: Column | str, hex_chars: int = 15) -> Column:
     return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
 
 
+def _keyed_md5(prefix: str):
+    """Single-arg lambda factory: a two-arg lambda would be read by
+    PySpark's higher-order-function binding as the (element, index)
+    form, silently turning the permutation key into the index column."""
+    lit = F.lit(prefix)
+    return lambda s: F.md5(F.concat(lit, s))
+
+
 def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     """MinHash signature as array<string> of length ``num_perm``.
 
@@ -58,11 +66,7 @@ def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     """
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, p=p: F.md5(F.concat(F.lit(f"{p}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingles, _keyed_md5(f"{p}:")))
             for p in range(num_perm)
         ]
     )

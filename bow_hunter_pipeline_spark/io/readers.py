@@ -17,12 +17,37 @@ partitions, so partition pruning replaces listing entire subtrees.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table: ``{sf_dir}/{name}.parquet``."""
+    if name == "events":
+        return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table reader — handles the TIMESTAMP(NANOS) parquet type.
+
+    Spark's vectorized reader rejects INT64 nanos timestamps
+    (PARQUET_TYPE_ILLEGAL); the legacy conf reads them as raw nanos
+    longs, from which we derive:
+    - ``ts``:    timestamp_ntz at microsecond grain (floor-divided, the
+      same truncation DuckDB/Arrow apply when narrowing ns → us)
+    - ``ts_ns``: the original int64 nanos, for exact arithmetic
+      (windowing on epoch seconds, sessionization gaps).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumnRenamed("ts", "ts_ns")
+        .withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
+        )
+    )
 
 
 def read_parquet_glob(

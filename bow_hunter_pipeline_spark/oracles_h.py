@@ -1,0 +1,319 @@
+"""DuckDB oracle SQL for the group-H plans (dedup, simsearch, text,
+events) and the C2/C3 parse demos.
+
+Dialect discipline (pinned by tests at sf0.001 and sf0.01):
+- numeric literals that must be DOUBLE are written in e-notation
+  (``500e0``) — bare ``500.0`` parses as DECIMAL in DuckDB while
+  ``F.lit(500.0)`` is a double in Spark, and decimal vs double
+  arithmetic diverges.
+- every float reduction follows functions.exact: per-element values
+  cast to DECIMAL, summed exactly, converted to double only when the
+  unscaled value fits 2^52 (doubles convert bit-identically then).
+- window/rank ints are CAST to the Spark-side type (RANK() is BIGINT
+  in DuckDB, int in Spark).
+- md5/conv-based hashing matches functions.text bit-for-bit
+  (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` == Spark
+  ``conv(substr(md5(x),1,15),16,10)``).
+"""
+
+from __future__ import annotations
+
+from bow_hunter_pipeline_spark.plans.dedup import BANDS, NUM_PERM, ROWS_PER_BAND
+from bow_hunter_pipeline_spark.plans.simsearch import DIM, N_QUERIES, TOP_K
+from bow_hunter_pipeline_spark.plans.textanalysis import STOPWORDS
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+_TOKS = "str_split(text, ' ')"
+_SHINGLES = (
+    f"list_transform(generate_series(1, len({_TOKS}) - 2), "
+    f"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))"
+)
+
+# --- events (H4) -------------------------------------------------------
+
+HOURLY_EVENT_AGG = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(14,2))), 4) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+ROLLING_HOUR_COUNTS = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events
+)
+SELECT event_id, user_id, epoch_s,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_trailing_hour
+FROM ev
+"""
+
+SESSIONIZE = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events
+),
+g AS (
+  SELECT *, LAG(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id) AS prev_s FROM ev
+),
+f AS (
+  SELECT *, CASE WHEN prev_s IS NULL OR epoch_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new FROM g
+),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(epoch_s) AS session_start_s, MAX(epoch_s) AS session_end_s,
+       MAX(epoch_s) - MIN(epoch_s) AS duration_s
+FROM s GROUP BY user_id, session_idx
+"""
+
+JSON_PROPS_AGG = """
+WITH k AS (
+  SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(round(SUM(CAST(k AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(k) AS avg_k
+FROM k GROUP BY event_type
+"""
+
+# --- text analysis (H3) ------------------------------------------------
+
+_N_STOP = f"len(list_filter({_TOKS}, t -> t IN ({_STOP_IN})))"
+
+DOC_STATS = f"""
+SELECT doc_id, lang,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS len_chars,
+       (length(text) - len({_TOKS}) + 1) / len({_TOKS}) AS mean_token_len,
+       CAST({_N_STOP} AS DOUBLE) / len({_TOKS}) AS stopword_ratio
+FROM documents
+"""
+
+TOKEN_TOP_K = """
+WITH counts AS (
+  SELECT unnest(str_split(text, ' ')) AS token FROM documents
+),
+agg AS (
+  SELECT token, COUNT(*) AS n FROM counts GROUP BY token
+)
+SELECT token, n, rnk FROM (
+  SELECT *, CAST(RANK() OVER (ORDER BY n DESC, token) AS INT) AS rnk FROM agg
+) WHERE rnk <= 20
+"""
+
+QUALITY_SCORE = f"""
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS len_chars,
+         (length(text) - len({_TOKS}) + 1) / len({_TOKS}) AS mean_token_len,
+         CAST({_N_STOP} AS DOUBLE) / len({_TOKS}) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id,
+       0.4e0 * least(len_chars / 500e0, 1e0)
+     + 0.3e0 * least(stopword_ratio * 5e0, 1e0)
+     + 0.3e0 * (CASE WHEN mean_token_len >= 3e0 AND mean_token_len <= 8e0 THEN 1e0 ELSE 0.5e0 END)
+       AS quality
+FROM stats
+"""
+
+LANGUAGE_PROFILE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(round(SUM(CAST(n_chars AS DECIMAL(18,2))), 4) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+LANGUAGE_ID = f"""
+SELECT doc_id, lang,
+       CAST({_N_STOP} AS DOUBLE) / len({_TOKS}) AS en_score,
+       CASE WHEN CAST({_N_STOP} AS DOUBLE) / len({_TOKS}) >= 0.05e0
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents
+"""
+
+FINGERPRINT_DOCS = """
+SELECT doc_id, md5(text) AS fp_md5,
+       CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_int60
+FROM documents
+"""
+
+# --- dedup (H1) --------------------------------------------------------
+
+_DOCS_WITH_EXACT_COPIES = """
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+_DOCS_WITH_NEAR_COPIES = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' near dup tail' AS text
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+EXACT_DUP_GROUPS = f"""
+WITH docs AS ({_DOCS_WITH_EXACT_COPIES})
+SELECT md5(text) AS fp, COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc_id, MAX(doc_id) AS max_doc_id
+FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+def _minhash_sig_exprs() -> str:
+    return ",\n    ".join(
+        f"list_min(list_transform({_SHINGLES}, s -> md5('{p}:' || s))) AS s{p}"
+        for p in range(NUM_PERM)
+    )
+
+
+def _band_exprs() -> str:
+    keys = []
+    for b in range(BANDS):
+        comps = ", ".join(f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        keys.append(f"md5(concat_ws('|', '{b}', {comps}))")
+    return "[" + ", ".join(keys) + "]"
+
+
+MINHASH_LSH_PAIRS = f"""
+WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
+sigs AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs()}
+  FROM docs
+),
+bands AS (
+  SELECT doc_id, unnest({_band_exprs()}) AS band_key FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+SIMHASH_SIGNATURES = f"""
+WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
+tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM docs
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, h, unnest(generate_series(0, 15)) AS bit FROM h
+),
+votes AS (
+  SELECT doc_id, bit,
+         CAST(SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+JACCARD_PAIRS = f"""
+WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM docs
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5e0
+"""
+
+# --- similarity search (H2) -------------------------------------------
+
+# Strict left-fold dot/norm in double: DuckDB's list_sum folds
+# left-to-right over the list — verified bit-identical to Spark's
+# F.aggregate fold and a Python reference over the full pair grid.
+_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))".format(dim=DIM)
+)
+_NORM = "list_sum(list_transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+_COSINE = f"{_DOT} / (sqrt({_NORM.format(col='qe')}) * sqrt({_NORM.format(col='ce')}))"
+
+COSINE_TOPK = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qe, c.embedding AS ce
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT q_id, c_id, {_COSINE} AS cosine FROM pairs
+)
+SELECT q_id, c_id, cosine, rnk FROM (
+  SELECT *, CAST(RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+ANN_BUCKETED_TOPK = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qe, c.embedding AS ce
+  FROM embeddings q JOIN embeddings c ON q.label = c.label
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT q_id, c_id, {_COSINE} AS cosine FROM pairs
+)
+SELECT q_id, c_id, cosine, rnk FROM (
+  SELECT *, CAST(RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+EMBEDDING_NEAR_DUP = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS qe, b.embedding AS ce
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT a_id, b_id, {_COSINE} AS cosine FROM pairs
+)
+SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.95e0
+"""
+
+# --- parse demos (C2/C3) ----------------------------------------------
+
+_MESSY = """
+  SELECT event_id,
+    CASE WHEN event_id % 11 = 0 THEN event_type
+         WHEN event_id % 7 = 0 THEN '00' || CAST(user_id AS VARCHAR)
+         WHEN event_id % 5 = 0 THEN CAST(user_id AS VARCHAR) || ',' || CAST(event_id AS VARCHAR)
+         WHEN event_id % 3 = 0 THEN '  ' || CAST(user_id AS VARCHAR) || ' '
+         ELSE CAST(user_id AS VARCHAR) END AS raw
+  FROM events
+"""
+
+PARSE_LONG_DEMO = f"""
+WITH m AS ({_MESSY})
+SELECT event_id, raw,
+       TRY_CAST(replace(trim(raw), ',', '') AS BIGINT) AS parsed
+FROM m
+"""
+
+PARSE_UNIT_DEMO = f"""
+WITH m AS ({_MESSY})
+SELECT event_id, raw,
+       CASE WHEN regexp_matches(trim(raw), '^[0-9]+$')
+            THEN CAST(trim(raw) AS INT) END AS unit
+FROM m
+"""

@@ -1,0 +1,163 @@
+"""Deduplication plans — SURVEY §2 H1 (training-data pipeline core).
+
+Four dedup families over ``documents``:
+
+- exact:      md5(text) group (hash-groupBy; one shuffle on the hash)
+- MinHash+LSH: shingle → keyed-md5 minhash signature → banded bucket
+  keys → bucket self-join → candidate pairs (near-dup at scale: the
+  join is on band keys, so cost ~ #colliding docs, never O(n²))
+- SimHash:    per-token portable hash → bit-vote → 16-bit signature
+  (Hamming-bucket near-dup; one explode + two aggregations)
+- n-gram Jaccard: shingle-overlap self-join with exact similarity on
+  candidate pairs only
+
+The fixture corpus has no duplicates, so each plan first synthesizes
+a deterministic variant set (copies / near-copies of every 25th doc)
+— the oracle SQL builds the identical variants, making the comparison
+meaningful end-to-end.
+
+Portability: all hashing is md5-based (functions.text) — bit-identical
+in any engine; MinHash "permutations" are keyed hash families, so
+signatures are deterministic, not RNG-seeded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.functions.text import (
+    band_keys,
+    hash64,
+    minhash_signature,
+    word_shingles,
+)
+from bow_hunter_pipeline_spark.io.readers import read_table
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def _with_exact_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies of every 25th doc (doc_id + 10000)."""
+    copies = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return docs.unionByName(copies)
+
+
+def _with_near_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-copies of every 25th doc (doc_id + 20000,
+    text suffixed) — high-Jaccard but not exact."""
+    near = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" near dup tail")))
+    )
+    return docs.unionByName(near)
+
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 exact: md5-keyed duplicate groups (smallest doc_id is the
+    canonical survivor — deterministic keep rule)."""
+    docs = _with_exact_copies(read_table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 MinHash+LSH: candidate near-dup pairs via banded signatures.
+
+    Plan shape (the 100 TB path): one narrow pass computes signatures,
+    explode to (band_key, doc_id), self-join on band_key (shuffle keyed
+    by band — collision-sized, not corpus-sized), distinct pairs.
+    """
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    sig = docs.select(
+        "doc_id",
+        band_keys(
+            minhash_signature(word_shingles("text", 3), NUM_PERM),
+            BANDS,
+            ROWS_PER_BAND,
+        ).alias("bands"),
+    )
+    buckets = sig.select("doc_id", F.explode("bands").alias("band_key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 SimHash: 16-bit signature per doc via per-token hash bit
+    votes. Two aggregations (doc×bit majority, then bit-assembly);
+    near-dups land within small Hamming distance — bucketing on the
+    signature gives the scale path."""
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).withColumn("h", hash64("token", hex_chars=15))
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """H1 n-gram Jaccard: exact 3-shingle Jaccard for pairs sharing at
+    least one shingle; keep pairs ≥ threshold.
+
+    Scale: the shingle self-join is the candidate generator (cost ~
+    Σ_bucket |bucket|²); at 100 TB you put minhash_lsh_pairs in front
+    and compute exact Jaccard only on its candidates — same final
+    operator as here.
+    """
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )

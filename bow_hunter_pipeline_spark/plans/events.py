@@ -1,0 +1,124 @@
+"""Event-time plans — SURVEY §2 H4 (batch-testable forms).
+
+The reference is batch-only CLI with a "TODO: Trigger on S3 put"
+(``ingest_harvest_data.py:11``); the engine provides the event-time
+operator family a streaming upgrade needs: tumbling windows, rolling
+(sliding) windows, sessionization, and semi-structured (JSON) field
+extraction. Each is expressed in batch DataFrame form here (so the
+driver can oracle-check it); streaming.pipeline wires the same logic
+to readStream/withWatermark.
+
+Scale notes: all these group/window on (user_id | event_type, time
+bucket) — at 100 TB the shuffles are keyed by high-cardinality user_id
+(good distribution) and AQE coalesces the tail; the JSON extraction is
+a pushed-down scalar, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.functions.exact import to_double
+from bow_hunter_pipeline_spark.io.readers import read_events
+
+SESSION_GAP_S = 1800
+
+
+def hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 tumbling window: per (hour, event_type) counts + exact value
+    sums. Batch form of ``groupBy(window(ts, '1 hour'), event_type)``
+    — date_trunc is the window start, which is also what Spark's
+    window().start yields."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            to_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def rolling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 sliding window: for every event, how many events the same
+    user produced in the trailing hour (inclusive). RANGE frame over
+    epoch seconds — engine-portable sliding-window semantics (ties in
+    the same second are all included, in both engines)."""
+    ev = read_events(spark, sf_dir)
+    epoch_s = F.expr("ts_ns div 1000000000").alias("epoch_s")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        ev.select("event_id", "user_id", epoch_s)
+        .withColumn("n_trailing_hour", F.count(F.lit(1)).over(w))
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 session windows (gap-based): a new session starts after a
+    >30 min silence. lag → gap flag → running sum = session index;
+    then per-session aggregates. The batch twin of Structured
+    Streaming's ``session_window(ts, '30 minutes')``.
+
+    Ordering is (epoch_s, event_id) everywhere — the explicit
+    tie-break keeps the result identical across engines.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", F.expr("ts_ns div 1000000000").alias("epoch_s")
+    )
+    order = [F.col("epoch_s"), F.col("event_id")]
+    w_seq = Window.partitionBy("user_id").orderBy(*order)
+    with_gap = ev.withColumn("prev_s", F.lag("epoch_s").over(w_seq)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_s").isNull()
+            | ((F.col("epoch_s") - F.col("prev_s")) > SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = with_gap.withColumn("session_idx", F.sum("is_new").over(w_run))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("epoch_s").alias("session_start_s"),
+            F.max("epoch_s").alias("session_end_s"),
+        )
+        .withColumn(
+            "duration_s", F.col("session_end_s") - F.col("session_start_s")
+        )
+    )
+
+
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    column (the analog of the reference's schema-drifty PDF cells —
+    data whose schema lives inside the value), then aggregate exactly.
+    """
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (
+                to_double(F.sum(F.col("k").cast("decimal(18,4)"))) / F.count("k")
+            ).alias("avg_k"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over embeddings — SURVEY §2 H2.
+
+Brute-force cosine top-k as the correctness baseline, and an
+IVF-bucketed variant as the scale path (search only the query's coarse
+bucket — here the precomputed ``label`` plays the coarse-centroid
+assignment an IVF index would give; at 100 TB the bucket column is a
+partition key and the search prunes to one partition per probe).
+
+Determinism discipline: dot products and norms are strict left folds
+over the element arrays in index order (``F.aggregate`` over
+``zip_with`` products). A left fold of identical doubles is the same
+bits in every engine — verified against DuckDB's ``list_sum`` and a
+Python reference on the full pair grid — so the SQL oracle checks
+similarity values exactly, with no epsilon.
+
+Plan shape (the part that survives a 100× scale-up): probes broadcast;
+the fold runs inside whole-stage codegen per candidate row (no explode,
+no per-pair shuffle); the only wide operation is the final per-probe
+top-k window over scored candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.io.readers import read_table
+
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 10
+DIM = 64
+
+
+def dot_fold(a: Column | str, b: Column | str) -> Column:
+    """Σ a_i·b_i as a strict left fold in double — order-pinned, so
+    engine-portable bit-for-bit (see module doc)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2_fold(a: Column | str) -> Column:
+    """Σ a_i² as a strict left fold in double."""
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _scored_pairs(pairs: DataFrame) -> DataFrame:
+    """cosine = dot/(||q||·||c||), computed per pair from the arrays
+    carried on the row — one codegen'd projection, no shuffle."""
+    return pairs.withColumn(
+        "cosine",
+        dot_fold("qe", "ce")
+        / (F.sqrt(norm2_fold("qe")) * F.sqrt(norm2_fold("ce"))),
+    )
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 baseline: brute-force cosine top-k for each probe vector.
+
+    Probes (tiny) broadcast against all candidates; scoring is a
+    narrow projection; the rank window shuffles only (probe ×
+    candidate) scored rows. For huge candidate sets, pre-reduce with a
+    per-partition top-k before the window (same semantics).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    pairs = F.broadcast(probes).crossJoin(cands).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    return _topk(_scored_pairs(pairs))
+
+
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 scale path: IVF-style bucketed ANN — probe only candidates
+    sharing the query's coarse bucket (``label``).
+
+    At 100 TB: ``label`` comes from a centroid-assignment job, the lake
+    is partitioned by it, and this join prunes to one partition per
+    probe — IVF's recall/latency trade expressed as partition pruning.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("c_label"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cands, F.col("q_label") == F.col("c_label"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    return _topk(_scored_pairs(pairs))
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """H1 embedding-cosine near-dup: pairs above a cosine threshold,
+    bucket-pruned by label (near-identical vectors share a coarse
+    bucket with overwhelming probability — the standard ANN-assisted
+    dedup trade)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("a_label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("b_label"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_label") == F.col("b_label")) & (F.col("q_id") < F.col("c_id")),
+    )
+    return (
+        _scored_pairs(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("q_id").alias("a_id"),
+            F.col("c_id").alias("b_id"),
+            "cosine",
+        )
+    )

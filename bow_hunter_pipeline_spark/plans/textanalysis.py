@@ -1,0 +1,126 @@
+"""Text-analysis plans over ``documents`` — SURVEY §2 H3.
+
+The training-data-pipeline operator family: per-document statistics,
+corpus token frequencies, quality scoring, a stopword-profile language
+heuristic, and deterministic fingerprints. All pure Column expressions
+(split / higher-order functions / md5) — no Python in the hot path, so
+at 100 TB these are one narrow pass over the corpus plus one small
+aggregation shuffle where needed.
+
+Determinism notes: every ratio is a single double division of exact
+integer/decimal quantities; token splits are on a literal single space
+(matching the corpus format and the SQL oracle's str_split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.functions.exact import to_double
+from bow_hunter_pipeline_spark.functions.text import hash64
+from bow_hunter_pipeline_spark.io.readers import read_table
+
+# Tiny function-word list for quality/language scoring (the corpus is
+# synthetic; the operator shape is what matters).
+STOPWORDS = ["the", "a", "of", "to", "and"]
+
+
+def _toks(c="text"):
+    return F.split(F.col(c), " ")
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: token count, char length, mean token
+    length, stopword ratio — the building blocks of corpus QA."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        F.try_divide(F.length("text") - n_tokens + 1, n_tokens).alias(
+            "mean_token_len"
+        ),
+        F.try_divide(n_stop.cast("double"), n_tokens).alias("stopword_ratio"),
+    )
+
+
+def token_top_k(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Corpus token frequency top-k: explode → count → rank. The
+    classic two-shuffle plan (token partial counts combine map-side;
+    the rank window runs over the tiny aggregated frame)."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy().orderBy(F.col("n").desc(), F.col("token"))
+    return counts.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= k)
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation + stopword
+    presence + mean-token-length band. Deterministic double arithmetic
+    (identical expression tree in the SQL oracle)."""
+    stats = doc_stats(spark, sf_dir)
+    len_score = F.least(F.col("len_chars") / F.lit(500.0), F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    tok_score = F.when(
+        (F.col("mean_token_len") >= 3.0) & (F.col("mean_token_len") <= 8.0), 1.0
+    ).otherwise(0.5)
+    return stats.select(
+        "doc_id",
+        (0.4 * len_score + 0.3 * stop_score + 0.3 * tok_score).alias("quality"),
+    )
+
+
+def language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts and exact average size
+    — the aggregation the language-ID gate feeds at 100 TB (decide
+    keep/drop per language by volume)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            to_double(F.sum(F.col("n_chars").cast("decimal(18,2)")))
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score = stopword-profile
+    hit rate; classify 'en' when above threshold else 'other'. (The
+    fixture corpus shares one vocabulary across its lang labels, so
+    this demonstrates the operator, not a trained model.)"""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _toks()
+    hit_rate = F.try_divide(
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double"),
+        F.size(toks),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        hit_rate.alias("en_score"),
+        F.when(hit_rate >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: full-text md5 (exact-dup
+    key) + portable 60-bit integer hash (join/partition key)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_md5"),
+        hash64("text").alias("fp_int60"),
+    )

@@ -16,7 +16,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bow_hunter_pipeline_spark.plans import analytics, pipeline
+from bow_hunter_pipeline_spark import oracles_h
+from bow_hunter_pipeline_spark.plans import (
+    analytics,
+    dedup,
+    events,
+    parsing_demo,
+    pipeline,
+    simsearch,
+    textanalysis,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -174,6 +183,51 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "e2_orders_upsert": (pipeline.orders_upsert, _ORDERS_UPSERT_SQL),
     "e3_duplicate_keys": (pipeline.orders_duplicate_keys, _DUPLICATE_KEYS_SQL),
+    # C2/C3 parse semantics
+    "c2_parse_long": (parsing_demo.parse_long_demo, oracles_h.PARSE_LONG_DEMO),
+    "c3_parse_unit": (parsing_demo.parse_unit_demo, oracles_h.PARSE_UNIT_DEMO),
+    # H4 event-time windows
+    "h4_hourly_event_agg": (events.hourly_event_agg, oracles_h.HOURLY_EVENT_AGG),
+    "h4_rolling_hour_counts": (
+        events.rolling_hour_counts,
+        oracles_h.ROLLING_HOUR_COUNTS,
+    ),
+    "h4_sessionize": (events.sessionize, oracles_h.SESSIONIZE),
+    "h4_json_props_agg": (events.json_props_agg, oracles_h.JSON_PROPS_AGG),
+    # H3 text analysis
+    "h3_doc_stats": (textanalysis.doc_stats, oracles_h.DOC_STATS),
+    "h3_token_top_k": (textanalysis.token_top_k, oracles_h.TOKEN_TOP_K),
+    "h3_quality_score": (textanalysis.quality_score, oracles_h.QUALITY_SCORE),
+    "h3_language_profile": (
+        textanalysis.language_profile,
+        oracles_h.LANGUAGE_PROFILE,
+    ),
+    "h3_language_id": (textanalysis.language_id, oracles_h.LANGUAGE_ID),
+    "h3_fingerprint_docs": (
+        textanalysis.fingerprint_docs,
+        oracles_h.FINGERPRINT_DOCS,
+    ),
+    # H1 dedup
+    "h1_exact_dup_groups": (dedup.exact_dup_groups, oracles_h.EXACT_DUP_GROUPS),
+    "h1_minhash_lsh_pairs": (
+        dedup.minhash_lsh_pairs,
+        oracles_h.MINHASH_LSH_PAIRS,
+    ),
+    "h1_simhash_signatures": (
+        dedup.simhash_signatures,
+        oracles_h.SIMHASH_SIGNATURES,
+    ),
+    "h1_jaccard_pairs": (dedup.jaccard_pairs, oracles_h.JACCARD_PAIRS),
+    # H2 similarity search
+    "h2_cosine_topk": (simsearch.cosine_topk, oracles_h.COSINE_TOPK),
+    "h2_ann_bucketed_topk": (
+        simsearch.ann_bucketed_topk,
+        oracles_h.ANN_BUCKETED_TOPK,
+    ),
+    "h1_embedding_near_dup": (
+        simsearch.embedding_near_dup,
+        oracles_h.EMBEDDING_NEAR_DUP,
+    ),
 }
 
 

@@ -69,6 +69,11 @@ def get_spark(
         )
         # Scan partition sizing for the 100 TB posture (see module doc).
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Deterministic wall-clock semantics for timestamp arithmetic.
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS); read as nanos longs
+        # (io.readers.read_events derives the usable columns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter local runs; harmless on a cluster.
         .config("spark.ui.showConsoleProgress", "false")
     )
