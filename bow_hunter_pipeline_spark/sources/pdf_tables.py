@@ -1,0 +1,139 @@
+"""PDF table-extraction source adapter — SURVEY §2 A2/A3.
+
+The reference ships PDFs to AWS Textract (async job + 10 s polling +
+paginated block fetch — ``ingest_harvest_data.py:132-174``), then
+pivots the CELL blocks into a row grid with cross-page row offsets
+(``:177-222``). Spark-first, extraction is a *source adapter*, not an
+operator: a ``binaryFile`` scan feeds ``mapInPandas``, each executor
+extracts tables locally (no async job, no polling, no service
+round-trip), and the output is a cell-grid DataFrame the normalize
+layer consumes.
+
+The actual PDF parser is pluggable. ``pdfplumber`` (pinned by the
+reference's requirements.txt but never imported there) is used when
+importable; this container doesn't ship it, so the default extractor
+raises NotImplementedError and tests inject a deterministic fake. The
+Spark-side plumbing — binary scan, Arrow batch shapes, cell schema,
+grid pivot, multi-page row offsets — is real and tested.
+
+Scale: one PDF = one row = one task unit; extraction parallelizes per
+file with no stragglers from oversized batches
+(``maxRecordsPerBatch=1`` would pin memory if PDFs are huge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.schema import PDF_CELL_SCHEMA
+
+# (path, content) -> list of (page, row_index, col_index, text)
+Extractor = Callable[[str, bytes], list[tuple[int, int, int, str]]]
+
+
+def _default_extractor(path: str, content: bytes) -> list[tuple[int, int, int, str]]:
+    try:
+        import pdfplumber  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "No PDF parser available in this environment; inject an "
+            "extractor (see tests/test_sources.py for the contract)"
+        ) from exc
+    import io
+
+    cells = []
+    with pdfplumber.open(io.BytesIO(content)) as pdf:  # pragma: no cover
+        for pageno, page in enumerate(pdf.pages, start=1):
+            for table in page.extract_tables():
+                for r, row in enumerate(table, start=1):
+                    for c, cell in enumerate(row, start=1):
+                        cells.append((pageno, r, c, cell or ""))
+    return cells
+
+
+def extract_cells(
+    binary_df: DataFrame, extractor: Extractor | None = None
+) -> DataFrame:
+    """A2: binaryFile rows → one row per table cell.
+
+    Replaces Textract's Block JSON (WORD/CELL with RowIndex/ColumnIndex
+    — the reference's semi-structured IR) with the same logical shape:
+    (path, page, row_index, col_index, text).
+    """
+    ex = extractor or _default_extractor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for page, r, c, text in ex(path, bytes(content)):
+                    out.append((path, page, r, c, text))
+            yield pd.DataFrame(
+                out, columns=["path", "page", "row_index", "col_index", "text"]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(run, PDF_CELL_SCHEMA)
+
+
+def cells_to_grid(cells: DataFrame) -> DataFrame:
+    """A3: cell rows → row-grid rows with cross-page row offsets.
+
+    The reference's multi-page handling (``ingest_harvest_data.py:
+    188-209``): page N's rows continue after page N-1's last row.
+    Implemented as a cumulative max-row offset per document (window
+    over page), then one array per (document, absolute row) with cells
+    placed by column index — ``array_sort`` + ``transform`` keeps the
+    pivot JVM-side; pad-with-"" matches ``:214-222``.
+    """
+    per_page = cells.groupBy("path", "page").agg(
+        F.max("row_index").alias("page_rows")
+    )
+    w = (
+        Window.partitionBy("path")
+        .orderBy("page")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_page.withColumn(
+        "row_offset", F.coalesce(F.sum("page_rows").over(w), F.lit(0))
+    ).select("path", "page", "row_offset")
+
+    absolute = cells.join(offsets, ["path", "page"]).withColumn(
+        "abs_row", F.col("row_index") + F.col("row_offset")
+    )
+    ncols = absolute.groupBy("path").agg(F.max("col_index").alias("n_cols"))
+    grid = (
+        absolute.groupBy("path", "abs_row")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("col_index"), F.collect_list("text")
+            ).alias("by_col")
+        )
+        .join(F.broadcast(ncols), "path")
+        .select(
+            "path",
+            "abs_row",
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_cols")),
+                lambda i: F.coalesce(F.col("by_col")[i], F.lit("")),
+            ).alias("cells"),
+        )
+    )
+    return grid
+
+
+def grid_to_table(grid: DataFrame) -> DataFrame:
+    """Header row (abs_row == 1) + data rows → (path, row_number,
+    header array, cells array) for the normalize layer; the reference's
+    ``rows_to_data_frame`` header handling (``:234-246``) then applies
+    as C1 sanitize + B1 footer filter on this output."""
+    header = grid.filter(F.col("abs_row") == 1).select(
+        "path", F.col("cells").alias("header")
+    )
+    data = grid.filter(F.col("abs_row") > 1)
+    return data.join(F.broadcast(header), "path").select(
+        "path", F.col("abs_row").alias("row_number"), "header", "cells"
+    )

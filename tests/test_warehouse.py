@@ -1,0 +1,82 @@
+"""End-to-end warehouse pipeline test (EP3 analog, SURVEY §3) on
+reference-domain fixtures (FIXTURES.md B1/B2): stage rows with junk
+gmu_lists and a footer row → production via gate/split/explode →
+merge with partial-update semantics → PK uniqueness.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bow_hunter_pipeline_spark import warehouse
+from bow_hunter_pipeline_spark.operators.normalize import drop_footer_rows
+from bow_hunter_pipeline_spark.schema import POPULATION_STAGE_SCHEMA
+
+STAGE_ROWS = [
+    # state, species, herd_name, post_hunt_estimate, male_female_ratio, year, gmu_list
+    ("co", "elk", "DAU_E-1", 12000, 25.0, 2023, "1, 2, 14"),
+    ("co", "elk", "DAU_E-2", 8000, 30.5, 2023, "15,16"),
+    ("co", "deer", "DAU_D-1", 5000, None, 2023, "01,02"),
+    ("wy", "elk", "DAU_W-1", 9000, 41.0, 2023, "see map"),   # junk → gated out
+    ("wy", "elk", "DAU_W-2", 7000, 38.0, 2023, "3,4a"),      # junk → gated out
+    ("wy", "elk", "DAU_W-3", 6000, 33.0, 2023, ""),          # empty → gated out
+    ("Total", None, None, None, None, None, None),            # footer row
+]
+
+
+@pytest.fixture()
+def stage(spark):
+    df = spark.createDataFrame(STAGE_ROWS, POPULATION_STAGE_SCHEMA)
+    return drop_footer_rows(df, "state")
+
+
+def test_production_rows_explode_and_gate(stage):
+    prod = warehouse.production_rows(stage)
+    rows = {(r.state, r.species, r.year, r.unit): r for r in prod.collect()}
+    assert set(rows) == {
+        ("co", "elk", 2023, 1),
+        ("co", "elk", 2023, 2),
+        ("co", "elk", 2023, 14),
+        ("co", "elk", 2023, 15),
+        ("co", "elk", 2023, 16),
+        ("co", "deer", 2023, 1),   # "01" → 1
+        ("co", "deer", 2023, 2),
+    }
+    assert rows[("co", "deer", 2023, 1)].male_female_ratio is None
+
+
+def test_merge_production_semantics(spark, stage):
+    prod = warehouse.production_rows(stage)
+    updates = spark.createDataFrame(
+        [("co", "elk", "DAU_RENAMED", 99999, 11.5, 2023, 1)],
+        "state string, species string, herd_name string, "
+        "post_hunt_estimate bigint, male_female_ratio double, "
+        "year int, unit int",
+    )
+    merged = warehouse.merge_production(prod, updates)
+    rows = {(r.state, r.species, r.year, r.unit): r for r in merged.collect()}
+    hit = rows[("co", "elk", 2023, 1)]
+    assert hit.post_hunt_estimate == 99999       # update col
+    assert hit.male_female_ratio == 11.5         # update col
+    assert hit.herd_name == "DAU_E-1"            # preserved (the quirk)
+    assert len(rows) == 7
+
+
+def test_ddl_and_stage_load_roundtrip(spark, tmp_path):
+    lake = str(tmp_path / "lake")
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(STAGE_ROWS[:3], POPULATION_STAGE_SCHEMA)
+    # partitioned lake write (A4) then glob re-read (A5) into the stage
+    df.write.partitionBy("state", "species", "year").parquet(lake)
+    spark.sql(f"DROP TABLE IF EXISTS {warehouse.STAGE_TABLE}")
+    spark.sql(f"DROP TABLE IF EXISTS {warehouse.PRODUCTION_TABLE}")
+    warehouse.ddl(spark, location=wh)
+    back = spark.read.parquet(lake)
+    assert back.count() == 3
+    # E1 full refresh twice → still 3 rows (overwrite, not append)
+    for _ in range(2):
+        back.select(
+            "state", "species", "herd_name", "post_hunt_estimate",
+            "male_female_ratio", "year", "gmu_list",
+        ).write.mode("overwrite").insertInto(warehouse.STAGE_TABLE)
+    assert spark.table(warehouse.STAGE_TABLE).count() == 3
