@@ -1,0 +1,150 @@
+"""DuckDB oracle SQL for the group-F relational plans, H5 sketches,
+multimodal pipelines, and streaming twins.
+
+Same dialect discipline as oracles_h (e-notation doubles, decimal-
+exact float reductions, explicit INT casts where DuckDB widens to
+BIGINT). Timestamp keys follow the truncation rule pinned there: the
+oracle engine narrows parquet nanos to µs, so cross-engine time keys
+are epoch µs (``ts_ns div 1000`` ↔ ``epoch_us(ts)``) or coarser.
+"""
+
+from __future__ import annotations
+
+from bow_hunter_pipeline_spark.plans.multimodal import N_FRAME_MOD
+from bow_hunter_pipeline_spark.plans.relational import BAND_WIDTH
+
+_DSUM = "CAST(round(SUM(CAST({c} AS DECIMAL(14,2))), 4) AS DOUBLE)"
+
+# --- group F -----------------------------------------------------------
+
+ROLLUP_ORDER_TOTALS = f"""
+SELECT o_orderpriority AS priority,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP(priority, order_year)
+"""
+
+CUBE_FLAG_STATUS = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {_DSUM.format(c='l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+SET_OPS_REPEAT_BUYERS = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+SEMI_JOIN_BIG_SPENDERS = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+ANTI_JOIN_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995
+)
+"""
+
+ASOF_JOIN_ERROR_CONTEXT = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'error'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS r_ts_us, event_type AS r_type
+  FROM events WHERE event_type <> 'error'
+)
+SELECT l.event_id, l.user_id, l.t_us,
+       r.r_ts_us AS prev_ts_us, r.r_type AS prev_type,
+       l.t_us - r.r_ts_us AS gap_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.t_us >= r.r_ts_us
+"""
+
+RANGE_JOIN_VALUE_BANDS = f"""
+WITH bands AS (
+  SELECT n_name AS band_name, n_nationkey * {BAND_WIDTH}e0 AS band_lo
+  FROM nation
+)
+SELECT band_name, band_lo,
+       COUNT(*) AS n_events,
+       {_DSUM.format(c='value')} AS sum_value
+FROM events e
+JOIN bands b ON e.value >= b.band_lo AND e.value < b.band_lo + {BAND_WIDTH}e0
+GROUP BY band_name, band_lo
+"""
+
+DATE_PARTS_MONTHLY = f"""
+WITH m AS (
+  -- DuckDB's date_trunc('month', ts) narrows to DATE; Spark keeps
+  -- timestamp — re-widen for bit-equal comparison
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         COUNT(*) AS n_orders,
+         {_DSUM.format(c='o_totalprice')} AS total_price
+  FROM orders GROUP BY 1
+)
+SELECT month_start,
+       CAST(quarter(month_start) AS INT) AS qtr,
+       CAST(dayofweek(month_start) AS INT) AS first_dow,
+       n_orders, total_price
+FROM m
+"""
+
+# --- H5 ----------------------------------------------------------------
+
+EXACT_DISTINCT_QUANTILES = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --- multimodal --------------------------------------------------------
+
+MM_DECODE_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height
+FROM documents
+"""
+
+MM_FRAME_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb,
+         octet_length(encode(text)) % {N_FRAME_MOD} + 1 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
+       CAST(unnest(list_transform(range(n_frames), f -> f * (nb // n_frames))) AS INT)
+         AS frame_off
+FROM d
+"""
+
+# --- streaming twins ---------------------------------------------------
+
+STREAMING_HOURLY_AGG = f"""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       {_DSUM.format(c='value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""

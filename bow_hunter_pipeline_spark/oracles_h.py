@@ -19,7 +19,12 @@ Dialect discipline (pinned by tests at sf0.001 and sf0.01):
 from __future__ import annotations
 
 from bow_hunter_pipeline_spark.plans.dedup import BANDS, NUM_PERM, ROWS_PER_BAND
-from bow_hunter_pipeline_spark.plans.simsearch import DIM, N_QUERIES, TOP_K
+from bow_hunter_pipeline_spark.plans.simsearch import (
+    DIM,
+    N_QUERIES,
+    NEAR_DUP_THRESHOLD,
+    TOP_K,
+)
 from bow_hunter_pipeline_spark.plans.textanalysis import STOPWORDS
 
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -288,7 +293,7 @@ WITH pairs AS (
 scored AS (
   SELECT a_id, b_id, {_COSINE} AS cosine FROM pairs
 )
-SELECT a_id, b_id, cosine FROM scored WHERE cosine >= 0.95e0
+SELECT a_id, b_id, cosine FROM scored WHERE cosine >= {NEAR_DUP_THRESHOLD}e0
 """
 
 # --- parse demos (C2/C3) ----------------------------------------------

@@ -1,0 +1,159 @@
+"""Multimodal binary columns — driver-mandated extension (BASELINE
+north star: image/audio/video at 100 TB).
+
+Model: media lives as an opaque ``binary`` payload column with typed
+metadata — exactly the shape ``binaryFile`` scans produce for a raw
+lake (io.readers.read_binary_files; the reference's raw-PDF lake,
+``ingest_harvest_data.py:94``). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages: the executor
+never materializes more than one batch of payloads, partitions stay
+independent, and the Python boundary is crossed once per batch, not
+per row.
+
+The real codec step is STUBBED (no image/audio libs in this
+container): ``decode_media`` raises NotImplementedError, and the
+tested pipelines use a deterministic fake extractor over the payload
+bytes (sha256 + length-derived dimensions). The Spark-side plumbing —
+schema, batching, fan-out, partitioning — is the real thing, and
+because the fake is byte-deterministic the whole pipeline is
+oracle-verifiable in SQL.
+
+Payload fixture: ``documents.text`` UTF-8-encoded stands in for media
+bytes (the container ships no binary corpus).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bow_hunter_pipeline_spark.io.readers import read_table
+
+try:  # pragma: no cover - codec libs are absent in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+def decode_media(payload: bytes, kind: str = "image"):
+    """The real codec seam. At deploy time this dispatches to
+    PIL/ffmpeg/soundfile per ``kind``; this container has none of them,
+    so the call is an explicit stub (the tested path is
+    ``fake_features`` below)."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; "
+            "use the deterministic fake-extract pipeline (mm_decode_meta)"
+        )
+    raise NotImplementedError("real decode not wired yet")  # pragma: no cover
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct — the
+    canonical multimodal row shape (payload: binary, media: struct)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        ).alias("media"),
+    )
+
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sha256_hex", T.StringType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract pipeline: binary payload →
+    mapInPandas extractor → typed feature columns.
+
+    Scale: no shuffle at all — the extract is a narrow per-partition
+    map; Arrow moves payload batches to Python once. Partition sizing
+    is the only knob that matters (maxPartitionBytes keeps a batch of
+    payloads within executor memory).
+
+    The extractor is a closure (pickled by value), so workers never
+    need this package importable — required for driver harnesses that
+    load the engine from an arbitrary cwd.
+    """
+
+    def fake_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Deterministic stand-in for a codec: content hash +
+        # byte-derived dimensions; one output row per input row.
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = payloads.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int32"),
+                    "sha256_hex": payloads.map(
+                        lambda b: _hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "fake_width": (n % 640 + 1).astype("int32"),
+                    "fake_height": (n % 480 + 1).astype("int32"),
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_extract, _META_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.IntegerType()),
+    ]
+)
+
+N_FRAME_MOD = 5  # fake frame count = n_bytes % 5 + 1
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling: every payload fans out to its frame
+    index/byte-offset rows via mapInPandas (set-returning Python stage,
+    the A3 block→grid pivot shape generalized to media). Row expansion
+    happens inside the pandas batch — no explode shuffle, output stays
+    partition-local."""
+    n_frame_mod = N_FRAME_MOD
+
+    def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_off = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_bytes = len(payload)
+                n_frames = n_bytes % n_frame_mod + 1
+                stride = n_bytes // n_frames
+                for i in range(n_frames):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_off.append(i * stride)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_off": pd.Series(out_off, dtype="int32"),
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_frames, _FRAME_SCHEMA)

