@@ -140,6 +140,41 @@ SELECT doc_id,
 FROM d
 """
 
+# --- normalize composite (C1/C8/B1/B2/C2/C3/C6/C7/B5) ------------------
+
+NORMALIZE_HARVEST = """
+WITH messy AS (
+  SELECT
+    CASE WHEN o_orderkey % 10 = 0 THEN 'Total'
+         WHEN o_orderkey % 13 = 0 THEN 'see map'
+         WHEN o_orderkey % 7 = 0 THEN '00' || CAST(o_custkey % 500 AS VARCHAR)
+         ELSE CAST(o_custkey % 500 AS VARCHAR) END AS unit_raw,
+    CASE WHEN o_orderkey % 5 = 0
+         THEN CAST((o_orderkey % 9000 + 1000) // 1000 AS VARCHAR) || ',' ||
+              lpad(CAST((o_orderkey % 9000 + 1000) % 1000 AS VARCHAR), 3, '0')
+         ELSE CAST(o_orderkey % 800 AS VARCHAR) END AS bulls_raw,
+    CAST(o_custkey % 300 AS VARCHAR) AS cows_raw,
+    'co_elk_harvest_' || CAST(year(o_orderdate) AS VARCHAR) || '.pdf' AS raw_file
+  FROM orders
+),
+kept AS (  -- B1 footer drop
+  SELECT * FROM messy WHERE lower(trim(unit_raw)) <> 'total'
+),
+parsed AS (
+  SELECT
+    'co' AS state, 'elk' AS species,
+    TRY_CAST(regexp_extract(raw_file, '([0-9]{4})', 1) AS INT) AS year,  -- C6
+    CASE WHEN regexp_matches(trim(unit_raw), '^[0-9]+$')
+         THEN CAST(trim(unit_raw) AS INT) END AS unit,                   -- C3
+    TRY_CAST(replace(trim(bulls_raw), ',', '') AS BIGINT) AS adult_male, -- C2
+    TRY_CAST(replace(trim(cows_raw), ',', '') AS BIGINT) AS adult_female,
+    CAST(0 AS BIGINT) AS young                                           -- C7
+  FROM kept
+)
+SELECT state, species, year, unit, adult_male, adult_female, young
+FROM parsed WHERE unit IS NOT NULL  -- B2
+"""
+
 # --- streaming twins ---------------------------------------------------
 
 STREAMING_HOURLY_AGG = f"""

@@ -200,7 +200,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
-SIMHASH_SIGNATURES = f"""
+_SIMHASH_CTES = f"""
 WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
 tok AS (
   SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM docs
@@ -215,11 +215,36 @@ votes AS (
   SELECT doc_id, bit,
          CAST(SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
   FROM bits GROUP BY doc_id, bit
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+SIMHASH_SIGNATURES = _SIMHASH_CTES + "\nSELECT doc_id, simhash FROM sigs"
+
+# banded candidates (4-bit nibbles; hamming ≤ 3 ⟹ ≥1 shared band by
+# pigeonhole) + exact hamming verify — mirrors plans.dedup.simhash_near_dup
+SIMHASH_NEAR_DUP = (
+    _SIMHASH_CTES
+    + """,
+nib AS (
+  SELECT doc_id, simhash, unnest(generate_series(0, 3)) AS band FROM sigs
+),
+nib2 AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS nibble FROM nib
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM nib2 a JOIN nib2 b
+    ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 """
+)
 
 JACCARD_PAIRS = f"""
 WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),

@@ -105,11 +105,24 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups land within small Hamming distance — bucketing on the
     signature gives the scale path."""
     docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    return _simhash_sigs(docs)
+
+
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4  # 4-bit nibbles; hamming ≤ 3 ⟹ ≥1 identical band
+HAMMING_MAX = 3
+
+
+def _simhash_sigs(docs: DataFrame) -> DataFrame:
+    """Shared signature computation for simhash_signatures /
+    simhash_near_dup (bit-vote assembly, see simhash_signatures)."""
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).withColumn("h", hash64("token", hex_chars=15))
     bits = tok.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit")
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.col("h"),
     ).select(
         "doc_id",
         "bit",
@@ -122,6 +135,53 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("s") > 0, F.expr("shiftleft(1, bit)")).otherwise(0)
         ).alias("simhash")
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 SimHash near-dup pairs: banded candidate generation + exact
+    Hamming verification.
+
+    Scale shape: the signature splits into ``SIMHASH_BANDS`` nibbles;
+    by pigeonhole, any pair within Hamming ≤ 3 shares at least one
+    (position, value) nibble, so candidates come from an equi-join on
+    (band, nibble) — collision-sized, never the O(n²) cross product.
+    The exact ``bit_count(xor(...))`` filter then runs only on
+    candidates. This is the standard sketch → candidate → verify
+    pipeline at corpus scale.
+    """
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    sigs = _simhash_sigs(docs)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    nibbles = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "nibble",
+        F.expr(f"shiftright(simhash, band * {width}) & {2**width - 1}"),
+    )
+    a = nibbles.alias("a")
+    b = nibbles.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return candidates.withColumn(
+        "hamming", F.bit_count(F.expr("sig_a ^ sig_b"))
+    ).filter(F.col("hamming") <= HAMMING_MAX).select(
+        "doc_a", "doc_b", "hamming"
     )
 
 

@@ -23,6 +23,7 @@ from bow_hunter_pipeline_spark.plans import (
     dedup,
     events,
     multimodal,
+    normalize_demo,
     parsing_demo,
     pipeline,
     relational,
@@ -231,6 +232,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h1_embedding_near_dup": (
         simsearch.embedding_near_dup,
         oracles_h.EMBEDDING_NEAR_DUP,
+    ),
+    # Normalize composite — the reference's ingest soul in one plan
+    "c1_c8_normalize_harvest": (
+        normalize_demo.normalize_harvest_pipeline,
+        oracles_f.NORMALIZE_HARVEST,
+    ),
+    # H1 simhash near-dup (banded candidates + exact hamming verify)
+    "h1_simhash_near_dup": (
+        dedup.simhash_near_dup,
+        oracles_h.SIMHASH_NEAR_DUP,
     ),
     # Group F relational completion
     "f_rollup_order_totals": (
