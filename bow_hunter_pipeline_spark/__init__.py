@@ -17,12 +17,18 @@ Layout
 - ``functions``  scalar helpers: numeric parsing, header sanitize,
   text shingling/hashing
 - ``operators``  normalize (dialect→canonical), explode gate, upsert
-  (MERGE semantics), uniqueness check, schema-drift audit
+  (MERGE semantics), uniqueness check, schema-drift audit, scale
+  paths (salted skew join, bucketed co-located join)
 - ``plans``      analytics (success rates, joins, rankings, trends),
-  dedup (exact/MinHash/SimHash/Jaccard), similarity search, text
-  analysis, event-time windows
+  relational completion (rollup/cube, set ops, semi/anti/as-of/range
+  joins), dedup (exact/MinHash/SimHash/Jaccard/embedding), similarity
+  search, text analysis, event-time windows, sketch aggregation,
+  multimodal binary pipelines, normalize composite
 - ``sources``    PDF table-extraction source adapter (mapInPandas)
-- ``streaming``  Structured Streaming analogs of the batch plans
+- ``streaming``  Structured Streaming: windowed aggs under watermarks,
+  stateful sessionization (applyInPandasWithState)
+- ``warehouse``  stage→production build (DDL, full refresh, explode,
+  merge with PK post-condition)
 """
 
 __version__ = "0.1.0"
