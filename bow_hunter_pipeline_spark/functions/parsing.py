@@ -39,13 +39,15 @@ def parse_unit(c: Column | str) -> Column:
     """C3: leading-zero GMU-number normalize, NULL on non-digits.
 
     Reference: ``ingest_harvest_data.py:257-261`` —
-    ``int(x.lstrip('0')) if x.strip().isdigit() else NA``. A bigint cast
+    ``int(x.lstrip('0')) if x.strip().isdigit() else NA``. An int cast
     of a digit string drops leading zeros identically; the digits-only
     guard replicates the isdigit() gate (so ``"12a"`` → NULL, not 12).
+    try_cast (not cast): a >int32 digit string passes the regex but
+    must coerce to NULL, not throw under ANSI mode.
     """
     col = F.col(c) if isinstance(c, str) else c
     t = F.trim(col)
-    return F.when(t.rlike(r"^[0-9]+$"), t.cast("int"))
+    return F.when(t.rlike(r"^[0-9]+$"), t.try_cast("int"))
 
 
 def sanitize_header(name: str, *, slash_to_per: bool = False) -> str:

@@ -1,0 +1,113 @@
+"""Property tests (SURVEY §5.3): parse/normalize round-trips and the
+upsert PK invariant, over hypothesis-generated inputs.
+
+Each example list becomes ONE DataFrame (not one Spark job per
+example) to keep runtime sane; deadline disabled because Spark job
+latency is unrelated to input size.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.functions.parsing import (
+    parse_long,
+    parse_unit,
+    sanitize_header,
+)
+from bow_hunter_pipeline_spark.operators.upsert import upsert
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+# printable ASCII only: Python's int()/strip() accept unicode digits
+# and exotic whitespace that JVM casts/trim deliberately do not — that
+# divergence is outside the engine's contract (headers/cells are ASCII
+# in the reference corpus)
+_junk = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=12,
+)
+_ints = st.integers(min_value=0, max_value=10**12)
+
+
+def _fmt_commas(n: int) -> str:
+    return f"{n:,}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(_junk, _ints.map(_fmt_commas)), min_size=1, max_size=30))
+def test_parse_long_is_null_or_exact(spark, raws):
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    rows = df.select("raw", parse_long("raw").alias("parsed")).collect()
+    for r in rows:
+        stripped = r.raw.strip().replace(",", "")
+        try:
+            expected = int(stripped)
+            if not (-(2**63) <= expected < 2**63):
+                expected = None
+        except ValueError:
+            expected = None
+        assert r.parsed == expected, (r.raw, r.parsed, expected)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(_junk, st.integers(0, 10**6).map(lambda n: f"00{n}")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_parse_unit_digits_only_gate(spark, raws):
+    df = spark.createDataFrame([(r,) for r in raws], "raw string")
+    rows = df.select("raw", parse_unit("raw").alias("unit")).collect()
+    for r in rows:
+        t = r.raw.strip()
+        if t and all(c in "0123456789" for c in t):
+            # digit strings: exact value, or NULL on int32 overflow
+            expected = int(t) if int(t) < 2**31 else None
+        else:
+            expected = None
+        assert r.unit == expected, (r.raw, r.unit, expected)
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(**_SETTINGS)
+def test_sanitize_header_charset_and_idempotence(name):
+    out = sanitize_header(name)
+    assert all(c.islower() or c.isdigit() or c == "_" for c in out)
+    assert sanitize_header(out) == out  # idempotent
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 100)), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 20), st.integers(0, 100)), min_size=1, max_size=25),
+)
+def test_upsert_pk_unique_and_partial_update(spark, old_rows, new_rows):
+    # dedupe inputs per key (last wins) to model valid batches
+    old = {k: v for k, v in old_rows}
+    new = {k: v for k, v in new_rows}
+    existing = spark.createDataFrame(
+        [(k, v, f"old{k}") for k, v in old.items()], "k int, upd int, keep string"
+    )
+    incoming = spark.createDataFrame(
+        [(k, v, f"new{k}") for k, v in new.items()], "k int, upd int, keep string"
+    )
+    merged = {
+        r.k: (r.upd, r.keep)
+        for r in upsert(existing, incoming, ["k"], ["upd"]).collect()
+    }
+    # PK unique and complete
+    assert set(merged) == set(old) | set(new)
+    for k, (upd, keep) in merged.items():
+        if k in old and k in new:
+            # update col from incoming, other col keeps the OLD value
+            assert upd == new[k] and keep == f"old{k}"
+        elif k in new:
+            assert upd == new[k] and keep == f"new{k}"
+        else:
+            assert upd == old[k] and keep == f"old{k}"
