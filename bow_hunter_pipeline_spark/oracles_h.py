@@ -147,6 +147,38 @@ SELECT doc_id, md5(text) AS fp_md5,
 FROM documents
 """
 
+REGEX_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS INT)
+         AS n_word_tokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS INT)
+         AS n_num_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens
+FROM t
+"""
+
+# strict left fold; list_prepend supplies the 0 seed (DuckDB's
+# list_reduce has no init argument — first element plays that role)
+ROLLING_FINGERPRINT = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(str_split(text, ' '),
+           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)
+                % 4503599627370496) AS th
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                   (acc, x) -> (acc * 31 + x) % 4503599627370496) AS fp_roll
+FROM h
+"""
+
 # --- dedup (H1) --------------------------------------------------------
 
 _DOCS_WITH_EXACT_COPIES = """

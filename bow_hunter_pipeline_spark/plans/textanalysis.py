@@ -124,3 +124,55 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("fp_md5"),
         hash64("text").alias("fp_int60"),
     )
+
+
+# BPE-ish pre-tokenization classes (letters / digits / symbol runs) —
+# the regex shape GPT-style tokenizers apply before merges. Pattern is
+# engine-portable (no lookarounds; same semantics in Java regex & RE2).
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 token counting, BPE-ish-regex flavor: per-document counts of
+    letter/digit/symbol token classes via regexp_extract_all — the
+    pre-tokenization pass a BPE pipeline runs before merge lookup.
+    One narrow codegen'd projection; no Python, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    all_toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    return docs.select(
+        "doc_id",
+        F.size(all_toks).alias("n_tokens"),
+        F.size(
+            F.filter(all_toks, lambda t: t.rlike("^[a-z]+$"))
+        ).alias("n_word_tokens"),
+        F.size(
+            F.filter(all_toks, lambda t: t.rlike("^[0-9]+$"))
+        ).alias("n_num_tokens"),
+        F.size(F.array_distinct(all_toks)).alias("n_distinct_tokens"),
+    )
+
+
+ROLL_MOD = 1 << 52  # keeps acc*31 + h < 2^58: no BIGINT overflow in
+# any engine (Java wraps, ANSI engines raise — stay below both)
+ROLL_MULT = 31
+
+
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 document fingerprinting, rolling-hash flavor: an
+    order-sensitive polynomial fold over per-token hashes —
+    h ← (h·31 + hash(tok) mod 2^52) mod 2^52. Unlike the md5
+    fingerprint, token order and boundaries matter (transposed words
+    produce different fingerprints), which is what near-dup shingle
+    pipelines key on.
+
+    The fold is a strict left fold (F.aggregate) of deterministic
+    md5-derived token hashes — engine-portable bit-for-bit, and at
+    scale one codegen'd pass with no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok_hashes = F.transform(_toks(), lambda t: hash64(t) % F.lit(ROLL_MOD))
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLL_MULT + h) % ROLL_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fp_roll"))

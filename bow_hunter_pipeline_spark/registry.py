@@ -212,6 +212,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.fingerprint_docs,
         oracles_h.FINGERPRINT_DOCS,
     ),
+    "h3_regex_token_stats": (
+        textanalysis.regex_token_stats,
+        oracles_h.REGEX_TOKEN_STATS,
+    ),
+    "h3_rolling_fingerprint": (
+        textanalysis.rolling_fingerprint,
+        oracles_h.ROLLING_FINGERPRINT,
+    ),
     # H1 dedup
     "h1_exact_dup_groups": (dedup.exact_dup_groups, oracles_h.EXACT_DUP_GROUPS),
     "h1_minhash_lsh_pairs": (
