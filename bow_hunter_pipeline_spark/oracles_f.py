@@ -105,6 +105,32 @@ SELECT month_start,
 FROM m
 """
 
+GROUPING_SETS_ORDERS = f"""
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((priority, status), (priority), ())
+"""
+
+WINDOW_FUNCTION_SHOWCASE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(dense_rank() OVER w AS INT) AS bal_rank,
+       CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+       lead(c_custkey, 1) OVER w AS next_custkey,
+       lag(c_custkey, 1) OVER w AS prev_custkey,
+       CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (
+         PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+         AS running_total,
+       MAX(c_acctbal) OVER f AS nation_max_bal,
+       MIN(c_acctbal) OVER f AS nation_min_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+       f AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
 # --- H5 ----------------------------------------------------------------
 
 EXACT_DISTINCT_QUANTILES = """

@@ -53,6 +53,55 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: explicit GROUPING SETS — exactly the margins requested
+    ((priority, status), (priority), ()) rather than rollup's implied
+    chain; one shuffle regardless of set count."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    pr, stat = F.col("priority"), F.col("status")
+    return orders.groupingSets([[pr, stat], [pr], []], pr, stat).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+def window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: the window-function family over one ordered partition —
+    dense_rank, ntile quartiles, lead/lag neighbors, running total,
+    partition extrema via unbounded frames. One shuffle on the
+    partition key; every function shares the same sort.
+
+    Frame discipline for the oracle: running_total uses an exact
+    DECIMAL sum (order-dependent double folds diverge between
+    engines); extrema use min/max over the full partition frame.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.dense_rank().over(w).alias("bal_rank"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+        F.lag("c_custkey", 1).over(w).alias("prev_custkey"),
+        F.round(F.sum(bal).over(run), 4)
+        .cast("double")
+        .alias("running_total"),
+        F.max("c_acctbal").over(full).alias("nation_max_bal"),
+        F.min("c_acctbal").over(full).alias("nation_min_bal"),
+    )
+
+
 def set_ops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F: INTERSECT / EXCEPT (distinct set semantics, same as SQL):
     customers who bought in both 1995 and 1996, minus any who ever

@@ -260,6 +260,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.cube_flag_status,
         oracles_f.CUBE_FLAG_STATUS,
     ),
+    "f_grouping_sets_orders": (
+        relational.grouping_sets_orders,
+        oracles_f.GROUPING_SETS_ORDERS,
+    ),
+    "f_window_functions": (
+        relational.window_function_showcase,
+        oracles_f.WINDOW_FUNCTION_SHOWCASE,
+    ),
     "f_set_ops_repeat_buyers": (
         relational.set_ops_repeat_buyers,
         oracles_f.SET_OPS_REPEAT_BUYERS,

@@ -1,0 +1,76 @@
+"""Simulate the driver: entry() smoke + queries() vs oracle_sql() at sf0.01."""
+import importlib.util
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .appName("verify")
+    .getOrCreate()
+)
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF_DIR = "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in idx))
+    out.sort()
+    return out
+
+
+n_entry = mod.entry(spark).count()
+print(f"entry: {n_entry} rows {'OK' if n_entry > 0 else 'FAIL'}")
+
+qs = mod.queries()
+oracles = mod.oracle_sql()
+fails = []
+for name, fn in qs.items():
+    try:
+        sdf = fn(spark, SF_DIR)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only, {len(s_rows)} rows")
+            continue
+        rel = con.execute(oracles[name])
+        o_cols = [d[0] for d in rel.description]
+        o_rows = rel.fetchall()
+        if sorted(s_cols) != sorted(o_cols):
+            fails.append((name, f"schema {sorted(s_cols)} != {sorted(o_cols)}"))
+            continue
+        if len(s_rows) != len(o_rows):
+            fails.append((name, f"rowcount {len(s_rows)} != {len(o_rows)}"))
+            continue
+        sn, on = norm_rows(s_cols, s_rows), norm_rows(o_cols, o_rows)
+        if sn != on:
+            diff = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b][:3]
+            fails.append((name, f"value mismatch at sorted-rows {diff}; e.g. {sn[diff[0]]} vs {on[diff[0]]}"))
+            continue
+        print(f"{name}: OK ({len(s_rows)} rows)")
+    except Exception as e:  # noqa: BLE001
+        fails.append((name, f"EXC {type(e).__name__}: {e}"))
+
+print(f"\n{len(qs) - len(fails)}/{len(qs)} pass")
+for name, why in fails:
+    print(f"FAIL {name}: {why[:300]}")
+spark.stop()
+sys.exit(1 if fails else 0)
