@@ -89,6 +89,32 @@ JOIN bands b ON e.value >= b.band_lo AND e.value < b.band_lo + {BAND_WIDTH}e0
 GROUP BY band_name, band_lo
 """
 
+PIVOT_EVENT_COUNTS = """
+SELECT user_id % 10 AS cohort,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+"""
+
+STATS_MOMENTS = """
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(round(SUM(CAST(l_quantity AS DECIMAL(14,2))), 4) AS DOUBLE) AS s1,
+         CAST(round(SUM(CAST(CAST(l_quantity AS DECIMAL(14,2))
+                            * CAST(l_quantity AS DECIMAL(14,2)) AS DECIMAL(24,4))), 4)
+              AS DOUBLE) AS s2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       s1 / n AS mean_qty,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_qty
+FROM g
+"""
+
 DATE_PARTS_MONTHLY = f"""
 WITH m AS (
   -- DuckDB's date_trunc('month', ts) narrows to DATE; Spark keeps

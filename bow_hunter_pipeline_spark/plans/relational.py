@@ -253,6 +253,58 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: pivot / cross-tab — user-cohort × event-type count matrix
+    (the reference's A3 block-grid pivot generalized to relational
+    pivot). Explicit value list keeps the plan single-pass: Spark
+    skips the distinct-values pre-query and pivots map-side in one
+    aggregation shuffle.
+
+    Cells with no rows are 0 (coalesced) so the contract matches the
+    oracle's COUNT(CASE...) regardless of fixture sparsity."""
+    ev = read_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F/H5: mean and sample variance per group — computed from exact
+    DECIMAL power sums (Σx, Σx²) with one double expression at the
+    end, instead of the engine's streaming variance (whose float
+    accumulation order differs per engine/partitioning and is not
+    oracle-reproducible). Same single-shuffle plan as any grouped agg;
+    at 100 TB power sums also merge associatively, which a naive
+    two-pass variance does not.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(14,2)")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("__s1"),
+        F.sum((q * q).cast("decimal(24,4)")).alias("__s2"),
+    )
+    s1 = F.round(F.col("__s1"), 4).cast("double")
+    s2 = F.round(F.col("__s2"), 4).cast("double")
+    n = F.col("n")
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        (s1 / n).alias("mean_qty"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_qty"),
+    )
+
+
 def date_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F: date/time derivation — month truncation, quarter, day-of-week
     (none exist in the reference; ``year`` is a plain INT column there,

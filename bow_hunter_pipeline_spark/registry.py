@@ -292,6 +292,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.date_parts_monthly,
         oracles_f.DATE_PARTS_MONTHLY,
     ),
+    "f_pivot_event_counts": (
+        relational.pivot_event_counts,
+        oracles_f.PIVOT_EVENT_COUNTS,
+    ),
+    "f_stats_moments": (
+        relational.stats_moments,
+        oracles_f.STATS_MOMENTS,
+    ),
     # H5 sketch / approximate aggregation
     "h5_exact_distinct_quantiles": (
         approx.exact_distinct_quantiles,
