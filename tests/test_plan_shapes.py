@@ -1,0 +1,83 @@
+"""Physical-plan assertions for the headline plans — the 100 TB
+contract made checkable: filters reach the parquet scan, projections
+prune columns, dimensions broadcast, top-k pushes below the window
+shuffle, range joins execute as equi-joins (not nested loops), and no
+Python appears in any JVM-path query.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from bow_hunter_pipeline_spark.plans import (
+    analytics,
+    dedup,
+    relational,
+    multimodal,
+    simsearch,
+    textanalysis,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(analytics.pricing_summary(spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1].split("\n")[0]
+    # 7 needed columns, not all 11
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dimensions(spark):
+    plan = _plan(analytics.revenue_by_nation(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_k_pushes_group_limit_below_shuffle(spark):
+    plan = _plan(analytics.top_k_per_group(spark, SF_SMOKE))
+    # partial WindowGroupLimit before the exchange + final after
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    plan = _plan(relational.range_join_value_bands(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jvm_path_plans_have_no_python_eval(spark):
+    for df in (
+        textanalysis.doc_stats(spark, SF_SMOKE),
+        textanalysis.rolling_fingerprint(spark, SF_SMOKE),
+        dedup.minhash_lsh_pairs(spark, SF_SMOKE),
+        simsearch.cosine_topk(spark, SF_SMOKE),
+        relational.asof_join_error_context(spark, SF_SMOKE),
+    ):
+        plan = _plan(df)
+        assert "EvalPython" not in plan, plan  # no row/arrow Python UDFs
+        assert "MapInPandas" not in plan
+
+
+def test_multimodal_scan_prunes_to_needed_columns(spark):
+    plan = _plan(multimodal.decode_meta(spark, SF_SMOKE))
+    assert "MapInPandas" in plan  # the Arrow boundary is the design
+    read_schema = plan.split("ReadSchema", 1)[1].split("\n")[0]
+    # only doc_id + text feed the payload; lang/source/n_chars pruned
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    plan = _plan(relational.asof_join_error_context(spark, SF_SMOKE))
+    # union + window, not a join: no join operator at all in the plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # one hash exchange (+AQE read)
