@@ -75,6 +75,11 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
 FROM s GROUP BY user_id, session_idx
 """
 
+JSON_MAP_EXPLODE = """
+SELECT event_id, k AS key, CAST(props->>k AS BIGINT) AS value
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+"""
+
 JSON_PROPS_AGG = """
 WITH k AS (
   SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events

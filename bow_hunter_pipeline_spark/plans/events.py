@@ -103,6 +103,25 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured → relational fan-out: parse the JSON ``props``
+    into ``map<string,bigint>`` and explode to one (event, key, value)
+    row per entry — the generic shape for property bags whose keys are
+    not known at schema time (vs json_props_agg's fixed-path pull).
+
+    Scale: from_json + explode are narrow (no shuffle); key cardinality
+    inflation is the only cost, and downstream aggs combine map-side.
+    """
+    ev = read_events(spark, sf_dir)
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    return parsed.select(
+        "event_id", F.explode("m").alias("key", "value")
+    )
+
+
 def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``k`` out of the JSON ``props``
     column (the analog of the reference's schema-drifty PDF cells —

@@ -199,6 +199,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "h4_sessionize": (events.sessionize, oracles_h.SESSIONIZE),
     "h4_json_props_agg": (events.json_props_agg, oracles_h.JSON_PROPS_AGG),
+    "h4_json_map_explode": (
+        events.json_map_explode,
+        oracles_h.JSON_MAP_EXPLODE,
+    ),
     # H3 text analysis
     "h3_doc_stats": (textanalysis.doc_stats, oracles_h.DOC_STATS),
     "h3_token_top_k": (textanalysis.token_top_k, oracles_h.TOKEN_TOP_K),
