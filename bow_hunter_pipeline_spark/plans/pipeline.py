@@ -12,7 +12,7 @@ upsert on orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.functions.exact import dsum, factor, money
@@ -58,6 +58,20 @@ def population_explode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_units"),
             dsum("c_acctbal", "total_acctbal", cast="decimal(12,2)"),
         )
+    )
+
+
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7 Phase 0, complete: scan → regex gate (B3) → split/cast
+    (D1) → explode (D2) → join back (G2) → aggregate (G1) → top-k rank
+    (G3). One declarative plan lighting up scan → transform → shuffle →
+    agg → window; the driver's smoke entry point."""
+    per_nation = population_explode_pipeline(spark, sf_dir)
+    w = Window.orderBy(F.col("total_acctbal").desc(), F.col("nationkey"))
+    return (
+        per_nation.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("nationkey", "n_units", "total_acctbal", "rnk")
     )
 
 

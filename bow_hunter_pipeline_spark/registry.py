@@ -142,6 +142,14 @@ JOIN customer c ON e.unit = c.c_custkey AND e.c_nationkey = c.c_nationkey
 GROUP BY e.c_nationkey
 """
 
+_FLAGSHIP_SQL = f"""
+WITH per_nation AS ({_POPULATION_EXPLODE_SQL})
+SELECT nationkey, n_units, total_acctbal, rnk FROM (
+  SELECT *, CAST(RANK() OVER (ORDER BY total_acctbal DESC, nationkey) AS INT) AS rnk
+  FROM per_nation
+) WHERE rnk <= 10
+"""
+
 _ORDERS_UPSERT_SQL = """
 WITH e AS (
   SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
@@ -186,6 +194,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.population_explode_pipeline,
         _POPULATION_EXPLODE_SQL,
     ),
+    "ep3_flagship_pipeline": (pipeline.flagship_pipeline, _FLAGSHIP_SQL),
     "e2_orders_upsert": (pipeline.orders_upsert, _ORDERS_UPSERT_SQL),
     "e3_duplicate_keys": (pipeline.orders_duplicate_keys, _DUPLICATE_KEYS_SQL),
     # C2/C3 parse semantics
@@ -326,9 +335,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Smoke-check plan: scan → gate/split/explode → join → agg (the
-    reference's whole EP3 shape in one query)."""
-    return pipeline.population_explode_pipeline(spark, sf_dir)
+    """Smoke-check plan: scan → gate/split/explode → join → agg →
+    top-k rank (the reference's whole EP3 shape + the G3 ranking leg,
+    SURVEY §7 Phase 0, in one Catalyst-planned query)."""
+    return pipeline.flagship_pipeline(spark, sf_dir)
 
 
 def queries() -> dict[str, QueryFn]:
