@@ -40,6 +40,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       (windowing on epoch seconds, sessionization gaps).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the micros→NTZ derivation below round-trips through TIMESTAMP
+    # (instant) semantics; pin UTC so it is correct in driver-created
+    # sessions that didn't use session.get_spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.withColumnRenamed("ts", "ts_ns")

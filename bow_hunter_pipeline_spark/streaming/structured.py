@@ -49,6 +49,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are identical.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see read_events
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (
         spark.readStream.schema(schema)
