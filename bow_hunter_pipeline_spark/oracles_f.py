@@ -89,6 +89,36 @@ JOIN bands b ON e.value >= b.band_lo AND e.value < b.band_lo + {BAND_WIDTH}e0
 GROUP BY band_name, band_lo
 """
 
+DATE_SPINE_MONTHLY = """
+WITH bounds AS (
+  SELECT min(date_trunc('month', o_orderdate)) AS lo,
+         max(date_trunc('month', o_orderdate)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 MONTH)) AS TIMESTAMP)
+           AS month_start
+  FROM bounds
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT s.month_start, COALESCE(m.n, 0) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+"""
+
+SQL_TEXT_INTERFACE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
 PIVOT_EVENT_COUNTS = """
 SELECT user_id % 10 AS cohort,
        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

@@ -223,7 +223,7 @@ def _band_exprs() -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-MINHASH_LSH_PAIRS = f"""
+_MINHASH_CTES = f"""
 WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
 sigs AS (
   SELECT doc_id,
@@ -232,10 +232,25 @@ sigs AS (
 ),
 bands AS (
   SELECT doc_id, unnest({_band_exprs()}) AS band_key FROM sigs
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+MINHASH_LSH_PAIRS = _MINHASH_CTES + "\nSELECT doc_a, doc_b FROM cand"
+
+EDIT_DISTANCE_PAIRS = (
+    _MINHASH_CTES
+    + """
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS INT) AS edit_dist
+FROM cand
+JOIN docs ta ON ta.doc_id = doc_a
+JOIN docs tb ON tb.doc_id = doc_b
+WHERE levenshtein(ta.text, tb.text) <= 20
 """
+)
 
 _SIMHASH_CTES = f"""
 WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),

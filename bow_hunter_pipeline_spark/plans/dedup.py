@@ -185,6 +185,31 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_DISTANCE_MAX = 20
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 edit-distance near-dup: exact Levenshtein verification over
+    MinHash+LSH candidates — the standard two-stage fuzzy dedup
+    (cheap sketch recall pass, expensive exact precision pass run only
+    on candidate-sized input, never the O(n²) corpus grid).
+
+    Levenshtein is the classical DP distance — identical integers in
+    every engine, so the pair list and distances are oracle-exact.
+    """
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    candidates = minhash_lsh_pairs(spark, sf_dir)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("edit_dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("edit_dist") <= EDIT_DISTANCE_MAX)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """H1 n-gram Jaccard: exact 3-shingle Jaccard for pairs sharing at
     least one shingle; keep pairs ≥ threshold.

@@ -253,6 +253,58 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: calendar-spine densification — generate every month between
+    the corpus min/max and left-join actual monthly order counts, so
+    empty months surface as explicit zeros (G4 trend analysis breaks
+    on gaps otherwise).
+
+    The spine comes from sequence() + explode on a 1-row aggregate —
+    generated, not scanned; the join back is a broadcast of the tiny
+    spine against the monthly aggregate.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    bounds = orders.agg(
+        F.min(month).alias("lo"), F.max(month).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 month"))
+        ).alias("month_start")
+    )
+    monthly = orders.groupBy(month.alias("month_start")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return spine.join(monthly, "month_start", "left").select(
+        "month_start",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+    )
+
+
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entry point (the reference's only query surface —
+    DDL/DML scripts fed to an engine, ``load_duckdb_data.py:23-43``):
+    register temp views, run ANSI SQL text through spark.sql. Same
+    Catalyst plan as the DataFrame form — the two APIs are front-ends
+    to one optimizer.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("bhps_orders")
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bhps_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4)
+                    AS DOUBLE) AS total_price
+        FROM bhps_orders JOIN bhps_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

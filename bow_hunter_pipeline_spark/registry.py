@@ -244,6 +244,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles_h.SIMHASH_SIGNATURES,
     ),
     "h1_jaccard_pairs": (dedup.jaccard_pairs, oracles_h.JACCARD_PAIRS),
+    "h1_edit_distance_pairs": (
+        dedup.edit_distance_pairs,
+        oracles_h.EDIT_DISTANCE_PAIRS,
+    ),
     # H2 similarity search
     "h2_cosine_topk": (simsearch.cosine_topk, oracles_h.COSINE_TOPK),
     "h2_ann_bucketed_topk": (
@@ -312,6 +316,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f_stats_moments": (
         relational.stats_moments,
         oracles_f.STATS_MOMENTS,
+    ),
+    "f_date_spine_monthly": (
+        relational.date_spine_monthly,
+        oracles_f.DATE_SPINE_MONTHLY,
+    ),
+    "f_sql_text_interface": (
+        relational.sql_text_interface,
+        oracles_f.SQL_TEXT_INTERFACE,
     ),
     # H5 sketch / approximate aggregation
     "h5_exact_distinct_quantiles": (
