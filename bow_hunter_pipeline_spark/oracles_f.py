@@ -119,6 +119,38 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(7,4))"
+)
+
+Q3_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       o_orderdate,
+       o_orderpriority,
+       CAST(round(SUM({_REV}), 4) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ABOVE_AVG_ORDERS = """
+WITH cavg AS (
+  SELECT o_custkey,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+           / COUNT(o_totalprice) AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
+FROM orders o JOIN cavg ON o.o_custkey = cavg.o_custkey
+WHERE o_totalprice > 1.5e0 * cust_avg
+"""
+
 PIVOT_EVENT_COUNTS = """
 SELECT user_id % 10 AS cohort,
        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

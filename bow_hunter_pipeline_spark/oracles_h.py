@@ -252,6 +252,42 @@ WHERE levenshtein(ta.text, tb.text) <= 20
 """
 )
 
+DEDUP_CLUSTERS = _MINHASH_CTES.replace(
+    "WITH docs AS", "WITH RECURSIVE docs AS", 1
+) + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+walk(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+def _strata_case() -> str:
+    from bow_hunter_pipeline_spark.plans.sampling import (
+        DEFAULT_PCT,
+        STRATA_PCT,
+    )
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRATA_PCT.items()
+    )
+    return f"CASE lang {whens} ELSE {DEFAULT_PCT} END"
+
+
+STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 100 < {_strata_case()}
+"""
+
 _SIMHASH_CTES = f"""
 WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
 tok AS (

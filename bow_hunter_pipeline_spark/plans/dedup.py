@@ -210,6 +210,78 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 cluster formation: connected components over the MinHash+LSH
+    candidate-pair graph — the step that turns pairwise near-dup hits
+    into dedup groups (keep min doc_id per cluster, drop the rest).
+
+    Algorithm: iterative min-label propagation. Each node starts
+    labeled with its own id; every round each node takes the min of its
+    label and its neighbors' labels; converged when no label changes.
+    Rounds needed = graph diameter — for dedup graphs (small dense
+    cliques of near-copies) that is 2-3, so the driver loop runs a
+    handful of joins, each shuffling only the edge list.
+
+    Scale notes: ``localCheckpoint`` truncates lineage each round
+    (otherwise the plan doubles per iteration and planning time
+    explodes by round 10); on a real cluster use reliable
+    ``checkpoint`` to survive executor loss, and for graphs with big
+    diameters switch the round body to the large-star/small-star
+    rewrite (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log²n) rounds on the same join primitive.
+    The convergence probe is an ``isEmpty``-style count aggregate, not
+    a collect — nothing data-sized reaches the driver.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        nbr_labels = edges.join(
+            labels.select(
+                F.col("doc_id").alias("dst"),
+                F.col("cluster_id").alias("nbr_label"),
+            ),
+            "dst",
+        ).select(
+            F.col("src").alias("doc_id"),
+            F.col("nbr_label").alias("cluster_id"),
+        )
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("cluster_id").alias("old_label")),
+                "doc_id",
+            )
+            .filter(F.col("cluster_id") != F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """H1 n-gram Jaccard: exact 3-shingle Jaccard for pairs sharing at
     least one shingle; keep pairs ≥ threshold.

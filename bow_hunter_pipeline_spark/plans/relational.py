@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bow_hunter_pipeline_spark.functions.exact import dsum
+from bow_hunter_pipeline_spark.functions.exact import (
+    davg,
+    dsum,
+    dsum_expr,
+    money,
+    one_minus,
+)
 from bow_hunter_pipeline_spark.io.readers import read_table
 
 
@@ -302,6 +308,83 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bhps_orders JOIN bhps_customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         """
+    )
+
+
+Q3_CUTOFF = "1998-07-01"
+Q3_SEGMENT = "BUILDING"
+Q3_TOP_N = 10
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: the classic shipping-priority analytic (TPC-H Q3 shape) —
+    three-table star join with filters on every input, revenue
+    aggregation per order, global top-10.
+
+    Scale shape: all three filters sit below the joins (pushed to the
+    parquet scans, so the fact tables arrive pre-pruned), the
+    customer→orders and orders→lineitem joins shuffle on their keys
+    with AQE free to broadcast the filtered customer side, and the
+    top-10 is a TakeOrderedAndProject — per-partition heap + driver
+    merge of 10-row heads, never a global sort.
+
+    Deterministic under ties: the sort key is (revenue DESC, orderkey).
+    """
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp")
+    customer = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(Q3_TOP_N)
+    )
+
+
+ABOVE_AVG_FACTOR = 1.5
+
+
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: correlated scalar subquery, decorrelated — orders whose value
+    exceeds 1.5× their own customer's average order value.
+
+    ``WHERE o_totalprice > 1.5 * (SELECT AVG(...) WHERE same customer)``
+    rewrites to aggregate-then-equi-join — exactly what Catalyst's
+    RewriteCorrelatedScalarSubquery does to the SQL form; written
+    explicitly here the plan is one shuffle for the per-customer
+    aggregate and one key-colocated join back to the fact (at scale the
+    two sides share the o_custkey partitioning, so AQE plans the join
+    without a second exchange of the aggregate side).
+
+    Exactness: the average is a decimal sum with one double division
+    (functions.exact.davg), so the 1.5× comparison is bit-identical in
+    any engine — no boundary-row flapping.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(
+        davg("o_totalprice", "cust_avg")
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .filter(
+            F.col("o_totalprice")
+            > F.lit(ABOVE_AVG_FACTOR) * F.col("cust_avg")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
     )
 
 

@@ -27,6 +27,7 @@ from bow_hunter_pipeline_spark.plans import (
     parsing_demo,
     pipeline,
     relational,
+    sampling,
     simsearch,
     textanalysis,
 )
@@ -248,6 +249,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.edit_distance_pairs,
         oracles_h.EDIT_DISTANCE_PAIRS,
     ),
+    "h1_dedup_clusters": (dedup.dedup_clusters, oracles_h.DEDUP_CLUSTERS),
+    # H6 deterministic sampling
+    "h6_stratified_sample": (
+        sampling.stratified_sample,
+        oracles_h.STRATIFIED_SAMPLE,
+    ),
     # H2 similarity search
     "h2_cosine_topk": (simsearch.cosine_topk, oracles_h.COSINE_TOPK),
     "h2_ann_bucketed_topk": (
@@ -324,6 +331,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f_sql_text_interface": (
         relational.sql_text_interface,
         oracles_f.SQL_TEXT_INTERFACE,
+    ),
+    "f_q3_shipping_priority": (
+        relational.q3_shipping_priority,
+        oracles_f.Q3_SHIPPING_PRIORITY,
+    ),
+    "f_above_avg_orders": (
+        relational.above_avg_orders,
+        oracles_f.ABOVE_AVG_ORDERS,
     ),
     # H5 sketch / approximate aggregation
     "h5_exact_distinct_quantiles": (
