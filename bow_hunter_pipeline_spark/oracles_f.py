@@ -297,3 +297,63 @@ SELECT date_trunc('hour', ts) AS hour_start, event_type,
        {_DSUM.format(c='value')} AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+# --- group F second wave ----------------------------------------------
+
+Q13_CUSTOMER_DISTRIBUTION = """
+WITH per_customer AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist FROM per_customer GROUP BY c_count
+"""
+
+Q4_PRIORITY_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+Q7_VOLUME_SHIPPING = f"""
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+  CAST(round(SUM({_REV}), 4) AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+ARGMIN_CHEAPEST_PER_BRAND = """
+SELECT p_brand, p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand
+)
+"""
+
+MULTI_DISTINCT_MONTHLY = f"""
+SELECT
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+  COUNT(*) AS n_orders,
+  {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+"""

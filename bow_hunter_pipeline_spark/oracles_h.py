@@ -435,3 +435,42 @@ SELECT event_id, raw,
             THEN CAST(trim(raw) AS INT) END AS unit
 FROM m
 """
+
+_ACOS = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+).format(dim=DIM)
+
+IVF_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id, {_ACOS} AS acos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY acos DESC, cent_id
+    ) AS arn
+    FROM assign_scored
+  ) WHERE arn = 1
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.cell_id AS cell_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM assigned q JOIN assigned c ON q.cell_id = c.cell_id
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT q_id, c_id, cell_id, {_COSINE} AS cosine FROM pairs
+)
+SELECT q_id, c_id, cell_id, cosine, rnk FROM (
+  SELECT *, CAST(RANK() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""

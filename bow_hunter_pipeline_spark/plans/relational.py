@@ -465,3 +465,175 @@ def date_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+Q13_EXCLUDED_STATUS = "F"
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: customer order-count distribution (TPC-H Q13 shape) — LEFT
+    OUTER join with the predicate on the *join condition* (customers
+    with zero surviving orders must still appear, with c_count = 0),
+    then a second aggregation over the first's output.
+
+    Scale shape: the outer join and the per-customer count share the
+    same c_custkey/o_custkey hash partitioning, so Catalyst plans one
+    exchange for both; the distribution re-agg shuffles only the
+    per-customer counts (|customers| rows, not |orders|). COUNT of a
+    nullable join column — not COUNT(*) — gives the 0-for-no-match
+    semantics the outer join exists for.
+    """
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != Q13_EXCLUDED_STATUS)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_customer = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q4_RANGE_START = "1996-01-01"
+Q4_RANGE_END = "1997-01-01"
+Q4_FLAG = "R"
+
+
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: EXISTS decorrelated to a left-semi join (TPC-H Q4 shape) —
+    count orders in a date range that have at least one returned
+    lineitem, per priority.
+
+    The semi join never materializes the match multiplicity: the
+    lineitem side is reduced to its join key at the scan (ReadSchema
+    one column), the probe emits each order at most once, and the
+    date-range filter is pushed to the orders scan so the shuffle
+    carries one year of orders, not seven.
+    """
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_RANGE_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_RANGE_END).cast("timestamp"))
+    )
+    returned = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == Q4_FLAG)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            returned,
+            orders.o_orderkey == returned.l_orderkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: one dimension in two roles (TPC-H Q7 shape) — revenue flow
+    between two nations, supplier side vs customer side, per ship
+    year. The nation table joins twice under different aliases; the
+    pair filter keeps both directions.
+
+    Scale shape: both nation legs and supplier are broadcast (dim
+    tables), so the only shuffles are lineitem→orders (fact-to-fact on
+    orderkey) and the final 2×2-ish aggregate. The pair predicate is
+    applied on the broadcast-joined row, cheap and early.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair_ok = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(dsum_expr(revenue, "volume"))
+    )
+
+
+def argmin_cheapest_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: correlated MIN subquery decorrelated to aggregate + join-back
+    (the core of TPC-H Q2) — the part rows that achieve their brand's
+    minimum retail price, ties kept.
+
+    The comparison is equality on the stored double (no arithmetic),
+    so it is bit-exact in any engine. At scale the per-brand minima
+    are dimension-sized and broadcast back onto the part scan — the
+    fact side never shuffles.
+    """
+    part = read_table(spark, sf_dir, "part")
+    brand_min = part.groupBy(F.col("p_brand").alias("bm_brand")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(brand_min),
+            (part.p_brand == F.col("bm_brand"))
+            & (part.p_retailprice == F.col("min_price")),
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def multi_distinct_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: several COUNT(DISTINCT ...) over different columns in one
+    aggregation — Spark plans this as expand + two-phase aggregate
+    (one row-multiplying Expand, one shuffle), not one pass per
+    distinct column.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+    )

@@ -152,3 +152,66 @@ def embedding_near_dup(
             "cosine",
         )
     )
+
+
+IVF_CENTROID_IDS = [10, 20, 30, 40]  # deterministic coarse centroids
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 IVF with a *computed* coarse quantizer (vs ann_bucketed_topk,
+    which trusts a precomputed bucket): assign every vector to its
+    nearest of K fixed centroids by cosine, then search only the
+    probe's cell.
+
+    Real IVF trains centroids with k-means; here they are a fixed,
+    deterministic subset of the data (vec_ids 10/20/30/40) so the
+    oracle can replay the exact assignment. The structure is the
+    production one: assignment = broadcast cross-score against K
+    centroids + argmax (row_number over a K-row window per vector,
+    ties to the lower centroid id), then cell-colocated candidate
+    join. At 100 TB the assignment is a one-pass narrow map (K
+    dot-products per row), the lake is written partitioned by cell_id,
+    and each probe reads one cell — nprobe=1 IVF as partition pruning.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored_assign = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "acos",
+        dot_fold("embedding", "cvec")
+        / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        scored_assign.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
+    )
+    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    cands = assigned.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("cell_id").alias("c_cell"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cands, F.col("q_cell") == F.col("c_cell"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        _scored_pairs(pairs)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "c_id", F.col("q_cell").alias("cell_id"), "cosine", "rnk")
+    )

@@ -358,6 +358,30 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_sessionize,
         oracles_h.SESSIONIZE,
     ),
+    # Group F third wave — outer-join distribution, EXISTS, dual-role
+    # dimension, argmin join-back, multi-distinct
+    "f_q13_customer_distribution": (
+        relational.q13_customer_distribution,
+        oracles_f.Q13_CUSTOMER_DISTRIBUTION,
+    ),
+    "f_q4_priority_exists": (
+        relational.q4_priority_exists,
+        oracles_f.Q4_PRIORITY_EXISTS,
+    ),
+    "f_q7_volume_shipping": (
+        relational.q7_volume_shipping,
+        oracles_f.Q7_VOLUME_SHIPPING,
+    ),
+    "f_argmin_cheapest_per_brand": (
+        relational.argmin_cheapest_per_brand,
+        oracles_f.ARGMIN_CHEAPEST_PER_BRAND,
+    ),
+    "f_multi_distinct_monthly": (
+        relational.multi_distinct_monthly,
+        oracles_f.MULTI_DISTINCT_MONTHLY,
+    ),
+    # H2 IVF with computed coarse quantizer
+    "h2_ivf_topk": (simsearch.ivf_topk, oracles_h.IVF_TOPK),
 }
 
 
