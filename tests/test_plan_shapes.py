@@ -81,3 +81,45 @@ def test_asof_join_is_single_shuffle_window(spark):
     # union + window, not a join: no join operator at all in the plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # one hash exchange (+AQE read)
+
+
+def test_q7_broadcasts_all_dimension_legs(spark):
+    plan = _plan(relational.q7_volume_shipping(spark, SF_SMOKE))
+    # supplier + both nation roles broadcast; only lineitem⋈orders
+    # (fact-to-fact) and customer may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_range(spark):
+    plan = _plan(relational.q4_priority_exists(spark, SF_SMOKE))
+    assert "LeftSemi" in plan  # EXISTS never multiplies rows
+    pushed = plan.split("PushedFilters", 1)[1].split("\n")[0]
+    assert "o_orderdate" in pushed  # one year scanned, not seven
+
+
+def test_q13_outer_join_preserves_zero_count_customers(spark):
+    plan = _plan(relational.q13_customer_distribution(spark, SF_SMOKE))
+    assert "LeftOuter" in plan
+    # orders scan prunes to the two needed columns
+    read_schema = plan.split("ReadSchema", 1)[1]
+    assert "o_totalprice" not in read_schema
+
+
+def test_argmin_joins_back_via_broadcast(spark):
+    plan = _plan(relational.argmin_cheapest_per_brand(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multi_distinct_plans_single_expand(spark):
+    plan = _plan(relational.multi_distinct_monthly(spark, SF_SMOKE))
+    # several COUNT(DISTINCT) = one Expand + staged aggs, not N jobs
+    assert "Expand" in plan
+
+
+def test_ivf_topk_stays_jvm_side(spark):
+    plan = _plan(simsearch.ivf_topk(spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+    assert "MapInPandas" not in plan
