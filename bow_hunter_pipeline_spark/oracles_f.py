@@ -357,3 +357,35 @@ SELECT
 FROM orders
 GROUP BY 1
 """
+
+Q5_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, CAST(round(SUM({_REV}), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+HISTOGRAM_ORDER_VALUES = f"""
+SELECT
+  CAST(floor(o_totalprice / 25000.0e0) AS BIGINT) AS bin_id,
+  CAST(floor(o_totalprice / 25000.0e0) AS BIGINT) * 25000.0e0 AS bin_lo,
+  COUNT(*) AS n_orders,
+  {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1, 2
+"""
+
+STREAM_STATIC_ENRICHED = f"""
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_events,
+       {_DSUM.format(c='value')} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""

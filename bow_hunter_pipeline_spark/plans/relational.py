@@ -637,3 +637,83 @@ def multi_distinct_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+Q5_REGION = "ASIA"
+Q5_YEAR_START = "1996-01-01"
+Q5_YEAR_END = "1997-01-01"
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: local-supplier volume (TPC-H Q5 shape) — revenue where the
+    supplier and the ordering customer sit in the same nation, per
+    nation of one region. The distinguishing edge is the non-key
+    equality c_nationkey = s_nationkey carried on the supplier join.
+
+    Scale shape: region→nation→(supplier) are broadcast; the
+    same-nation constraint rides the broadcast supplier join as an
+    extra condition, so it filters during the probe instead of after
+    a shuffle. Only lineitem→orders→customer shuffle on keys.
+    """
+    region = (
+        read_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q5_REGION)
+        .select("r_regionkey")
+    )
+    nat = (
+        read_table(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_YEAR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_YEAR_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum_expr(revenue, "revenue"))
+    )
+
+
+HIST_BIN_WIDTH = 25000.0
+
+
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: fixed-width histogram / binning — order values bucketed at
+    25k. bin_id = floor(value / width): one IEEE divide + floor, the
+    same bits in every engine, so bin boundaries never flap.
+
+    Scale: binning is a narrow projection; the aggregate shuffles one
+    row per occupied bin.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / F.lit(HIST_BIN_WIDTH))
+    return (
+        orders.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * F.lit(HIST_BIN_WIDTH)).alias("bin_lo"),
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -382,6 +382,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # H2 IVF with computed coarse quantizer
     "h2_ivf_topk": (simsearch.ivf_topk, oracles_h.IVF_TOPK),
+    "f_q5_local_supplier_volume": (
+        relational.q5_local_supplier_volume,
+        oracles_f.Q5_LOCAL_SUPPLIER_VOLUME,
+    ),
+    "f_histogram_order_values": (
+        relational.histogram_order_values,
+        oracles_f.HISTOGRAM_ORDER_VALUES,
+    ),
+    # H4 stream-static dimension enrich
+    "h4_stream_static_join": (
+        structured.streaming_enriched_counts,
+        oracles_f.STREAM_STATIC_ENRICHED,
+    ),
 }
 
 

@@ -203,3 +203,32 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(sessions, "bhps_stream_sessions", "update")
     return spark.table("bhps_stream_sessions")
+
+
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 stream-static join: enrich the event stream with the (batch)
+    customer dimension, then aggregate per segment × event type.
+
+    The static side is planned per micro-batch as an ordinary
+    broadcast hash join — stateless, no watermark needed on the join
+    itself (only stream-stream joins buffer state). At 100 TB the
+    dimension stays broadcast-sized by definition; the stream side
+    never shuffles before the aggregate.
+    """
+    ev = read_event_stream(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            to_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias(
+                "sum_value"
+            ),
+        )
+    )
+    run_to_memory(agg, "bhps_stream_enriched", "complete")
+    return spark.table("bhps_stream_enriched")
