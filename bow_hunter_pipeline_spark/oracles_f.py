@@ -389,3 +389,44 @@ SELECT c_mktsegment, event_type,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
+
+SCD2_PRIORITY_HISTORY = """
+SELECT o_custkey,
+       o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+UNPIVOT_FLAG_METRICS = f"""
+WITH a AS (
+  SELECT l_returnflag,
+         {_DSUM.format(c='l_quantity')} AS sum_qty,
+         {_DSUM.format(c='l_extendedprice')} AS sum_price,
+         {_DSUM.format(c='l_tax')} AS sum_tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS metric_value FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_tax' AS metric, sum_tax AS metric_value FROM a
+"""
+
+STREAM_CLICK_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+)
+SELECT p.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       (p.us - c.us) // 1000000 AS gap_s
+FROM e c JOIN e p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.us <= p.us
+ AND p.us - c.us <= CAST(3600 AS BIGINT) * 1000000
+"""

@@ -113,3 +113,28 @@ def orders_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     dup = orders.unionByName(orders.filter(F.col("o_orderkey") % 7 == 0))
     return duplicate_keys(dup, ["o_orderkey"])
+
+
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 extension: slowly-changing-dimension (type 2) history derived
+    from an event log — each customer's order-priority states as
+    validity intervals: valid_from = the order's date, valid_to = the
+    next state's date (NULL = current), with a per-key version number.
+
+    This is the history table a MERGE-based SCD2 pipeline maintains
+    incrementally, derived here in one window pass (lead over the
+    per-key date order, deterministic tie-break on o_orderkey). One
+    shuffle on the key; at 100 TB the same window runs per partition
+    of a date-bucketed lake with no change.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate", 1).over(w)
+    return orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -717,3 +717,24 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: unpivot / melt — the inverse of pivot_event_counts: one
+    aggregated row per return flag widens to (flag, metric, value)
+    long form. Spark's unpivot is a zero-shuffle Expand over the
+    already-aggregated rows, so the long form costs nothing beyond
+    the aggregate that feeds it.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_tax", "sum_tax"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_tax"],
+        "metric",
+        "metric_value",
+    )

@@ -395,6 +395,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_enriched_counts,
         oracles_f.STREAM_STATIC_ENRICHED,
     ),
+    # E2 SCD2 history, F unpivot, H4 stream-stream join
+    "e2_scd2_history": (
+        pipeline.scd2_priority_history,
+        oracles_f.SCD2_PRIORITY_HISTORY,
+    ),
+    "f_unpivot_metrics": (
+        relational.unpivot_flag_metrics,
+        oracles_f.UNPIVOT_FLAG_METRICS,
+    ),
+    "h4_stream_stream_join": (
+        structured.streaming_click_attribution,
+        oracles_f.STREAM_CLICK_ATTRIBUTION,
+    ),
 }
 
 

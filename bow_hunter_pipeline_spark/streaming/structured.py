@@ -232,3 +232,54 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "bhps_stream_enriched", "complete")
     return spark.table("bhps_stream_enriched")
+
+
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 stream-stream join: attribute each purchase to the same
+    user's clicks in the preceding hour. Both legs are watermarked and
+    the join condition carries the event-time range, so state for
+    either side is dropped once the watermark passes the window — the
+    bounded-state contract a perpetual stream needs.
+
+    Output carries ids + the gap in whole seconds (epoch arithmetic,
+    engine-portable) rather than raw nano timestamps.
+    """
+    ev = read_event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", ATTRIBUTION_WINDOW)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", ATTRIBUTION_WINDOW)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = user_id AND click_ts <= purchase_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / F.lit(1_000_000)
+        ).cast("long").alias("gap_s"),
+    )
+    run_to_memory(joined, "bhps_stream_attribution", "append")
+    return spark.table("bhps_stream_attribution")
