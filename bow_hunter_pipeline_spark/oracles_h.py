@@ -474,3 +474,55 @@ SELECT q_id, c_id, cell_id, cosine, rnk FROM (
   FROM scored
 ) WHERE rnk <= {TOP_K}
 """
+
+TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, doc_freq, score, rnk FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq,
+         CAST(tf.tf * total.n_docs AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE) AS score,
+         CAST(RANK() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * total.n_docs AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE) DESC,
+                    tf.token
+         ) AS INT) AS rnk
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN total
+) WHERE rnk <= 5
+"""
+
+TYPE_TOKEN_RATIO = """
+WITH toks AS (
+  SELECT source, unnest(str_split(text, ' ')) AS token FROM documents
+)
+SELECT source, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+FROM (
+  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_types
+  FROM toks GROUP BY source
+)
+"""
+
+BIGRAM_COUNTS = """
+WITH t AS (
+  SELECT str_split(text, ' ') AS l FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(l) - 1),
+           i -> l[i] || ' ' || l[i + 1]
+         )) AS bigram
+  FROM t
+),
+agg AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram)
+SELECT bigram, n, rnk FROM (
+  SELECT *, CAST(RANK() OVER (ORDER BY n DESC, bigram) AS INT) AS rnk FROM agg
+) WHERE rnk <= 20
+"""

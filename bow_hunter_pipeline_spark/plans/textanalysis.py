@@ -176,3 +176,96 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * ROLL_MULT + h) % ROLL_MOD,
     )
     return docs.select("doc_id", fp.alias("fp_roll"))
+
+
+TFIDF_TOP_N = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: TF-IDF-style salient terms per document — term frequency ×
+    corpus rarity, top-N terms per doc.
+
+    The rarity weight is the rational form tf·N/df (one integer
+    product, one IEEE divide) instead of the textbook tf·ln(N/df):
+    ln is a libm call whose last bit differs across engines, the
+    rational form ranks identically (ln is monotone in N/df) and
+    compares bit-exact.
+
+    Scale: tokenize+explode is narrow; (doc,term) tf and per-term df
+    are two shuffled aggregates; the df table is vocabulary-sized
+    (≪ corpus) and the corpus row count rides in as a broadcast
+    1-row frame — no collect, no driver round-trip.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_toks()).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col(
+        "doc_freq"
+    ).cast("double")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", score)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "token", "tf", "doc_freq", "score", "rnk")
+    )
+
+
+def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: lexical diversity per source — distinct tokens (types) over
+    total tokens. A falling TTR as a crawl grows is the standard
+    boilerplate-contamination smell."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_toks()).alias("token"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_types"),
+        )
+        .withColumn(
+            "ttr",
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+BIGRAM_TOP_K = 20
+
+
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: corpus bigram counts, top-K — adjacent-pair generation as a
+    higher-order zip of the token array against its own tail (the same
+    shingle construction the MinHash pipeline uses, surfaced as a
+    query). Pair generation is a narrow codegen'd projection; the only
+    shuffle is the count.
+
+    Single-token docs produce a 0-length slice on both engines (Spark
+    slice with length size-1, DuckDB generate_series(1, len-1) = []),
+    so there is no empty-edge flap.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    arr = _toks()
+    left = F.slice(arr, F.lit(1), F.size(arr) - 1)
+    right = F.slice(arr, F.lit(2), F.size(arr) - 1)
+    bigrams = F.zip_with(
+        left, right, lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= BIGRAM_TOP_K)
+    )

@@ -408,6 +408,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_click_attribution,
         oracles_f.STREAM_CLICK_ATTRIBUTION,
     ),
+    # H3 corpus statistics wave
+    "h3_tfidf_top_terms": (
+        textanalysis.tfidf_top_terms,
+        oracles_h.TFIDF_TOP_TERMS,
+    ),
+    "h3_type_token_ratio": (
+        textanalysis.type_token_ratio,
+        oracles_h.TYPE_TOKEN_RATIO,
+    ),
+    "h3_bigram_counts": (
+        textanalysis.bigram_counts,
+        oracles_h.BIGRAM_COUNTS,
+    ),
 }
 
 
