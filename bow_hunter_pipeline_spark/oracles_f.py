@@ -430,3 +430,41 @@ FROM e c JOIN e p
  AND c.us <= p.us
  AND p.us - c.us <= CAST(3600 AS BIGINT) * 1000000
 """
+
+MOVING_AVG_REVENUE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS tp_dec
+  FROM orders GROUP BY 1, 2
+),
+idx AS (
+  SELECT *,
+         EXTRACT(year FROM month_start) * 12 + EXTRACT(month FROM month_start) - 1 AS month_idx
+  FROM monthly
+)
+SELECT priority, month_start,
+  CAST(round(tp_dec, 4) AS DOUBLE) AS total_price,
+  CAST(round(SUM(tp_dec) OVER (
+    PARTITION BY priority ORDER BY month_idx
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS trailing_3m_sum,
+  CAST(round(SUM(tp_dec) OVER (
+    PARTITION BY priority ORDER BY month_idx
+    RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS DOUBLE) AS centered_3m_sum
+FROM idx
+"""
+
+GLOB_SCAN_SUMMARY = f"""
+SELECT COUNT(*) AS n_rows,
+       {_DSUM.format(c='l_quantity')} AS sum_qty,
+       {_DSUM.format(c='l_extendedprice')} AS sum_price
+FROM lineitem
+"""
+
+SALTED_SKEW_JOIN = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       {_DSUM.format(c='value')} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""

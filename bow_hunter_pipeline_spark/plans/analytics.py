@@ -187,3 +187,50 @@ def market_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_double(F.sum("__rev_dec").over(total)),
         ).alias("revenue_share"),
     )
+
+
+def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: sliding window frames over the monthly series — a 3-row
+    trailing frame (last three *observed* months) next to a ±1
+    value-range frame on the month index (calendar-aware: a gap month
+    shrinks the window instead of reaching further back). Both frames
+    share one shuffle and one sort on (priority, month).
+
+    Frame sums stay in DECIMAL until the final cast: a window sum of
+    doubles is evaluation-order-dependent (Spark folds the frame
+    left-to-right, other engines use segment trees), decimal is
+    associative so the frames compare bit-exact.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("tp_dec")
+        )
+        .withColumn(
+            "month_idx",
+            (F.year("month_start") * 12 + F.month("month_start") - 1).cast(
+                "long"
+            ),
+        )
+    )
+    rows3 = (
+        Window.partitionBy("priority")
+        .orderBy("month_idx")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    rng = (
+        Window.partitionBy("priority")
+        .orderBy("month_idx")
+        .rangeBetween(-1, 1)
+    )
+    return monthly.select(
+        "priority",
+        "month_start",
+        to_double(F.col("tp_dec")).alias("total_price"),
+        to_double(F.sum("tp_dec").over(rows3)).alias("trailing_3m_sum"),
+        to_double(F.sum("tp_dec").over(rng)).alias("centered_3m_sum"),
+    )

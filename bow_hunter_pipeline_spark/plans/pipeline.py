@@ -138,3 +138,19 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("version"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def glob_scan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: wildcard parquet scan — the reference's 4-level glob union
+    (``load_population_stage.sql:20``) as Spark's native file-index
+    glob; the summary aggregate proves the union'd scan reads every
+    row exactly once. At scale the glob resolves against the file
+    index (or partition pruning when the lake is A4-partitioned) —
+    listing, not data, is the cost.
+    """
+    df = spark.read.parquet(f"{sf_dir}/linei*.parquet")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )

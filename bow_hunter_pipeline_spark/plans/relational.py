@@ -738,3 +738,35 @@ def unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     )
+
+
+N_SALTS = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F/scale: the salted join surfaced as a query — events carry a
+    pathological key distribution (15 distinct user_ids over the whole
+    fact table, every one a hot key), the worst case for a hash
+    shuffle. ``operators.scale.salted_join`` spreads each key over 8
+    salts (event_id varies within a key group, so the spread is even)
+    and replicates the dimension side per salt; results are exactly
+    the plain join's.
+    """
+    from bow_hunter_pipeline_spark.io.readers import read_events
+    from bow_hunter_pipeline_spark.operators.scale import salted_join
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "value")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        ev,
+        cust,
+        ["user_id"],
+        n_salts=N_SALTS,
+        left_salt_from=F.col("event_id"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )

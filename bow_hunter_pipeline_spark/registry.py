@@ -421,6 +421,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.bigram_counts,
         oracles_h.BIGRAM_COUNTS,
     ),
+    # G4 window frames, A5 glob scan, scale-path salted join
+    "g4_moving_avg": (
+        analytics.moving_avg_revenue,
+        oracles_f.MOVING_AVG_REVENUE,
+    ),
+    "a5_glob_scan": (
+        pipeline.glob_scan_summary,
+        oracles_f.GLOB_SCAN_SUMMARY,
+    ),
+    "f_salted_skew_join": (
+        relational.salted_skew_join,
+        oracles_f.SALTED_SKEW_JOIN,
+    ),
 }
 
 
