@@ -468,3 +468,44 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1
 """
+
+DISJUNCTIVE_JOIN = f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(round(SUM({_REV}), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+ AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 15 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 25 AND p_size BETWEEN 5 AND 25))
+"""
+
+NULL_SAFE_JOIN = """
+WITH open_side AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio_key, COUNT(*) AS n_open
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+),
+done_side AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio_key_r, COUNT(*) AS n_done
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+)
+SELECT prio_key, n_open, n_done
+FROM open_side JOIN done_side ON prio_key IS NOT DISTINCT FROM prio_key_r
+"""
+
+ARGMINMAX_PER_CUSTOMER = """
+WITH o AS (
+  SELECT *, (epoch_us(o_orderdate) // 1000000) * 10000000 + o_orderkey AS uniq
+  FROM orders
+)
+SELECT o_custkey,
+       arg_min(o_totalprice, uniq) AS first_order_price,
+       arg_max(o_totalprice, uniq) AS last_order_price,
+       COUNT(*) AS n_orders
+FROM o GROUP BY o_custkey
+"""
+
+STREAMING_DEDUP_COUNTS = """
+WITH keys AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_distinct_keys FROM keys GROUP BY event_type
+"""

@@ -770,3 +770,98 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+def disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: disjunctive join predicates (TPC-H Q19 shape) — one equi-key
+    plus an OR of per-branch band conditions. Catalyst extracts the
+    common l_partkey = p_partkey conjunct as the hash-join key and
+    evaluates the OR as a join filter, so this stays a broadcast hash
+    join — never a nested-loop over the disjunction.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("l_quantity").between(1, 15)
+        & F.col("p_size").between(1, 10)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("l_quantity").between(10, 25)
+        & F.col("p_size").between(5, 25)
+    )
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (branch1 | branch2),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum_expr(revenue, "revenue"),
+        )
+    )
+
+
+NULLIF_PRIORITY = "3-MEDIUM"
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) —
+    two aggregates of orders keyed on a *nullable* derived key
+    (NULLIF folds one priority to NULL); the null-safe condition makes
+    the NULL groups join each other instead of disappearing, the
+    semantic a plain equi-join silently loses.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit(NULLIF_PRIORITY))
+    open_side = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(key.alias("prio_key"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    done_side = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(key.alias("prio_key_r"))
+        .agg(F.count(F.lit(1)).alias("n_done"))
+    )
+    return (
+        open_side.join(
+            done_side,
+            open_side.prio_key.eqNullSafe(done_side.prio_key_r),
+        )
+        .select("prio_key", "n_open", "n_done")
+    )
+
+
+def argminmax_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: arg-extrema aggregation (min_by / max_by) — each customer's
+    first and last order value in one grouped pass, no window, no
+    join-back.
+
+    Tie discipline: min_by's comparand must be unique per group or the
+    surviving row is partitioning luck. The comparand here is
+    (epoch seconds)·10^7 + orderkey — strictly unique, fits in int64,
+    and identical arithmetic on both engines.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    # o_orderdate is NTZ; the session is UTC, so the cast to the
+    # instant type is a pure relabel before the epoch arithmetic
+    uniq = (
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(1_000_000)
+        ).cast("long")
+        * F.lit(10_000_000)
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("__ord", uniq)
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_totalprice", F.col("__ord")).alias("first_order_price"),
+            F.max_by("o_totalprice", F.col("__ord")).alias("last_order_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -434,6 +434,24 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.salted_skew_join,
         oracles_f.SALTED_SKEW_JOIN,
     ),
+    # F: disjunctive predicates, null-safe equality, arg-extrema
+    "f_disjunctive_join": (
+        relational.disjunctive_join,
+        oracles_f.DISJUNCTIVE_JOIN,
+    ),
+    "f_null_safe_join": (
+        relational.null_safe_join,
+        oracles_f.NULL_SAFE_JOIN,
+    ),
+    "f_argminmax_per_customer": (
+        relational.argminmax_per_customer,
+        oracles_f.ARGMINMAX_PER_CUSTOMER,
+    ),
+    # H4 streaming dedup under watermark
+    "h4_streaming_dedup": (
+        structured.streaming_dedup_counts,
+        oracles_f.STREAMING_DEDUP_COUNTS,
+    ),
 }
 
 

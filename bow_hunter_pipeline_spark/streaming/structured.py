@@ -283,3 +283,29 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(joined, "bhps_stream_attribution", "append")
     return spark.table("bhps_stream_attribution")
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 streaming deduplication: ``dropDuplicates`` on a business key
+    under a watermark (state for a key is dropped once the watermark
+    passes it — bounded state, the streaming analog of H1 exact
+    dedup).
+
+    Which physical row survives a key collision is arrival luck, so
+    the query aggregates to per-type *distinct-key counts*, which are
+    representative-independent and therefore exactly reproducible by
+    the batch oracle.
+    """
+    ev = read_event_stream(spark, sf_dir)
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "ts",
+    ).withWatermark("ts", WATERMARK)
+    deduped = keyed.dropDuplicates(["user_id", "event_type", "hour_start"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_keys")
+    )
+    run_to_memory(agg, "bhps_stream_dedup", "complete")
+    return spark.table("bhps_stream_dedup")
