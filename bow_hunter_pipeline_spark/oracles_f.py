@@ -509,3 +509,30 @@ WITH keys AS (
 )
 SELECT event_type, COUNT(*) AS n_distinct_keys FROM keys GROUP BY event_type
 """
+
+CONDITIONAL_AGG_BY_PRIORITY = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                  FILTER (WHERE o_orderstatus = 'O'), 4) AS DOUBLE) AS open_value
+FROM orders GROUP BY o_orderpriority
+"""
+
+PAGINATED_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 10
+"""
+
+POSEXPLODE_LEADING_TOKENS = """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ')[1:3] AS l FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(1, len(l))) AS INT) AS pos,
+       unnest(l) AS token
+FROM t
+"""

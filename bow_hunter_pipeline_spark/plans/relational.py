@@ -865,3 +865,48 @@ def argminmax_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+def conditional_agg_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: conditional aggregation (SQL's FILTER clause) — per-status
+    counts and an urgent-only sum in ONE grouped pass over orders,
+    the idiom that replaces N filtered subqueries with N conditional
+    aggregates sharing a single shuffle.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_done"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+        dsum_expr(
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.col("o_totalprice").cast("decimal(14,2)"),
+            ),
+            "open_value",
+        ),
+    )
+
+
+PAGE_SIZE = 10
+PAGE_OFFSET = 10
+
+
+def paginated_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: pagination — the second page (rows 11–20) of the global
+    order-value ranking via OFFSET + LIMIT over a deterministic total
+    order (value desc, key as tie-break).
+
+    Scale note: OFFSET is cheap only while offset+limit stays small —
+    Spark fetches offset+limit rows per partition and trims on the
+    driver. Deep pagination belongs to keyset continuation (WHERE
+    (value, key) < last_seen ORDER BY ... LIMIT k), which this total
+    order makes possible.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(PAGE_OFFSET)
+        .limit(PAGE_SIZE)
+    )

@@ -269,3 +269,21 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.rank().over(w))
         .filter(F.col("rnk") <= BIGRAM_TOP_K)
     )
+
+
+POSEXPLODE_N = 3
+
+
+def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/H3: ordinal explode — each document's first three tokens with
+    their 1-based position (posexplode; the UNNEST WITH ORDINALITY
+    shape). Position comes from the generator itself, not a window
+    after the fact, so the fan-out stays a narrow operation.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    lead = F.slice(_toks(), 1, POSEXPLODE_N)
+    return docs.select(
+        "doc_id", F.posexplode(lead).alias("pos0", "token")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
+    )

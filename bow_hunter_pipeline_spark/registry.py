@@ -452,6 +452,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_dedup_counts,
         oracles_f.STREAMING_DEDUP_COUNTS,
     ),
+    # F: conditional aggregation, pagination; D2 ordinal explode
+    "f_conditional_agg": (
+        relational.conditional_agg_by_priority,
+        oracles_f.CONDITIONAL_AGG_BY_PRIORITY,
+    ),
+    "f_paginated_top_orders": (
+        relational.paginated_top_orders,
+        oracles_f.PAGINATED_TOP_ORDERS,
+    ),
+    "d2_posexplode_tokens": (
+        textanalysis.posexplode_leading_tokens,
+        oracles_f.POSEXPLODE_LEADING_TOKENS,
+    ),
 }
 
 
