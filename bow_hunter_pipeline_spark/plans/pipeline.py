@@ -154,3 +154,30 @@ def glob_scan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+DRIFT_EXPECTED = [
+    "male_female_ratio",
+    "post_hunt_estimate",
+    "unit",
+]
+DRIFT_TABLES = ["customer", "documents", "lineitem", "orders"]
+
+
+def drift_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: the schema-drift audit as a driver query — footer-only
+    probe of each file against the canonical population columns
+    (the reference's ``bad_parquet.py`` scan, minus the data read).
+    Registered rows-only: the result is filesystem metadata, which
+    SQL-over-views cannot express. File names are relativized so the
+    output is sf_dir-independent.
+    """
+    from bow_hunter_pipeline_spark.operators.drift import (
+        audit_missing_columns,
+    )
+
+    files = [f"{sf_dir}/{t}.parquet" for t in DRIFT_TABLES]
+    audited = audit_missing_columns(spark, files, DRIFT_EXPECTED)
+    return audited.withColumn(
+        "file", F.element_at(F.split(F.col("file"), "/"), -1)
+    )

@@ -465,6 +465,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.posexplode_leading_tokens,
         oracles_f.POSEXPLODE_LEADING_TOKENS,
     ),
+    # E4 drift audit (metadata-level → rows-only, like h5_approx_aggs)
+    "e4_drift_audit": (pipeline.drift_audit_query, None),
 }
 
 
