@@ -536,3 +536,13 @@ SELECT doc_id,
        unnest(l) AS token
 FROM t
 """
+
+PARTITION_ROUNDTRIP = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+GROUP BY 1, 2
+"""

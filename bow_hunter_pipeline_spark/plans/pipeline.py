@@ -181,3 +181,34 @@ def drift_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audited.withColumn(
         "file", F.element_at(F.split(F.col("file"), "/"), -1)
     )
+
+
+A4_ROUNDTRIP_PATH = "/tmp/bhps_a4_roundtrip"
+A4_PRUNE_YEAR = 1997
+
+
+def partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + partition pruning, end to end: land orders partitioned by
+    year (the reference's path-keyed lake, ``ingest_population_data.py
+    :286``, as real Hive partitioning), then read back ONE partition
+    and aggregate it. The year filter resolves against the directory
+    index — the other six years' files are never opened — and the
+    oracle confirms the pruned read still sees every 1997 row.
+
+    The write is idempotent (overwrite into a fixed scratch path), so
+    the query is safe to re-run; at scale this is the A4 sink writing
+    to the lake once and every downstream query pruning on the key.
+    """
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(
+        A4_ROUNDTRIP_PATH
+    )
+    back = spark.read.parquet(A4_ROUNDTRIP_PATH).filter(
+        F.col("order_year") == A4_PRUNE_YEAR
+    )
+    return back.groupBy("order_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

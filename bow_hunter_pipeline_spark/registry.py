@@ -467,6 +467,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # E4 drift audit (metadata-level → rows-only, like h5_approx_aggs)
     "e4_drift_audit": (pipeline.drift_audit_query, None),
+    # A4 partitioned sink + partition-pruned read, oracle-matched
+    "a4_partition_roundtrip": (
+        pipeline.partition_roundtrip,
+        oracles_f.PARTITION_ROUNDTRIP,
+    ),
 }
 
 
