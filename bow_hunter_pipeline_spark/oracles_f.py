@@ -546,3 +546,35 @@ FROM orders
 WHERE EXTRACT(year FROM o_orderdate) = 1997
 GROUP BY 1, 2
 """
+
+CORR_QTY_PRICE = """
+WITH sums AS (
+  -- VARCHAR round-trip = correctly-rounded decimal->double (matches
+  -- Spark's cast); DuckDB's direct cast is 1 ulp off above ~2^52
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) /
+       (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+FROM sums
+"""
+
+ARRAY_AGG_ACTIVE_YEARS = """
+WITH y AS (
+  SELECT o_custkey, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(len(list_distinct(list(yr))) AS INT) AS n_years,
+       array_to_string(
+         list_transform(list_sort(list_distinct(list(yr))),
+                        x -> CAST(x AS VARCHAR)), ',') AS years_csv
+FROM y GROUP BY o_custkey
+"""

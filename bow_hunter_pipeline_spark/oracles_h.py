@@ -526,3 +526,26 @@ SELECT bigram, n, rnk FROM (
   SELECT *, CAST(RANK() OVER (ORDER BY n DESC, bigram) AS INT) AS rnk FROM agg
 ) WHERE rnk <= 20
 """
+
+CONTAINMENT_PAIRS = f"""
+WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM docs
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / sa.n_sh AS cont_in_a,
+       CAST(n_shared AS DOUBLE) / sb.n_sh AS cont_in_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / sa.n_sh >= 0.8e0
+   OR CAST(n_shared AS DOUBLE) / sb.n_sh >= 0.8e0
+"""

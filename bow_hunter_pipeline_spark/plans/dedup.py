@@ -318,3 +318,52 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> D
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "jaccard")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 n-gram containment: |A∩B|/|A| and |A∩B|/|B| per candidate
+    pair — the asymmetric cousin of Jaccard that catches a small
+    document embedded in a big one (quotation, boilerplate wrap),
+    which symmetric Jaccard dilutes below threshold. Keep pairs where
+    either direction clears 0.8.
+
+    Same candidate generator and scale posture as jaccard_pairs (put
+    the LSH front-end before it at 100 TB); only the denominators
+    differ.
+    """
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.col("n_shared").cast("double") / F.col("n_a")
+    cont_b = F.col("n_shared").cast("double") / F.col("n_b")
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("cont_in_a", cont_a)
+        .withColumn("cont_in_b", cont_b)
+        .filter(
+            (F.col("cont_in_a") >= CONTAINMENT_THRESHOLD)
+            | (F.col("cont_in_b") >= CONTAINMENT_THRESHOLD)
+        )
+        .select("doc_a", "doc_b", "n_shared", "cont_in_a", "cont_in_b")
+    )

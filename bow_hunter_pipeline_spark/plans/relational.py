@@ -24,6 +24,7 @@ from bow_hunter_pipeline_spark.functions.exact import (
     dsum_expr,
     money,
     one_minus,
+    to_double,
 )
 from bow_hunter_pipeline_spark.io.readers import read_table
 
@@ -909,4 +910,54 @@ def paginated_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .offset(PAGE_OFFSET)
         .limit(PAGE_SIZE)
+    )
+
+
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: Pearson correlation per group from exact co-moment sums —
+    built-in corr() accumulates in double (order-dependent, not
+    engine-portable), so the five sums run in DECIMAL (associative,
+    partitioning-independent) and the correlation is assembled from
+    them with one fixed IEEE expression that both engines evaluate
+    identically bit-for-bit.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(14,2)")
+    p = F.col("l_extendedprice").cast("decimal(14,2)")
+    # The co-moment sums exceed to_double's 2^52-unscaled safety bound
+    # (sxx ~ 1e13 at scale 4), so they use the correctly-rounded
+    # conversion pair instead: Spark's decimal cast is
+    # nearest-rounded; the oracle matches it by round-tripping the
+    # decimal through VARCHAR (DuckDB's direct decimal->double is
+    # unscaled/10^s in floating point - 1 ulp off at this magnitude).
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+def array_agg_active_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: ordered collection aggregates (ARRAY_AGG / STRING_AGG) —
+    each customer's distinct active years as a sorted CSV string.
+    Collection aggregates are only deterministic once sorted; the
+    sort happens on the collected set (bounded per group), never as
+    a global orderBy.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    years = F.sort_array(F.collect_set(F.year("o_orderdate")))
+    return orders.groupBy("o_custkey").agg(
+        F.size(F.collect_set(F.year("o_orderdate"))).alias("n_years"),
+        F.array_join(
+            F.transform(years, lambda x: x.cast("string")), ","
+        ).alias("years_csv"),
     )

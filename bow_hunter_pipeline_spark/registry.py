@@ -472,6 +472,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.partition_roundtrip,
         oracles_f.PARTITION_ROUNDTRIP,
     ),
+    # H1 asymmetric containment, F exact corr + collection aggregates
+    "h1_containment_pairs": (
+        dedup.containment_pairs,
+        oracles_h.CONTAINMENT_PAIRS,
+    ),
+    "f_corr_qty_price": (
+        relational.corr_qty_price,
+        oracles_f.CORR_QTY_PRICE,
+    ),
+    "f_array_agg_years": (
+        relational.array_agg_active_years,
+        oracles_f.ARRAY_AGG_ACTIVE_YEARS,
+    ),
 }
 
 
