@@ -123,3 +123,30 @@ def test_ivf_topk_stays_jvm_side(spark):
     plan = _plan(simsearch.ivf_topk(spark, SF_SMOKE))
     assert "EvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_q5_same_nation_constraint_rides_broadcast_join(spark):
+    plan = _plan(relational.q5_local_supplier_volume(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region legs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_join_stays_hash_join(spark):
+    plan = _plan(relational.disjunctive_join(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # equi-conjunct extracted
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corr_is_single_aggregate_pass(spark):
+    plan = _plan(relational.corr_qty_price(spark, SF_SMOKE))
+    # five co-moment sums share one shuffle (plus AQE read), no joins
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    from bow_hunter_pipeline_spark.plans import textanalysis as ta
+    plan = _plan(ta.tfidf_top_terms(spark, SF_SMOKE))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan  # 1-row total frame broadcast
