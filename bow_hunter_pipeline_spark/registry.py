@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bow_hunter_pipeline_spark import oracles_f, oracles_h
+from bow_hunter_pipeline_spark import oracles_f, oracles_h, oracles_tpch
 from bow_hunter_pipeline_spark.plans import (
     analytics,
     approx,
@@ -30,6 +30,7 @@ from bow_hunter_pipeline_spark.plans import (
     sampling,
     simsearch,
     textanalysis,
+    tpch,
 )
 from bow_hunter_pipeline_spark.streaming import structured
 
@@ -484,6 +485,36 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f_array_agg_years": (
         relational.array_agg_active_years,
         oracles_f.ARRAY_AGG_ACTIVE_YEARS,
+    ),
+    # TPC-H completion wave (plans.tpch) — the query shapes not yet
+    # covered by relational/analytics, on the slimmer driver fixtures
+    "f_q6_forecast_revenue": (
+        tpch.q6_forecast_revenue,
+        oracles_tpch.Q6_FORECAST_REVENUE,
+    ),
+    "f_q10_returned_items": (
+        tpch.q10_returned_items,
+        oracles_tpch.Q10_RETURNED_ITEMS,
+    ),
+    "f_q12_late_shipment": (
+        tpch.q12_late_shipment_priority,
+        oracles_tpch.Q12_LATE_SHIPMENT,
+    ),
+    "f_q14_promo_revenue": (
+        tpch.q14_promo_revenue,
+        oracles_tpch.Q14_PROMO_REVENUE,
+    ),
+    "f_q15_top_supplier": (
+        tpch.q15_top_supplier,
+        oracles_tpch.Q15_TOP_SUPPLIER,
+    ),
+    "f_q17_small_quantity": (
+        tpch.q17_small_quantity_revenue,
+        oracles_tpch.Q17_SMALL_QUANTITY,
+    ),
+    "f_q18_large_volume": (
+        tpch.q18_large_volume_customers,
+        oracles_tpch.Q18_LARGE_VOLUME,
     ),
 }
 
