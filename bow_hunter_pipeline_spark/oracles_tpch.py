@@ -112,3 +112,168 @@ FROM big
 JOIN orders ON agg_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
+
+# --- batch 2: subquery-heavy shapes ------------------------------------
+
+Q8_MARKET_SHARE = f"""
+WITH yearly AS (
+  SELECT
+    CAST(year(o_orderdate) AS INT) AS o_year,
+    CAST(round(SUM(CASE WHEN n2.n_name = '{t.Q8_NATION}' THEN {_REV}
+                        ELSE CAST(0 AS DECIMAL(20,6)) END), 4) AS DOUBLE)
+      AS nation_volume,
+    CAST(round(SUM({_REV}), 4) AS DOUBLE) AS total_volume
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{t.Q8_REGION}'
+    AND p_type = '{t.Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{t.Q8_START}'
+    AND o_orderdate < TIMESTAMP '{t.Q8_END}'
+  GROUP BY 1
+)
+SELECT o_year, nation_volume / total_volume AS mkt_share,
+       nation_volume, total_volume
+FROM yearly
+"""
+
+Q9_PRODUCT_PROFIT = f"""
+SELECT
+  n_name AS nation,
+  CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(round(SUM({_REV}
+      - CAST(p_retailprice AS DECIMAL(12,2))
+        * CAST(l_quantity AS DECIMAL(14,2))
+        * CAST(0.5 AS DECIMAL(7,4))), 4) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{t.Q9_PART_TOKEN}%'
+GROUP BY n_name, 2
+"""
+
+_MONEY_SUM = "CAST(round(SUM(CAST({c} AS DECIMAL(12,2))), 4) AS DOUBLE)"
+
+Q11_IMPORTANT_STOCK = f"""
+WITH asia_li AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{t.Q11_REGION}'
+)
+SELECT l_partkey, {_MONEY_SUM.format(c='l_extendedprice')} AS part_value
+FROM asia_li
+GROUP BY l_partkey
+HAVING {_MONEY_SUM.format(c='l_extendedprice')} >
+  {t.Q11_FRACTION}e0 * (SELECT {_MONEY_SUM.format(c='l_extendedprice')} FROM asia_li)
+"""
+
+Q16_SUPPLIER_PART_COUNTS = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{t.Q16_EXCL_BRAND}'
+  AND p_size IN {t.Q16_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0e0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+Q2_MIN_COST_SUPPLIER = f"""
+WITH offers AS (
+  SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{t.Q2_REGION}'
+    AND p_type = '{t.Q2_TYPE}' AND p_size = {t.Q2_SIZE}
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, unit_price
+FROM offers o
+WHERE unit_price = (
+  SELECT min(unit_price) FROM offers i WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC,
+         unit_price ASC
+LIMIT {t.Q2_TOP_K}
+"""
+
+Q20_MAJORITY_SHIPPERS = f"""
+WITH pair_qty AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{t.Q20_TYPE}'
+    AND l_shipdate >= TIMESTAMP '{t.Q20_YEAR_START}'
+    AND l_shipdate < TIMESTAMP '{t.Q20_YEAR_END}'
+  GROUP BY l_partkey, l_suppkey
+), majority AS (
+  SELECT DISTINCT l_suppkey
+  FROM (SELECT l_suppkey, supp_qty,
+               SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM pair_qty)
+  WHERE supp_qty > 0.5e0 * part_qty
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM majority)
+"""
+
+Q21_WAITING_SUPPLIERS = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {t.Q12_LATE_DAYS} DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), l1 AS (
+  SELECT l_orderkey, l_suppkey, s_name
+  FROM li
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE is_late AND n_name = '{t.Q21_NATION}'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM l1
+WHERE EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.is_late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT {t.Q21_TOP_K}
+"""
+
+Q22_SALES_OPPORTUNITY = f"""
+WITH c AS (
+  SELECT c_custkey, c_acctbal,
+         substr(c_name, length(c_name) - 1, 2) AS cntrycode
+  FROM customer
+), a AS (
+  SELECT {_MONEY_SUM.format(c='c_acctbal')} / COUNT(c_acctbal) AS avg_bal
+  FROM c WHERE c_acctbal > 0.0e0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       {_MONEY_SUM.format(c='c_acctbal')} AS totacctbal
+FROM c, a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '{t.Q22_RECENT_CUTOFF}')
+GROUP BY cntrycode
+"""

@@ -516,6 +516,38 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         tpch.q18_large_volume_customers,
         oracles_tpch.Q18_LARGE_VOLUME,
     ),
+    "f_q8_market_share": (
+        tpch.q8_market_share,
+        oracles_tpch.Q8_MARKET_SHARE,
+    ),
+    "f_q9_product_profit": (
+        tpch.q9_product_profit,
+        oracles_tpch.Q9_PRODUCT_PROFIT,
+    ),
+    "f_q11_important_stock": (
+        tpch.q11_important_stock,
+        oracles_tpch.Q11_IMPORTANT_STOCK,
+    ),
+    "f_q16_supplier_part_counts": (
+        tpch.q16_supplier_part_counts,
+        oracles_tpch.Q16_SUPPLIER_PART_COUNTS,
+    ),
+    "f_q2_min_cost_supplier": (
+        tpch.q2_min_cost_supplier,
+        oracles_tpch.Q2_MIN_COST_SUPPLIER,
+    ),
+    "f_q20_majority_shippers": (
+        tpch.q20_majority_shippers,
+        oracles_tpch.Q20_MAJORITY_SHIPPERS,
+    ),
+    "f_q21_waiting_suppliers": (
+        tpch.q21_waiting_suppliers,
+        oracles_tpch.Q21_WAITING_SUPPLIERS,
+    ),
+    "f_q22_sales_opportunity": (
+        tpch.q22_sales_opportunity,
+        oracles_tpch.Q22_SALES_OPPORTUNITY,
+    ),
 }
 
 
