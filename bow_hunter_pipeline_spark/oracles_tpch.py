@@ -277,3 +277,17 @@ WHERE c_acctbal > avg_bal
     AND o_orderdate >= TIMESTAMP '{t.Q22_RECENT_CUTOFF}')
 GROUP BY cntrycode
 """
+
+# --- EP1 ingestion chain (plans.ingest_demo) ---------------------------
+# The oracle recomputes the simulated scan values directly from doc_id
+# (the payload is a pure function of it); Spark must reproduce them by
+# running the actual extract → pivot → offset → sanitize → parse chain.
+
+PDF_INGEST_PIPELINE = """
+SELECT 'doc_' || doc_id AS path,
+       CAST(doc_id * 10 + i AS INT) AS unit,
+       (doc_id * 37 + i * 11) % 9000 + 1000 AS total_harvest,
+       ((doc_id + i) % 1000) / 10.0e0 AS percent_success
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) g
+"""

@@ -1,0 +1,145 @@
+"""EP1/EP2 ingestion chain, end-to-end and oracle-checkable —
+SURVEY §2 A2/A3 + §3 EP1.
+
+The reference's ingest path is: S3 PDF → Textract blocks → cell grid →
+row pivot with cross-page offsets → header sanitize → footer drop →
+numeric parse (``ingest_harvest_data.py:132-294``). The Spark engine
+runs the same chain as ONE lazy plan over the sources.pdf_tables
+adapter. To make it verifiable by the SQL oracle (which can't run
+mapInPandas), the driver query synthesizes each document's "scanned
+table" deterministically from the documents fixture: every cell value
+is a pure function of (doc_id, row ordinal), so DuckDB can recompute
+the expected post-parse rows directly while Spark must earn them by
+actually extracting, pivoting, offsetting, sanitizing, filtering and
+parsing the simulated page grids.
+
+The simulated document for doc_id = d (two pages, demonstrating the
+cross-page row-offset logic the population ingester famously lacks —
+``ingest_population_data.py:125``):
+
+    page 1:  Unit #      | Total Harvest | Percent Success   (header)
+             0{d*10}     | {h(d,0)} as "X,YYY" | {s(d,0)} as "YY.Y"
+             0{d*10+1}   | ...                                (row 2)
+    page 2:  0{d*10+2}   | ...                                (row 3)
+             Total       | junk          | junk              (footer)
+
+with h(d,i) = (d*37 + i*11) % 9000 + 1000 (always 4 digits → the
+comma-thousands form exercises C2) and s(d,i) = ((d+i) % 1000) / 10
+rendered as digits (C2 double parse). Units carry a leading zero (C3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.functions.parsing import (
+    parse_double,
+    parse_long,
+    parse_unit,
+)
+from bow_hunter_pipeline_spark.io.readers import read_table
+from bow_hunter_pipeline_spark.sources.pdf_tables import (
+    cells_to_grid,
+    extract_cells,
+    grid_to_table,
+)
+
+HEADERS = ("Unit #", "Total Harvest", "Percent Success")
+
+
+def _payload_expr() -> F.Column:
+    """The simulated scan payload for one document, as a pipe/newline
+    text the fake extractor parses: lines of ``page|row|col|text``."""
+    d = F.col("doc_id")
+
+    def unit(i: int) -> F.Column:
+        return F.concat(F.lit("0"), (d * 10 + F.lit(i)).cast("string"))
+
+    def harvest(i: int) -> F.Column:
+        h = (d * 37 + F.lit(i * 11)) % 9000 + 1000
+        return F.concat(
+            (h / 1000).cast("int").cast("string"),
+            F.lit(","),
+            F.lpad((h % 1000).cast("string"), 3, "0"),
+        )
+
+    def success(i: int) -> F.Column:
+        s = (d + F.lit(i)) % 1000
+        return F.concat(
+            (s / 10).cast("int").cast("string"),
+            F.lit("."),
+            (s % 10).cast("string"),
+        )
+
+    lines = [
+        F.lit(f"1|1|{c}|{h}") for c, h in enumerate(HEADERS, start=1)
+    ]
+    # page 1 carries data rows 2-3 (i = 0, 1); page 2 restarts its row
+    # numbering at 1 (i = 2) — the grid assembler must re-offset it.
+    for i, (page, row) in enumerate([(1, 2), (1, 3), (2, 1)]):
+        lines += [
+            F.concat(F.lit(f"{page}|{row}|1|"), unit(i)),
+            F.concat(F.lit(f"{page}|{row}|2|"), harvest(i)),
+            F.concat(F.lit(f"{page}|{row}|3|"), success(i)),
+        ]
+    lines += [
+        F.lit("2|2|1|Total"),
+        F.lit("2|2|2|9,999"),
+        F.lit("2|2|3|n/a"),
+    ]
+    return F.concat_ws("\n", *lines)
+
+
+def pdf_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3+C1+B1+C2+C3 as one plan: binary documents → mapInPandas
+    cell extraction → grid pivot with cross-page offsets → header-keyed
+    projection → footer drop → typed parses.
+
+    Scale: one document = one extraction unit (no stragglers); the
+    grid pivot shuffles on (path) — document-sized groups, never
+    corpus-sized; headers ride each row as a map lookup so schema
+    drift across documents can't skew partitions.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
+        F.encode(_payload_expr(), "UTF-8").alias("content"),
+    )
+
+    # Nested closure: crosses the serialization boundary by value.
+    def parse_payload(path: str, content: bytes) -> list[tuple[int, int, int, str]]:
+        out = []
+        for line in bytes(content).decode("utf-8").split("\n"):
+            page, row, col, text = line.split("|", 3)
+            out.append((int(page), int(row), int(col), text))
+        return out
+
+    cells = extract_cells(docs, extractor=parse_payload)
+    table = grid_to_table(cells_to_grid(cells))
+
+    # C1 row-level header sanitize: lower, trim, ' '→'_', drop other
+    # punctuation (ingest_harvest_data.py:225-231), then project cells
+    # by sanitized header name — data-driven, no hardcoded positions.
+    sane = F.transform(
+        F.col("header"),
+        lambda h: F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim(h)), " ", "_"), "[^a-z0-9_]", ""
+        ),
+    )
+    by_name = F.map_from_arrays(sane, F.col("cells"))
+    named = table.select(
+        "path",
+        by_name["unit_"].alias("unit_raw"),
+        by_name["total_harvest"].alias("harvest_raw"),
+        by_name["percent_success"].alias("success_raw"),
+        F.col("cells")[0].alias("first_cell"),
+    )
+    return (
+        named.filter(F.lower(F.trim(F.col("first_cell"))) != "total")  # B1
+        .select(
+            "path",
+            parse_unit("unit_raw").alias("unit"),  # C3
+            parse_long("harvest_raw").alias("total_harvest"),  # C2
+            parse_double("success_raw").alias("percent_success"),  # C2
+        )
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bow_hunter_pipeline_spark import oracles_f, oracles_h, oracles_tpch
 from bow_hunter_pipeline_spark.plans import (
     analytics,
+    ingest_demo,
     approx,
     dedup,
     events,
@@ -547,6 +548,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f_q22_sales_opportunity": (
         tpch.q22_sales_opportunity,
         oracles_tpch.Q22_SALES_OPPORTUNITY,
+    ),
+    # EP1 ingestion chain: A2 mapInPandas extraction + A3 grid pivot
+    # with cross-page offsets + C1/B1/C2/C3 normalize, end-to-end
+    "a2_a3_pdf_ingest": (
+        ingest_demo.pdf_ingest_pipeline,
+        oracles_tpch.PDF_INGEST_PIPELINE,
     ),
 }
 
