@@ -291,3 +291,42 @@ SELECT 'doc_' || doc_id AS path,
 FROM documents
 CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) g
 """
+
+# --- Python UDF family (plans.pandas_udfs) -----------------------------
+# Each UDF computes integral or single-subtraction measures, so the
+# SQL recomputation is bit-identical regardless of reduction order.
+
+UDF_SCALAR_TOKEN_STATS = """
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces,
+       length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+         AS n_vowels,
+       CAST(length(text) AS INT) AS n_chars_checked
+FROM documents
+"""
+
+UDF_GROUPED_AGG_FLOORSUM = """
+SELECT c_nationkey,
+       CAST(SUM(floor(c_acctbal)) AS DOUBLE) AS floor_bal_sum,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+UDF_GROUPED_MAP_NEIGHBORS = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+       CAST(row_number() OVER w AS BIGINT) AS bal_ordinal,
+       lag(c_acctbal) OVER w - c_acctbal AS gap_to_prev
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+UDF_COGROUPED_ORDER_PROFILE = """
+SELECT o.o_orderkey, o.o_totalprice,
+       count(l.l_orderkey) AS n_items,
+       CAST(coalesce(SUM(l.l_quantity), 0.0e0) AS DOUBLE) AS sum_qty
+FROM orders o
+LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '2001-01-01'
+GROUP BY o.o_orderkey, o.o_totalprice
+"""

@@ -1,0 +1,151 @@
+"""Python UDF family — SURVEY §2 F note ("no UDF/UDAF/UDTF surface"
+in the reference) + the driver's Pandas-UDF mandate.
+
+The reference has no user-function surface at all; a Spark engine
+needs all four Arrow-vectorized shapes, and the slow row-at-a-time
+``F.udf`` path is deliberately absent:
+
+- scalar ``@pandas_udf``                  → udf_scalar_token_stats
+- grouped-agg ``@pandas_udf``             → udf_grouped_agg_floorsum
+- grouped-map ``applyInPandas``           → udf_grouped_map_neighbors
+- cogrouped ``applyInPandas``             → udf_cogrouped_order_profile
+
+Oracle discipline: everything computed in Python is either integral
+(counts, ordinals, floor-sums — exact in float64 far below 2^53, so
+pandas' reduction order is irrelevant) or a single IEEE subtraction of
+two input doubles — bit-reproducible by the SQL oracle. UDFs are
+defined as nested closures (pickled by value; executors can't import
+this package when the driver loads it from a file path).
+
+Scale: Arrow batches stream group-by-group; grouped shapes shuffle
+once on their key — same exchange a built-in aggregate would use. The
+udf only ever sees one group's rows, so memory is bounded by the
+largest group, not the partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark.io.readers import read_table
+
+
+def udf_scalar_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: vectorized per-row text measures over the
+    documents corpus (Arrow in, Arrow out, no Python-per-row loop).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_spaces(s: pd.Series) -> pd.Series:
+        return s.str.count(" ").astype("int64")
+
+    @pandas_udf("long")
+    def n_vowels(s: pd.Series) -> pd.Series:
+        return s.str.count("[aeiou]").astype("int64")
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_spaces("text").alias("n_spaces"),
+        n_vowels("text").alias("n_vowels"),
+        F.length("text").alias("n_chars_checked"),
+    )
+
+
+def udf_grouped_agg_floorsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (the UDAF shape): one value per
+    group, computed over the group's Arrow batch. The measure is a
+    floor-sum — integral in float64, so any reduction order yields
+    identical bits.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def floor_sum(v: pd.Series) -> float:
+        return float(np.floor(v.to_numpy()).sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg,
+        # so the count is a pandas aggregate too.
+        return int(len(v))
+
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        floor_sum("c_acctbal").alias("floor_bal_sum"),
+        n_rows("c_custkey").alias("n_customers"),
+    )
+
+
+def udf_grouped_map_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per nation, order customers by
+    balance and emit each one's ordinal and the exact gap to the
+    previous (one IEEE subtraction of two stored doubles). The
+    imperative per-group logic (sort + shift) is what the built-in
+    API expresses as a window — here it proves the arbitrary-pandas
+    escape hatch produces oracle-identical results.
+    """
+    docs_schema = (
+        "c_nationkey int, c_custkey long, c_acctbal double, "
+        "bal_ordinal long, gap_to_prev double"
+    )
+
+    def neighbors(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["bal_ordinal"] = pdf.index + 1
+        pdf["gap_to_prev"] = pdf["c_acctbal"].shift(1) - pdf["c_acctbal"]
+        return pdf[
+            ["c_nationkey", "c_custkey", "c_acctbal", "bal_ordinal", "gap_to_prev"]
+        ]
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return cust.groupBy("c_nationkey").applyInPandas(neighbors, docs_schema)
+
+
+def udf_cogrouped_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: orders and their lineitems arrive as
+    two aligned pandas frames per key group — the imperative analog of
+    a join+aggregate, for logic too procedural to express relationally.
+    Measures stay integral (count, quantity sum) or exact (max date).
+
+    Scale: both sides shuffle once on the cogroup key; each task sees
+    one key-group pair, so skew maps to task time, not memory blowup.
+    """
+    out_schema = (
+        "o_orderkey long, o_totalprice double, n_items long, sum_qty double"
+    )
+
+    def profile(orders_pdf: pd.DataFrame, items_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:
+            return pd.DataFrame(
+                columns=["o_orderkey", "o_totalprice", "n_items", "sum_qty"]
+            )
+        row = orders_pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "o_orderkey": [row["o_orderkey"]],
+                "o_totalprice": [row["o_totalprice"]],
+                "n_items": [len(items_pdf)],
+                "sum_qty": [float(items_pdf["l_quantity"].sum())],
+            }
+        )
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_totalprice")
+    )
+    items = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(items.groupBy("l_orderkey"))
+        .applyInPandas(profile, out_schema)
+    )

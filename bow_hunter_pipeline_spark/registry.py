@@ -25,6 +25,7 @@ from bow_hunter_pipeline_spark.plans import (
     events,
     multimodal,
     normalize_demo,
+    pandas_udfs,
     parsing_demo,
     pipeline,
     relational,
@@ -554,6 +555,23 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "a2_a3_pdf_ingest": (
         ingest_demo.pdf_ingest_pipeline,
         oracles_tpch.PDF_INGEST_PIPELINE,
+    ),
+    # Python UDF family: all four Arrow-vectorized shapes
+    "udf_scalar_token_stats": (
+        pandas_udfs.udf_scalar_token_stats,
+        oracles_tpch.UDF_SCALAR_TOKEN_STATS,
+    ),
+    "udf_grouped_agg_floorsum": (
+        pandas_udfs.udf_grouped_agg_floorsum,
+        oracles_tpch.UDF_GROUPED_AGG_FLOORSUM,
+    ),
+    "udf_grouped_map_neighbors": (
+        pandas_udfs.udf_grouped_map_neighbors,
+        oracles_tpch.UDF_GROUPED_MAP_NEIGHBORS,
+    ),
+    "udf_cogrouped_order_profile": (
+        pandas_udfs.udf_cogrouped_order_profile,
+        oracles_tpch.UDF_COGROUPED_ORDER_PROFILE,
     ),
 }
 
