@@ -330,3 +330,41 @@ LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '2001-01-01'
 GROUP BY o.o_orderkey, o.o_totalprice
 """
+
+# --- window distribution + higher-order arrays (plans.relational) ------
+
+WINDOW_DISTRIBUTION_FUNCTIONS = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       first_value(o_totalprice) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS prio_max_price,
+       last_value(o_totalprice) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS prio_min_price,
+       nth_value(o_orderkey, 2) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS runnerup_key,
+       count(*) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_totalprice
+          RANGE BETWEEN 1000.0e0 PRECEDING AND CURRENT ROW)
+         AS n_in_1k_band
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+HIGHER_ORDER_ARRAY_FUNCTIONS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+)
+SELECT doc_id,
+       CAST(len(l) AS INT) AS n_tokens,
+       CAST(len(list_filter(l, t -> length(t) > 5)) AS INT) AS n_long_tokens,
+       CAST(list_sum(list_transform(l, t -> length(t))) AS BIGINT)
+         AS total_token_len,
+       len(list_filter(l, t -> t = 'the')) > 0 AS has_the,
+       len(list_filter(l, t -> t <> lower(t))) = 0 AS all_lowercase
+FROM toks
+"""

@@ -961,3 +961,70 @@ def array_agg_active_years(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(years, lambda x: x.cast("string")), ","
         ).alias("years_csv"),
     )
+
+
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: the distribution/navigation window functions missing from
+    the ranking showcase — percent_rank, cume_dist, first/last/nth
+    value with explicit frames, and a RANGE (value-based) frame.
+
+    Exactness: percent_rank = (rank-1)/(N-1) and cume_dist = k/N are
+    single IEEE divisions of small integers — identical bits on every
+    engine. The ordering key (o_totalprice, o_orderkey) is unique, so
+    rank families and frame boundaries are deterministic; the RANGE
+    frame counts peers by value, which both engines define identically.
+
+    Scale: all six functions share ONE shuffle + sort on
+    (priority, price) — Spark evaluates them in a single WindowExec.
+    The RANGE count is O(frame) per row with a sliding lower bound,
+    not a re-scan.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    head = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Double-valued RANGE offsets aren't expressible via the pythonic
+    # Window.rangeBetween (int-only signature) — SQL window syntax is.
+    band_count = F.expr(
+        "count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first_value(F.col("o_totalprice")).over(full).alias("prio_max_price"),
+        F.last_value(F.col("o_totalprice")).over(full).alias("prio_min_price"),
+        F.nth_value(F.col("o_orderkey"), 2).over(head).alias("runnerup_key"),
+        band_count.alias("n_in_1k_band"),
+    )
+
+
+def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F/H3: the higher-order array-function family — transform,
+    filter, aggregate (fold), exists, forall — applied to tokenized
+    document text. These are the JVM-side, codegen'd alternative to a
+    Python UDF for per-row collection logic: no serialization
+    boundary, no Arrow transfer, scale with the scan.
+
+    The fold keeps integer arithmetic (token lengths), so the oracle's
+    list_sum reproduces it exactly.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_token_len"),
+        F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
+        F.forall(toks, lambda t: t == F.lower(t)).alias("all_lowercase"),
+    )

@@ -573,6 +573,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pandas_udfs.udf_cogrouped_order_profile,
         oracles_tpch.UDF_COGROUPED_ORDER_PROFILE,
     ),
+    # Window distribution functions + higher-order array functions
+    "f_window_distribution": (
+        relational.window_distribution_functions,
+        oracles_tpch.WINDOW_DISTRIBUTION_FUNCTIONS,
+    ),
+    "f_higher_order_arrays": (
+        relational.higher_order_array_functions,
+        oracles_tpch.HIGHER_ORDER_ARRAY_FUNCTIONS,
+    ),
 }
 
 

@@ -150,3 +150,71 @@ def test_tfidf_broadcasts_corpus_count(spark):
     plan = _plan(ta.tfidf_top_terms(spark, SF_SMOKE))
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan  # 1-row total frame broadcast
+
+
+def test_q6_pushes_all_three_range_predicates(spark):
+    from bow_hunter_pipeline_spark.plans import tpch
+
+    plan = _plan(tpch.q6_forecast_revenue(spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters", 1)[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    # formatted explain puts the distribution on the Arguments: line
+    assert "hashpartitioning(" not in plan  # scan → partial/final agg only
+
+
+def test_q10_topk_is_heap_not_full_sort(spark):
+    from bow_hunter_pipeline_spark.plans import tpch
+
+    plan = _plan(tpch.q10_returned_items(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # nation leg
+
+
+def test_q18_aggregates_before_joining(spark):
+    from bow_hunter_pipeline_spark.plans import tpch
+
+    plan = _plan(tpch.q18_large_volume_customers(spark, SF_SMOKE))
+    # the HAVING-gated aggregate is the ONLY shuffle; both joins run as
+    # broadcasts against the tiny filtered aggregate — lineitem is
+    # never exchanged at its raw grain
+    assert "HashAggregate" in plan
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q21_semi_and_anti_probe_without_extra_exchange(spark):
+    from bow_hunter_pipeline_spark.plans import tpch
+
+    plan = _plan(tpch.q21_waiting_suppliers(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_broadcasts_every_dimension_leg(spark):
+    from bow_hunter_pipeline_spark.plans import tpch
+
+    plan = _plan(tpch.q8_market_share(spark, SF_SMOKE))
+    # part, both nation roles, region(folded into nation), supplier
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_udf_plans_use_arrow_eval_not_batch_python(spark):
+    from bow_hunter_pipeline_spark.plans import pandas_udfs
+
+    scalar = _plan(pandas_udfs.udf_scalar_token_stats(spark, SF_SMOKE))
+    assert "ArrowEvalPython" in scalar  # vectorized, not BatchEvalPython
+    assert "BatchEvalPython" not in scalar
+    gmap = _plan(pandas_udfs.udf_grouped_map_neighbors(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in gmap
+    cg = _plan(pandas_udfs.udf_cogrouped_order_profile(spark, SF_SMOKE))
+    assert "FlatMapCoGroupsInPandas" in cg
+
+
+def test_window_distribution_single_window_exec_per_sort(spark):
+    plan = _plan(relational.window_distribution_functions(spark, SF_SMOKE))
+    # two distinct sort orders (desc ranking family + asc RANGE band)
+    # → at most 2 window exchanges; the six functions must not fan out
+    # into one exchange each
+    assert plan.count("hashpartitioning(") <= 2
