@@ -578,3 +578,113 @@ SELECT o_custkey,
                         x -> CAST(x AS VARCHAR)), ',') AS years_csv
 FROM y GROUP BY o_custkey
 """
+
+
+# --- function families (plans.funcfamilies) ----------------------------
+
+ARRAY_SET_OPS = """
+WITH per AS (
+  SELECT o_custkey,
+         list_sort(list_distinct(list(o_orderpriority))) AS prios
+  FROM orders GROUP BY o_custkey
+), c AS (SELECT ['1-URGENT','2-HIGH','3-MEDIUM'] AS ref)
+SELECT o_custkey,
+       array_to_string(prios, '|') AS prios_csv,
+       CAST(len(prios) AS INT) AS n_prios,
+       COALESCE(array_to_string(
+         list_filter(prios, x -> list_contains(ref, x)), '|'), '')
+         AS shared_csv,
+       COALESCE(array_to_string(
+         list_filter(prios, x -> NOT list_contains(ref, x)), '|'), '')
+         AS extra_csv,
+       array_to_string(
+         list_concat(prios,
+                     list_filter(ref, x -> NOT list_contains(prios, x))),
+         '|') AS union_csv,
+       len(list_filter(prios, x -> list_contains(ref, x))) > 0 AS any_shared,
+       list_contains(prios, '1-URGENT') AS has_urgent,
+       CAST(COALESCE(list_position(prios, '2-HIGH'), 0) AS BIGINT) AS pos_high,
+       prios[-1] AS last_prio,
+       array_to_string(prios[1:2], '|') AS first_two_csv
+FROM per, c
+"""
+
+STRING_FUNCTION_SUITE = """
+SELECT p_partkey,
+       upper(p_brand) AS up_brand,
+       lower(p_type) AS low_type,
+       split_part(p_type, ' ', 2) AS type_mid,
+       CAST(strpos(p_name, 'a') AS INT) AS first_a,
+       left(p_name, 5) AS name5,
+       right(p_type, 4) AS type4,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       translate(p_brand, '#', '_') AS brand_u,
+       replace(p_name, ' ', '_') AS name_snake,
+       reverse(p_brand) AS rev_brand,
+       p_brand || '/' || p_type AS brand_type,
+       CAST(length(p_name) AS INT) AS name_len,
+       starts_with(p_name, 'a') AS a_prefix,
+       ends_with(p_type, 'S') AS s_suffix,
+       CAST(ascii(substring(p_name, 1, 1)) AS INT) AS first_byte
+FROM part
+"""
+
+DATE_ARITHMETIC = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_orderdate AS DATE) + 30 AS ship_by,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+         AS next_quarter_day,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS INT) AS age_days,
+       CAST(o_orderdate AS DATE)
+         + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                     ELSE (8 - isodow(o_orderdate)) % 7 END AS INT)
+         AS next_monday,
+       make_date(CAST(year(o_orderdate) AS INT), 1, 1) AS year_start
+FROM orders
+"""
+
+MAP_FUNCTIONS = """
+WITH per AS (
+  SELECT o_custkey, o_orderpriority AS k, count(*) AS cnt
+  FROM orders GROUP BY o_custkey, o_orderpriority
+)
+SELECT o_custkey,
+       string_agg(k, '|' ORDER BY k) AS keys_csv,
+       CAST(count(*) AS INT) AS n_keys,
+       max(CASE WHEN k = '1-URGENT' THEN cnt END) AS urgent_cnt,
+       string_agg(k || ':' || cnt, '|' ORDER BY k) AS kv_csv,
+       CAST(count(*) FILTER (WHERE cnt >= 2) AS INT) AS n_repeat,
+       CAST(sum(cnt) AS BIGINT) AS total_orders
+FROM per GROUP BY o_custkey
+"""
+
+MM_RESIZE_MEDIA = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+)
+SELECT doc_id,
+       CAST((nb % 640 + 2) // 2 AS INT) AS out_w,
+       CAST((nb % 480 + 2) // 2 AS INT) AS out_h,
+       CAST(LEAST(nb, ((nb % 640 + 2) // 2) * ((nb % 480 + 2) // 2)) AS INT)
+         AS out_bytes
+FROM d
+"""
+
+NESTED_STRUCT_ROUNDTRIP = f"""
+WITH yearly AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr,
+         COUNT(*) AS n_orders,
+         {_DSUM.format(c='o_totalprice')} AS total_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY yr) AS INT)
+         AS seq,
+       yr, n_orders, total_price
+FROM yearly
+"""

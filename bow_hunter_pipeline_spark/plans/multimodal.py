@@ -157,3 +157,50 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(fake_frames, _FRAME_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_bytes", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: payload → half-resolution payload inside the
+    pandas batch (the deploy-time seam for PIL ``Image.resize`` /
+    ffmpeg scale). The fake halves the byte-derived dimensions and
+    decimates the payload to ``out_w*out_h`` bytes, so the output byte
+    count — not just the metadata — proves the payload was transformed.
+
+    Scale: narrow map like decode_meta; the resized payload is smaller
+    than the input, so downstream stages shrink — do resize before any
+    shuffle that would move payload bytes.
+    """
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_w, out_h, out_n = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                w, h = n % 640 + 1, n % 480 + 1
+                rw, rh = (w + 1) // 2, (h + 1) // 2
+                resized = bytes(payload)[: rw * rh]
+                out_doc.append(doc_id)
+                out_w.append(rw)
+                out_h.append(rh)
+                out_n.append(len(resized))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "out_w": pd.Series(out_w, dtype="int32"),
+                    "out_h": pd.Series(out_h, dtype="int32"),
+                    "out_bytes": pd.Series(out_n, dtype="int32"),
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_resize, _RESIZE_SCHEMA)

@@ -23,6 +23,7 @@ from bow_hunter_pipeline_spark.plans import (
     approx,
     dedup,
     events,
+    funcfamilies,
     multimodal,
     normalize_demo,
     pandas_udfs,
@@ -581,6 +582,22 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "f_higher_order_arrays": (
         relational.higher_order_array_functions,
         oracles_tpch.HIGHER_ORDER_ARRAY_FUNCTIONS,
+    ),
+    # Scalar/collection function families (plans.funcfamilies)
+    "f_array_set_ops": (funcfamilies.array_set_ops, oracles_f.ARRAY_SET_OPS),
+    "f_string_functions": (
+        funcfamilies.string_function_suite,
+        oracles_f.STRING_FUNCTION_SUITE,
+    ),
+    "f_date_arithmetic": (
+        funcfamilies.date_arithmetic,
+        oracles_f.DATE_ARITHMETIC,
+    ),
+    "f_map_functions": (funcfamilies.map_functions, oracles_f.MAP_FUNCTIONS),
+    "mm_resize_media": (multimodal.resize_media, oracles_f.MM_RESIZE_MEDIA),
+    "f_nested_struct_roundtrip": (
+        funcfamilies.nested_struct_roundtrip,
+        oracles_f.NESTED_STRUCT_ROUNDTRIP,
     ),
 }
 

@@ -218,3 +218,23 @@ def test_window_distribution_single_window_exec_per_sort(spark):
     # → at most 2 window exchanges; the six functions must not fan out
     # into one exchange each
     assert plan.count("hashpartitioning(") <= 2
+
+
+def test_scalar_function_suites_have_no_shuffle(spark):
+    from bow_hunter_pipeline_spark.plans import funcfamilies
+
+    for fn in (funcfamilies.string_function_suite, funcfamilies.date_arithmetic):
+        plan = _plan(fn(spark, SF_SMOKE))
+        # pure per-row projection: scan → codegen'd project, nothing else
+        assert "hashpartitioning(" not in plan and "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_array_and_map_plans_aggregate_once_per_level(spark):
+    from bow_hunter_pipeline_spark.plans import funcfamilies
+
+    plan = _plan(funcfamilies.array_set_ops(spark, SF_SMOKE))
+    assert plan.count("hashpartitioning(") == 1  # the single groupBy
+    plan = _plan(funcfamilies.map_functions(spark, SF_SMOKE))
+    # two-level aggregate: (cust, prio) then cust — at most 2 exchanges
+    assert plan.count("hashpartitioning(") <= 2

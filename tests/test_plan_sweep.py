@@ -1,0 +1,59 @@
+"""Whole-registry physical-plan sweep: every driver query's plan is
+checked for the antipatterns that silently kill 100 TB scale —
+cartesian products, nested-loop joins, and row-at-a-time Python.
+
+The per-plan assertions in test_plan_shapes.py verify chosen plans are
+GOOD; this sweep verifies no plan anywhere is BAD. Exceptions are an
+explicit allowlist with the reason inline — adding a query that
+regresses into one of these shapes fails here unless it is justified.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from bow_hunter_pipeline_spark import registry
+from tests.conftest import SF_SMOKE
+
+# Queries allowed to contain a given antipattern, with why.
+ALLOW: dict[str, set[str]] = {
+    # 1-row or bounded-literal build sides: Spark plans a broadcast
+    # nested-loop for a join with no extractable equi-key, which is
+    # O(n·1) here, not O(n²).
+    "BroadcastNestedLoopJoin": {
+        "f_above_avg_orders",  # scalar-avg compare leg may plan BNLJ
+        "f_q11_important_stock",  # HAVING vs 1-row scalar subquery
+        "f_q15_top_supplier",  # 1-row max-revenue compare
+        "f_q17_small_quantity",  # per-part avg compare
+        "f_q22_sales_opportunity",  # 1-row mean-balance gate
+        "h3_tfidf_top_terms",  # 1-row corpus-size frame
+        "h3_type_token_ratio",  # 1-row corpus totals
+        "h2_cosine_topk",  # brute-force baseline: tiny probe set broadcast
+        "h2_ivf_topk",  # K fixed centroids broadcast for cell assignment
+    },
+    # All-pairs semantics by design, bounded by blocking/banding
+    # upstream (LSH buckets, band keys) or quadratic-in-small-n.
+    "CartesianProduct": set(),
+    # Row-at-a-time Python is never acceptable in the data path.
+    "BatchEvalPython": set(),
+}
+
+_STREAMING = {n for n in registry.queries() if n.startswith("h4_streaming")}
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_no_scale_antipatterns(spark, name):
+    if name in _STREAMING:
+        pytest.skip("streaming plans are asserted in their own tests")
+    df = registry.queries()[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for pattern, allowed in ALLOW.items():
+        if name in allowed:
+            continue
+        assert pattern not in plan, f"{name}: {pattern} in physical plan"
