@@ -688,3 +688,24 @@ SELECT o_custkey,
        yr, n_orders, total_price
 FROM yearly
 """
+
+STREAMING_UPSERT = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS last_t_us, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type,
+       event_id AS last_event_id, last_t_us, value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+TRY_ARITHMETIC = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / (l_quantity - 25) AS price_per_excess,
+       l_orderkey * 1099511627776 AS key_shifted,
+       (['a','b','c'])[l_linenumber + 2] AS third_or_null,
+       CAST(l_quantity AS BIGINT) + l_linenumber AS qty_plus_line
+FROM lineitem
+"""

@@ -226,3 +226,39 @@ def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h.n_orders").alias("n_orders"),
         F.col("h.total_price").alias("total_price"),
     )
+
+
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: the ANSI-safe arithmetic family — ``try_divide`` /
+    ``try_multiply`` / ``try_add`` / ``try_element_at``. This session
+    runs Spark 4 with ANSI mode ON (errors, not silent wraparound), so
+    the try_* forms ARE the engine's junk-tolerant path — the same
+    coerce-to-NULL contract as the reference's numeric parses (C2,
+    ``pd.to_numeric(errors='coerce')``), applied to arithmetic.
+
+    Parity: DuckDB division by zero yields NULL natively (= try_divide);
+    out-of-bounds list indexing yields NULL (= try_element_at); the
+    products/sums stay far below 2^63 so neither engine overflows.
+
+    Scale: per-row projection, no shuffle.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - 25
+        ).alias("price_per_excess"),
+        F.try_multiply(F.col("l_orderkey"), F.lit(1099511627776)).alias(
+            "key_shifted"
+        ),
+        F.try_element_at(
+            F.split(F.lit("a,b,c"), ","),
+            (F.col("l_linenumber") + 2).cast("int"),
+        ).alias("third_or_null"),
+        F.try_add(
+            F.col("l_quantity").cast("long"), F.col("l_linenumber")
+        ).alias("qty_plus_line"),
+    )

@@ -599,6 +599,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         funcfamilies.nested_struct_roundtrip,
         oracles_f.NESTED_STRUCT_ROUNDTRIP,
     ),
+    # Streaming CDC upsert: foreachBatch applying the E2 merge operator
+    "h4_streaming_upsert": (
+        structured.streaming_upsert,
+        oracles_f.STREAMING_UPSERT,
+    ),
+    "f_try_arithmetic": (
+        funcfamilies.try_arithmetic,
+        oracles_f.TRY_ARITHMETIC,
+    ),
 }
 
 

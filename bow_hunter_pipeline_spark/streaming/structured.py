@@ -309,3 +309,88 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "bhps_stream_dedup", "complete")
     return spark.table("bhps_stream_dedup")
+
+
+def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × E2: streaming CDC upsert — ``foreachBatch`` applies the
+    batch MERGE operator (operators.upsert) per micro-batch, keeping a
+    keyed production table (latest event per user × type) as
+    copy-on-write parquet versions. This is the reference's
+    stage→production hydration (EP3) made continuous: the stream IS
+    the work list, the sink IS the warehouse.
+
+    Semantics: within a batch the newest (t_us, event_id) wins —
+    identical to the SQL oracle's rank; across batches the later batch
+    wins (CDC convention). On the bounded single-file fixture there is
+    exactly one batch, so the result equals the batch answer
+    bit-for-bit; multi-batch arrival is exercised in tests.
+
+    Scale: each batch shuffles once on the merge key; the target
+    rewrite is the plain-parquet stand-in for Delta/Iceberg MERGE
+    (same shuffle profile, no transaction log in this container).
+    ``foreachBatch`` runs on the driver, so reusing the packaged
+    operator is safe — nothing here crosses the executor pickle
+    boundary except the plans it builds.
+    """
+    import os
+    import tempfile
+
+    ev = read_event_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.expr("ts_ns div 1000").alias("last_t_us"),
+        F.col("value").alias("last_value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="bhps_stream_upsert_")
+    apply_batch, state = upsert_sink(
+        tmp,
+        keys=["user_id", "event_type"],
+        order_cols=["last_t_us", "last_event_id"],
+        update_cols=["last_event_id", "last_t_us", "last_value"],
+    )
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["cur"] is not None
+    return spark.read.parquet(state["cur"])
+
+
+def upsert_sink(tmp: str, keys: list[str], order_cols: list[str], update_cols: list[str]):
+    """Build a ``foreachBatch`` function maintaining a keyed table as
+    copy-on-write parquet versions under ``tmp``. Within a batch the
+    max-``order_cols`` row wins (callers make the tuple unique per key
+    for determinism); across batches the E2 merge operator applies the
+    later batch's values. Returns (apply_batch, state) where
+    ``state['cur']`` tracks the current version path."""
+    import os
+
+    state: dict[str, str | None] = {"cur": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from bow_hunter_pipeline_spark.operators.upsert import upsert
+
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["cur"] is None:
+            merged = batch
+        else:
+            existing = batch_df.sparkSession.read.parquet(state["cur"])
+            merged = upsert(existing, batch, keys=keys, update_cols=update_cols)
+        out = os.path.join(tmp, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        state["cur"] = out
+
+    return apply_batch, state

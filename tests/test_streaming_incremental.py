@@ -63,3 +63,55 @@ def test_file_source_processes_each_file_exactly_once(spark, tmp_path):
     # exactly-once: no key was ever processed twice
     out_df = _run_passthrough(spark, str(src), ckpt, out)
     assert out_df.select("k").distinct().count() == out_df.count()
+
+
+def _run_upsert(spark, src_dir, ckpt, tmp, state_holder):
+    from bow_hunter_pipeline_spark.streaming.structured import upsert_sink
+
+    schema = "k bigint, ord bigint, val double"
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    if state_holder.get("sink") is None:
+        state_holder["sink"] = upsert_sink(
+            tmp, keys=["k"], order_cols=["ord"], update_cols=["ord", "val"]
+        )
+    apply_batch, state = state_holder["sink"]
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["cur"])
+
+
+def test_streaming_upsert_applies_later_batches_over_earlier(spark, tmp_path):
+    src = tmp_path / "lake"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    ckpt = str(tmp_path / "ckpt")
+    tmp = str(tmp_path / "target")
+    holder: dict = {}
+
+    b1 = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 11, 2.0), (2, 12, 2.5)], "k bigint, ord bigint, val double"
+    )
+    _land_file(b1, staging, src / "b1.parquet")
+    out1 = _run_upsert(spark, str(src), ckpt, tmp, holder)
+    # in-batch last-write-wins: k=2 keeps ord=12
+    assert {(r.k, r.ord, r.val) for r in out1.collect()} == {
+        (1, 10, 1.0),
+        (2, 12, 2.5),
+    }
+
+    # batch 2: update k=2, insert k=3; k=1 untouched
+    b2 = spark.createDataFrame(
+        [(2, 20, 9.0), (3, 21, 3.0)], "k bigint, ord bigint, val double"
+    )
+    _land_file(b2, staging, src / "b2.parquet")
+    out2 = _run_upsert(spark, str(src), ckpt, tmp, holder)
+    assert {(r.k, r.ord, r.val) for r in out2.collect()} == {
+        (1, 10, 1.0),
+        (2, 20, 9.0),
+        (3, 21, 3.0),
+    }
