@@ -709,3 +709,102 @@ SELECT l_orderkey, l_linenumber,
        CAST(l_quantity AS BIGINT) + l_linenumber AS qty_plus_line
 FROM lineitem
 """
+
+BITWISE_OPS = """
+WITH proj AS (
+  SELECT o_orderpriority,
+         o_orderkey & 255 AS masked,
+         o_custkey << 3 AS shifted,
+         xor(o_orderkey, o_custkey) AS folded
+  FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       bit_and(masked) AS and_mask,
+       bit_or(masked) AS or_mask,
+       bit_xor(folded) AS xor_fold,
+       min(shifted) AS min_shifted,
+       max(shifted) AS max_shifted
+FROM proj GROUP BY o_orderpriority
+"""
+
+CONDITIONAL_SCALARS = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 25 THEN 'mid'
+            ELSE 'high' END AS qty_band,
+       greatest(l_quantity, l_extendedprice / 1000) AS qty_or_kprice,
+       least(l_quantity, l_extendedprice / 1000) AS min_metric,
+       nullif(l_tax, 0.0e0) AS tax_or_null,
+       ifnull(nullif(l_tax, 0.0e0), -1.0e0) AS tax_default,
+       CASE WHEN nullif(l_tax, 0.0e0) IS NOT NULL
+            THEN 'taxed' ELSE 'untaxed' END AS tax_flag
+FROM lineitem
+"""
+
+UDF_TABLE_FUNCTION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+c AS (
+  SELECT doc_id, l,
+         unnest(generate_series(0,
+            CAST(ceil(len(l) / 8.0) AS INT) - 1)) AS chunk_idx
+  FROM t
+),
+s AS (
+  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         array_to_string(l[chunk_idx * 8 + 1 :
+                           least((chunk_idx + 1) * 8, len(l))], ' ') AS chunk
+  FROM c
+)
+SELECT doc_id, chunk_idx, chunk, CAST(length(chunk) AS INT) AS n_chars
+FROM s
+"""
+
+SQL_DDL_ROUNDTRIP = """
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       MIN(n_name) AS first_nation
+FROM nation
+GROUP BY n_regionkey
+"""
+
+CSV_ROUNDTRIP = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {_DSUM.format(c='c_acctbal')} AS total_balance
+FROM customer GROUP BY c_mktsegment
+"""
+
+JSON_ROUNDTRIP = f"""
+SELECT o_orderpriority AS prio, o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+SESSION_WINDOW_BUILTIN = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events
+),
+g AS (
+  SELECT *, LAG(epoch_s) OVER (PARTITION BY user_id ORDER BY epoch_s) AS prev_s
+  FROM ev
+),
+f AS (
+  SELECT *, CASE WHEN prev_s IS NULL OR epoch_s - prev_s >= 1800
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id,
+       MIN(epoch_s) AS session_start_s,
+       MAX(epoch_s) AS session_end_s,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""

@@ -141,3 +141,31 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_k"),
         )
     )
+
+
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: Spark's NATIVE gap-based session operator —
+    ``groupBy(session_window(ts, gap))`` — alongside the windowed
+    lag-scan sessionize above (same islands, zero window functions).
+    Boundary semantics: an event exactly ``gap`` after the previous
+    one starts a NEW session (session ranges are half-open), so the
+    oracle's island rule is ``gap >= 1800``, unlike sessionize's
+    ``> 1800``.
+
+    Scale: session_window aggregates in one shuffle on user_id with
+    state merged per group — the same operator Structured Streaming
+    uses for session state, so this plan is stream-promotable as-is.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.expr("ts_ns div 1000000000").alias("epoch_s")
+    )
+    t = F.timestamp_seconds(F.col("epoch_s"))
+    sw = ev.groupBy(
+        "user_id", F.session_window(t, "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.unix_seconds(F.col("w.start")).alias("session_start_s"),
+        (F.unix_seconds(F.col("w.end")) - SESSION_GAP_S).alias("session_end_s"),
+        "n_events",
+    )

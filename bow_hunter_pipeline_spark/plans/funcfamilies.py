@@ -262,3 +262,128 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("long"), F.col("l_linenumber")
         ).alias("qty_plus_line"),
     )
+
+
+def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: bitwise surface — scalar masks/shifts/xor folds plus the
+    bit_and/bit_or/bit_xor aggregate family (the primitives behind
+    SimHash/fingerprint sketches, see plans.dedup). Integer bit ops are
+    exact on every engine; no parity hazards.
+
+    Scale: one shuffle; bit aggregates are associative, so partial
+    (map-side) aggregation applies like any sum.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    proj = orders.select(
+        "o_orderpriority",
+        (F.col("o_orderkey").bitwiseAND(F.lit(255))).alias("masked"),
+        F.shiftleft(F.col("o_custkey"), 3).alias("shifted"),
+        (F.col("o_orderkey").bitwiseXOR(F.col("o_custkey"))).alias("folded"),
+    )
+    return proj.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.bit_and("masked").alias("and_mask"),
+        F.bit_or("masked").alias("or_mask"),
+        F.bit_xor("folded").alias("xor_fold"),
+        F.min("shifted").alias("min_shifted"),
+        F.max("shifted").alias("max_shifted"),
+    )
+
+
+def conditional_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: conditional scalar family — multi-branch CASE, greatest/
+    least, nullif, ifnull, nvl2 — the NULL-plumbing vocabulary (the
+    reference's only conditional is C7's literal-0 default;
+    a full engine needs the whole family).
+
+    Float parity: greatest/least pick one of the inputs (no new
+    rounding); the derived products/divisions are single IEEE ops.
+
+    Scale: per-row projection, no shuffle.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"
+    )
+    tax_nz = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 25, "mid")
+        .otherwise("high")
+        .alias("qty_band"),
+        F.greatest(F.col("l_quantity"), F.col("l_extendedprice") / 1000)
+        .alias("qty_or_kprice"),
+        F.least(F.col("l_quantity"), F.col("l_extendedprice") / 1000)
+        .alias("min_metric"),
+        tax_nz.alias("tax_or_null"),
+        F.ifnull(tax_nz, F.lit(-1.0)).alias("tax_default"),
+        F.nvl2(tax_nz, F.lit("taxed"), F.lit("untaxed")).alias("tax_flag"),
+    )
+
+
+#: Words per chunk for the UDTF text chunker (oracle repeats it).
+CHUNK_WORDS = 8
+
+
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the set-returning member of the
+    UDF family (scalar/UDAF/grouped/cogrouped live in
+    plans.pandas_udfs): chunk each document into fixed-size word
+    windows via ``lateralJoin`` over a ``@udtf`` class. This is the
+    LLM-pipeline chunker shape (context-window packing).
+
+    The class is defined inside this function (pickled by value — the
+    serialization-closure rule). Arrow-optimized UDTF execution is
+    enabled, so the plan runs ArrowEvalPythonUDTF — batch transfer,
+    not row pickling (the plan sweep enforces this).
+
+    Scale: lateral fan-out is partition-local (no shuffle); chunk count
+    per row is bounded by document length.
+    """
+    from pyspark.sql.functions import udtf
+
+    chunk_words = CHUNK_WORDS
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="chunk_idx int, chunk string, n_chars int")
+    class ChunkWords:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, len(words), chunk_words):
+                c = " ".join(words[i : i + chunk_words])
+                yield i // chunk_words, c, len(c)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.lateralJoin(ChunkWords(F.col("text").outer())).select(
+        "doc_id", "chunk_idx", "chunk", "n_chars"
+    )
+
+
+def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the DDL-executor path as a driver query — ``spark.sql``
+    CREATE OR REPLACE TEMP VIEW (script-runner shape, see
+    warehouse.ddl for persistent tables), then query through the
+    created object. The reference runs sorted ``*.sql`` scripts through
+    an opaque connection (``load_duckdb_schema.py:6-26``); here the
+    statements flow through the same Catalyst session as everything
+    else, so the view body is optimized into the final plan (no
+    materialization boundary).
+    """
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "bhps_ddl_nation_src"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW bhps_ddl_region_summary AS
+        SELECT n_regionkey,
+               COUNT(*) AS n_nations,
+               MIN(n_name) AS first_nation
+        FROM bhps_ddl_nation_src
+        GROUP BY n_regionkey
+        """
+    )
+    return spark.sql("SELECT * FROM bhps_ddl_region_summary")

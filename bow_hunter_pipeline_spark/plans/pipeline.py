@@ -212,3 +212,65 @@ def partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+A5_CSV_PATH = "/tmp/bhps_a5_csv"
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 for the CSV format: land the customer dimension as
+    headered CSV, read it back schema-on-read (explicit StructType —
+    CSV carries no types), and aggregate. Proves the engine's
+    text-format ingest path end to end: header handling, typed parse
+    of bigint/int/double/string, and that the round trip is lossless
+    (Spark writes doubles as shortest-round-trip strings).
+
+    Scale: CSV is the interchange format of last resort — no
+    statistics, no column pruning, full-file scans; the plan treats it
+    as a landing format and converts to parquet immediately after
+    (this query's aggregate stands in for that conversion job).
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").option("header", True).csv(A5_CSV_PATH)
+    schema = (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    back = spark.read.schema(schema).option("header", True).csv(A5_CSV_PATH)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_balance", "decimal(14,2)"),
+    )
+
+
+A5_JSON_PATH = "/tmp/bhps_a5_json"
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 for JSON lines with a NESTED column: write orders with a
+    struct payload (`meta.status`, `meta.prio`), read back with a
+    declared nested schema, and aggregate through the struct field.
+    JSON is the semi-structured landing shape (the Textract-block
+    analog in modern lakes); nested round trip proves schema-on-read
+    over hierarchy, not just flat columns.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("meta"),
+    )
+    orders.write.mode("overwrite").json(A5_JSON_PATH)
+    schema = (
+        "o_orderkey bigint, o_totalprice double, "
+        "meta struct<status:string, prio:string>"
+    )
+    back = spark.read.schema(schema).json(A5_JSON_PATH)
+    return back.groupBy(
+        F.col("meta.prio").alias("prio"), F.col("meta.status").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

@@ -608,6 +608,26 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         funcfamilies.try_arithmetic,
         oracles_f.TRY_ARITHMETIC,
     ),
+    "f_bitwise_ops": (funcfamilies.bitwise_ops, oracles_f.BITWISE_OPS),
+    "f_conditional_scalars": (
+        funcfamilies.conditional_scalars,
+        oracles_f.CONDITIONAL_SCALARS,
+    ),
+    "udf_table_function": (
+        funcfamilies.udf_table_function,
+        oracles_f.UDF_TABLE_FUNCTION,
+    ),
+    "a8_sql_ddl_roundtrip": (
+        funcfamilies.sql_ddl_roundtrip,
+        oracles_f.SQL_DDL_ROUNDTRIP,
+    ),
+    # Text-format sources (CSV/JSON) + native session windows
+    "a5_csv_roundtrip": (pipeline.csv_roundtrip, oracles_f.CSV_ROUNDTRIP),
+    "a5_json_roundtrip": (pipeline.json_roundtrip, oracles_f.JSON_ROUNDTRIP),
+    "h4_session_window_builtin": (
+        events.session_window_builtin,
+        oracles_f.SESSION_WINDOW_BUILTIN,
+    ),
 }
 
 
