@@ -808,3 +808,49 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
 """
+
+STAGE_FULL_REFRESH = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders GROUP BY 1
+"""
+
+UDF_GROUPED_MAP_ARROW = """
+WITH c AS (
+  SELECT p_brand,
+         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM part
+)
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM c GROUP BY p_brand
+"""
+
+MM_AUDIO_WINDOWS = """
+WITH d AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(text[i:i])) AS b
+  FROM documents
+),
+w AS (
+  SELECT doc_id, b,
+         unnest(generate_series(0,
+            CAST(ceil(len(b) / 64.0) AS INT) - 1)) AS win_idx
+  FROM d
+),
+s AS (
+  SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+         b[win_idx * 64 + 1 : least((win_idx + 1) * 64, len(b))] AS chunk
+  FROM w
+)
+SELECT doc_id, win_idx,
+       CAST(len(chunk) AS INT) AS n_samples,
+       CAST(list_sum(list_transform(chunk, x -> x * x)) AS BIGINT) AS energy,
+       CAST(list_max(chunk) AS INT) AS peak
+FROM s
+"""

@@ -204,3 +204,58 @@ def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(fake_resize, _RESIZE_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+AUDIO_WINDOW = 64  # samples (bytes) per analysis window
+
+
+def audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio analysis: payload as 8-bit PCM → fixed-size
+    analysis windows → per-window energy (sum of squared samples) and
+    peak. The deploy-time seam swaps the byte view for a real decoder
+    (soundfile/ffmpeg) ahead of the same windowing; window fan-out and
+    integer feature math are the real pipeline.
+
+    Exactness: all-integer per-window reductions — no float, no order
+    sensitivity. (The fixture payload is ASCII text bytes, so the SQL
+    oracle recomputes every sample via ``unicode(substr)``.)
+
+    Scale: like frame_sample, expansion happens inside the pandas
+    batch — no shuffle; windows per row bounded by payload size.
+    """
+    win = AUDIO_WINDOW
+
+    def window_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "win_idx", "n_samples", "energy", "peak")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for w in range(0, len(b), win):
+                    chunk = b[w : w + win]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w // win)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(sum(x * x for x in chunk))
+                    out["peak"].append(max(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "win_idx": pd.Series(out["win_idx"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(window_features, _AUDIO_SCHEMA)

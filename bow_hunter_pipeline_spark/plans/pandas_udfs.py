@@ -149,3 +149,48 @@ def udf_cogrouped_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(items.groupBy("l_orderkey"))
         .applyInPandas(profile, out_schema)
     )
+
+
+def udf_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyarrow-native grouped-map shape (``applyInArrow``) — the
+    sixth Python UDF form, one layer below pandas: the group arrives
+    as a ``pyarrow.Table``, compute runs on Arrow arrays with no
+    pandas conversion. Right choice when the per-group logic is
+    columnar kernels (sums, filters) and the pandas object model is
+    pure overhead.
+
+    Exactness: all arithmetic is int64 (cents derived per-row with
+    ``floor(p*100 + 0.5)`` — identical IEEE ops in the oracle), so
+    group-internal row order cannot affect the sums.
+
+    The function is a nested closure (pickled by value) per the
+    serialization rule.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = (
+        "p_brand string, n_parts bigint, sum_cents bigint, "
+        "min_cents bigint, max_cents bigint"
+    )
+
+    def brand_stats(table: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(table.column("p_retailprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        brand = table.column("p_brand")[0].as_py()
+        return pa.table(
+            {
+                "p_brand": pa.array([brand], pa.string()),
+                "n_parts": pa.array([table.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    part = read_table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    return part.groupBy("p_brand").applyInArrow(brand_stats, schema=out_schema)

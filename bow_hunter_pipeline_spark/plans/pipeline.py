@@ -274,3 +274,45 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+E1_STAGE_TABLE = "bhps_e1_stage"
+
+
+def stage_full_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: truncate-and-reload as a driver query. The reference's
+    ``DELETE FROM population_stage; INSERT INTO ... SELECT`` full
+    refresh (``load_population_stage.sql:1-20``) is one atomic
+    ``saveAsTable(mode="overwrite")`` here. The query loads a PARTIAL
+    snapshot first, then refreshes with the full one — if overwrite
+    degraded to append, the pre-1995 years would double-count and the
+    oracle (which reads the source directly) would catch it.
+
+    Scale: INSERT OVERWRITE is the idempotent-batch primitive (re-runs
+    converge); at 100 TB the same statement targets a partitioned
+    table with dynamic partition overwrite so only touched partitions
+    rewrite (see partition_roundtrip for the partitioned sink).
+    """
+    import shutil
+
+    # Idempotence across sessions: a stale managed-table directory with
+    # a fresh in-memory catalog makes saveAsTable refuse the location —
+    # pin an external /tmp path and clear any remnant first.
+    path = "/tmp/bhps_e1_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {E1_STAGE_TABLE}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = read_table(spark, sf_dir, "orders")
+    partial = orders.filter(F.year("o_orderdate") < 1995)
+    partial.write.mode("overwrite").option("path", path).saveAsTable(
+        E1_STAGE_TABLE
+    )
+    orders.write.mode("overwrite").option("path", path).saveAsTable(
+        E1_STAGE_TABLE
+    )
+    back = spark.table(E1_STAGE_TABLE)
+    return back.groupBy(
+        F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

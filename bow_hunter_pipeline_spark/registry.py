@@ -628,6 +628,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.session_window_builtin,
         oracles_f.SESSION_WINDOW_BUILTIN,
     ),
+    "e1_stage_full_refresh": (
+        pipeline.stage_full_refresh,
+        oracles_f.STAGE_FULL_REFRESH,
+    ),
+    "udf_grouped_map_arrow": (
+        pandas_udfs.udf_grouped_map_arrow,
+        oracles_f.UDF_GROUPED_MAP_ARROW,
+    ),
+    "mm_audio_windows": (multimodal.audio_windows, oracles_f.MM_AUDIO_WINDOWS),
 }
 
 
