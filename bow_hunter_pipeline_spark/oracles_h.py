@@ -549,3 +549,51 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_shared AS DOUBLE) / sa.n_sh >= 0.8e0
    OR CAST(n_shared AS DOUBLE) / sb.n_sh >= 0.8e0
 """
+
+_PQ_SUB_L2 = (
+    "list_sum(list_transform(generate_series(1, 16), i -> "
+    "(CAST(embedding[s*16+i] AS DOUBLE) - CAST(cvec[s*16+i] AS DOUBLE)) * "
+    "(CAST(embedding[s*16+i] AS DOUBLE) - CAST(cvec[s*16+i] AS DOUBLE))))"
+)
+
+PQ_TOPK = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id IN (11, 22, 33, 44, 55, 66, 77, 88)
+),
+sub AS (
+  SELECT vec_id, embedding, unnest(generate_series(0, 3)) AS s
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id, s, cent_id, {_PQ_SUB_L2} AS d
+  FROM sub, cent
+),
+codes AS (
+  SELECT vec_id, s, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+ptab AS (
+  SELECT vec_id AS q_id, s, cent_id AS code, d
+  FROM dists WHERE vec_id < {N_QUERIES}
+),
+summed AS (
+  SELECT p.q_id, c.vec_id AS c_id,
+         SUM(CASE WHEN c.s = 0 THEN p.d END) AS d0,
+         SUM(CASE WHEN c.s = 1 THEN p.d END) AS d1,
+         SUM(CASE WHEN c.s = 2 THEN p.d END) AS d2,
+         SUM(CASE WHEN c.s = 3 THEN p.d END) AS d3
+  FROM codes c JOIN ptab p ON p.s = c.s AND p.code = c.code
+  WHERE c.vec_id <> p.q_id
+  GROUP BY p.q_id, c.vec_id
+)
+SELECT q_id, c_id, approx_dist, rnk FROM (
+  SELECT q_id, c_id, ((d0 + d1) + d2) + d3 AS approx_dist,
+         CAST(rank() OVER (PARTITION BY q_id
+                           ORDER BY ((d0 + d1) + d2) + d3, c_id) AS INT) AS rnk
+  FROM summed
+) WHERE rnk <= {TOP_K}
+"""

@@ -215,3 +215,87 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "c_id", F.col("q_cell").alias("cell_id"), "cosine", "rnk")
     )
+
+
+PQ_SUBSPACES = 4  # M subquantizers
+PQ_SUBDIM = DIM // PQ_SUBSPACES  # dims per subspace
+PQ_CENTROID_IDS = (11, 22, 33, 44, 55, 66, 77, 88)  # deterministic codebook
+
+
+def _l2_sub(a: str, b: str) -> Column:
+    """Squared L2 between the ``s``-th subvectors of two array columns
+    (s from the row), as an order-pinned left fold in double."""
+    return F.aggregate(
+        F.zip_with(
+            F.expr(f"slice({a}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"),
+            F.expr(f"slice({b}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 product quantization (PQ) — the memory-bound leg of the ANN
+    triad (brute-force = compute-bound baseline, IVF = partition
+    pruning, PQ = compressed-domain scoring). Each vector is encoded as
+    M=4 subspace codes (nearest of 8 codebook entries per 16-dim
+    slice); probes score candidates with the standard asymmetric
+    distance (ADC): sum over subspaces of L2²(probe subvector, the
+    candidate's assigned centroid subvector) — candidates' full vectors
+    are never touched at query time.
+
+    Real PQ trains the codebook with k-means; here it is a fixed,
+    deterministic subset of the data (vec_ids 11..88) so the oracle
+    replays the exact encoding. Determinism: subspace distances are
+    order-pinned folds; the 4-term ADC sum is a fixed-shape expression
+    ``((d0+d1)+d2)+d3`` (one bound value per term via single-row
+    conditional sums), so every float op has a pinned order.
+
+    Scale: encoding is one narrow pass (M×K fold evaluations per row)
+    producing a 4-byte-ish code per vector — the 100 TB win is that
+    the candidate side of query-time scoring reads ONLY (vec_id,
+    code_s) columns; the probe distance table (M×K rows per probe)
+    broadcasts.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").isin(*PQ_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    sub = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s"),
+    )
+    dists = sub.join(F.broadcast(cent)).withColumn(
+        "d", _l2_sub("embedding", "cvec")
+    )
+    aw = Window.partitionBy("vec_id", "s").orderBy(F.col("d"), F.col("cent_id"))
+    codes = (
+        dists.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cent_id").alias("code"))
+    )
+    ptab = dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("cent_id").alias("code"), "d"
+    )
+    joined = codes.join(F.broadcast(ptab), ["s", "code"]).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    terms = [
+        F.sum(F.when(F.col("s") == i, F.col("d"))).alias(f"d{i}")
+        for i in range(PQ_SUBSPACES)
+    ]
+    summed = joined.groupBy("q_id", F.col("vec_id").alias("c_id")).agg(*terms)
+    dist = (
+        (F.col("d0") + F.col("d1")) + F.col("d2")
+    ) + F.col("d3")
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_dist"), F.col("c_id"))
+    return (
+        summed.withColumn("approx_dist", dist)
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "c_id", "approx_dist", "rnk")
+    )

@@ -637,6 +637,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles_f.UDF_GROUPED_MAP_ARROW,
     ),
     "mm_audio_windows": (multimodal.audio_windows, oracles_f.MM_AUDIO_WINDOWS),
+    "h2_pq_topk": (simsearch.pq_topk, oracles_h.PQ_TOPK),
 }
 
 

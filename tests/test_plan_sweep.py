@@ -33,6 +33,7 @@ ALLOW: dict[str, set[str]] = {
         "h3_type_token_ratio",  # 1-row corpus totals
         "h2_cosine_topk",  # brute-force baseline: tiny probe set broadcast
         "h2_ivf_topk",  # K fixed centroids broadcast for cell assignment
+        "h2_pq_topk",  # 8-entry codebook broadcast for subspace encoding
     },
     # All-pairs semantics by design, bounded by blocking/banding
     # upstream (LSH buckets, band keys) or quadratic-in-small-n.
