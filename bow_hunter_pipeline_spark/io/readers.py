@@ -29,28 +29,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table reader — handles the TIMESTAMP(NANOS) parquet type.
+    """Events table reader — adaptive to the fixture's ``ts`` physical type.
 
-    Spark's vectorized reader rejects INT64 nanos timestamps
-    (PARQUET_TYPE_ILLEGAL); the legacy conf reads them as raw nanos
-    longs, from which we derive:
-    - ``ts``:    timestamp_ntz at microsecond grain (floor-divided, the
-      same truncation DuckDB/Arrow apply when narrowing ns → us)
-    - ``ts_ns``: the original int64 nanos, for exact arithmetic
-      (windowing on epoch seconds, sessionization gaps).
+    Fixture generations have stored ``ts`` either as TIMESTAMP(NANOS)
+    (INT64 nanos — Spark's vectorized reader rejects it unless the
+    ``nanosAsLong`` legacy conf maps it to a raw long) or as plain
+    ``timestamp[us]`` (read natively as TIMESTAMP_NTZ). We branch on the
+    type Spark actually sees and normalize to one contract:
+    - ``ts``:    timestamp_ntz at microsecond grain
+    - ``ts_ns``: int64 epoch nanos, for exact arithmetic (windowing on
+      epoch seconds, sessionization gaps).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the micros→NTZ derivation below round-trips through TIMESTAMP
-    # (instant) semantics; pin UTC so it is correct in driver-created
-    # sessions that didn't use session.get_spark
+    # ns↔us derivations below round-trip through TIMESTAMP (instant)
+    # semantics; pin UTC so they are correct in driver-created sessions
+    # that didn't use session.get_spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.withColumnRenamed("ts", "ts_ns")
-        .withColumn(
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        # INT64-nanos fixture: the long IS the nanos value
+        return ev.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts",
             F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"),
         )
+    # timestamp[us] fixture: keep ts, derive exact nanos (UTC session
+    # makes the NTZ→instant cast value-preserving)
+    return ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     )
 
 

@@ -50,14 +50,21 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see read_events
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return ev.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    if dict(batch.dtypes)["ts"] in ("bigint", "long"):
+        # INT64-nanos fixture (see io.readers.read_events)
+        return ev.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    # timestamp[us] fixture: watermarks need the instant type; UTC
+    # session makes the NTZ→TIMESTAMP cast value-preserving
+    return ev.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
 
 
