@@ -22,7 +22,8 @@ from bow_hunter_pipeline_spark import registry  # noqa: E402
 from bow_hunter_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: the heavy, representative plans (scan+agg, multi-join,
-# window rank, explode pipeline). Cheap diagnostics stay out.
+# window rank, explode pipeline, sketch-based dedup, event-time
+# sessionization). Cheap diagnostics stay out.
 HEADLINE = [
     "g1_pricing_summary",
     "g2_revenue_by_nation",
@@ -30,6 +31,8 @@ HEADLINE = [
     "g4_yearly_trend",
     "b3_d1_d2_population_explode",
     "e2_orders_upsert",
+    "h1_minhash_lsh_pairs",
+    "h4_sessionize",
 ]
 
 

@@ -63,6 +63,12 @@ def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     the signature component is the lexicographic min over the doc's
     shingles — a valid MinHash because md5 hex strings order uniformly.
     Deterministic, so a SQL oracle reproduces it bit-for-bit.
+
+    NOTE: higher-order lambdas evaluate interpreted, and every
+    permutation subtree re-embeds the shingle expression — fine for a
+    handful of rows, but the hot path is plans.dedup._minhash_buckets
+    (explode + codegen'd md5 projection + grouped min), which produces
+    identical values.
     """
     return F.array(
         *[

@@ -854,3 +854,15 @@ SELECT doc_id, win_idx,
        CAST(list_max(chunk) AS INT) AS peak
 FROM s
 """
+
+
+PENDING_WORK = f"""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS pending_orders,
+       {_DSUM.format(c='o_totalprice')} AS pending_value
+FROM orders
+WHERE o_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 0
+)
+GROUP BY 1
+"""

@@ -85,10 +85,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem ⋈ orders (fact-fact, shuffle) ⋈ customer ⋈ nation
     (dimensions, broadcast).
 
-    Scale: nation (25 rows) and customer (1.5k×sf) broadcast — no
-    shuffle for the dimension side; the lineitem⋈orders join shuffles
-    on orderkey, which AQE can split on skew. Column pruning keeps the
-    scan to 4 columns of lineitem.
+    Scale: nation (25 rows, fixed) is hinted broadcast; customer GROWS
+    with sf (150k×sf — a forced broadcast OOMs at 100 TB), so its join
+    carries no hint: the size estimator / AQE picks broadcast while it
+    fits and falls back to shuffle when it doesn't. The lineitem⋈orders
+    join shuffles on orderkey, which AQE can split on skew. Column
+    pruning keeps the scan to 4 columns of lineitem.
     """
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
@@ -97,7 +99,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * one_minus("l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -173,7 +175,7 @@ def market_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * one_minus("l_discount")
     per_nation = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(revenue).alias("__rev_dec"))

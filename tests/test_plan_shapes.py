@@ -38,9 +38,29 @@ def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
 
 def test_revenue_by_nation_broadcasts_dimensions(spark):
     plan = _plan(analytics.revenue_by_nation(spark, SF_SMOKE))
+    # nation (hinted) + customer (size-chosen at this sf) both broadcast
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_revenue_by_nation_customer_broadcast_is_size_chosen_not_forced(spark):
+    # customer grows with sf (150k×sf): its join must carry NO broadcast
+    # hint, so with the size-based path disabled it degrades to a
+    # shuffle join while the hinted, fixed-size nation leg stays
+    # broadcast. A forced customer hint would survive the threshold and
+    # OOM a 100 TB run.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(analytics.revenue_by_nation(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # formatted explain names each operator twice (tree + detail): one
+    # broadcast join (the nation hint) → exactly 2 mentions; customer
+    # degrades to the sort-merge path (li⋈orders + ⋈cust = 2 SMJs).
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("SortMergeJoin") == 4
 
 
 def test_top_k_pushes_group_limit_below_shuffle(spark):
