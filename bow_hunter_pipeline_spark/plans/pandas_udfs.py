@@ -110,14 +110,24 @@ def udf_grouped_map_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_nationkey").applyInPandas(neighbors, docs_schema)
 
 
+COGROUP_BUCKETS = 64
+
+
 def udf_cogrouped_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas: orders and their lineitems arrive as
     two aligned pandas frames per key group — the imperative analog of
     a join+aggregate, for logic too procedural to express relationally.
-    Measures stay integral (count, quantity sum) or exact (max date).
+    Measures stay integral (count, integral-double quantity sum) so
+    pandas' reduction order cannot diverge from the oracle.
 
-    Scale: both sides shuffle once on the cogroup key; each task sees
-    one key-group pair, so skew maps to task time, not memory blowup.
+    Scale: the cogroup key is a BUCKET of orderkeys, not the orderkey
+    itself — cogrouping on an ultra-high-cardinality key pays the
+    per-group Python round-trip (pandas frame construction + function
+    call, ~ms each) once per key, which is the difference between 64
+    vectorized calls and hundreds of thousands of tiny ones. Inside a
+    bucket the per-order logic is a vectorized pandas groupby+merge.
+    Both sides shuffle once on the bucket key; bucket count scales the
+    max per-task frame, so raise COGROUP_BUCKETS with the data.
     """
     out_schema = (
         "o_orderkey long, o_totalprice double, n_items long, sum_qty double"
@@ -128,13 +138,20 @@ def udf_cogrouped_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["o_orderkey", "o_totalprice", "n_items", "sum_qty"]
             )
-        row = orders_pdf.iloc[0]
+        per_order = (
+            items_pdf.groupby("l_orderkey")["l_quantity"]
+            .agg(n_items="size", sum_qty="sum")
+            .reset_index()
+        )
+        merged = orders_pdf.merge(
+            per_order, left_on="o_orderkey", right_on="l_orderkey", how="left"
+        )
         return pd.DataFrame(
             {
-                "o_orderkey": [row["o_orderkey"]],
-                "o_totalprice": [row["o_totalprice"]],
-                "n_items": [len(items_pdf)],
-                "sum_qty": [float(items_pdf["l_quantity"].sum())],
+                "o_orderkey": merged["o_orderkey"],
+                "o_totalprice": merged["o_totalprice"],
+                "n_items": merged["n_items"].fillna(0).astype("int64"),
+                "sum_qty": merged["sum_qty"].fillna(0.0).astype("float64"),
             }
         )
 
@@ -142,11 +159,16 @@ def udf_cogrouped_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
         .select("o_orderkey", "o_totalprice")
+        .withColumn("bkt", F.col("o_orderkey") % COGROUP_BUCKETS)
     )
-    items = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumn("bkt", F.col("l_orderkey") % COGROUP_BUCKETS)
+    )
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(items.groupBy("l_orderkey"))
+        orders.groupBy("bkt")
+        .cogroup(items.groupBy("bkt"))
         .applyInPandas(profile, out_schema)
     )
 
