@@ -597,3 +597,106 @@ SELECT q_id, c_id, approx_dist, rnk FROM (
   FROM summed
 ) WHERE rnk <= {TOP_K}
 """
+
+
+# --- H6 training-data pipeline (plans.traindata) -----------------------
+
+SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOKS}) AS n_tokens FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_off
+  FROM t
+)
+SELECT source,
+       CAST(floor(start_off / 128e0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM c GROUP BY 1, 2
+"""
+
+CONTAMINATION_CHECK = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents
+)
+SELECT a.doc_id AS train_doc_id, b.doc_id AS eval_doc_id,
+       COUNT(DISTINCT a.shingle) AS n_shared_shingles
+FROM sh a JOIN sh b ON a.shingle = b.shingle
+WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+GROUP BY 1, 2
+"""
+
+REPETITION_FILTER = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, text || ' ' || text AS text
+  FROM documents WHERE doc_id % 40 = 0
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM corpus
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         COUNT(DISTINCT shingle) AS n_distinct
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_distinct,
+       1e0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         AS dup_ratio,
+       (1e0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE))
+         > 0.2e0 AS is_repetitive
+FROM per_doc
+"""
+
+_DOCS_NEAR_COPIES_FULL = """
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' near dup tail' AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+"""
+
+DEDUP_APPLY = _MINHASH_CTES.replace(
+    f"WITH docs AS ({_DOCS_WITH_NEAR_COPIES})",
+    f"WITH docs AS ({_DOCS_NEAR_COPIES_FULL})",
+    1,
+) + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM docs d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM cand)
+"""
+
+DOMAIN_UPSAMPLE = f"""
+WITH w AS (
+  SELECT source, doc_id, len({_TOKS}) AS n_tokens,
+         (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 3) + 1
+           AS weight
+  FROM documents
+), r AS (
+  SELECT source, doc_id, n_tokens, weight,
+         unnest(generate_series(1, weight)) AS epoch
+  FROM w
+)
+SELECT source, COUNT(*) AS n_rows_after,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens_after,
+       CAST(MAX(epoch) AS INT) AS weight
+FROM r GROUP BY source
+"""
+
+BPE_TOKEN_COUNT = r"""
+SELECT doc_id, lang,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS INT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS DOUBLE)
+         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+         AS fertility
+FROM documents
+"""

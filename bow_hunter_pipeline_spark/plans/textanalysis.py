@@ -287,3 +287,37 @@ def posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", (F.col("pos0") + 1).alias("pos"), "token"
     )
+
+
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: BPE-style pre-tokenizer counting next to whitespace counts.
+
+    The GPT-2 family pre-tokenizes on letter-runs / digit-runs /
+    punctuation before merges; ``BPE_PRETOKEN_RE`` is that split
+    (ASCII-portable subset, identical semantics in Java and RE2
+    regex engines so the oracle matches bit-for-bit). The fertility
+    ratio (pre-tokens per whitespace token) is the standard budget
+    estimator for training-token accounting.
+
+    Shape: two regex extractions per row, one narrow projection —
+    whole-stage codegen, no shuffle at all.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # idx=0 = the full match (Spark's default idx is capture group 1,
+    # and this pattern has no groups)
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.try_divide(bpe.cast("double"), ws.cast("double")).alias(
+            "fertility"
+        ),
+    )

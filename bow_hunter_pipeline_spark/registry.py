@@ -34,6 +34,7 @@ from bow_hunter_pipeline_spark.plans import (
     simsearch,
     textanalysis,
     tpch,
+    traindata,
 )
 from bow_hunter_pipeline_spark.streaming import structured
 
@@ -643,6 +644,28 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "mm_audio_windows": (multimodal.audio_windows, oracles_f.MM_AUDIO_WINDOWS),
     "h2_pq_topk": (simsearch.pq_topk, oracles_h.PQ_TOPK),
+    # H6 training-data pipeline operators (plans.traindata)
+    "h6_sequence_packing": (
+        traindata.sequence_packing,
+        oracles_h.SEQUENCE_PACKING,
+    ),
+    "h6_contamination_check": (
+        traindata.contamination_check,
+        oracles_h.CONTAMINATION_CHECK,
+    ),
+    "h6_repetition_filter": (
+        traindata.repetition_filter,
+        oracles_h.REPETITION_FILTER,
+    ),
+    "h6_dedup_apply": (traindata.dedup_apply, oracles_h.DEDUP_APPLY),
+    "h6_domain_upsample": (
+        traindata.domain_upsample,
+        oracles_h.DOMAIN_UPSAMPLE,
+    ),
+    "h3_bpe_token_count": (
+        textanalysis.bpe_token_count,
+        oracles_h.BPE_TOKEN_COUNT,
+    ),
 }
 
 
@@ -712,14 +735,15 @@ _DRIVER_ROTATION = [
     "e4_drift_audit",
     "h1_containment_pairs",
     "h3_tfidf_top_terms",
-    "h3_type_token_ratio",
-    "h3_bigram_counts",
     "g4_moving_avg",
-    # TPC-H sample (rest of the wave rotates in later rounds)
-    "f_q3_shipping_priority",
-    "f_q10_returned_items",
-    "f_q18_large_volume",
-    "f_q8_market_share",
+    # new H6 training-data pipeline family (round 3)
+    "h6_sequence_packing",
+    "h6_contamination_check",
+    "h6_repetition_filter",
+    "h6_dedup_apply",
+    "h6_domain_upsample",
+    "h3_bpe_token_count",
+    # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
 
