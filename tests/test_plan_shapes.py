@@ -17,6 +17,7 @@ from bow_hunter_pipeline_spark.plans import (
     multimodal,
     simsearch,
     textanalysis,
+    traindata,
 )
 from tests.conftest import SF_SMOKE
 
@@ -86,6 +87,47 @@ def test_jvm_path_plans_have_no_python_eval(spark):
         plan = _plan(df)
         assert "EvalPython" not in plan, plan  # no row/arrow Python UDFs
         assert "MapInPandas" not in plan
+
+
+def test_h6_plans_stay_jvm_side(spark):
+    # the training-data operators are built-ins only — no Python eval
+    for df in (
+        traindata.sequence_packing(spark, SF_SMOKE),
+        traindata.contamination_check(spark, SF_SMOKE),
+        traindata.repetition_filter(spark, SF_SMOKE),
+        traindata.domain_upsample(spark, SF_SMOKE),
+        textanalysis.bpe_token_count(spark, SF_SMOKE),
+    ):
+        plan = _plan(df)
+        assert "EvalPython" not in plan, plan
+        assert "MapInPandas" not in plan
+
+
+def test_contamination_join_is_hash_join_on_shingle(spark):
+    plan = _plan(traindata.contamination_check(spark, SF_SMOKE))
+    # equi-join on the shingle — never a nested loop / cartesian
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_packing_is_one_window_over_source(spark):
+    plan = _plan(traindata.sequence_packing(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Join" not in plan  # pure cumsum + arithmetic, no join leg
+
+
+def test_domain_upsample_has_no_pre_agg_shuffle(spark):
+    plan = _plan(traindata.domain_upsample(spark, SF_SMOKE))
+    # narrow explode feeding the aggregate: the agg's own exchange plus
+    # the (source, doc_id) partial that exact count_distinct needs —
+    # two exchanges total (formatted explain mentions each twice),
+    # nothing upstream of the Generate
+    assert plan.count("Exchange") <= 4
+    assert "Join" not in plan
+    # the explode happens directly on the scan output — no shuffle in
+    # between (Generate sits under the first partial aggregate)
+    assert "Generate" in plan
 
 
 def test_multimodal_scan_prunes_to_needed_columns(spark):
