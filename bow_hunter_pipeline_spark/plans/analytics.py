@@ -123,7 +123,7 @@ def top_k_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     revenue = money("l_extendedprice") * one_minus("l_discount")
     per_part = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(dsum_expr(revenue, "revenue"))
     )

@@ -123,9 +123,15 @@ def _minhash_buckets(docs: DataFrame) -> DataFrame:
         )
         for b in range(BANDS)
     ]
-    return sig.select(
+    buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+    # Every caller self-joins this frame; materialize it once so the
+    # hash pass isn't executed per join side (signatures are ~40 bytes
+    # per doc — far smaller than the text they summarize, so persisting
+    # beats recomputing at any scale; use reliable checkpoint/persist
+    # with replication on a real cluster to survive executor loss).
+    return buckets.localCheckpoint()
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,8 +361,8 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> D
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_shared").cast("double")
@@ -404,8 +410,8 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont_a = F.col("n_shared").cast("double") / F.col("n_a")
     cont_b = F.col("n_shared").cast("double") / F.col("n_b")
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("cont_in_a", cont_a)
         .withColumn("cont_in_b", cont_b)
         .filter(

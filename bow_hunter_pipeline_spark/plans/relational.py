@@ -581,7 +581,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = money("l_extendedprice") * one_minus("l_discount")
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -651,7 +651,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation of one region. The distinguishing edge is the non-key
     equality c_nationkey = s_nationkey carried on the supplier join.
 
-    Scale shape: region→nation→(supplier) are broadcast; the
+    Scale shape: region→nation are hinted broadcast, supplier joins
+    unhinted (grows with sf); the
     same-nation constraint rides the broadcast supplier join as an
     extra condition, so it filters during the probe instead of after
     a shuffle. Only lineitem→orders→customer shuffle on keys.
@@ -682,7 +683,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
@@ -795,7 +796,7 @@ def disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * one_minus("l_discount")
     return (
         li.join(
-            F.broadcast(part),
+            part,
             (li.l_partkey == part.p_partkey) & (branch1 | branch2),
         )
         .agg(

@@ -132,7 +132,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE-filtered sum to the total sum, over lineitem⋈part. Fixture
     p_type is single-word ('PROMO'), so the LIKE 'PROMO%' is equality.
 
-    Scale: part is dimension-sized → broadcast; the month filter on
+    Scale: part joins unhinted (it grows with sf — size-based
+    selection/AQE broadcasts it while it fits); the month filter on
     l_shipdate prunes the fact scan; both sums ride one aggregation.
     The division happens once, on two exact decimal-rounded doubles —
     deterministic bit pattern on any engine.
@@ -145,7 +146,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * one_minus("l_discount")
     zero = F.lit(0).cast("decimal(20,6)")
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero)
-    agg = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+    agg = li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
         dsum_expr(promo, "promo_rev"),
         dsum_expr(revenue, "total_rev"),
     )
@@ -181,7 +182,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_revenue", F.max("total_revenue").over(w)
     ).filter(F.col("total_revenue") == F.col("max_revenue"))
     return best.join(
-        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        supplier, F.col("l_suppkey") == F.col("s_suppkey")
     ).select(
         F.col("s_suppkey").cast("long").alias("s_suppkey"),
         "s_name",
@@ -207,7 +208,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = read_table(spark, sf_dir, "lineitem")
-    brand_li = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    brand_li = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     per_part_avg = brand_li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         davg("l_quantity", "avg_qty")
     )
@@ -276,7 +277,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding a CASE-sum / sum ratio.
 
     Scale: every dimension leg (part filtered to the type, the two
-    nation roles, region, supplier) broadcasts; lineitem shuffles only
+    nation roles, region) broadcast by hint; supplier joins unhinted
+    (grows with sf — AQE picks the strategy); lineitem shuffles only
     to join orders→customer. The ratio divides two exact
     decimal-rounded doubles per year.
     """
@@ -309,11 +311,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(20,6)")
     nation_vol = F.when(F.col("supp_nation") == Q8_NATION, revenue).otherwise(zero)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_nationkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -337,7 +339,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure spanning three tables, aggregated on dimensions from two
     different join legs).
 
-    Scale: part (name-filtered) and supplier→nation broadcast; only
+    Scale: nation is hinted broadcast; part (name-filtered) and
+    supplier join unhinted (both grow with sf); only
     lineitem⋈orders shuffles. The profit expression stays DECIMAL
     through the sum, so partial-aggregation order can't perturb bits.
     """
@@ -355,8 +358,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * qty("l_quantity") * half
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -389,7 +392,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
     li = read_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        supplier, F.col("l_suppkey") == F.col("s_suppkey")
     )
     per_part = li.groupBy("l_partkey").agg(
         dsum("l_extendedprice", "part_value", cast="decimal(12,2)")
@@ -433,13 +436,13 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey")
         .distinct()
         .join(
-            F.broadcast(complaints),
+            complaints,
             F.col("l_suppkey") == F.col("bad_suppkey"),
             "left_anti",
         )
     )
     return (
-        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -452,7 +455,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the offer book is distinct (part, supplier, unit price =
     extendedprice / quantity) observed in lineitem.)
 
-    Scale: the region's supplier set broadcasts into the lineitem
+    Scale: the region's supplier set joins into the lineitem
     scan; per-part MIN is one shuffle on partkey; the winner filter
     compares the same IEEE-exact division on both sides. Top-100 by
     supplier balance is TakeOrderedAndProject with full tie-breaks.
@@ -475,8 +478,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     offers = (
         read_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -534,7 +537,7 @@ def q20_majority_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     pair_qty = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("supp_qty")
@@ -551,7 +554,7 @@ def q20_majority_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        supplier.join(F.broadcast(majority), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        supplier.join(majority, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
@@ -594,7 +597,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name")
     l1 = (
         li.filter(F.col("is_late"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", "l_suppkey", "s_name")
     )
     others = li.select(
