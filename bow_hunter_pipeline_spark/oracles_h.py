@@ -700,3 +700,136 @@ SELECT doc_id, lang,
          AS fertility
 FROM documents
 """
+
+# --- H6 corpus-shaping additions (PII / quality / URL / mixture) -------
+
+from bow_hunter_pipeline_spark.plans.traindata import (  # noqa: E402
+    EMAIL_RE,
+    IPV4_RE,
+    MIX_TOKEN_BUDGET,
+    PHONE_RE,
+    PII_EVERY,
+    QUALITY_MAX_WORDS,
+    QUALITY_MEAN_LEN_HI,
+    QUALITY_MEAN_LEN_LO,
+    QUALITY_MIN_ALPHA_RATIO,
+    QUALITY_MIN_STOPWORDS,
+    QUALITY_MIN_WORDS,
+    QUALITY_STOPWORDS,
+    URL_EVERY,
+    URL_RE,
+)
+
+_Q_STOP_IN = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+# identical deterministic injection to plans.traindata._with_pii
+_PII_DOCS = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_EVERY} = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com call 555-'
+                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-0199 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7'
+              ELSE text END AS text
+  FROM documents
+"""
+
+PII_REDACTION = f"""
+WITH pii AS ({_PII_DOCS}),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g') AS redacted
+  FROM pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INT) AS n_ips,
+       CAST(length(text) AS INT) AS n_chars_raw,
+       CAST(length(redacted) AS INT) AS n_chars_redacted,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+QUALITY_RULES = f"""
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks,
+         length(replace(text, ' ', '')) AS sum_word_len
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         CAST(sum_word_len AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           AS mean_word_len,
+         CAST(len(list_filter(toks, w -> regexp_full_match(w, '[a-z]+')))
+              AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+         CAST(len(list_filter(toks, w -> w IN ({_Q_STOP_IN}))) AS INT)
+           AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stopwords,
+       (n_words >= {QUALITY_MIN_WORDS} AND n_words <= {QUALITY_MAX_WORDS})
+         AS flag_word_count,
+       (mean_word_len >= {QUALITY_MEAN_LEN_LO}e0
+        AND mean_word_len <= {QUALITY_MEAN_LEN_HI}e0) AS flag_mean_word_len,
+       alpha_ratio >= {QUALITY_MIN_ALPHA_RATIO}e0 AS flag_alpha_ratio,
+       n_stopwords >= {QUALITY_MIN_STOPWORDS} AS flag_stopwords,
+       ((n_words >= {QUALITY_MIN_WORDS} AND n_words <= {QUALITY_MAX_WORDS})
+        AND (mean_word_len >= {QUALITY_MEAN_LEN_LO}e0
+             AND mean_word_len <= {QUALITY_MEAN_LEN_HI}e0)
+        AND alpha_ratio >= {QUALITY_MIN_ALPHA_RATIO}e0
+        AND n_stopwords >= {QUALITY_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+URL_STRIP = f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {URL_EVERY} = 0
+              THEN text || ' see https://example.com/p'
+                   || CAST(doc_id AS VARCHAR) || ' or http://cdn'
+                   || CAST(doc_id % 5 AS VARCHAR) || '.example.org/a'
+              ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{URL_RE}', '', 'g') AS stripped
+  FROM u
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{URL_RE}')) AS INT) AS n_urls,
+       CAST(length(text) - length(stripped) AS INT) AS url_chars,
+       CAST(length(text) - length(stripped) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS link_density,
+       CAST(length(trim(regexp_replace(stripped, '\\s+', ' ', 'g'))) AS INT)
+         AS clean_len
+FROM s
+"""
+
+MIXTURE_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+           AS p_raw
+  FROM per_src
+), d AS (
+  SELECT source, n_docs, n_tokens, p_raw,
+         CAST(sqrt(p_raw) AS DECIMAL(20,12)) AS w_dec
+  FROM t
+)
+SELECT source, n_docs, n_tokens, p_raw,
+       CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE) AS p_temp,
+       CAST(w_dec AS DOUBLE) / CAST(SUM(w_dec) OVER () AS DOUBLE)
+         * {MIX_TOKEN_BUDGET}e0 / CAST(n_tokens AS DOUBLE)
+         AS epochs_at_budget
+FROM d
+"""

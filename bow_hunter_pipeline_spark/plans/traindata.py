@@ -11,6 +11,12 @@ is a deterministic, oracle-checkable query over ``documents``:
 - dedup apply:        the corpus AFTER near-dup removal (keep-first
                       over LSH candidate pairs)
 - domain upsampling:  per-source integer repeat factors (epoch mixing)
+- PII redaction:      detect + redact email/phone/IP (map-side regex)
+- quality rules:      Gopher-style keep/drop gates (map-side, no
+                      explode — higher-order array functions)
+- URL strip:          link-density scoring + boilerplate removal
+- mixture weights:    temperature-scaled (alpha=0.5) domain sampling
+                      shares + epochs at a token budget
 
 All shapes are built-ins only (window cumsum, explode + agg, hash
 joins); nothing touches Python row-by-row. Scale notes inline.
@@ -32,6 +38,26 @@ TOKEN_BUDGET = 128  # tokens per packed training sequence
 EVAL_EVERY = 50  # every 50th doc forms the held-out eval set
 LOOP_EVERY = 40  # every 40th doc gets a self-repeated variant
 REPETITION_MAX = 0.2  # max tolerated duplicate-shingle ratio
+PII_EVERY = 10  # every 10th doc gets deterministic synthetic PII
+URL_EVERY = 7  # every 7th doc gets deterministic synthetic URLs
+MIX_TOKEN_BUDGET = 1_000_000  # sampling budget for mixture epochs
+
+# PII patterns — RE2-compatible (no backrefs/lookaround) so the same
+# pattern string runs in Java regex (Spark) and DuckDB's RE2 oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+URL_RE = r"https?://[^\s]+"
+
+# Gopher-style quality gates (Rae et al. 2021, arXiv:2112.11446 §A1.1:
+# word-count bounds, mean-word-length band, stopword evidence).
+QUALITY_MIN_WORDS = 40
+QUALITY_MAX_WORDS = 100_000
+QUALITY_MEAN_LEN_LO = 3.0
+QUALITY_MEAN_LEN_HI = 10.0
+QUALITY_MIN_ALPHA_RATIO = 0.8
+QUALITY_MIN_STOPWORDS = 2
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,4 +227,208 @@ def domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens_after"),
         F.max("epoch").alias("weight"),
+    )
+
+
+def _with_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic-PII injection: the fixture corpus is
+    word-soup with no PII, so every ``PII_EVERY``-th doc gets an email,
+    a phone and an IPv4 derived from its doc_id. Both the Spark plan
+    and the oracle SQL perform the identical injection, so the
+    detector/redactor is exercised with a known ground truth."""
+    did = F.col("doc_id")
+    pii_tail = F.concat(
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-0199 from 10.0."),
+        (did % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(did % PII_EVERY == 0, F.concat(F.col("text"), pii_tail)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: PII detection + redaction over the corpus.
+
+    Counts email / US-phone / IPv4 occurrences, then redacts them to
+    typed placeholders (``<EMAIL>`` etc.). Redaction order is
+    email → phone → IP; the placeholder text contains no digits, so
+    later passes never re-match earlier replacements.
+
+    Shape: a pure map-side projection — regexp count + replace are
+    codegen'd JVM expressions on the scan output; NO shuffle, NO
+    Python. At 100 TB this is the ideal operator: it streams through
+    executors at scan speed and the writer behind it needs no
+    exchange. (Real pipelines swap the regex set for a larger one —
+    the plan shape is identical.)
+    """
+    docs = _with_pii(read_table(spark, sf_dir, "documents"))
+    txt = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(txt, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(txt, F.lit(IPV4_RE), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.length(txt).alias("n_chars_raw"),
+        F.length(redacted).alias("n_chars_redacted"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: Gopher-style document quality gating (word-count bounds,
+    mean-word-length band, alpha-word ratio, stopword evidence).
+
+    Shape: every metric is a higher-order array function over the
+    token array — ``filter``/``size``/``array_join`` — so the whole
+    operator is one narrow projection: NO explode, NO groupBy, NO
+    shuffle. This is deliberately different from the explode+agg shape
+    of h3_doc_stats: per-doc corpus filters at 100 TB must not pay a
+    shuffle for what a map can compute.
+
+    All ratios are single IEEE divisions of exact ints — bit-stable in
+    any engine — and the gates compare those doubles to literal
+    thresholds, so keep/drop decisions are engine-portable.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    sum_word_len = F.length(F.array_join(toks, ""))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("^[a-z]+$")))
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS))
+    )
+    mean_word_len = sum_word_len.cast("double") / n_words.cast("double")
+    alpha_ratio = n_alpha.cast("double") / n_words.cast("double")
+    flag_words = (n_words >= QUALITY_MIN_WORDS) & (
+        n_words <= QUALITY_MAX_WORDS
+    )
+    flag_mean_len = (mean_word_len >= QUALITY_MEAN_LEN_LO) & (
+        mean_word_len <= QUALITY_MEAN_LEN_HI
+    )
+    flag_alpha = alpha_ratio >= QUALITY_MIN_ALPHA_RATIO
+    flag_stop = n_stop >= QUALITY_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        flag_words.alias("flag_word_count"),
+        flag_mean_len.alias("flag_mean_word_len"),
+        flag_alpha.alias("flag_alpha_ratio"),
+        flag_stop.alias("flag_stopwords"),
+        (flag_words & flag_mean_len & flag_alpha & flag_stop).alias("keep"),
+    )
+
+
+def url_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: boilerplate/URL stripping + link-density scoring.
+
+    Link density (URL chars / total chars) is a standard web-corpus
+    quality signal; documents above a threshold are navigation/link
+    farms. Deterministic URL injection (every ``URL_EVERY``-th doc)
+    gives the fixture corpus known ground truth, mirroring
+    ``_with_pii``.
+
+    Shape: map-side only — same no-shuffle scan-speed profile as
+    pii_redaction.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url_tail = F.concat(
+        F.lit(" see https://example.com/p"),
+        did.cast("string"),
+        F.lit(" or http://cdn"),
+        (did % 5).cast("string"),
+        F.lit(".example.org/a"),
+    )
+    txt = F.when(
+        did % URL_EVERY == 0, F.concat(F.col("text"), url_tail)
+    ).otherwise(F.col("text"))
+    stripped = F.regexp_replace(txt, URL_RE, "")
+    url_chars = F.length(txt) - F.length(stripped)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(URL_RE), F.lit(0))).alias(
+            "n_urls"
+        ),
+        url_chars.alias("url_chars"),
+        (url_chars.cast("double") / F.length(txt).cast("double")).alias(
+            "link_density"
+        ),
+        F.length(F.trim(F.regexp_replace(stripped, r"\s+", " "))).alias(
+            "clean_len"
+        ),
+    )
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: temperature-scaled domain-mixture weights (the sampling
+    schedule a multi-domain training run feeds its data loader).
+
+    Per source: raw token share ``p_raw``, temperature-smoothed share
+    ``p_temp ∝ p_raw^0.5`` (alpha=0.5 — the multilingual-sampling
+    convention from the XLM-R line of work), and the implied epochs
+    over each domain at a fixed token budget.
+
+    Exactness: sqrt is IEEE-correctly-rounded in every engine, so each
+    weight is bit-stable; the normalizing SUM runs over the weights
+    cast to DECIMAL(20,12) — exact, order-insensitive addition — and
+    only the final scalar converts back to double (unscaled sum fits
+    2^52: each weight ≤ 1 → ≤ 10^12 unscaled, sources ≪ 4000).
+
+    Shape: one partial-aggregated groupBy(source) down to #sources
+    rows, then a single-partition window for the two corpus totals —
+    the window input is already domain-cardinality-sized, so the
+    "everything in one partition" stage touches dozens of rows even at
+    100 TB.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    # Staged: a window result may not appear inside another window's
+    # argument, so materialize p_raw/w_dec as columns first.
+    weighted = per_src.withColumn(
+        "p_raw",
+        F.col("n_tokens").cast("double")
+        / F.sum("n_tokens").over(w).cast("double"),
+    ).withColumn("w_dec", F.sqrt(F.col("p_raw")).cast("decimal(20,12)"))
+    p_temp = F.col("w_dec").cast("double") / F.sum("w_dec").over(w).cast(
+        "double"
+    )
+    return weighted.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        p_temp.alias("p_temp"),
+        (
+            p_temp
+            * F.lit(float(MIX_TOKEN_BUDGET))
+            / F.col("n_tokens").cast("double")
+        ).alias("epochs_at_budget"),
     )

@@ -666,6 +666,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.bpe_token_count,
         oracles_h.BPE_TOKEN_COUNT,
     ),
+    # H6 corpus-shaping wave 2: PII, quality gates, boilerplate, mixing
+    "h6_pii_redaction": (traindata.pii_redaction, oracles_h.PII_REDACTION),
+    "h6_quality_rules": (traindata.quality_rules, oracles_h.QUALITY_RULES),
+    "h6_url_strip": (traindata.url_strip, oracles_h.URL_STRIP),
+    "h6_mixture_weights": (
+        traindata.mixture_weights,
+        oracles_h.MIXTURE_WEIGHTS,
+    ),
 }
 
 
@@ -743,6 +751,10 @@ _DRIVER_ROTATION = [
     "h6_dedup_apply",
     "h6_domain_upsample",
     "h3_bpe_token_count",
+    "h6_pii_redaction",
+    "h6_quality_rules",
+    "h6_url_strip",
+    "h6_mixture_weights",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

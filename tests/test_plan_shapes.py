@@ -300,3 +300,36 @@ def test_array_and_map_plans_aggregate_once_per_level(spark):
     plan = _plan(funcfamilies.map_functions(spark, SF_SMOKE))
     # two-level aggregate: (cust, prio) then cust — at most 2 exchanges
     assert plan.count("hashpartitioning(") <= 2
+
+
+def test_corpus_filters_are_shuffle_free_map_plans(spark):
+    # pii_redaction / quality_rules / url_strip are per-doc corpus
+    # filters: at 100 TB they must stream at scan speed — no Exchange,
+    # no Generate (explode), no Python eval anywhere in the plan
+    for df in (
+        traindata.pii_redaction(spark, SF_SMOKE),
+        traindata.quality_rules(spark, SF_SMOKE),
+        traindata.url_strip(spark, SF_SMOKE),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan
+        assert "EvalPython" not in plan, plan
+        # the scan side stays inside whole-stage codegen (higher-order
+        # lambda projections are interpreted by design, but nothing
+        # leaves the JVM)
+        assert "codegen id" in plan, plan
+
+
+def test_mixture_weights_windows_only_post_agg_rows(spark):
+    # the single-partition window must sit ABOVE the groupBy(source)
+    # aggregate (domain-cardinality rows), never over raw documents:
+    # exactly one HashAggregate pair feeding Window, no join leg
+    plan = _plan(traindata.mixture_weights(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Join" not in plan
+    # the tree prints root-first, so the windows sit ABOVE (consume)
+    # the aggregate: exactly the groupBy's partial/final exchange pair
+    # plus the single-partition window exchange — nothing else
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange (") <= 2, plan
