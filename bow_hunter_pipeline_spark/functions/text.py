@@ -48,31 +48,52 @@ def hash64(c: Column | str, hex_chars: int = 15) -> Column:
     return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
 
 
-def _keyed_md5(prefix: str):
-    """Single-arg lambda factory: a two-arg lambda would be read by
-    PySpark's higher-order-function binding as the (element, index)
-    form, silently turning the permutation key into the index column."""
-    lit = F.lit(prefix)
-    return lambda s: F.md5(F.concat(lit, s))
+# MinHash permutation family: one 28-bit md5-derived base hash per
+# shingle, permuted by perm_p(h) = (A[p]*h + B[p]) mod 2^31-1. Fixed
+# Knuth/Fibonacci multiplier constants — deterministic, engine-portable
+# (the oracle rebuilds the family from the same numbers), and
+# overflow-safe under ANSI mode (A[p] < 2^31, h < 2^28 → product < 2^59).
+MERSENNE31 = 2_147_483_647
+
+
+def minhash_perm_consts(num_perm: int) -> tuple[list[int], list[int]]:
+    a = [(2_654_435_761 * (p + 1)) % MERSENNE31 for p in range(num_perm)]
+    b = [
+        (1_779_033_703 * (p + 13) + 7) % MERSENNE31 for p in range(num_perm)
+    ]
+    return a, b
+
+
+def minhash_base_hash(c: Column | str) -> Column:
+    """28-bit portable base hash of a shingle: first 7 hex chars of md5."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
 def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
-    """MinHash signature as array<string> of length ``num_perm``.
+    """MinHash signature as array<bigint> of length ``num_perm``.
 
-    Each "permutation" p is the keyed hash family md5(p || ':' || s);
-    the signature component is the lexicographic min over the doc's
-    shingles — a valid MinHash because md5 hex strings order uniformly.
+    The signature component for permutation p is the min of
+    ``(A[p]*h(s) + B[p]) mod 2^31-1`` over the doc's shingles, where
+    h is the 28-bit md5-derived base hash — one md5 per shingle total.
     Deterministic, so a SQL oracle reproduces it bit-for-bit.
 
-    NOTE: higher-order lambdas evaluate interpreted, and every
-    permutation subtree re-embeds the shingle expression — fine for a
+    NOTE: higher-order lambdas evaluate interpreted — fine for a
     handful of rows, but the hot path is plans.dedup._minhash_buckets
-    (explode + codegen'd md5 projection + grouped min), which produces
+    (explode + codegen'd projection + grouped min), which produces
     identical values.
     """
+    a, b = minhash_perm_consts(num_perm)
+    hashes = F.transform(shingles, minhash_base_hash)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _keyed_md5(f"{p}:")))
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h, p=p: (F.lit(a[p]) * h + F.lit(b[p]))
+                    % F.lit(MERSENNE31),
+                )
+            )
             for p in range(num_perm)
         ]
     )
@@ -89,7 +110,9 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
                     "|",
                     F.lit(str(b)),
                     *[
-                        F.element_at(signature, b * rows_per_band + r + 1)
+                        F.element_at(
+                            signature, b * rows_per_band + r + 1
+                        ).cast("string")
                         for r in range(rows_per_band)
                     ],
                 )

@@ -209,9 +209,26 @@ FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1
 
 
 def _minhash_sig_exprs() -> str:
-    return ",\n    ".join(
-        f"list_min(list_transform({_SHINGLES}, s -> md5('{p}:' || s))) AS s{p}"
-        for p in range(NUM_PERM)
+    """Same universal-hash family as functions.text.minhash_signature:
+    one 28-bit md5-derived base hash per shingle, then
+    (A[p]*h + B[p]) mod 2^31-1 per permutation."""
+    from bow_hunter_pipeline_spark.functions.text import (
+        MERSENNE31,
+        minhash_perm_consts,
+    )
+
+    a, b = minhash_perm_consts(NUM_PERM)
+    base = (
+        f"list_transform({_SHINGLES}, "
+        "s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT))"
+    )
+    return (
+        f"{base} AS hs,\n    "
+        + ",\n    ".join(
+            f"list_min(list_transform(hs, h -> ({a[p]} * h + {b[p]}) "
+            f"% {MERSENNE31})) AS s{p}"
+            for p in range(NUM_PERM)
+        )
     )
 
 

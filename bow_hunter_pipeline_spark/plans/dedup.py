@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.functions.text import (
+    MERSENNE31,
     hash64,
+    minhash_base_hash,
+    minhash_perm_consts,
     word_shingles,
 )
 from bow_hunter_pipeline_spark.io.readers import read_table
@@ -35,6 +38,11 @@ from bow_hunter_pipeline_spark.io.readers import read_table
 NUM_PERM = 16
 BANDS = 4
 ROWS_PER_BAND = 4
+
+# Universal-hash permutation family (functions.text): one md5 per
+# shingle instead of NUM_PERM of them — the md5 pass was ~the entire
+# MinHash cost — and each permutation is a codegen'd multiply-add.
+PERM_A, PERM_B = minhash_perm_consts(NUM_PERM)
 
 
 def _with_exact_copies(docs: DataFrame) -> DataFrame:
@@ -76,12 +84,13 @@ def _minhash_buckets(docs: DataFrame) -> DataFrame:
 
     Shape: explode shingles to rows (``explode_outer`` so shingle-less
     docs keep their all-NULL signature, exactly like the higher-order
-    form and the SQL oracle), compute all NUM_PERM keyed md5s in one
-    projection (plain function calls — whole-stage codegen), then
-    groupBy(doc_id) with a per-permutation min. Values are bit-identical
-    to functions.text.minhash_signature, but ~20× faster: the nested
-    higher-order form evaluates interpreted lambdas that rebuild the
-    shingle array once per permutation.
+    form and the SQL oracle), compute ONE md5-derived 28-bit base hash
+    per shingle, then groupBy(doc_id) with a per-permutation min over
+    the universal-hash family (codegen'd multiply-adds — see
+    functions.text.minhash_perm_consts). Values are bit-identical to
+    functions.text.minhash_signature; vs the keyed-md5-per-permutation
+    form this cuts the md5 count NUM_PERM-fold, and vs the original
+    nested higher-order form it is ~100× faster.
 
     Scale: explode is narrow; partial aggregation collapses each doc's
     shingles map-side, so the doc_id shuffle carries ~one row per doc.
@@ -100,15 +109,18 @@ def _minhash_buckets(docs: DataFrame) -> DataFrame:
     exploded = docs.select(
         "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
     )
-    hashed = exploded.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{p}:"), F.col("s"))).alias(f"h{p}")
-            for p in range(NUM_PERM)
-        ],
-    )
+    # One portable md5 per shingle, truncated to 28 bits (7 hex chars);
+    # every permutation is then an integer multiply-add — the md5 pass
+    # shrinks NUM_PERM-fold and the rest rides whole-stage codegen.
+    hashed = exploded.select("doc_id", minhash_base_hash("s").alias("h"))
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{p}").alias(f"m{p}") for p in range(NUM_PERM)]
+        *[
+            F.min(
+                (F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p]))
+                % F.lit(MERSENNE31)
+            ).alias(f"m{p}")
+            for p in range(NUM_PERM)
+        ]
     )
     band_cols = [
         F.md5(
@@ -116,7 +128,7 @@ def _minhash_buckets(docs: DataFrame) -> DataFrame:
                 "|",
                 F.lit(str(b)),
                 *[
-                    F.col(f"m{b * ROWS_PER_BAND + r}")
+                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
                     for r in range(ROWS_PER_BAND)
                 ],
             )
