@@ -97,14 +97,22 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     revenue = money("l_extendedprice") * one_minus("l_discount")
+    # Pre-aggregate the fact side to one decimal partial per order
+    # BEFORE the join chain: ~4× less data enters the orderkey shuffle,
+    # and decimal addition is exact + associative, so re-summing the
+    # partials per nation is bit-identical to the flat sum.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            dsum_expr(revenue, "revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            to_double(F.sum("rev_dec")).alias("revenue"),
+            F.sum("n_li").alias("n_lineitems"),
         )
     )
 
@@ -122,11 +130,15 @@ def top_k_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     revenue = money("l_extendedprice") * one_minus("l_discount")
-    per_part = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_partkey")
-        .agg(dsum_expr(revenue, "revenue"))
-    )
+    # Aggregate BEFORE joining: collapse lineitem to one row per part
+    # (map-side partials do most of it), then a 1:1 join to part only
+    # to fetch the brand. At 100 TB this moves ~50× less data into the
+    # join than joining raw lineitem first and aggregating after — and
+    # the decimal sum is order-insensitive, so results are identical.
+    per_key = li.groupBy("l_partkey").agg(dsum_expr(revenue, "revenue"))
+    per_part = per_key.join(
+        part, per_key.l_partkey == part.p_partkey
+    ).select("p_brand", "p_partkey", "revenue")
     w = Window.partitionBy("p_brand").orderBy(
         F.col("revenue").desc(), F.col("p_partkey")
     )
