@@ -850,3 +850,70 @@ SELECT source, n_docs, n_tokens, p_raw,
          AS epochs_at_budget
 FROM d
 """
+
+# --- H4 funnel / H2 quantization ---------------------------------------
+
+FUNNEL_STAGES = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) * 1000 AS BIGINT) AS ts_ns
+  FROM events
+), st AS (
+  SELECT user_id, event_type, ts_ns, event_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts_ns END) OVER w
+           AS min_view_before
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), st2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND min_view_before IS NOT NULL
+                 THEN ts_ns END AS click_av_ts
+  FROM st
+), st3 AS (
+  SELECT *, MIN(click_av_ts) OVER (PARTITION BY user_id
+              ORDER BY ts_ns, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS min_click_before
+  FROM st2
+), agg AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts_ns END) AS t_view_ns,
+         MIN(click_av_ts) AS t_click_ns,
+         MIN(CASE WHEN event_type = 'purchase'
+                  AND min_click_before IS NOT NULL
+                  THEN ts_ns END) AS t_purchase_ns
+  FROM st3 GROUP BY user_id
+)
+SELECT user_id, t_view_ns, t_click_ns, t_purchase_ns,
+       CAST(CASE WHEN t_purchase_ns IS NOT NULL THEN 3
+                 WHEN t_click_ns IS NOT NULL THEN 2
+                 WHEN t_view_ns IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_stage
+FROM agg
+"""
+
+INT8_QUANTIZE = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127e0 <> 0e0
+              THEN list_max(list_transform(v, x -> abs(x))) / 127e0
+              END AS scale
+  FROM t
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv,
+         list_transform(v, x -> x - round(x / scale) * scale) AS err
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max,
+       list_reduce(list_prepend(0e0, list_transform(err, e -> e * e)),
+                   (acc, x) -> acc + x) AS l2_err
+FROM q
+"""

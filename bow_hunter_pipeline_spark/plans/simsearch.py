@@ -299,3 +299,132 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "c_id", "approx_dist", "rnk")
     )
+
+
+def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: symmetric int8 quantization of the embedding store — what a
+    100 TB vector lake actually persists (4× smaller than float32,
+    scan-speed dot products in the compressed domain; PQ's cheaper
+    cousin). Per vector: scale = max|v|/127, q_i = round(v_i/scale),
+    plus the reconstruction-error summary that decides whether int8 is
+    acceptable for a given corpus.
+
+    Shape: pure map-side projection over higher-order array functions —
+    no shuffle, no Python. Exactness: round() is half-away-from-zero on
+    doubles in both Spark and DuckDB; the L2 error is a strict
+    left fold in double (the dot_fold discipline — same adds in the
+    same order in any engine), so results are bit-stable.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    # guard the all-zero vector: emit NULLs rather than inf/NaN
+    scale = F.when(scale != 0, scale)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    err = F.transform(v, lambda x: x - F.round(x / scale) * scale)
+    l2_err = F.aggregate(
+        F.transform(err, lambda e: e * e),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q_sum = F.aggregate(
+        q, F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+    )
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        q_sum.alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        l2_err.alias("l2_err"),
+    )
+
+
+MMR_K = 5
+MMR_POOL = 20
+MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: Maximal Marginal Relevance re-rank — diversified top-k.
+
+    Retrieval for training-data curation wants coverage, not K copies
+    of the same neighborhood: MMR greedily picks
+    argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+
+    Shape: candidate generation is the distributed part (brute-force
+    pool of MMR_POOL per probe — swap in the IVF path at scale); the
+    re-rank is inherently sequential in k but tiny (pool × dim per
+    probe), so it runs as one grouped-map Pandas batch per probe:
+    Arrow-shipped, vectorized numpy inside, deterministic tie-break on
+    c_id. This is the canonical "distribute the recall, localize the
+    re-rank" retrieval split.
+
+    No SQL oracle: the greedy argmax chain is not expressible in one
+    SQL statement at arbitrary k — driver records the rows-only check.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    pool = (
+        _scored_pairs(pairs)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .select("q_id", "c_id", "ce", "cosine")
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cosine", "c_id"], ascending=[False, True])
+        vecs = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf["cosine"].to_numpy()
+        c_ids = pdf["c_id"].to_numpy()
+        chosen: list[int] = []
+        out = []
+        for rank in range(1, min(MMR_K, len(pdf)) + 1):
+            if chosen:
+                div = (unit @ unit[chosen].T).max(axis=1)
+            else:
+                div = np.zeros(len(pdf))
+            score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * div
+            score[chosen] = -np.inf
+            # deterministic: highest score, then smallest c_id
+            best = min(
+                range(len(pdf)), key=lambda i: (-score[i], c_ids[i])
+            )
+            chosen.append(best)
+            out.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    int(c_ids[best]),
+                    float(rel[best]),
+                    float(score[best]),
+                    rank,
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["q_id", "c_id", "relevance", "mmr_score", "mmr_rank"]
+        )
+
+    schema = (
+        "q_id bigint, c_id bigint, relevance double, "
+        "mmr_score double, mmr_rank int"
+    )
+    return pool.groupBy("q_id").applyInPandas(_mmr, schema)

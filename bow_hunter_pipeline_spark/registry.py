@@ -674,6 +674,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.mixture_weights,
         oracles_h.MIXTURE_WEIGHTS,
     ),
+    # H4 funnel + H2 quantization / diversified re-rank
+    "h4_funnel_stages": (events.funnel_stages, oracles_h.FUNNEL_STAGES),
+    "h2_int8_quantize": (simsearch.int8_quantize, oracles_h.INT8_QUANTIZE),
+    # greedy argmax chain — not one-statement SQL; rows-only check
+    "h2_mmr_rerank": (simsearch.mmr_rerank, None),
 }
 
 
@@ -755,6 +760,9 @@ _DRIVER_ROTATION = [
     "h6_quality_rules",
     "h6_url_strip",
     "h6_mixture_weights",
+    "h4_funnel_stages",
+    "h2_int8_quantize",
+    "h2_mmr_rerank",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

@@ -333,3 +333,31 @@ def test_mixture_weights_windows_only_post_agg_rows(spark):
     # plus the single-partition window exchange — nothing else
     assert "HashAggregate" in plan
     assert plan.count("Exchange (") <= 2, plan
+
+
+def test_funnel_is_single_exchange_window_chain(spark):
+    # both conditional-min windows and the per-user aggregate share the
+    # user_id partitioning: ONE exchange total (the classic 3-agg ×
+    # 2-join funnel costs five)
+    from bow_hunter_pipeline_spark.plans import events
+
+    plan = _plan(events.funnel_stages(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 1, plan
+    assert plan.count("Window (") == 2, plan
+
+
+def test_int8_quantize_is_shuffle_free(spark):
+    plan = _plan(simsearch.int8_quantize(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_mmr_rerank_localizes_only_the_rerank(spark):
+    # candidate generation must stay JVM-side (broadcast + window);
+    # exactly one grouped-map Pandas exec for the per-probe re-rank
+    plan = _plan(simsearch.mmr_rerank(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # formatted explain names each operator twice (tree + detail)
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
