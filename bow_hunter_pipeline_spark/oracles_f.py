@@ -866,3 +866,22 @@ WHERE o_orderkey NOT IN (
 )
 GROUP BY 1
 """
+
+
+# --- A4+: Z-order clustered layout ------------------------------------
+# Mirrors plans.pipeline.zorder_layout: 16-bit Morton code from the low
+# 8 bits of (custkey, day-number), bucketed by z >> 6 — pure integer
+# shifts/masks, identical in every engine.
+
+ZORDER_LAYOUT = """
+WITH coded AS (
+  SELECT (o_custkey % 256) AS ck_bits,
+         (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256) AS day_bits
+  FROM orders
+),
+z AS (SELECT ck_bits, day_bits, ((((ck_bits >> 0) & 1) << 0) + (((day_bits >> 0) & 1) << 1) + (((ck_bits >> 1) & 1) << 2) + (((day_bits >> 1) & 1) << 3) + (((ck_bits >> 2) & 1) << 4) + (((day_bits >> 2) & 1) << 5) + (((ck_bits >> 3) & 1) << 6) + (((day_bits >> 3) & 1) << 7) + (((ck_bits >> 4) & 1) << 8) + (((day_bits >> 4) & 1) << 9) + (((ck_bits >> 5) & 1) << 10) + (((day_bits >> 5) & 1) << 11) + (((ck_bits >> 6) & 1) << 12) + (((day_bits >> 6) & 1) << 13) + (((ck_bits >> 7) & 1) << 14) + (((day_bits >> 7) & 1) << 15)) AS z FROM coded)
+SELECT (z >> 6) AS z_bucket, COUNT(*) AS n_orders,
+       CAST(MIN(ck_bits) AS BIGINT) AS min_ck, CAST(MAX(ck_bits) AS BIGINT) AS max_ck,
+       CAST(MIN(day_bits) AS BIGINT) AS min_day, CAST(MAX(day_bits) AS BIGINT) AS max_day
+FROM z GROUP BY 1
+"""

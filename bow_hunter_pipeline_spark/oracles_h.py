@@ -23,6 +23,8 @@ from bow_hunter_pipeline_spark.plans.simsearch import (
     DIM,
     N_QUERIES,
     NEAR_DUP_THRESHOLD,
+    SEM_K,
+    SEM_TAU,
     TOP_K,
 )
 from bow_hunter_pipeline_spark.plans.textanalysis import STOPWORDS
@@ -916,4 +918,101 @@ SELECT vec_id, scale,
        list_reduce(list_prepend(0e0, list_transform(err, e -> e * e)),
                    (acc, x) -> acc + x) AS l2_err
 FROM q
+"""
+
+# --- SemDeDup: k-means partition + within-cluster near-dup ------------
+# Mirrors plans.simsearch.semdedup_kmeans: fixed-point (floor(e·10^6))
+# centroid math keeps every cross-row reduction in exact integers, so
+# assignments replay bit-for-bit; the within-cluster cosine reuses the
+# strict left-fold double discipline of _DOT/_NORM.
+
+_SEM_SQDIST = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> (x.xi[i] - s.m[i]) * (x.xi[i] - s.m[i])))".format(dim=DIM)
+)
+
+SEMDEDUP_KMEANS = f"""
+WITH x AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * 1000000e0) AS BIGINT)) AS xi
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS c, xi AS m FROM x WHERE vec_id < {SEM_K}),
+d1 AS (
+  SELECT x.vec_id, x.embedding, x.xi, s.c, {_SEM_SQDIST} AS d
+  FROM x, seeds s
+),
+a1 AS (
+  SELECT vec_id, embedding, xi, c AS cluster FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+),
+sums AS (
+  SELECT cluster, i, SUM(xi[i]) AS s, COUNT(*) AS n
+  FROM a1, range(1, {DIM + 1}) AS t(i)
+  GROUP BY cluster, i
+),
+cents2 AS (
+  SELECT cluster AS c,
+         list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+              ORDER BY i) AS m
+  FROM sums GROUP BY cluster
+),
+d2 AS (
+  SELECT x.vec_id, x.embedding, x.xi, s.c, {_SEM_SQDIST} AS d
+  FROM x, cents2 s
+),
+a2 AS (
+  SELECT vec_id, embedding, c AS cluster FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, a.embedding AS qe, b.embedding AS ce
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+),
+dups AS (
+  SELECT DISTINCT a_id AS vec_id FROM pairs WHERE {_COSINE} >= {SEM_TAU}e0
+)
+SELECT a.cluster AS cluster_id,
+       COUNT(*) AS n_vecs,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_sem_dups,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
+       MIN(a.vec_id) AS min_vec_id
+FROM a2 a LEFT JOIN dups d ON a.vec_id = d.vec_id
+GROUP BY a.cluster
+"""
+
+# --- H6: LM-quality surrogate + vocab induction -----------------------
+
+RARE_TOKEN_SCORE = """
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+scored AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS sum_freq, COUNT(*) AS n_tokens
+  FROM tok JOIN vocab USING (tok) GROUP BY doc_id
+),
+corpus AS (
+  SELECT CAST(SUM(sum_freq) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS corpus_mean
+  FROM scored
+)
+SELECT doc_id, n_tokens, sum_freq,
+       CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_freq,
+       CAST(sum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) < corpus_mean AS is_rare
+FROM scored, corpus
+"""
+
+TOKENIZER_VOCAB = """
+WITH tok AS (
+  SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+vocab AS (SELECT tok FROM counts ORDER BY cnt DESC, tok LIMIT 256)
+SELECT source, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY source
 """

@@ -351,3 +351,73 @@ def pending_work_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("pending_orders"),
         dsum("o_totalprice", "pending_value"),
     )
+
+
+# --- A4+: Z-order clustered layout ------------------------------------
+
+ZORDER_BITS = 8  # low bits interleaved per dimension
+ZORDER_EPOCH = "1992-01-01"  # day-number origin for the date dimension
+ZORDER_BUCKET_SHIFT = 6  # 64 z-codes per file bucket
+
+
+def _zorder_interleave(a, b):
+    """16-bit Morton code: bit-interleave two 8-bit dimension keys.
+
+    Pure integer shifts/masks — identical in every engine, and cheap
+    enough to compute inline at write time.
+    """
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = (
+            z
+            + F.shiftleft(bit_a, 2 * i)
+            + F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+: Z-order (Morton-curve) clustering of orders on
+    (custkey, order-day) — the multi-dimensional locality layout that
+    single-key Hive partitioning (partition_roundtrip) can't give.
+
+    Each order gets a 16-bit Morton code from the low 8 bits of both
+    dimensions; consecutive codes are grouped into write buckets
+    (``z >> 6``). The per-bucket min/max spans this query returns are
+    exactly the parquet min/max column statistics a Z-ordered file
+    layout would carry: because the curve keeps BOTH dimensions
+    local, a predicate on either custkey or date range prunes most
+    buckets — the property Delta/Iceberg OPTIMIZE ZORDER exploits.
+
+    Scale: the Morton code is a narrow projection; at 100 TB you
+    ``repartitionByRange(z)`` before the write so each output file
+    covers a tight z-range, then every scan with a selective
+    predicate on either dimension skips files on footer stats alone.
+    One shuffle (the bucket groupBy here / the range partition in the
+    write path).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % F.lit(1 << ZORDER_BITS)).cast("bigint")
+    b = (
+        F.datediff(F.col("o_orderdate"), F.lit(ZORDER_EPOCH))
+        % F.lit(1 << ZORDER_BITS)
+    ).cast("bigint")
+    coded = orders.select(
+        a.alias("ck_bits"),
+        b.alias("day_bits"),
+        _zorder_interleave(a, b).alias("z"),
+    )
+    return (
+        coded.groupBy(
+            F.shiftright(F.col("z"), ZORDER_BUCKET_SHIFT).alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("ck_bits").alias("min_ck"),
+            F.max("ck_bits").alias("max_ck"),
+            F.min("day_bits").alias("min_day"),
+            F.max("day_bits").alias("max_day"),
+        )
+    )

@@ -428,3 +428,153 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_score double, mmr_rank int"
     )
     return pool.groupBy("q_id").applyInPandas(_mmr, schema)
+
+
+# --- SemDeDup: k-means partition + within-cluster near-dup ------------
+
+SEM_K = 8  # clusters; deterministic seeds = vec_id < SEM_K
+SEM_SCALE = 1_000_000  # fixed-point scale for exact centroid math
+SEM_TAU = NEAR_DUP_THRESHOLD  # within-cluster semantic-dup cosine
+
+
+def _scaled_vec(col: Column | str) -> Column:
+    """Embedding → fixed-point bigint vector: floor(e·10^6).
+
+    floor(double) is IEEE-identical in every engine, and all
+    downstream centroid math (sums, counts, floor-of-mean) is integer
+    arithmetic on these — order-insensitive and bit-portable, unlike
+    a float mean whose value depends on reduction order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c,
+        lambda e: F.floor(e.cast("double") * F.lit(float(SEM_SCALE))).cast(
+            "bigint"
+        ),
+    )
+
+
+def _assign_nearest(vecs: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """Narrow argmin assignment: score each vector against the K-entry
+    centroid array carried on a broadcast single-row frame.
+
+    No shuffle: the centroid list is one tiny row (K structs), so the
+    cross join is a broadcast and the argmin is a codegen'd
+    ``array_min`` over per-centroid squared distances (struct ordering
+    = (distance, cluster_id): deterministic low-id tie-break). Exact:
+    distances are bigint sums, max (2.1e6)²·64 ≈ 2.8e14 ≪ 2^63.
+    """
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("xi"), s["m"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                s["c"].alias("c"),
+            ),
+        )
+    )
+    return vecs.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "embedding", "xi", best["c"].alias("cluster")
+    )
+
+
+def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H2 SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    the embedding space, then mark semantic duplicates only WITHIN a
+    cluster — clustering turns the O(n²) all-pairs cosine scan into
+    Σ|cluster|², the same candidate-bounding trick LSH plays for
+    lexical dedup.
+
+    One Lloyd round, fully declarative: seed centroids = the first
+    SEM_K vectors; assign (narrow argmin, no shuffle — see
+    _assign_nearest); recompute centroids by exploding dims and
+    summing fixed-point ints (order-insensitive, so the oracle matches
+    bit-for-bit — a float mean would depend on partition order);
+    re-assign; then a within-cluster self-join marks a vector
+    semantic-dup when a lower-id cluster-mate has cosine ≥ SEM_TAU.
+
+    Scale: the dim explode is narrow with map-side partial aggregation
+    (K·DIM running sums per task); assignment broadcasts K structs;
+    the only data-sized shuffles are the centroid groupBy and the
+    within-cluster join, both keyed on cluster. Skewed mega-clusters
+    split by salting the pair join or raising K. Returns per-cluster
+    totals: (cluster_id, n_vecs, n_sem_dups, n_kept, min_vec_id).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", _scaled_vec("embedding").alias("xi")
+    )
+
+    seeds = vecs.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("c"), F.col("xi").alias("m")
+    )
+    seed_row = seeds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("c", "m"))).alias("cents")
+    )
+    a1 = _assign_nearest(vecs, seed_row)
+
+    # Centroid recompute in fixed point: explode dims → exact integer
+    # sums → floor(mean). floor(double-division) is exact here: sums
+    # fit 2^53 and a non-integer quotient sits ≥ 1/n from an integer,
+    # far outside double rounding error.
+    dims = a1.select("cluster", F.posexplode("xi").alias("i", "v"))
+    sums = dims.groupBy("cluster", "i").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cents2 = sums.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+            lambda t: F.floor(
+                t["s"].cast("double") / t["n"].cast("double")
+            ).cast("bigint"),
+        ).alias("m")
+    )
+    cent_row2 = cents2.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster").alias("c"), "m"))
+        ).alias("cents")
+    )
+    a2 = _assign_nearest(vecs, cent_row2)
+
+    mine = a2.select(
+        F.col("cluster").alias("a_cl"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("qe"),
+    )
+    mate = a2.select(
+        F.col("cluster").alias("b_cl"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("ce"),
+    )
+    dup_ids = (
+        mine.join(
+            mate,
+            (F.col("a_cl") == F.col("b_cl")) & (F.col("b_id") < F.col("a_id")),
+        )
+        .withColumn(
+            "cosine",
+            dot_fold("qe", "ce")
+            / (F.sqrt(norm2_fold("qe")) * F.sqrt(norm2_fold("ce"))),
+        )
+        .filter(F.col("cosine") >= F.lit(SEM_TAU))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    marked = a2.join(
+        dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left"
+    )
+    return marked.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_sem_dups"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+        ).alias("n_kept"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

@@ -432,3 +432,98 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("epochs_at_budget"),
     )
+
+
+# --- LM-based quality scoring + vocab induction -----------------------
+
+VOCAB_K = 256  # induced tokenizer vocabulary size
+
+
+def rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: CCNet-style LM quality scoring with an exact surrogate.
+
+    CCNet (Wenzek et al. 2020, arXiv:1911.00359) ranks documents by
+    the perplexity of a small LM trained on the corpus itself; the
+    cheap first-order version of that signal is the corpus frequency
+    of each document's tokens — rare-token-dense docs are the
+    low-likelihood tail. This plan self-trains the unigram table
+    (token → corpus count), scores each doc by mean token frequency,
+    and flags docs below the corpus mean. The score stays an exact
+    rational (bigint sum / bigint count) until one final double
+    division, so the oracle matches bit-for-bit — the true -log p
+    variant is the identical plan shape with ``ln`` folded on top.
+
+    Scale: the token explode is narrow; the vocab groupBy and the
+    score join both key on token. Unigram vocab after min-count
+    pruning is small enough to broadcast (the CCNet deployment shape:
+    LM shipped to every worker); the corpus-mean scalar is a 1-row
+    broadcast cross join, not a window.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("sum_freq"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    corpus = scored.groupBy().agg(
+        (
+            F.sum("sum_freq").cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("corpus_mean")
+    )
+    mean_freq = F.col("sum_freq").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return scored.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        mean_freq.alias("mean_freq"),
+        (mean_freq < F.col("corpus_mean")).alias("is_rare"),
+    )
+
+
+def tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: tokenizer vocabulary induction + per-source OOV audit.
+
+    Induce a VOCAB_K-entry frequency vocabulary from the corpus
+    (deterministic cut: count desc, then token — the greedy first
+    round of any BPE/WordPiece trainer before merges begin), then
+    measure each source's out-of-vocabulary token rate — the standard
+    pre-training check that a domain is not about to shred into
+    UNK/byte-fallback tokens.
+
+    Scale: the top-K cut is ``orderBy(...).limit(K)`` —
+    TakeOrderedAndProject keeps per-partition heaps of K and merges
+    on the driver, no global sort shuffle; the induced vocab (K rows)
+    broadcasts into the membership join, so the audit adds zero wide
+    stages beyond the token-count groupBy.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

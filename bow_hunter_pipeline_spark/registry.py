@@ -679,6 +679,22 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h2_int8_quantize": (simsearch.int8_quantize, oracles_h.INT8_QUANTIZE),
     # greedy argmax chain — not one-statement SQL; rows-only check
     "h2_mmr_rerank": (simsearch.mmr_rerank, None),
+    # SemDeDup: fixed-point k-means + within-cluster cosine dedup
+    "h1_semdedup_kmeans": (
+        simsearch.semdedup_kmeans,
+        oracles_h.SEMDEDUP_KMEANS,
+    ),
+    # CCNet-style LM quality surrogate + tokenizer-vocab OOV audit
+    "h6_rare_token_score": (
+        traindata.rare_token_score,
+        oracles_h.RARE_TOKEN_SCORE,
+    ),
+    "h6_tokenizer_vocab": (
+        traindata.tokenizer_vocab,
+        oracles_h.TOKENIZER_VOCAB,
+    ),
+    # Z-order (Morton) clustered layout — multi-dim pruning stats
+    "a4_zorder_layout": (pipeline.zorder_layout, oracles_f.ZORDER_LAYOUT),
 }
 
 
@@ -763,6 +779,10 @@ _DRIVER_ROTATION = [
     "h4_funnel_stages",
     "h2_int8_quantize",
     "h2_mmr_rerank",
+    "h1_semdedup_kmeans",
+    "h6_rare_token_score",
+    "h6_tokenizer_vocab",
+    "a4_zorder_layout",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
