@@ -33,6 +33,7 @@ HEADLINE = [
     "e2_orders_upsert",
     "h1_minhash_lsh_pairs",
     "h4_sessionize",
+    "h6_curation_pipeline",
 ]
 
 

@@ -885,3 +885,20 @@ SELECT (z >> 6) AS z_bucket, COUNT(*) AS n_orders,
        CAST(MIN(day_bits) AS BIGINT) AS min_day, CAST(MAX(day_bits) AS BIGINT) AS max_day
 FROM z GROUP BY 1
 """
+
+RECURSIVE_HIERARCHY = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(floor(node / 10e0) AS BIGINT) AS node,
+         depth + 1 AS depth
+  FROM chain WHERE node >= 10
+),
+to_root AS (
+  SELECT c_custkey, MAX(depth) AS chain_len FROM chain GROUP BY c_custkey
+)
+SELECT chain_len, COUNT(*) AS n_customers,
+       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+FROM to_root GROUP BY chain_len
+"""

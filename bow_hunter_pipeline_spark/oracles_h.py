@@ -1016,3 +1016,103 @@ SELECT source, COUNT(*) AS n_tokens,
 FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
 GROUP BY source
 """
+
+# --- H6: end-to-end curation funnel + link-graph centrality -----------
+
+from bow_hunter_pipeline_spark.plans.traindata import (  # noqa: E402
+    QUALITY_MAX_WORDS as _Q_MAX_W,
+    QUALITY_MEAN_LEN_HI as _Q_ML_HI,
+    QUALITY_MEAN_LEN_LO as _Q_ML_LO,
+    QUALITY_MIN_ALPHA_RATIO as _Q_MIN_AR,
+    QUALITY_MIN_STOPWORDS as _Q_MIN_ST,
+    QUALITY_MIN_WORDS as _Q_MIN_W,
+)
+
+# Gopher keep-predicate, inline form (same gates as QUALITY_RULES)
+_KEEP_SQL = f"""
+  len({_TOKS}) >= {_Q_MIN_W} AND len({_TOKS}) <= {_Q_MAX_W}
+  AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / CAST(len({_TOKS}) AS DOUBLE) >= {_Q_ML_LO}e0
+  AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / CAST(len({_TOKS}) AS DOUBLE) <= {_Q_ML_HI}e0
+  AND CAST(len(list_filter({_TOKS}, w -> regexp_full_match(w, '[a-z]+')))
+      AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) >= {_Q_MIN_AR}e0
+  AND len(list_filter({_TOKS}, w -> w IN ({_Q_STOP_IN}))) >= {_Q_MIN_ST}
+"""
+
+CURATION_PIPELINE = f"""
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' near dup tail' AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 25 = 0
+),
+q AS (SELECT * FROM corpus WHERE {_KEEP_SQL}),
+e AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM q
+  ) WHERE doc_id = min_id
+),
+sigs AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs()}
+  FROM e
+),
+bands AS (SELECT doc_id, unnest({_band_exprs()}) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+final AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_b FROM cand)),
+r AS (SELECT source, COUNT(*) AS n_raw FROM corpus GROUP BY source),
+qs AS (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source),
+es AS (SELECT source, COUNT(*) AS n_exact FROM e GROUP BY source),
+fs AS (SELECT source, COUNT(*) AS n_final,
+              CAST(SUM(len({_TOKS})) AS BIGINT) AS tokens_final
+       FROM final GROUP BY source)
+SELECT r.source, n_raw,
+       COALESCE(n_quality, 0) AS n_quality,
+       COALESCE(n_exact, 0) AS n_exact,
+       COALESCE(n_final, 0) AS n_final,
+       COALESCE(tokens_final, 0) AS tokens_final
+FROM r LEFT JOIN qs USING (source) LEFT JOIN es USING (source)
+       LEFT JOIN fs USING (source)
+"""
+
+
+def _pagerank_iters(n: int) -> str:
+    """Unrolled fixed-point PageRank rounds (plans.graph contract:
+    contribution = floor(score·85/300), inflow summed exactly)."""
+    out = []
+    for i in range(1, n + 1):
+        out.append(f""",
+c{i} AS (
+  SELECT e.dst AS doc_id,
+         CAST(SUM(CAST(floor(CAST(s.score AS DOUBLE) * 85e0 / 300e0)
+                       AS BIGINT)) AS BIGINT) AS inflow
+  FROM edges e JOIN s{i - 1} s ON e.src = s.doc_id GROUP BY e.dst
+),
+s{i} AS (
+  SELECT nd.doc_id, CAST(150000 + COALESCE(c.inflow, 0) AS BIGINT) AS score
+  FROM nodes nd LEFT JOIN c{i} c USING (doc_id)
+)""")
+    return "".join(out)
+
+
+PAGERANK_WEIGHTS = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         unnest([(doc_id*7+1) % n_docs, (doc_id*13+2) % n_docs,
+                 (doc_id*31+3) % n_docs]) AS dst
+  FROM documents, n
+),
+s0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS score FROM nodes){_pagerank_iters(3)}
+SELECT doc_id, score AS pr_score FROM s3
+ORDER BY score DESC, doc_id LIMIT 20
+"""

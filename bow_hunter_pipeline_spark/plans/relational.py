@@ -1029,3 +1029,43 @@ def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
         F.forall(toks, lambda t: t == F.lower(t)).alias("all_lowercase"),
     )
+
+
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: recursive CTE hierarchy walk (Spark 4 ``WITH RECURSIVE``).
+
+    Synthesizes a parent chain over customers (parent = key/10, roots
+    below 10 — a deterministic org-chart stand-in, since the TPC-H-ish
+    schema has no self-referencing table) and walks each customer to
+    its root, reporting the chain-length distribution. The recursion
+    is data-bounded: depth ≤ log10(max key), so the iterative
+    union-all converges in ~6 rounds even at 100 TB key ranges —
+    recursive-CTE cost scales with depth × frontier, not table size
+    alone.
+
+    ``floor(node / 10e0)`` keeps the parent step engine-portable
+    (integer `/` is float division in DuckDB but would be decimal in
+    ANSI Spark; the explicit double floor is identical in both).
+    """
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bhps_rec_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey, CAST(c_custkey AS BIGINT) AS node, 0 AS depth
+          FROM bhps_rec_customer
+          UNION ALL
+          SELECT c_custkey, CAST(floor(node / 10e0) AS BIGINT) AS node,
+                 depth + 1 AS depth
+          FROM chain WHERE node >= 10
+        ),
+        to_root AS (
+          SELECT c_custkey, MAX(depth) AS chain_len
+          FROM chain GROUP BY c_custkey
+        )
+        SELECT chain_len, COUNT(*) AS n_customers,
+               MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        FROM to_root GROUP BY chain_len
+        """
+    )

@@ -527,3 +527,100 @@ def tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 flagship composite: the whole curation funnel in ONE Catalyst
+    plan — quality gate → exact dedup (keep-first by content hash) →
+    MinHash-LSH near-dup drop → per-source funnel accounting.
+
+    This is the query a corpus team actually ships: each stage is the
+    already-verified standalone operator (quality_rules' gates,
+    exact_dup_groups' md5 keep rule, dedup_apply's LSH drop list),
+    composed so Catalyst plans them together — the quality filter runs
+    before any hashing, so the expensive shingle/MinHash stage only
+    sees survivors (filter-first is the 100 TB ordering; hashing
+    dropped docs is pure waste).
+
+    The corpus is documents ∪ exact copies (every 25th, id+10000) ∪
+    near copies (every 25th, id+20000, suffixed) so every funnel stage
+    provably removes something: exact copies die at the md5 stage,
+    near copies at the LSH stage.
+
+    Scale: quality gate is map-side; exact dedup shuffles on md5(text)
+    (uniform key); LSH is the collision-bounded self-join; the four
+    per-source summaries are domain-cardinality-sized and join
+    broadcast. No O(n²), no collect, no Python.
+    """
+    base = read_table(spark, sf_dir, "documents")
+    exact_c = base.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    near_c = (
+        base.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 20000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" near dup tail")))
+    )
+    corpus = base.unionByName(exact_c).unionByName(near_c)
+
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_word_len = F.length(F.array_join(toks, "")).cast(
+        "double"
+    ) / n_words.cast("double")
+    alpha_ratio = F.size(
+        F.filter(toks, lambda w: w.rlike("^[a-z]+$"))
+    ).cast("double") / n_words.cast("double")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS)))
+    keep = (
+        (n_words >= QUALITY_MIN_WORDS)
+        & (n_words <= QUALITY_MAX_WORDS)
+        & (mean_word_len >= QUALITY_MEAN_LEN_LO)
+        & (mean_word_len <= QUALITY_MEAN_LEN_HI)
+        & (alpha_ratio >= QUALITY_MIN_ALPHA_RATIO)
+        & (n_stop >= QUALITY_MIN_STOPWORDS)
+    )
+    quality = corpus.filter(keep)
+
+    w = Window.partitionBy(F.md5("text"))
+    exact_kept = (
+        quality.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+
+    buckets = _minhash_buckets(exact_kept.select("doc_id", "text"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    drop = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    final = exact_kept.join(drop, "doc_id", "left_anti")
+
+    raw_s = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    q_s = quality.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    e_s = exact_kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    f_s = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum(F.size(tokens(F.col("text")))).alias("tokens_final"),
+    )
+    return (
+        raw_s.join(q_s, "source", "left")
+        .join(e_s, "source", "left")
+        .join(f_s, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+        )
+    )

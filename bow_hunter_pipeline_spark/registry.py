@@ -24,6 +24,7 @@ from bow_hunter_pipeline_spark.plans import (
     dedup,
     events,
     funcfamilies,
+    graph,
     multimodal,
     normalize_demo,
     pandas_udfs,
@@ -695,6 +696,21 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # Z-order (Morton) clustered layout — multi-dim pruning stats
     "a4_zorder_layout": (pipeline.zorder_layout, oracles_f.ZORDER_LAYOUT),
+    # End-to-end curation funnel (quality → exact dedup → LSH drop)
+    "h6_curation_pipeline": (
+        traindata.curation_pipeline,
+        oracles_h.CURATION_PIPELINE,
+    ),
+    # Fixed-point PageRank over the synthesized link graph
+    "h6_pagerank_weights": (
+        graph.pagerank_weights,
+        oracles_h.PAGERANK_WEIGHTS,
+    ),
+    # Spark 4 WITH RECURSIVE — hierarchy chain-length distribution
+    "f_recursive_hierarchy": (
+        relational.recursive_hierarchy,
+        oracles_f.RECURSIVE_HIERARCHY,
+    ),
 }
 
 
@@ -783,6 +799,9 @@ _DRIVER_ROTATION = [
     "h6_rare_token_score",
     "h6_tokenizer_vocab",
     "a4_zorder_layout",
+    "h6_curation_pipeline",
+    "h6_pagerank_weights",
+    "f_recursive_hierarchy",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

@@ -361,3 +361,61 @@ def test_mmr_rerank_localizes_only_the_rerank(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # formatted explain names each operator twice (tree + detail)
     assert plan.count("FlatMapGroupsInPandas") == 2, plan
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    # both Lloyd assignments ride a broadcast of the one-row centroid
+    # list (no shuffle for argmin); the pair join keys on cluster, so
+    # no cartesian anywhere; everything stays JVM-side
+    plan = _plan(simsearch.semdedup_kmeans(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid cross join
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_rare_token_score_corpus_mean_is_broadcast_scalar(spark):
+    # the corpus-mean scalar joins back as a broadcast of one row, not
+    # a global window over per-doc rows
+    plan = _plan(traindata.rare_token_score(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window (" not in plan, plan
+
+
+def test_tokenizer_vocab_topk_is_heap_not_full_sort(spark):
+    # the vocab cut must plan as TakeOrderedAndProject (per-partition
+    # heaps of K), never a global Sort + Limit
+    plan = _plan(traindata.tokenizer_vocab(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan  # K-row vocab broadcasts
+
+
+def test_zorder_layout_is_single_aggregation_pass(spark):
+    # Morton coding is a narrow projection: one exchange (the bucket
+    # groupBy), no joins, no Python
+    from bow_hunter_pipeline_spark.plans import pipeline as pipeline_plans
+
+    plan = _plan(pipeline_plans.zorder_layout(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_curation_pipeline_filters_before_hashing(spark):
+    # the quality Filter must sit below the MinHash explode/aggregate
+    # (hash survivors only), and the drop-list applies as a left-anti
+    # hash join — no cartesian, no Python anywhere in the funnel
+    plan = _plan(traindata.curation_pipeline(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_pagerank_iterations_join_then_reaggregate(spark):
+    # 3 unrolled rounds: score⋈edges joins + dst re-aggregations, all
+    # hash-based; the N scalar rides a 1-row broadcast, never a collect
+    from bow_hunter_pipeline_spark.plans import graph
+
+    plan = _plan(graph.pagerank_weights(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-20 is a heap
