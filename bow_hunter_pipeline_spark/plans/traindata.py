@@ -548,9 +548,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near copies at the LSH stage.
 
     Scale: quality gate is map-side; exact dedup shuffles on md5(text)
-    (uniform key); LSH is the collision-bounded self-join; the four
-    per-source summaries are domain-cardinality-sized and join
-    broadcast. No O(n²), no collect, no Python.
+    (uniform key); LSH is the collision-bounded self-join. Funnel
+    accounting is ONE conditional aggregate over stage flags, not four
+    per-stage aggregates — naive per-stage counts would re-evaluate
+    the regex-heavy quality gate once per summary (3× the scan cost at
+    100 TB); the flag form evaluates every stage predicate exactly
+    once per row (twice for the LSH leg, whose bucket build re-reads
+    the survivors). No O(n²), no collect, no Python.
     """
     base = read_table(spark, sf_dir, "documents")
     exact_c = base.filter(F.col("doc_id") % 25 == 0).withColumn(
@@ -580,16 +584,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_ratio >= QUALITY_MIN_ALPHA_RATIO)
         & (n_stop >= QUALITY_MIN_STOPWORDS)
     )
-    quality = corpus.filter(keep)
-
-    w = Window.partitionBy(F.md5("text"))
-    exact_kept = (
-        quality.withColumn("min_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("min_id"))
-        .drop("min_id")
+    # Stage flags in one lineage: the quality predicate evaluates once
+    # per row; keep-first is a window min over quality rows only.
+    flagged = corpus.withColumn("q", keep).withColumn(
+        "is_exact",
+        F.col("q")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+                Window.partitionBy(F.md5("text"))
+            )
+        ),
     )
+    exact_kept = flagged.filter(F.col("is_exact")).select("doc_id", "text")
 
-    buckets = _minhash_buckets(exact_kept.select("doc_id", "text"))
+    buckets = _minhash_buckets(exact_kept)
     a, b = buckets.alias("a"), buckets.alias("b")
     drop = (
         a.join(
@@ -599,28 +608,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
+        .withColumn("dropped", F.lit(1))
     )
-    final = exact_kept.join(drop, "doc_id", "left_anti")
-
-    raw_s = corpus.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
-    q_s = quality.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
-    e_s = exact_kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_exact")
+    marked = flagged.join(drop, "doc_id", "left").withColumn(
+        "is_final", F.col("is_exact") & F.col("dropped").isNull()
     )
-    f_s = final.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_final"),
-        F.sum(F.size(tokens(F.col("text")))).alias("tokens_final"),
-    )
-    return (
-        raw_s.join(q_s, "source", "left")
-        .join(e_s, "source", "left")
-        .join(f_s, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-            F.coalesce("n_final", F.lit(0)).alias("n_final"),
-            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
-        )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("is_exact"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(F.when(F.col("is_final"), 1).otherwise(0)).alias("n_final"),
+        F.sum(
+            F.when(
+                F.col("is_final"), F.size(tokens(F.col("text")))
+            ).otherwise(0)
+        ).alias("tokens_final"),
     )

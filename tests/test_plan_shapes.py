@@ -402,12 +402,18 @@ def test_zorder_layout_is_single_aggregation_pass(spark):
 
 def test_curation_pipeline_filters_before_hashing(spark):
     # the quality Filter must sit below the MinHash explode/aggregate
-    # (hash survivors only), and the drop-list applies as a left-anti
-    # hash join — no cartesian, no Python anywhere in the funnel
+    # (hash survivors only); funnel accounting is ONE conditional
+    # aggregate over stage flags (single final HashAggregate pair, not
+    # four per-stage aggregates joined) — no cartesian, no Python
     plan = _plan(traindata.curation_pipeline(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    assert "LeftAnti" in plan, plan
+    # one keep-first window, one drop-list outer join, ONE final
+    # aggregate — the four-summaries-joined form costs ~12 exchanges
+    assert plan.count("Window (") == 1, plan
+    # formatted explain names each operator twice (tree + detail)
+    assert plan.count("SortMergeJoin") == 2, plan
+    assert plan.count("Exchange (") <= 7, plan
 
 
 def test_pagerank_iterations_join_then_reaggregate(spark):
