@@ -902,3 +902,12 @@ SELECT chain_len, COUNT(*) AS n_customers,
        MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
 FROM to_root GROUP BY chain_len
 """
+
+# E5+: incremental rollup merges partial states; the oracle recomputes
+# from scratch — decimal associativity makes them bit-identical.
+INCREMENTAL_ROLLUP = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY o_orderpriority
+"""

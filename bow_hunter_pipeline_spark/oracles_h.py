@@ -1116,3 +1116,19 @@ s0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS score FROM nodes){_pagerank_ite
 SELECT doc_id, score AS pr_score FROM s3
 ORDER BY score DESC, doc_id LIMIT 20
 """
+
+# --- H6: deterministic train/val/test split ---------------------------
+
+TRAIN_VAL_TEST_SPLIT = """
+WITH b AS (
+  SELECT source, text,
+         CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       source, COUNT(*) AS n_docs,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1, 2
+"""

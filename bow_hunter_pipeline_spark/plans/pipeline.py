@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bow_hunter_pipeline_spark.functions.exact import dsum, factor, money
+from bow_hunter_pipeline_spark.functions.exact import (
+    dsum,
+    factor,
+    money,
+    to_double,
+)
 from bow_hunter_pipeline_spark.io.readers import read_table
 from bow_hunter_pipeline_spark.operators.explode import gate_split_explode
 from bow_hunter_pipeline_spark.operators.upsert import duplicate_keys, upsert
@@ -420,4 +425,43 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day_bits").alias("min_day"),
             F.max("day_bits").alias("max_day"),
         )
+    )
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+: incremental materialized-rollup maintenance — merge a
+    snapshot aggregate with a new-data delta aggregate instead of
+    recomputing from scratch.
+
+    The processed snapshot is orders with ``o_orderkey % 4 != 0``
+    (the same processed/pending cut as a7_pending_work); the delta is
+    the remaining quarter. Both sides aggregate independently to
+    partial states (count + UNROUNDED decimal sum — rounding a partial
+    would break mergeability), then one re-aggregation merges them.
+    The oracle recomputes the rollup from the full table directly:
+    decimal addition is associative, so merged-partials == full
+    recompute bit-for-bit — the property that makes incremental
+    maintenance safe to deploy.
+
+    Scale: this is the nightly-pipeline pattern — the snapshot side is
+    a tiny stored aggregate (priority cardinality), only the delta
+    scans new data, and the merge is a #groups-sized re-aggregation.
+    At 100 TB the full recompute reads everything; the incremental
+    form reads one day's partition.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    is_delta = F.col("o_orderkey") % 4 == 0
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum(money("o_totalprice")).alias("sum_part"),
+        )
+
+    snapshot = _partial(orders.filter(~is_delta))
+    delta = _partial(orders.filter(is_delta))
+    merged = snapshot.unionByName(delta)
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("n_part").alias("n_orders"),
+        to_double(F.sum("sum_part")).alias("total_price"),
     )

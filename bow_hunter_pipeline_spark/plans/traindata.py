@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bow_hunter_pipeline_spark.functions.text import tokens, word_shingles
+from bow_hunter_pipeline_spark.functions.text import (
+    hash64,
+    tokens,
+    word_shingles,
+)
 from bow_hunter_pipeline_spark.io.readers import read_table
 from bow_hunter_pipeline_spark.plans.dedup import (
     _minhash_buckets,
@@ -623,4 +627,37 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("is_final"), F.size(tokens(F.col("text")))
             ).otherwise(0)
         ).alias("tokens_final"),
+    )
+
+
+SPLIT_TRAIN_PCT = 80  # hash-bucket split boundaries (of 100)
+SPLIT_VAL_PCT = 90
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: deterministic train/val/test split by content-stable hash.
+
+    The split a training pipeline needs is a pure function of the
+    document identity — stable under re-runs, re-partitioning, and
+    incremental arrival (a doc never migrates between splits when new
+    data lands). Salted md5 of doc_id → bucket 0-99 → 80/10/10.
+    Returns per-(split, source) doc and token counts — the sanity
+    sheet checked before a run (val/test must cover every source).
+
+    Scale: pure map-side expression + one aggregate keyed on
+    (split, source); no sampling shuffle, no global sort, and the
+    assignment replays identically on any cluster size.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = hash64(
+        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), F.col("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
     )

@@ -711,6 +711,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.recursive_hierarchy,
         oracles_f.RECURSIVE_HIERARCHY,
     ),
+    # Deterministic hash-bucket train/val/test split
+    "h6_train_val_test_split": (
+        traindata.train_val_test_split,
+        oracles_h.TRAIN_VAL_TEST_SPLIT,
+    ),
+    # E5+: merge snapshot+delta partial aggregates == full recompute
+    "e5_incremental_rollup": (
+        pipeline.incremental_rollup,
+        oracles_f.INCREMENTAL_ROLLUP,
+    ),
 }
 
 
@@ -802,6 +812,8 @@ _DRIVER_ROTATION = [
     "h6_curation_pipeline",
     "h6_pagerank_weights",
     "f_recursive_hierarchy",
+    "h6_train_val_test_split",
+    "e5_incremental_rollup",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
