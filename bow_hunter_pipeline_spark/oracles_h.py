@@ -1132,3 +1132,16 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
        CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM b GROUP BY 1, 2
 """
+
+# H4: VARIANT-typed extraction (same values as JSON_PROPS_AGG plus a
+# distinct-key probe; DuckDB's JSON operators are the oracle)
+VARIANT_PROPS = """
+WITH k AS (
+  SELECT event_type, TRY_CAST(props->>'$.k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k,
+       CAST(round(SUM(CAST(k AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(k)
+         AS avg_k
+FROM k GROUP BY event_type
+"""

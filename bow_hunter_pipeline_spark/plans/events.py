@@ -225,3 +225,33 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("t_view_ns").isNotNull(), F.lit(1))
         .otherwise(F.lit(0)),
     )
+
+
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: semi-structured extraction through Spark 4's VARIANT type —
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction.
+
+    Same logical result as json_props_agg (string-path get_json_object)
+    but the VARIANT route parses each JSON document ONCE into a
+    navigable binary form; with several extracted paths the string
+    route re-parses per path while variant_get reuses the parse — the
+    reason Delta/Iceberg v3 adopt variant for semi-structured columns
+    at scale. Output adds a per-type distinct-key count to force two
+    extractions through the same parsed value.
+    """
+    ev = read_events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    row = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+    )
+    return row.groupBy("event_type").agg(
+        F.count("k").alias("n_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct("k").alias("n_distinct_k"),
+        (
+            to_double(F.sum(F.col("k").cast("decimal(18,4)"))) / F.count("k")
+        ).alias("avg_k"),
+    )

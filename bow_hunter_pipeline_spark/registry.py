@@ -721,6 +721,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.incremental_rollup,
         oracles_f.INCREMENTAL_ROLLUP,
     ),
+    # Spark 4 VARIANT-typed semi-structured extraction
+    "h4_variant_props": (events.variant_props, oracles_h.VARIANT_PROPS),
 }
 
 
@@ -814,6 +816,7 @@ _DRIVER_ROTATION = [
     "f_recursive_hierarchy",
     "h6_train_val_test_split",
     "e5_incremental_rollup",
+    "h4_variant_props",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

@@ -401,3 +401,118 @@ def upsert_sink(tmp: str, keys: list[str], order_cols: list[str], update_cols: l
         state["cur"] = out
 
     return apply_batch, state
+
+
+def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 stateful streaming on Spark 4's ``transformWithStateInPandas``
+    — the successor API to applyInPandasWithState (SPARK-46815): an
+    object-oriented StatefulProcessor with named, individually-typed
+    state variables, timers, and TTL support, backed by the RocksDB
+    state store. Same sessionization semantics and oracle as
+    streaming_sessionize; what changes is the state surface —
+    ``getValueState`` replaces the single monolithic state tuple, so a
+    real deployment can evolve each variable independently (and spill
+    via RocksDB instead of JVM heap — the 100 TB state story).
+
+    ENVIRONMENT-GATED: the transformWithState Python driver worker
+    speaks protobuf to the state server, and this container ships no
+    ``google.protobuf`` — so the query is NOT registered for the
+    external driver (it would crash at stream start). The test suite
+    runs it when protobuf is importable and skips cleanly otherwise;
+    the applyInPandasWithState twin (streaming_sessionize) carries the
+    driver-checked stateful-streaming contract.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ModuleNotFoundError as exc:
+        raise ModuleNotFoundError(
+            "transformWithStateInPandas needs google.protobuf "
+            "(absent in this container); use streaming_sessionize"
+        ) from exc
+    gap_s = SESSION_GAP_S
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionizeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open_session",
+                "n_closed bigint, open_start_s bigint, "
+                "open_end_s bigint, open_n bigint",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._open.exists():
+                n_closed, open_start, open_end, open_n = self._open.get()
+            else:
+                n_closed, open_start, open_end, open_n = 0, None, None, 0
+
+            epochs: list[int] = []
+            for pdf in rows:
+                epochs.extend(int(x) for x in pdf["epoch_s"])
+            epochs.sort()
+            out = []
+            for e in epochs:
+                if open_start is None:
+                    open_start, open_end, open_n = e, e, 1
+                elif e - open_end > gap_s:
+                    n_closed += 1
+                    out.append(
+                        (user_id, n_closed, open_n, open_start, open_end)
+                    )
+                    open_start, open_end, open_n = e, e, 1
+                else:
+                    open_end, open_n = e, open_n + 1
+            if open_start is not None:
+                out.append(
+                    (user_id, n_closed + 1, open_n, open_start, open_end)
+                )
+
+            self._open.update((n_closed, open_start, open_end, open_n))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series(
+                        [r[0] for r in out], dtype="int64"
+                    ),
+                    "session_idx": pd.Series(
+                        [r[1] for r in out], dtype="int64"
+                    ),
+                    "n_events": pd.Series(
+                        [r[2] for r in out], dtype="int64"
+                    ),
+                    "session_start_s": pd.Series(
+                        [r[3] for r in out], dtype="int64"
+                    ),
+                    "session_end_s": pd.Series(
+                        [r[4] for r in out], dtype="int64"
+                    ),
+                    "duration_s": pd.Series(
+                        [r[4] - r[3] for r in out], dtype="int64"
+                    ),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = read_event_stream(spark, sf_dir).select(
+        "user_id", F.expr("ts_ns div 1000000000").alias("epoch_s")
+    )
+    sessions = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionizeProcessor(),
+        outputStructType=_SESSION_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    run_to_memory(sessions, "bhps_stream_sessions_tws", "update")
+    return spark.table("bhps_stream_sessions_tws")

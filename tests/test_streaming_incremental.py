@@ -115,3 +115,33 @@ def test_streaming_upsert_applies_later_batches_over_earlier(spark, tmp_path):
         (2, 20, 9.0),
         (3, 21, 3.0),
     }
+
+
+def test_transform_with_state_sessionize_matches_oracle(spark):
+    """Spark 4 transformWithStateInPandas twin of streaming_sessionize.
+    Needs google.protobuf (the state-server protocol) — absent in this
+    container, so the test skips there and runs wherever the dep
+    exists; the gate in the plan raises a clear ModuleNotFoundError."""
+    import pytest
+
+    from bow_hunter_pipeline_spark import oracles_h
+    from bow_hunter_pipeline_spark.streaming import structured
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import compare
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        with pytest.raises(ModuleNotFoundError, match="protobuf"):
+            structured.streaming_sessionize_tws(spark, SF_SMOKE)
+        pytest.skip("google.protobuf not installed in this container")
+    compare(
+        structured.streaming_sessionize_tws(spark, SF_SMOKE),
+        oracles_h.SESSIONIZE,
+        SF_SMOKE,
+        name="h4_streaming_sessionize_tws",
+    )
