@@ -58,3 +58,42 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
         F.percentile("l_quantity", 0.5).alias("exact_median_qty"),
     )
+
+
+def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: DataSketches HLL mergeability — the property that makes
+    sketches THE 100 TB distinct-count tool: build one sketch per
+    partition-of-the-data (here: order priority), store/ship the
+    binary sketches (bytes, not rows), and union them into the global
+    estimate without ever re-touching the data.
+
+    Output per priority: the partial estimate + the exact count; plus
+    one ALL row whose estimate comes only from unioning the five
+    partial sketches. Registered rows-only (DataSketches binaries are
+    engine-specific; no SQL oracle can replay them) —
+    tests/test_extensions.py asserts the merge invariant (union of
+    partials == one-shot whole-data sketch, bit-identical estimate)
+    and the ≤5% error envelope vs the exact count.
+
+    Scale: this is the incremental-rollup pattern (e5) for distinct
+    counts — nightly partials persist as kilobyte blobs; the global
+    number is a #partitions-row union, not a data scan.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_part = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    part_rows = per_part.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("est_customers"),
+        "exact_customers",
+    )
+    merged = per_part.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers")
+    ).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        "est_customers",
+        F.lit(None).cast("bigint").alias("exact_customers"),
+    )
+    return part_rows.unionByName(merged)

@@ -723,6 +723,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # Spark 4 VARIANT-typed semi-structured extraction
     "h4_variant_props": (events.variant_props, oracles_h.VARIANT_PROPS),
+    # DataSketches HLL partition-merge (rows-only: binary sketches are
+    # engine-specific; mergeability proven in tests/test_extensions.py)
+    "h5_hll_partition_merge": (approx.hll_partition_merge, None),
 }
 
 

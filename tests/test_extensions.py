@@ -60,3 +60,106 @@ def test_asof_gaps_non_negative_and_left_complete(spark):
 def test_set_ops_distinct(spark):
     df = relational.set_ops_repeat_buyers(spark, SF_SMOKE)
     assert df.count() == df.distinct().count()
+
+
+def test_split_assignment_invariant_under_repartition(spark):
+    """h6_train_val_test_split's core promise: the split is a pure
+    function of doc identity — identical under any partitioning."""
+    from bow_hunter_pipeline_spark.plans.traindata import (
+        train_val_test_split,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = train_val_test_split(spark, SF_SMOKE).collect()
+    # same query over a differently-partitioned scan
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.functions.text import hash64, tokens
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_SMOKE, "documents").repartition(7, "source")
+    bucket = hash64(
+        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    again = (
+        docs.groupBy(split.alias("split"), F.col("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_semdedup_assignments_invariant_under_repartition(spark):
+    """Fixed-point centroid math makes k-means assignment independent
+    of partition order — the property float means do NOT have."""
+    from bow_hunter_pipeline_spark.plans.simsearch import semdedup_kmeans
+    from tests.conftest import SF_SMOKE
+
+    a = sorted(map(tuple, semdedup_kmeans(spark, SF_SMOKE).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        b = sorted(map(tuple, semdedup_kmeans(spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    """The mergeability invariant directly: partial states merged ==
+    one-shot aggregate, bit-for-bit (decimal associativity)."""
+    from bow_hunter_pipeline_spark.functions.exact import money, to_double
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans.pipeline import incremental_rollup
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    merged = sorted(
+        map(tuple, incremental_rollup(spark, SF_SMOKE).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            read_table(spark, SF_SMOKE, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                to_double(F.sum(money("o_totalprice"))).alias("total_price"),
+            )
+            .collect(),
+        )
+    )
+    assert merged == full
+
+
+def test_hll_union_of_partials_equals_whole_sketch(spark):
+    """Sketch mergeability: union(per-group sketches) estimates the
+    SAME value as one sketch over all data — and both land within 5%
+    of the exact distinct count."""
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans.approx import hll_partition_merge
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.o_orderpriority: r
+        for r in hll_partition_merge(spark, SF_SMOKE).collect()
+    }
+    orders = read_table(spark, SF_SMOKE, "orders")
+    whole = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"),
+        F.count_distinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert rows["ALL"].est_customers == whole.est
+    assert abs(whole.est - whole.exact) / whole.exact <= 0.05
+    for k, r in rows.items():
+        if k != "ALL":
+            assert (
+                abs(r.est_customers - r.exact_customers) / r.exact_customers
+                <= 0.05
+            )
