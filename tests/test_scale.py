@@ -98,3 +98,51 @@ def test_bucketed_groupby_has_no_exchange(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b2")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The AQE complement to salted_join: with skew-join enabled, a
+    runtime-detected hot partition is split WITHOUT any plan rewrite —
+    the executed adaptive plan carries SortMergeJoin(skew=true) and a
+    'coalesced and skewed' AQEShuffleRead. At 100 TB this is the first
+    line of defense; salting (operators/scale.py) remains for the
+    cases AQE can't split (e.g. when the skewed side feeds another
+    keyed stage).
+    """
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of 200k left rows share key 7 → one hot shuffle partition
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        # 180k rows with k=7 (one match) + ids ≡ 0 (mod 10) below 50000
+        assert len(rows) == 180000 + 5000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
