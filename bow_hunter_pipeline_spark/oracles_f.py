@@ -911,3 +911,31 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
          AS total_price
 FROM orders GROUP BY o_orderpriority
 """
+
+# A1+: the Python-DataSource feed is deterministic integer arithmetic;
+# the oracle regenerates it without the connector.
+PYTHON_DATASOURCE_FEED = """
+WITH states(state, sidx) AS (VALUES ('co', 0), ('mt', 1), ('wy', 2)),
+units AS (SELECT unnest(generate_series(1, 40)) AS unit),
+years(year) AS (VALUES (2020), (2021), (2022)),
+feed AS (
+  SELECT state, unit, year,
+         (sidx*1000 + unit*37 + year*13) % 97 AS harvest,
+         ((sidx*1000 + unit*37 + year*13) % 97) * 3 + (unit + year) % 11
+           AS hunters
+  FROM states, units, years
+)
+SELECT state, year, COUNT(*) AS n_units,
+       CAST(SUM(harvest) AS BIGINT) AS total_harvest,
+       CAST(SUM(hunters) AS BIGINT) AS total_hunters,
+       MAX(harvest) AS max_unit_harvest
+FROM feed GROUP BY state, year
+"""
+
+UDF_ARROW_SCALAR = """
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(length(text) AS INT) AS n_chars_checked
+FROM documents
+"""

@@ -143,3 +143,24 @@ def pdf_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_double("success_raw").alias("percent_success"),  # C2
         )
     )
+
+
+def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+: query through the custom Python DataSource connector
+    (sources/python_feed.py) — per-(state, year) harvest rollup over
+    the partition-parallel synthetic agency feed. The sf_dir parameter
+    is unused: the source IS the data, as with any external connector.
+
+    Scale: each state is an InputPartition, so the scan parallelizes
+    across the executor pool; everything above the source is ordinary
+    Catalyst (one aggregate keyed on state/year).
+    """
+    from bow_hunter_pipeline_spark.sources.python_feed import read_feed
+
+    feed = read_feed(spark)
+    return feed.groupBy("state", "year").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("harvest").alias("total_harvest"),
+        F.sum("hunters").alias("total_hunters"),
+        F.max("harvest").alias("max_unit_harvest"),
+    )

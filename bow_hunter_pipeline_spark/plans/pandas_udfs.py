@@ -26,6 +26,7 @@ largest group, not the partition.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -216,3 +217,36 @@ def udf_grouped_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = read_table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
     return part.groupBy("p_brand").applyInArrow(brand_stats, schema=out_schema)
+
+
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``arrow_udf`` (Spark 4, SPARK-43964 line): the same Arrow
+    batch transport as pandas_udf but WITHOUT the pandas conversion —
+    the function receives/returns ``pyarrow`` arrays and computes via
+    pyarrow.compute kernels. For string-heavy measures this skips two
+    arrow↔pandas copies per batch; it completes the UDF matrix next to
+    the pandas scalar twin (udf_scalar_token_stats).
+    """
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("long")
+    def n_words(s: pa.Array) -> pa.Array:
+        # split on single space (fixture texts are space-normalized)
+        return pc.cast(
+            pc.list_value_length(pc.split_pattern(s, " ")), pa.int64()
+        )
+
+    @arrow_udf("long")
+    def n_upper(s: pa.Array) -> pa.Array:
+        return pc.cast(
+            pc.count_substring_regex(s, "[A-Z]"), pa.int64()
+        )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_words("text").alias("n_words"),
+        n_upper("text").alias("n_upper"),
+        F.length("text").alias("n_chars_checked"),
+    )

@@ -726,6 +726,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # DataSketches HLL partition-merge (rows-only: binary sketches are
     # engine-specific; mergeability proven in tests/test_extensions.py)
     "h5_hll_partition_merge": (approx.hll_partition_merge, None),
+    # Spark 4 Python DataSource API — custom partition-parallel source
+    "a1_python_datasource": (
+        ingest_demo.python_datasource_feed,
+        oracles_f.PYTHON_DATASOURCE_FEED,
+    ),
+    # Scalar arrow_udf — Arrow arrays in/out, no pandas conversion
+    "udf_arrow_scalar": (
+        pandas_udfs.udf_arrow_scalar,
+        oracles_f.UDF_ARROW_SCALAR,
+    ),
 }
 
 
@@ -820,6 +830,9 @@ _DRIVER_ROTATION = [
     "h6_train_val_test_split",
     "e5_incremental_rollup",
     "h4_variant_props",
+    "h5_hll_partition_merge",
+    "a1_python_datasource",
+    "udf_arrow_scalar",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

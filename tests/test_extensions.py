@@ -163,3 +163,24 @@ def test_hll_union_of_partials_equals_whole_sketch(spark):
                 abs(r.est_customers - r.exact_customers) / r.exact_customers
                 <= 0.05
             )
+
+
+def test_python_datasource_reads_one_partition_per_state(spark):
+    """The custom connector's unit of parallelism: one InputPartition
+    per state (3), so the scan fans out instead of serializing
+    through a single client."""
+    from bow_hunter_pipeline_spark.sources.python_feed import (
+        FEED_STATES,
+        FEED_UNITS,
+        FEED_YEARS,
+        read_feed,
+    )
+
+    feed = read_feed(spark)
+    assert feed.rdd.getNumPartitions() == len(FEED_STATES)
+    assert feed.count() == len(FEED_STATES) * FEED_UNITS * len(FEED_YEARS)
+    # partition pruning of work: each task sees only its state
+    per_part = feed.rdd.glom().map(
+        lambda rows: {r.state for r in rows}
+    ).collect()
+    assert all(len(s) == 1 for s in per_part)
