@@ -81,3 +81,64 @@ def register_feed(spark: SparkSession) -> None:
 def read_feed(spark: SparkSession) -> DataFrame:
     register_feed(spark)
     return spark.read.format(FEED_FORMAT).load()
+
+
+def register_stream_feed(spark: SparkSession) -> None:
+    """Streaming twin: the same feed delivered incrementally, one
+    micro-batch per year — the Python-DataSource answer to the
+    reference's "TODO: Trigger on S3 put" (``ingest_harvest_data.py
+    :11``). Offsets are the year index, so the checkpoint gives
+    exactly-once delivery across restarts; ``readBetweenOffsets``
+    makes batches replayable for recovery.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    states = FEED_STATES
+    years = FEED_YEARS
+    rows_for_state = feed_rows
+
+    def rows_for_year_index(idx: int) -> list[tuple]:
+        year = years[idx]
+        return [
+            r
+            for s in range(len(states))
+            for r in rows_for_state(s)
+            if r[2] == year
+        ]
+
+    class FeedStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"year_idx": 0}
+
+        def read(self, start):
+            idx = start["year_idx"]
+            if idx >= len(years):
+                return iter([]), start
+            return iter(rows_for_year_index(idx)), {"year_idx": idx + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for idx in range(start["year_idx"], end["year_idx"]):
+                out.extend(rows_for_year_index(idx))
+            return iter(out)
+
+    class AgencyFeedStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return FEED_FORMAT + "_stream"
+
+        def schema(self) -> str:
+            return (
+                "state string, unit int, year int, "
+                "harvest int, hunters int"
+            )
+
+        def simpleStreamReader(self, schema):
+            return FeedStreamReader()
+
+    spark.dataSource.register(AgencyFeedStreamSource)
+
+
+def read_stream_feed(spark: SparkSession) -> DataFrame:
+    register_stream_feed(spark)
+    return spark.readStream.format(FEED_FORMAT + "_stream").load()

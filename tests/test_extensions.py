@@ -184,3 +184,30 @@ def test_python_datasource_reads_one_partition_per_state(spark):
         lambda rows: {r.state for r in rows}
     ).collect()
     assert all(len(s) == 1 for s in per_part)
+
+
+def test_observe_metrics_ride_the_main_job(spark):
+    """DataFrame.observe: data-quality counters (row count, null keys,
+    negative totals) computed DURING the main query's single pass — no
+    second scan. The production pattern for pipeline health metrics at
+    100 TB, where a separate validation query would double the read."""
+    from pyspark.sql import Observation
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    obs = Observation("quality")
+    orders = read_table(spark, SF_SMOKE, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("null_keys"),
+        F.sum((F.col("o_totalprice") < 0).cast("int")).alias("neg_totals"),
+    )
+    result = orders.groupBy("o_orderpriority").count().collect()
+    assert len(result) == 5
+    m = obs.get
+    assert m["n_rows"] > 0
+    assert m["null_keys"] == 0
+    assert m["neg_totals"] == 0
+    # the observed count equals an explicit recount — same data, one pass
+    assert m["n_rows"] == read_table(spark, SF_SMOKE, "orders").count()
