@@ -939,3 +939,16 @@ SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars_checked
 FROM documents
 """
+
+# A8+: SQL UDF bodies inlined by the oracle directly
+SQL_UDF_ROUNDTRIP = """
+WITH t AS (
+  SELECT CASE WHEN o_totalprice >= 200000e0 THEN 'high'
+              WHEN o_totalprice >= 100000e0 THEN 'mid' ELSE 'low' END AS tier,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END AS w
+  FROM orders
+), r AS (
+  SELECT tier, CAST(unnest(generate_series(1, w)) AS INT) AS copy FROM t
+)
+SELECT tier, copy, COUNT(*) AS n_orders FROM r GROUP BY tier, copy
+"""

@@ -387,3 +387,41 @@ def sql_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM bhps_ddl_region_summary")
+
+
+def sql_udf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+: SQL-defined routines (Spark 4 SQL UDFs) — a scalar function
+    and a table function declared in DDL, then used in a query. This
+    is the warehouse-native cousin of the Python UDF family: the body
+    is pure SQL, so Catalyst INLINES it (no serialization boundary, no
+    Python worker — check the plan: nothing but the case expression
+    and the explode survive).
+
+    The query tiers orders by price through the scalar UDF and unrolls
+    urgent orders twice through the correlated LATERAL table UDF —
+    both routine kinds exercised end-to-end.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bhps_sqludf_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bhps_price_tier(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p >= 200000 THEN 'high' "
+        "WHEN p >= 100000 THEN 'mid' ELSE 'low' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bhps_repeat(n INT) "
+        "RETURNS TABLE(copy INT) "
+        "RETURN SELECT explode(sequence(1, n)) AS copy"
+    )
+    return spark.sql(
+        """
+        SELECT tier, copy, COUNT(*) AS n_orders
+        FROM (SELECT bhps_price_tier(o_totalprice) AS tier,
+                     CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 2 ELSE 1 END AS INT) AS w
+              FROM bhps_sqludf_orders),
+             LATERAL bhps_repeat(w)
+        GROUP BY tier, copy
+        """
+    )

@@ -736,6 +736,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pandas_udfs.udf_arrow_scalar,
         oracles_f.UDF_ARROW_SCALAR,
     ),
+    # Spark 4 SQL UDFs (scalar + correlated LATERAL table function)
+    "a8_sql_udf_roundtrip": (
+        funcfamilies.sql_udf_roundtrip,
+        oracles_f.SQL_UDF_ROUNDTRIP,
+    ),
 }
 
 
@@ -833,6 +838,7 @@ _DRIVER_ROTATION = [
     "h5_hll_partition_merge",
     "a1_python_datasource",
     "udf_arrow_scalar",
+    "a8_sql_udf_roundtrip",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
