@@ -952,3 +952,11 @@ WITH t AS (
 )
 SELECT tier, copy, COUNT(*) AS n_orders FROM r GROUP BY tier, copy
 """
+
+XML_ROUNDTRIP = """
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(round(SUM(CAST(s_acctbal AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_balance,
+       MIN(s_suppkey) AS min_suppkey
+FROM supplier GROUP BY s_nationkey
+"""

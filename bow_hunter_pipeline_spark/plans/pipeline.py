@@ -465,3 +465,42 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_part").alias("n_orders"),
         to_double(F.sum("sum_part")).alias("total_price"),
     )
+
+
+A5_XML_PATH = "/tmp/bhps_a5_xml"
+
+
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 for XML (native in Spark 4 — no spark-xml package): land
+    the supplier dimension as row-tagged XML, read it back with a
+    declared schema, and aggregate. XML is the one interchange format
+    government/agency feeds (the reference's data owners) still emit;
+    the native reader makes it a first-class landing format alongside
+    CSV/JSON.
+
+    Scale: like CSV — no stats, no pruning; land, convert to parquet,
+    move on. The aggregate stands in for the conversion job.
+    """
+    sup = read_table(spark, sf_dir, "supplier")
+    (
+        sup.write.mode("overwrite")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .save(A5_XML_PATH)
+    )
+    schema = (
+        "s_suppkey bigint, s_name string, s_nationkey int, "
+        "s_acctbal double"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(A5_XML_PATH)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum("s_acctbal", "total_balance", "decimal(14,2)"),
+        F.min("s_suppkey").alias("min_suppkey"),
+    )

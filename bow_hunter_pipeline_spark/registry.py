@@ -741,6 +741,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         funcfamilies.sql_udf_roundtrip,
         oracles_f.SQL_UDF_ROUNDTRIP,
     ),
+    # Native XML source (Spark 4) — land, read back, aggregate
+    "a5_xml_roundtrip": (pipeline.xml_roundtrip, oracles_f.XML_ROUNDTRIP),
 }
 
 
@@ -839,6 +841,7 @@ _DRIVER_ROTATION = [
     "a1_python_datasource",
     "udf_arrow_scalar",
     "a8_sql_udf_roundtrip",
+    "a5_xml_roundtrip",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
