@@ -211,21 +211,29 @@ FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1
 
 
 def _minhash_sig_exprs() -> str:
-    """Same universal-hash family as functions.text.minhash_signature:
-    one 28-bit md5-derived base hash per shingle, then
+    """Same hash family as functions.text.minhash_signature: one
+    28-bit md5 base hash per TOKEN, shingle hash = linear combine of
+    the three token hashes mod 2^31-1 (SHINGLE_COMBINE_C), then
     (A[p]*h + B[p]) mod 2^31-1 per permutation."""
     from bow_hunter_pipeline_spark.functions.text import (
         MERSENNE31,
+        SHINGLE_COMBINE_C,
         minhash_perm_consts,
     )
 
     a, b = minhash_perm_consts(NUM_PERM)
-    base = (
-        f"list_transform({_SHINGLES}, "
-        "s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT))"
+    c1, c2, c3 = SHINGLE_COMBINE_C
+    th = (
+        f"list_transform({_TOKS}, "
+        "t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))"
+    )
+    hs = (
+        "list_transform(generate_series(1, len(th) - 2), "
+        f"i -> (th[i] * {c1} + th[i + 1] * {c2} + th[i + 2] * {c3}) "
+        f"% {MERSENNE31})"
     )
     return (
-        f"{base} AS hs,\n    "
+        f"{th} AS th,\n    {hs} AS hs,\n    "
         + ",\n    ".join(
             f"list_min(list_transform(hs, h -> ({a[p]} * h + {b[p]}) "
             f"% {MERSENNE31})) AS s{p}"
@@ -1144,4 +1152,28 @@ SELECT event_type, COUNT(k) AS n_k, MIN(k) AS min_k, MAX(k) AS max_k,
        CAST(round(SUM(CAST(k AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(k)
          AS avg_k
 FROM k GROUP BY event_type
+"""
+
+# H3: Flesch reading ease — fixed per-row double chain, same op order
+READABILITY_SCORE = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(str_split(text, ' ')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_sentences AS INT) AS n_sentences,
+       CAST(n_syllables AS INT) AS n_syllables,
+       206.835e0
+         - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch_score,
+       (206.835e0
+         - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 84.6e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+         < 30e0 AS is_difficult
+FROM m
 """

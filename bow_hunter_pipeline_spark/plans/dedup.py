@@ -29,8 +29,9 @@ from pyspark.sql import functions as F
 from bow_hunter_pipeline_spark.functions.text import (
     MERSENNE31,
     hash64,
-    minhash_base_hash,
     minhash_perm_consts,
+    shingle_hashes_from,
+    token_hash_array,
     word_shingles,
 )
 from bow_hunter_pipeline_spark.io.readers import read_table
@@ -82,15 +83,19 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_buckets(docs: DataFrame) -> DataFrame:
     """(doc_id, band_key) LSH bucket rows — the codegen-path MinHash.
 
-    Shape: explode shingles to rows (``explode_outer`` so shingle-less
+    Shape: one 28-bit md5 base hash per TOKEN (materialized as an
+    array column so the shingle derivation doesn't re-hash — see
+    functions.text.token_hash_array), shingle hashes as codegen'd
+    linear combines of three token hashes (no shingle-string building
+    at all), explode the hash array (``explode_outer`` so shingle-less
     docs keep their all-NULL signature, exactly like the higher-order
-    form and the SQL oracle), compute ONE md5-derived 28-bit base hash
-    per shingle, then groupBy(doc_id) with a per-permutation min over
-    the universal-hash family (codegen'd multiply-adds — see
-    functions.text.minhash_perm_consts). Values are bit-identical to
-    functions.text.minhash_signature; vs the keyed-md5-per-permutation
-    form this cuts the md5 count NUM_PERM-fold, and vs the original
-    nested higher-order form it is ~100× faster.
+    form and the SQL oracle), then groupBy(doc_id) with a
+    per-permutation min over the universal-hash family. Values are
+    bit-identical to functions.text.minhash_signature. Evolution:
+    md5-per-permutation → md5-per-shingle (NUM_PERM-fold fewer md5s)
+    → md5-per-token + integer combine (~2× again: tokens are ~1/3 the
+    bytes of shingle strings and the array_join/slice string building
+    disappears).
 
     Scale: explode is narrow; partial aggregation collapses each doc's
     shingles map-side, so the doc_id shuffle carries ~one row per doc.
@@ -106,13 +111,14 @@ def _minhash_buckets(docs: DataFrame) -> DataFrame:
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target, "doc_id")
-    exploded = docs.select(
-        "doc_id", F.explode_outer(word_shingles("text", 3)).alias("s")
+    # token-hash array as its OWN projection: the shingle combine
+    # references it 3×, and a separate named column stops
+    # CollapseProject from inlining (= re-md5ing every token 3×)
+    with_th = docs.select("doc_id", token_hash_array("text").alias("th"))
+    hashed = with_th.select(
+        "doc_id",
+        F.explode_outer(shingle_hashes_from(F.col("th"))).alias("h"),
     )
-    # One portable md5 per shingle, truncated to 28 bits (7 hex chars);
-    # every permutation is then an integer multiply-add — the md5 pass
-    # shrinks NUM_PERM-fold and the rest rides whole-stage codegen.
-    hashed = exploded.select("doc_id", minhash_base_hash("s").alias("h"))
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(

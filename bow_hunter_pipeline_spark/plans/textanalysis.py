@@ -321,3 +321,39 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility"
         ),
     )
+
+
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: Flesch reading-ease scoring — a standard corpus-quality
+    signal (e.g. used to bucket web text by audience level).
+
+    All three inputs are exact integer counts from portable regexes:
+    words = whitespace tokens, sentences = [.!?] runs (min 1),
+    syllables ≈ vowel-group runs (the classic approximation). The
+    score formula is a fixed per-row chain of IEEE double ops — same
+    order in both engines, so bit-exact without any decimal detour.
+
+    Shape: narrow projection, whole-stage codegen, no shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        score.alias("flesch_score"),
+        (score < F.lit(30.0)).alias("is_difficult"),
+    )

@@ -743,6 +743,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # Native XML source (Spark 4) — land, read back, aggregate
     "a5_xml_roundtrip": (pipeline.xml_roundtrip, oracles_f.XML_ROUNDTRIP),
+    # Flesch reading-ease corpus quality signal
+    "h3_readability_score": (
+        textanalysis.readability_score,
+        oracles_h.READABILITY_SCORE,
+    ),
 }
 
 
@@ -842,6 +847,7 @@ _DRIVER_ROTATION = [
     "udf_arrow_scalar",
     "a8_sql_udf_roundtrip",
     "a5_xml_roundtrip",
+    "h3_readability_score",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
