@@ -1177,3 +1177,17 @@ SELECT doc_id,
          < 30e0 AS is_difficult
 FROM m
 """
+
+# H6: one-row dataset card
+DATASET_CARD = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(MIN(len(str_split(text, ' '))) AS INT) AS min_doc_tokens,
+       CAST(MAX(len(str_split(text, ' '))) AS INT) AS max_doc_tokens,
+       CAST(SUM(len(str_split(text, ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_doc_tokens,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+FROM documents
+"""

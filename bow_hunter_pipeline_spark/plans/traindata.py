@@ -661,3 +661,31 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(F.col("text")))).alias("n_tokens"),
     )
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: the dataset card — one summary row a corpus release ships
+    with (HuggingFace dataset-card / Datasheets-for-Datasets numbers):
+    volume, token count, language and source breadth, length spread,
+    and the exact-duplicate rate.
+
+    Shape: ONE aggregate over a narrow projection (multi-distinct is
+    Spark's expand-based exact path); the duplicate rate reuses the
+    md5 identity — count_distinct(md5) vs count. No joins, no window.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min(n_tok).alias("min_doc_tokens"),
+        F.max(n_tok).alias("max_doc_tokens"),
+        (
+            F.sum(n_tok).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_doc_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+            "n_exact_dups"
+        ),
+    )

@@ -748,6 +748,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.readability_score,
         oracles_h.READABILITY_SCORE,
     ),
+    # One-row corpus dataset card
+    "h6_dataset_card": (traindata.dataset_card, oracles_h.DATASET_CARD),
 }
 
 
@@ -848,6 +850,7 @@ _DRIVER_ROTATION = [
     "a8_sql_udf_roundtrip",
     "a5_xml_roundtrip",
     "h3_readability_score",
+    "h6_dataset_card",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

@@ -146,3 +146,52 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_writer_controls_file_count_against_small_files(spark, tmp_path):
+    """The small-files mitigation: repartition + maxRecordsPerFile
+    bound the output file count from both sides. 32 shuffle partitions
+    of lineitem would write 32 tiny files; coalescing to 2 and capping
+    records per file yields a predictable, compaction-free layout."""
+    li = _read(spark, "lineitem")
+    n = li.count()
+    out = str(tmp_path / "compacted")
+    per_file = n // 3  # forces a records-per-file split inside each part
+    (
+        li.repartition(2)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .parquet(out)
+    )
+    import glob
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    # 2 partitions, each splitting into ~2 files under the cap
+    assert 2 <= len(files) <= 6, files
+    assert len(files) > 2, files  # the cap actually split something
+    assert spark.read.parquet(out).count() == n
+
+
+def test_max_partition_bytes_splits_large_scans(spark, tmp_path):
+    """Scan parallelism is config-driven, not file-count-driven: ONE
+    large parquet file splits into multiple input partitions under a
+    small maxPartitionBytes — the knob that keeps one 1 GB file from
+    pinning one task at 100 TB."""
+    one_file = str(tmp_path / "onefile")
+    spark.range(2_000_000).selectExpr(
+        "id", "id * 2 as a", "cast(id as string) as s"
+    ).coalesce(1).write.mode("overwrite").parquet(one_file)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+
+    def n_parts(setting):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", setting)
+        try:
+            return spark.read.parquet(one_file).rdd.getNumPartitions()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    small, big = n_parts("1m"), n_parts("1g")
+    # (big is not 1: files.minPartitionNum still targets the session's
+    # default parallelism — the same config family, same lesson)
+    assert small > big, (small, big)
