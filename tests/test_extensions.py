@@ -211,3 +211,21 @@ def test_observe_metrics_ride_the_main_job(spark):
     assert m["neg_totals"] == 0
     # the observed count equals an explicit recount — same data, one pass
     assert m["n_rows"] == read_table(spark, SF_SMOKE, "orders").count()
+
+
+def test_driver_rotation_prefix_is_stable():
+    """The external driver checks a fixed-size prefix (50) of the
+    queries() export order. Pin that the prefix equals the rotation
+    list so a refactor can't silently change which queries get
+    driver-checked, and that every rotation name actually resolves."""
+    from bow_hunter_pipeline_spark import registry
+
+    names = list(registry.queries())
+    rotation = [n for n in registry._DRIVER_ROTATION if n in registry._REGISTRY]
+    assert rotation == names[: len(rotation)]
+    missing = [n for n in registry._DRIVER_ROTATION if n not in registry._REGISTRY]
+    assert not missing, f"rotation names not in registry: {missing}"
+    # round-2 red rows lead the rotation — they must stay in the
+    # driver-checked prefix until a green CORRECTNESS round retires them
+    for must_lead in ("c2_parse_long", "c3_parse_unit", "h4_sessionize"):
+        assert names.index(must_lead) < 50
