@@ -66,6 +66,9 @@ PROBE_QUERIES = [
     "h2_cosine_topk",  # double folds over drifted embedding arrays
     "h1_embedding_near_dup",  # embeddings + widened label buckets
     "h6_quality_rules",  # documents higher-order projections
+    "h1_semdedup_kmeans",  # fixed-point centroid math over widened floats
+    "a4_zorder_layout",  # datediff over date32-drifted o_orderdate
+    "h6_curation_pipeline",  # full funnel incl. token-hash MinHash
 ]
 
 
