@@ -210,9 +210,12 @@ def partition_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.write.mode("overwrite").partitionBy("order_year").parquet(
         A4_ROUNDTRIP_PATH
     )
-    back = spark.read.parquet(A4_ROUNDTRIP_PATH).filter(
-        F.col("order_year") == A4_PRUNE_YEAR
-    )
+    # explicit schema on read-back: an EMPTY upstream writes no data
+    # files, and schema inference has nothing to probe — declaring the
+    # written schema (A6 discipline) keeps the round trip total
+    back = spark.read.schema(orders.schema).parquet(
+        A4_ROUNDTRIP_PATH
+    ).filter(F.col("order_year") == A4_PRUNE_YEAR)
     return back.groupBy("order_year", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),

@@ -229,3 +229,43 @@ def test_driver_rotation_prefix_is_stable():
     # driver-checked prefix until a green CORRECTNESS round retires them
     for must_lead in ("c2_parse_long", "c3_parse_unit", "h4_sessionize"):
         assert names.index(must_lead) < 50
+
+
+EMPTY_FIXTURES = "/tmp/bhps_empty_fixtures_t"
+
+
+def test_every_query_survives_empty_fixtures(spark):
+    """Zero-row robustness sweep: every batch registry query must
+    EXECUTE against 0-row fixtures (first-day-of-a-pipeline state, or
+    a fully-filtered partition). Streaming drains and the sourceless
+    Python-DataSource connector are exempt (not fixture-driven).
+    Survival only — with no rows, value semantics are vacuous."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from bow_hunter_pipeline_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    shutil.rmtree(EMPTY_FIXTURES, ignore_errors=True)
+    os.makedirs(EMPTY_FIXTURES)
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    try:
+        for t in tables:
+            tbl = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
+            pq.write_table(tbl.slice(0, 0), f"{EMPTY_FIXTURES}/{t}.parquet")
+        crashed = []
+        for name, fn in registry.queries().items():
+            if name.startswith("h4_streaming") or name == "a1_python_datasource":
+                continue
+            try:
+                fn(spark, EMPTY_FIXTURES).count()
+            except Exception as exc:
+                crashed.append((name, str(exc).splitlines()[0][:100]))
+        assert not crashed, crashed
+    finally:
+        shutil.rmtree(EMPTY_FIXTURES, ignore_errors=True)
