@@ -750,6 +750,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # One-row corpus dataset card
     "h6_dataset_card": (traindata.dataset_card, oracles_h.DATASET_CARD),
+    # Stateful streaming funnel — same oracle as the batch funnel
+    "h4_streaming_funnel": (
+        structured.streaming_funnel,
+        oracles_h.FUNNEL_STAGES,
+    ),
 }
 
 
@@ -851,6 +856,7 @@ _DRIVER_ROTATION = [
     "a5_xml_roundtrip",
     "h3_readability_score",
     "h6_dataset_card",
+    "h4_streaming_funnel",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

@@ -516,3 +516,103 @@ def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(sessions, "bhps_stream_sessions_tws", "update")
     return spark.table("bhps_stream_sessions_tws")
+
+
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_view_ns", T.LongType()),
+        T.StructField("t_click_ns", T.LongType()),
+        T.StructField("t_purchase_ns", T.LongType()),
+        T.StructField("funnel_stage", T.IntegerType()),
+    ]
+)
+
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t_view_ns", T.LongType()),
+        T.StructField("t_click_ns", T.LongType()),
+        T.StructField("t_purchase_ns", T.LongType()),
+    ]
+)
+
+
+def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 stateful streaming funnel — the streaming twin of
+    plans.events.funnel_stages. Per-user state is the first qualifying
+    timestamp per stage (view → click-after-view →
+    purchase-after-qualified-click); each micro-batch folds its events
+    in strict (ts_ns, event_id) order into that state and re-emits the
+    user's current funnel row, so the final emission equals the batch
+    answer on a bounded source.
+
+    The in-order sequential fold IS the window semantics: a stage-2
+    event qualifies iff an earlier row already set stage 1 — exactly
+    the batch plan's min-over-preceding-rows window, but with O(1)
+    state per user instead of a sort per query. At 100 TB of events
+    this is the shape that keeps funnel state bounded by cardinality,
+    not event volume; the watermark horizon bounds how long a user's
+    state lives.
+    """
+
+    def fold_user(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            t_view, t_click, t_purchase = state.get
+        else:
+            t_view, t_click, t_purchase = None, None, None
+
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (int(t), int(e), str(ty))
+                for t, e, ty in zip(
+                    pdf["ts_ns"], pdf["event_id"], pdf["event_type"]
+                )
+            )
+        rows.sort()  # (ts_ns, event_id): the batch plan's sort order
+        for ts_ns, _eid, etype in rows:
+            if etype == "view":
+                if t_view is None:
+                    t_view = ts_ns
+            elif etype == "click":
+                # t_view set ⇒ a view sits strictly earlier in the
+                # (ts_ns, event_id) order — the batch window's
+                # rows-preceding semantics, sequentially
+                if t_view is not None and t_click is None:
+                    t_click = ts_ns
+            elif etype == "purchase":
+                if t_click is not None and t_purchase is None:
+                    t_purchase = ts_ns
+
+        state.update((t_view, t_click, t_purchase))
+        stage = (
+            3 if t_purchase is not None
+            else 2 if t_click is not None
+            else 1 if t_view is not None
+            else 0
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "t_view_ns": pd.Series([t_view], dtype="object"),
+                "t_click_ns": pd.Series([t_click], dtype="object"),
+                "t_purchase_ns": pd.Series([t_purchase], dtype="object"),
+                "funnel_stage": pd.Series([stage], dtype="int32"),
+            }
+        )
+
+    ev = read_event_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fold_user,
+        outputStructType=_FUNNEL_OUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(out, "bhps_stream_funnel", "update")
+    return spark.table("bhps_stream_funnel")
