@@ -189,3 +189,130 @@ def test_python_stream_source_delivers_year_batches_exactly_once(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_funnel_state_spans_micro_batches(spark, tmp_path):
+    """Cross-batch funnel state: a user's view arrives in batch 1 and
+    the qualifying click/purchase in batch 2 — the final per-user
+    emission must equal the batch funnel over ALL events, proving the
+    state survived the batch boundary (a per-batch recompute would
+    mis-stage every user whose journey straddles the boundary)."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import oracles_h, registry
+    from bow_hunter_pipeline_spark.io.readers import read_events
+    from bow_hunter_pipeline_spark.streaming.structured import (
+        _FUNNEL_OUT,
+        _FUNNEL_STATE,
+    )
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from tests.conftest import SF_SMOKE
+    from tests.oracle_harness import run_oracle
+    import pandas as pd
+
+    ev = read_events(spark, SF_SMOKE).select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    cut = ev.agg(F.expr("percentile(ts_ns, 0.5)")).collect()[0][0]
+    src = tmp_path / "lake"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    first = ev.filter(F.col("ts_ns") <= cut)
+    second = ev.filter(F.col("ts_ns") > cut)
+    _land_file(first, staging, src / "b1.parquet")
+
+    # same fold as streaming_funnel, but over the two-file lake with a
+    # persistent checkpoint and a foreachBatch collector so the test
+    # can see WHICH batch each emission came from
+    from collections.abc import Iterator
+
+    def fold_user(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            t_view, t_click, t_purchase = state.get
+        else:
+            t_view, t_click, t_purchase = None, None, None
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (int(t), int(e), str(ty))
+                for t, e, ty in zip(
+                    pdf["ts_ns"], pdf["event_id"], pdf["event_type"]
+                )
+            )
+        rows.sort()
+        for ts_ns, _eid, etype in rows:
+            if etype == "view":
+                if t_view is None:
+                    t_view = ts_ns
+            elif etype == "click":
+                if t_view is not None and t_click is None:
+                    t_click = ts_ns
+            elif etype == "purchase":
+                if t_click is not None and t_purchase is None:
+                    t_purchase = ts_ns
+        state.update((t_view, t_click, t_purchase))
+        stage = (
+            3 if t_purchase is not None
+            else 2 if t_click is not None
+            else 1 if t_view is not None
+            else 0
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "t_view_ns": pd.Series([t_view], dtype="object"),
+                "t_click_ns": pd.Series([t_click], dtype="object"),
+                "t_purchase_ns": pd.Series([t_purchase], dtype="object"),
+                "funnel_stage": pd.Series([stage], dtype="int32"),
+            }
+        )
+
+    emissions: dict[int, tuple] = {}
+
+    def collect_batch(df, batch_id):
+        for r in df.collect():
+            emissions[r.user_id] = (
+                r.t_view_ns,
+                r.t_click_ns,
+                r.t_purchase_ns,
+                r.funnel_stage,
+            )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(first.schema).parquet(str(src))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fold_user,
+                outputStructType=_FUNNEL_OUT,
+                stateStructType=_FUNNEL_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 1 only
+    _land_file(second, staging, src / "b2.parquet")
+    run_once()  # batch 2: must fold ONTO recovered state
+
+    batch_truth = {
+        r.user_id: (
+            r.t_view_ns,
+            r.t_click_ns,
+            r.t_purchase_ns,
+            r.funnel_stage,
+        )
+        for r in registry.queries()["h4_funnel_stages"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert emissions == batch_truth
