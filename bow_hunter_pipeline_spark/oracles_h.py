@@ -1191,3 +1191,26 @@ SELECT COUNT(*) AS n_docs,
        CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
 FROM documents
 """
+
+
+# H2: recall@k audit — full join of exact vs bucketed-ANN top-k
+ANN_RECALL_AUDIT = f"""
+WITH exact AS (
+  SELECT q_id, c_id FROM ({COSINE_TOPK})
+),
+approx AS (
+  SELECT q_id, c_id FROM ({ANN_BUCKETED_TOPK})
+),
+j AS (
+  SELECT COALESCE(e.q_id, a.q_id) AS q_id,
+         CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+         CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END AS in_ann
+  FROM exact e FULL JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+)
+SELECT q_id, CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+       CAST(SUM(in_ann) AS BIGINT) AS n_ann,
+       CAST(SUM(in_exact * in_ann) AS BIGINT) AS n_hit,
+       CAST(SUM(in_exact * in_ann) AS DOUBLE) / CAST(SUM(in_exact) AS DOUBLE)
+         AS recall_at_k
+FROM j GROUP BY q_id
+"""

@@ -578,3 +578,43 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_kept"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: recall@k audit — the standard ANN quality metric: for each
+    probe, |bucketed-ANN top-k ∩ exact top-k| / k. This is the query a
+    retrieval team runs after every index build; here both sides are
+    deterministic plans, so the audit itself is oracle-checkable.
+
+    Shape: the two top-k plans (brute-force = ground truth, bucketed =
+    candidate) join on (q_id, c_id); one tiny aggregate per probe.
+    Scale: ground truth on a SAMPLE of probes (here all 5) — recall
+    audits never run the exact scan over the full corpus; the sampled
+    exact side is the only expensive leg and it is bounded by the
+    probe count.
+    """
+    exact = cosine_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("in_exact")
+    )
+    approx = ann_bucketed_topk(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("in_ann")
+    )
+    return (
+        exact.join(approx, ["q_id", "c_id"], "full")
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.coalesce("in_exact", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("in_ann", F.lit(0))).alias("n_ann"),
+            F.sum(
+                F.when(
+                    F.col("in_exact").isNotNull()
+                    & F.col("in_ann").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_hit"),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )

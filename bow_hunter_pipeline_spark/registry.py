@@ -755,6 +755,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_funnel,
         oracles_h.FUNNEL_STAGES,
     ),
+    # ANN recall@k audit: bucketed ANN vs exact ground truth
+    "h2_ann_recall_audit": (
+        simsearch.ann_recall_audit,
+        oracles_h.ANN_RECALL_AUDIT,
+    ),
 }
 
 
@@ -857,6 +862,7 @@ _DRIVER_ROTATION = [
     "h3_readability_score",
     "h6_dataset_card",
     "h4_streaming_funnel",
+    "h2_ann_recall_audit",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
