@@ -1,0 +1,73 @@
+"""CLI — the engine's answer to the reference's argparse entry points.
+
+The reference is driven as ``python src/etl/ingest_*.py --state co
+--species elk`` (SURVEY §3 EP1/EP2); this engine's whole surface is the
+query registry, so the CLI exposes it directly:
+
+    python -m bow_hunter_pipeline_spark list [--prefix h6]
+    python -m bow_hunter_pipeline_spark run h1_minhash_lsh_pairs \\
+        [--sf-dir /root/testdata/sf0.01] [--limit 20]
+    python -m bow_hunter_pipeline_spark explain g2_revenue_by_nation
+
+``run`` prints the result as Spark's tabular show() plus a row count;
+``explain`` prints the formatted physical plan (the 100 TB design
+review surface). Exit code 2 for unknown query names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bow_hunter_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.add_argument("--prefix", default="", help="name prefix filter")
+
+    for cmd, help_text in (
+        ("run", "execute a query and print rows"),
+        ("explain", "print a query's formatted physical plan"),
+    ):
+        s = sub.add_parser(cmd, help=help_text)
+        s.add_argument("name", help="registry query name")
+        s.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+        if cmd == "run":
+            s.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from bow_hunter_pipeline_spark import registry
+
+    queries = registry.queries()
+    if args.cmd == "list":
+        for name in queries:
+            if name.startswith(args.prefix):
+                print(name)
+        return 0
+
+    if args.name not in queries:
+        print(f"unknown query: {args.name!r} (see `list`)", file=sys.stderr)
+        return 2
+
+    from bow_hunter_pipeline_spark.session import get_spark
+
+    spark = get_spark()
+    df = queries[args.name](spark, args.sf_dir)
+    if args.cmd == "explain":
+        df.explain("formatted")
+        return 0
+    df.show(args.limit, truncate=False)
+    print(f"[{args.name}] {df.count()} rows @ {args.sf_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -269,3 +269,24 @@ def test_every_query_survives_empty_fixtures(spark):
         assert not crashed, crashed
     finally:
         shutil.rmtree(EMPTY_FIXTURES, ignore_errors=True)
+
+
+def test_cli_list_run_explain(spark, capsys):
+    """python -m bow_hunter_pipeline_spark — list/run/explain against
+    the registry (the engine's EP-style entry point)."""
+    from bow_hunter_pipeline_spark.__main__ import main
+    from tests.conftest import SF_SMOKE
+
+    assert main(["list", "--prefix", "g1"]) == 0
+    out = capsys.readouterr().out
+    assert "g1_pricing_summary" in out
+
+    assert main(["run", "g1_pricing_summary", "--sf-dir", SF_SMOKE]) == 0
+    out = capsys.readouterr().out
+    assert "6 rows" in out
+
+    assert main(["explain", "g1_pricing_summary", "--sf-dir", SF_SMOKE]) == 0
+    out = capsys.readouterr().out
+    assert "PushedFilters" in out
+
+    assert main(["run", "definitely_not_a_query"]) == 2
