@@ -1214,3 +1214,44 @@ SELECT q_id, CAST(SUM(in_exact) AS BIGINT) AS n_exact,
          AS recall_at_k
 FROM j GROUP BY q_id
 """
+
+
+# H1: prefix-filtering set-similarity join (PPJoin family) — exact,
+# no false negatives; threshold mirrors plans.dedup.PREFIX_JACCARD_T
+PREFIX_FILTER_JOIN = """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' near dup tail' AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+dt AS (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok FROM corpus),
+freq AS (SELECT tok, COUNT(*) AS f FROM dt GROUP BY tok),
+ranked AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f, tok) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM dt JOIN freq USING (tok)
+),
+prefix AS (
+  SELECT doc_id, tok FROM ranked
+  WHERE rn <= m - CAST(ceil(0.9e0 * m) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS m FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN dt x ON x.doc_id = c.doc_a
+  JOIN dt y ON y.doc_id = c.doc_b AND y.tok = x.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, sa.m AS m_a, sb.m AS m_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.m + sb.m - n_shared) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.m + sb.m - n_shared) >= 0.9e0
+"""

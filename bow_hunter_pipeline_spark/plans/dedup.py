@@ -23,7 +23,7 @@ signatures are deterministic, not RNG-seeded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.functions.text import (
@@ -32,6 +32,7 @@ from bow_hunter_pipeline_spark.functions.text import (
     minhash_perm_consts,
     shingle_hashes_from,
     token_hash_array,
+    tokens,
     word_shingles,
 )
 from bow_hunter_pipeline_spark.io.readers import read_table
@@ -437,4 +438,88 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("cont_in_b") >= CONTAINMENT_THRESHOLD)
         )
         .select("doc_a", "doc_b", "n_shared", "cont_in_a", "cont_in_b")
+    )
+
+
+PREFIX_JACCARD_T = 0.9  # distinct-token Jaccard threshold — the
+# fixture corpus draws on one shared vocabulary, so docs overlap
+# heavily in distinct tokens; 0.9 isolates true near-copies
+
+
+def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: set-similarity join via prefix filtering (the PPJoin family,
+    Xiao et al. 2008) — the OTHER classic way to bound an all-pairs
+    similarity join, complementary to MinHash-LSH:
+
+    order each doc's distinct tokens by global rarity (frequency asc,
+    token asc); for Jaccard ≥ t, two docs can only qualify if they
+    share a token within each other's first ``|d| - ceil(t·|d|) + 1``
+    tokens (the prefix) — rare tokens first, so prefixes collide
+    seldom. Candidates = equi-join on prefix tokens; then the exact
+    Jaccard verify runs only on candidates. Unlike LSH this is EXACT:
+    no false negatives, which tests/test_extensions.py proves against
+    the brute-force all-pairs join.
+
+    Scale: the prefix join is keyed on rare tokens (collision-bounded
+    like LSH bands); the frequency table is a broadcastable aggregate;
+    verify cost is candidate-bounded. The frequent-token tail never
+    enters any join key — exactly the skew the naive token join dies
+    on.
+    """
+    t = PREFIX_JACCARD_T
+    corpus = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    dt = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    freq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    w_rank = Window.partitionBy("doc_id").orderBy("f", "tok")
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        dt.join(freq, "tok")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("m", F.count(F.lit(1)).over(w_size))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("m") - F.ceil(F.lit(t) * F.col("m")).cast("bigint") + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    x = dt.select(F.col("doc_id").alias("doc_a"), "tok")
+    y = dt.select(
+        F.col("doc_id").alias("y_doc"), F.col("tok").alias("tok_b")
+    )
+    inter = (
+        cand.join(x, "doc_a")
+        .join(
+            y,
+            (F.col("doc_b") == F.col("y_doc"))
+            & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("m_a") + F.col("m_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("doc_a", "doc_b", "m_a", "m_b", "n_shared", "jaccard")
     )

@@ -760,6 +760,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ann_recall_audit,
         oracles_h.ANN_RECALL_AUDIT,
     ),
+    # PPJoin-style prefix-filtering similarity join (exact, no FN)
+    "h1_prefix_filter_join": (
+        dedup.prefix_filter_join,
+        oracles_h.PREFIX_FILTER_JOIN,
+    ),
 }
 
 
@@ -863,6 +868,7 @@ _DRIVER_ROTATION = [
     "h6_dataset_card",
     "h4_streaming_funnel",
     "h2_ann_recall_audit",
+    "h1_prefix_filter_join",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

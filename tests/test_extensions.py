@@ -290,3 +290,50 @@ def test_cli_list_run_explain(spark, capsys):
     assert "PushedFilters" in out
 
     assert main(["run", "definitely_not_a_query"]) == 2
+
+
+def test_prefix_filter_has_no_false_negatives(spark):
+    """The prefix filter's correctness guarantee: candidates pruned by
+    the filter can NEVER reach the threshold — so the filtered join
+    equals the brute-force all-pairs join exactly."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.plans.dedup import (
+        PREFIX_JACCARD_T,
+        _with_near_copies,
+        prefix_filter_join,
+    )
+    from bow_hunter_pipeline_spark.functions.text import tokens
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from tests.conftest import SF_SMOKE
+
+    filtered = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_join(spark, SF_SMOKE).collect()
+    }
+
+    corpus = _with_near_copies(read_table(spark, SF_SMOKE, "documents"))
+    dt = corpus.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    a = dt.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = dt.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tb"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("m"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("m_a") + F.col("m_b") - F.col("n_shared")
+    ).cast("double")
+    brute = {
+        (r.doc_a, r.doc_b): r.j
+        for r in inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("j", jac)
+        .filter(F.col("j") >= PREFIX_JACCARD_T)
+        .collect()
+    }
+    assert filtered == brute
