@@ -1255,3 +1255,26 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_shared AS DOUBLE) / (sa.m + sb.m - n_shared) >= 0.9e0
 """
+
+# H1: C4-style segment-level dedup accounting
+LINE_DEDUP_STATS = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(toks, (i * 8) + 1, (i * 8) + 8), ' ')
+           AS seg
+  FROM t, unnest(generate_series(0, CAST(floor(len(toks) / 8e0) AS BIGINT) - 1))
+         AS u(i)
+),
+marked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) > 1
+           AS is_repeat
+  FROM segs
+)
+SELECT doc_id, COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats,
+       CAST(SUM(CASE WHEN is_repeat THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS repeat_ratio
+FROM marked GROUP BY doc_id
+"""

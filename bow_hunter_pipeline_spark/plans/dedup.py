@@ -523,3 +523,53 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= F.lit(t))
         .select("doc_a", "doc_b", "m_a", "m_b", "n_shared", "jaccard")
     )
+
+
+SEG_LEN = 8  # tokens per pseudo-line segment
+
+
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: C4-style sub-document dedup (Raffel et al. 2020 §2.2 — the
+    famous three-sentence-span rule): dedup at SEGMENT granularity
+    across the whole corpus, keeping only a span's first occurrence in
+    (doc_id, position) order. The fixture texts carry no sentence
+    punctuation, so the span unit is a fixed 8-token window — same
+    operator, deterministic segmentation.
+
+    Returns per-doc boilerplate accounting: total segments, segments
+    that are repeats of an earlier occurrence anywhere in the corpus,
+    and the repeat ratio — the signal C4 used to strip boilerplate
+    without dropping whole documents.
+
+    Scale: one narrow segment explode; ONE shuffle on the segment text
+    (first-occurrence window) + the doc_id re-aggregate. At 100 TB
+    hash the segment to a 64-bit key first so the shuffle carries
+    fixed-width keys (hash64 — same md5 discipline as exact dedup).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nseg = F.floor(F.size(toks) / F.lit(SEG_LEN)).cast("int")
+    seg_array = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * SEG_LEN + 1, SEG_LEN), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = docs.select(
+        "doc_id", F.posexplode(seg_array).alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn(
+        "is_repeat", F.row_number().over(w) > 1
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("is_repeat").cast("int")).alias("n_repeats"),
+        (
+            F.sum(F.col("is_repeat").cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("repeat_ratio"),
+    )

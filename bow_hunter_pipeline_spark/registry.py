@@ -765,6 +765,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.prefix_filter_join,
         oracles_h.PREFIX_FILTER_JOIN,
     ),
+    # C4-style sub-document (segment) dedup accounting
+    "h1_line_dedup_stats": (
+        dedup.line_dedup_stats,
+        oracles_h.LINE_DEDUP_STATS,
+    ),
 }
 
 
@@ -869,6 +874,7 @@ _DRIVER_ROTATION = [
     "h4_streaming_funnel",
     "h2_ann_recall_audit",
     "h1_prefix_filter_join",
+    "h1_line_dedup_stats",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
