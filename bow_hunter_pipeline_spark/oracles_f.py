@@ -960,3 +960,18 @@ SELECT s_nationkey, COUNT(*) AS n_suppliers,
        MIN(s_suppkey) AS min_suppkey
 FROM supplier GROUP BY s_nationkey
 """
+
+# A6+: additive schema evolution — old-generation rows NULL the column
+SCHEMA_MERGE_SCAN = """
+WITH merged AS (
+  SELECT s_suppkey, NULL AS balance_tier FROM supplier WHERE s_suppkey % 2 = 0
+  UNION ALL
+  SELECT s_suppkey,
+         CASE WHEN s_acctbal >= 5000 THEN 'high' ELSE 'low' END AS balance_tier
+  FROM supplier WHERE s_suppkey % 2 = 1
+)
+SELECT COALESCE(balance_tier, 'pre-evolution') AS balance_tier,
+       COUNT(*) AS n_suppliers,
+       MIN(s_suppkey) AS min_key, MAX(s_suppkey) AS max_key
+FROM merged GROUP BY 1
+"""

@@ -1278,3 +1278,24 @@ SELECT doc_id, COUNT(*) AS n_segments,
          / CAST(COUNT(*) AS DOUBLE) AS repeat_ratio
 FROM marked GROUP BY doc_id
 """
+
+# H4: watermark lateness audit — running max over arrival order
+WATERMARK_LATENESS_AUDIT = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) * 1000 AS ts_ns
+  FROM events
+),
+run AS (
+  SELECT event_id, event_type, ts_ns,
+         MAX(ts_ns) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 3600000000000 AS hw
+  FROM ev
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts_ns < hw THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN ts_ns < hw THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS late_ratio
+FROM run GROUP BY event_type
+"""

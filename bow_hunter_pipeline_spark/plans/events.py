@@ -255,3 +255,46 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_double(F.sum(F.col("k").cast("decimal(18,4)"))) / F.count("k")
         ).alias("avg_k"),
     )
+
+
+LATENESS_WATERMARK_S = 3600  # the 1-hour watermark the stream twins use
+
+
+def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 streaming-ops observability: which events WOULD be dropped at
+    a given watermark? Replays arrival order (event_id — the ingest
+    sequence) and compares each event's time against the running
+    maximum event time seen so far minus the watermark horizon — the
+    exact rule Structured Streaming applies. The per-type summary is
+    the dashboard a team reads before tightening a watermark.
+
+    Shape: one running-max window over arrival order + one aggregate.
+    Scale note: the audit windows over the GLOBAL arrival sequence —
+    fine as a periodic batch job over a bounded slice (sample or
+    partition by ingest shard); the production equivalent reads the
+    streaming query's own lateness metrics.
+    """
+    ev = read_events(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    high_water = F.max("ts_ns").over(w) - F.lit(
+        LATENESS_WATERMARK_S * 1_000_000_000
+    ).cast("bigint")
+    audited = ev.select(
+        "event_id",
+        "event_type",
+        "ts_ns",
+        (F.col("ts_ns") < high_water).alias("would_drop"),
+    )
+    return audited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.coalesce(F.col("would_drop").cast("int"), F.lit(0))
+        ).alias("n_late"),
+        (
+            F.sum(F.coalesce(F.col("would_drop").cast("int"), F.lit(0)))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("late_ratio"),
+    )

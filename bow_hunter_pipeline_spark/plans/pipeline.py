@@ -507,3 +507,41 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("s_acctbal", "total_balance", "decimal(14,2)"),
         F.min("s_suppkey").alias("min_suppkey"),
     )
+
+
+A6_MERGE_PATH = "/tmp/bhps_a6_schema_merge"
+
+
+def schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+: schema evolution across lake files — two parquet
+    generations of the supplier dimension (the second adds a derived
+    ``balance_tier`` column), read as ONE table with ``mergeSchema``.
+    Old-generation rows surface NULL for the new column; the aggregate
+    proves both generations are read and the evolved column is typed.
+
+    This is the drift case E4 audits (a column APPEARING) handled
+    the constructive way: additive evolution needs no rewrite of old
+    files. Scale: mergeSchema unions footers at planning time — cost
+    scales with file count, not data; lakes with thousands of
+    generations pin the merged schema in a catalog instead.
+    """
+    sup = read_table(spark, sf_dir, "supplier")
+    gen1 = sup.filter(F.col("s_suppkey") % 2 == 0)
+    gen2 = sup.filter(F.col("s_suppkey") % 2 == 1).withColumn(
+        "balance_tier",
+        F.when(F.col("s_acctbal") >= 5000, "high").otherwise("low"),
+    )
+    gen1.write.mode("overwrite").parquet(f"{A6_MERGE_PATH}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{A6_MERGE_PATH}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{A6_MERGE_PATH}/gen=1", f"{A6_MERGE_PATH}/gen=2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("balance_tier"), F.lit("pre-evolution")).alias(
+            "balance_tier"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.min("s_suppkey").alias("min_key"),
+        F.max("s_suppkey").alias("max_key"),
+    )

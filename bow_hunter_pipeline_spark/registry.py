@@ -770,6 +770,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.line_dedup_stats,
         oracles_h.LINE_DEDUP_STATS,
     ),
+    # Watermark lateness audit (streaming-ops observability, batch replay)
+    "h4_lateness_audit": (
+        events.watermark_lateness_audit,
+        oracles_h.WATERMARK_LATENESS_AUDIT,
+    ),
+    # Additive schema evolution via mergeSchema scan
+    "a6_schema_merge_scan": (
+        pipeline.schema_merge_scan,
+        oracles_f.SCHEMA_MERGE_SCAN,
+    ),
 }
 
 
@@ -875,6 +885,8 @@ _DRIVER_ROTATION = [
     "h2_ann_recall_audit",
     "h1_prefix_filter_join",
     "h1_line_dedup_stats",
+    "h4_lateness_audit",
+    "a6_schema_merge_scan",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
