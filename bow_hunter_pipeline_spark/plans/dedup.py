@@ -42,8 +42,8 @@ BANDS = 4
 ROWS_PER_BAND = 4
 
 # Universal-hash permutation family (functions.text): one md5 per
-# shingle instead of NUM_PERM of them — the md5 pass was ~the entire
-# MinHash cost — and each permutation is a codegen'd multiply-add.
+# TOKEN (shingle hash = integer combine of three token hashes — see
+# _minhash_buckets), each permutation a codegen'd multiply-add.
 PERM_A, PERM_B = minhash_perm_consts(NUM_PERM)
 
 

@@ -337,3 +337,35 @@ def test_prefix_filter_has_no_false_negatives(spark):
         .collect()
     }
     assert filtered == brute
+
+
+def test_zorder_buckets_are_local_in_both_dimensions(spark):
+    """WHY Z-order: under a single-dimension sort, buckets are tight in
+    that dimension and span the full range of the other; the Morton
+    curve keeps BOTH per-bucket spans small. Assert the z-layout's mean
+    day-span beats custkey-sorted bucketing's by a wide margin (both
+    layouts are trivially tight on custkey)."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.plans.pipeline import zorder_layout
+    from tests.conftest import SF_SMOKE
+
+    z = zorder_layout(spark, SF_SMOKE)
+    z_day_span = z.agg(
+        F.avg(F.col("max_day") - F.col("min_day")).alias("s")
+    ).collect()[0].s
+
+    # strawman: bucket by custkey bits alone (the single-key layout)
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = (F.col("o_custkey") % 256).cast("bigint")
+    b = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256
+    ).cast("bigint")
+    naive = (
+        orders.select(a.alias("ck"), b.alias("day"))
+        .groupBy((F.col("ck") / 8).cast("int").alias("bucket"))
+        .agg((F.max("day") - F.min("day")).alias("day_span"))
+    )
+    naive_day_span = naive.agg(F.avg("day_span").alias("s")).collect()[0].s
+
+    assert z_day_span < naive_day_span / 2, (z_day_span, naive_day_span)
