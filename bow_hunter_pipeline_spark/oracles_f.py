@@ -793,7 +793,11 @@ g AS (
   FROM ev
 ),
 f AS (
-  SELECT *, CASE WHEN prev_s IS NULL OR epoch_s - prev_s >= 1800
+  -- boundary rule verified against the native operator at sf0.1: an
+  -- event exactly `gap` after the previous one still MERGES (windows
+  -- abut and session_window coalesces abutting ranges), so a new
+  -- session starts only when the diff is STRICTLY greater
+  SELECT *, CASE WHEN prev_s IS NULL OR epoch_s - prev_s > 1800
                  THEN 1 ELSE 0 END AS is_new
   FROM g
 ),

@@ -147,10 +147,12 @@ def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4: Spark's NATIVE gap-based session operator —
     ``groupBy(session_window(ts, gap))`` — alongside the windowed
     lag-scan sessionize above (same islands, zero window functions).
-    Boundary semantics: an event exactly ``gap`` after the previous
-    one starts a NEW session (session ranges are half-open), so the
-    oracle's island rule is ``gap >= 1800``, unlike sessionize's
-    ``> 1800``.
+    Boundary semantics (verified empirically at sf0.1, where an
+    exact-gap event pair exists): an event exactly ``gap`` after the
+    previous one still MERGES — per-event ranges ``[t, t+gap)`` abut
+    and the operator coalesces abutting ranges — so the island rule is
+    strictly-greater, the same as sessionize's. The smaller fixtures
+    never exercised the boundary; the sf0.1 oracle sweep caught it.
 
     Scale: session_window aggregates in one shuffle on user_id with
     state merged per group — the same operator Structured Streaming
