@@ -369,3 +369,61 @@ def test_zorder_buckets_are_local_in_both_dimensions(spark):
     naive_day_span = naive.agg(F.avg("day_span").alias("s")).collect()[0].s
 
     assert z_day_span < naive_day_span / 2, (z_day_span, naive_day_span)
+
+
+def test_mmr_selection_matches_pure_python_reference(spark):
+    """h2_mmr_rerank is rows-only for the driver (greedy chain isn't
+    one-statement SQL) — this differential test carries its value
+    check: an independent pure-Python MMR over the same pool must pick
+    the same candidates in the same order for every probe."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from bow_hunter_pipeline_spark.plans.simsearch import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        N_QUERIES,
+        mmr_rerank,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.q_id, r.mmr_rank): r.c_id
+        for r in mmr_rerank(spark, SF_SMOKE).collect()
+    }
+
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pydict()
+    vecs = dict(zip(tbl["vec_id"], tbl["embedding"]))
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return dot / (na * nb)
+
+    expect = {}
+    for q in range(N_QUERIES):
+        qe = vecs[q]
+        scored = sorted(
+            ((cos(qe, ce), -c) for c, ce in vecs.items() if c != q),
+            reverse=True,
+        )
+        pool = [(-negc, rel) for rel, negc in scored[:MMR_POOL]]
+        chosen: list[int] = []
+        for rank in range(1, MMR_K + 1):
+            best, best_key = None, None
+            for c, rel in pool:
+                if c in chosen:
+                    continue
+                div = max(
+                    (cos(vecs[c], vecs[s]) for s in chosen), default=0.0
+                )
+                score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * div
+                key = (-score, c)
+                if best_key is None or key < best_key:
+                    best, best_key = c, key
+            chosen.append(best)
+            expect[(q, rank)] = best
+    assert got == expect
