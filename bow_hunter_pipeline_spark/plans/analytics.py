@@ -248,3 +248,65 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double(F.sum("tp_dec").over(rows3)).alias("trailing_3m_sum"),
         to_double(F.sum("tp_dec").over(rng)).alias("centered_3m_sum"),
     )
+
+
+def weather_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: the declared weather/harvest correlation
+    (``rough-idea.md:29-32`` promises "weather data integration" and
+    success-rate correlation; no weather source exists anywhere in the
+    reference tree). The JOIN SEAM is what the warehouse needs: a
+    (region, period)-keyed weather dimension joined onto activity
+    aggregates, then per-region correlation. The weather table here is
+    synthesized deterministically (same honest-synthesis pattern as
+    the a1 agency feed: temp = f(nationkey, month), which the oracle
+    replays arithmetically) — a real deployment swaps in NOAA/agency
+    data with identical shape.
+
+    Exactness: every correlation input is an integer (synth temps,
+    monthly order counts), so the five co-moment sums are exact bigint
+    additions cast to double (all ≪ 2^52 — bit-exact), and the Pearson
+    assembly is one fixed IEEE expression (the f_corr discipline).
+
+    Scale: activity aggregates shrink to (region × month) before the
+    weather join — dimension-sized, broadcast; correlation inputs are
+    12 rows per region. The expensive side is the pre-aggregation,
+    which is the same one-shuffle groupBy every G-family rollup pays.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+
+    monthly = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    weather = nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.explode(F.sequence(F.lit(1), F.lit(12))).alias("month"),
+    ).withColumn(
+        "temp_c",
+        (
+            (F.col("nationkey") * 7 + F.col("month") * 13) % 40 - 10
+        ).cast("bigint"),
+    )
+    joined = monthly.join(F.broadcast(weather), ["nationkey", "month"])
+    sums = joined.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("temp_c").cast("double").alias("sx"),
+        F.sum("n_orders").cast("double").alias("sy"),
+        F.sum(F.col("temp_c") * F.col("n_orders")).cast("double").alias("sxy"),
+        F.sum(F.col("temp_c") * F.col("temp_c")).cast("double").alias("sxx"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        "nationkey", "n", "sx", "sy", corr.alias("corr_temp_orders")
+    )

@@ -186,6 +186,44 @@ SELECT o_orderkey, COUNT(*) AS n_rows
 FROM dup GROUP BY o_orderkey HAVING COUNT(*) > 1
 """
 
+# G5: synthesized weather dimension (temp = f(nationkey, month))
+# joined onto monthly activity; exact integer co-moment sums
+_WEATHER_CORR_SQL = """
+WITH monthly AS (
+  SELECT c_nationkey AS nationkey,
+         CAST(month(o_orderdate) AS INT) AS month,
+         COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+weather AS (
+  SELECT n_nationkey AS nationkey, CAST(m AS INT) AS month,
+         CAST((n_nationkey * 7 + m * 13) % 40 - 10 AS BIGINT) AS temp_c
+  FROM nation, unnest(generate_series(1, 12)) AS t(m)
+),
+j AS (
+  SELECT monthly.nationkey, monthly.month, n_orders, temp_c
+  FROM monthly JOIN weather
+    ON monthly.nationkey = weather.nationkey
+   AND monthly.month = weather.month
+),
+sums AS (
+  SELECT nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(temp_c) AS DOUBLE) AS sx,
+         CAST(SUM(n_orders) AS DOUBLE) AS sy,
+         CAST(SUM(temp_c * n_orders) AS DOUBLE) AS sxy,
+         CAST(SUM(temp_c * temp_c) AS DOUBLE) AS sxx,
+         CAST(SUM(n_orders * n_orders) AS DOUBLE) AS syy
+  FROM j GROUP BY nationkey
+)
+SELECT nationkey, n, sx, sy,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS corr_temp_orders
+FROM sums
+"""
+
 # --- registry ----------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -780,6 +818,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.schema_merge_scan,
         oracles_f.SCHEMA_MERGE_SCAN,
     ),
+    # G5: weather-dimension correlation join (synthesized weather)
+    "g5_weather_correlation": (
+        analytics.weather_correlation,
+        _WEATHER_CORR_SQL,
+    ),
 }
 
 
@@ -887,6 +930,7 @@ _DRIVER_ROTATION = [
     "h1_line_dedup_stats",
     "h4_lateness_audit",
     "a6_schema_merge_scan",
+    "g5_weather_correlation",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
