@@ -545,3 +545,64 @@ def schema_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_suppkey").alias("min_key"),
         F.max("s_suppkey").alias("max_key"),
     )
+
+
+TX_TABLE_PATH = "/tmp/bhps_tx_orders"
+
+
+def tx_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: TRANSACTIONAL MERGE with time travel — the commit-log
+    table (warehouse_tx.py: immutable parquet + atomic JSON commits,
+    Delta's minimum viable core) driving the same upsert semantics as
+    e2_orders_upsert, then reading BOTH versions back:
+
+    - version 0 = the created table (pre-1995 orders)
+    - version 1 = after MERGE of the 1994+ updates (price bumped,
+      status kept per the partial-update rule)
+
+    The result is a per-(version, priority) rollup across both
+    snapshots — proving create, merge, snapshot isolation (v0 is
+    still byte-identical after the merge committed), and AS OF reads
+    from one query. Idempotent: the table is recreated each run.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    tx.create_table(spark, TX_TABLE_PATH, base)
+
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.lit("XX").alias("o_orderstatus"),
+        (money("o_totalprice") * factor(F.lit(1.1)))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    tx.merge(
+        spark, TX_TABLE_PATH, updates, ["o_orderkey"], ["o_totalprice"]
+    )
+
+    def roll(df: DataFrame, version: int) -> DataFrame:
+        # decimal(18,6), NOT (14,2): merged prices carry 6 decimal
+        # digits (money x factor), and rounding a double to 2 places
+        # diverges between engines near .xx5 (JVM shortest-repr vs
+        # scaled-multiply); at the value's own scale the rounding is
+        # unambiguous and both engines recover the exact decimal
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price", "decimal(18,6)"),
+        ).withColumn("version", F.lit(version))
+
+    v0 = roll(tx.snapshot(spark, TX_TABLE_PATH, 0), 0)
+    v1 = roll(tx.snapshot(spark, TX_TABLE_PATH), 1)
+    return v0.unionByName(v1)

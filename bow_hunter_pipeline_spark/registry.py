@@ -224,6 +224,47 @@ SELECT nationkey, n, sx, sy,
 FROM sums
 """
 
+# E2+: commit-log transactional MERGE — both versions rolled up.
+# Scale-6 decimal cast: merged prices carry 6 decimal digits and
+# rounding a double to 2 places diverges between engines near .xx5.
+_TX_MERGE_SQL = """
+WITH e AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+),
+u AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(7,4))
+              AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+),
+merged AS (
+  SELECT COALESCE(e.o_orderkey, u.o_orderkey) AS o_orderkey,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+              ELSE e.o_totalprice END AS o_totalprice,
+         CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_orderpriority
+              ELSE u.o_orderpriority END AS o_orderpriority
+  FROM e FULL OUTER JOIN u ON e.o_orderkey = u.o_orderkey
+),
+v0 AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS total_price,
+         0 AS version
+  FROM e GROUP BY o_orderpriority
+),
+v1 AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+           AS total_price,
+         1 AS version
+  FROM merged GROUP BY o_orderpriority
+)
+SELECT * FROM v0 UNION ALL SELECT * FROM v1
+"""
+
 # --- registry ----------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -823,6 +864,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.weather_correlation,
         _WEATHER_CORR_SQL,
     ),
+    # E2+: transactional MERGE + time travel (commit-log table)
+    "e2_tx_merge_timetravel": (
+        pipeline.tx_merge_timetravel,
+        _TX_MERGE_SQL,
+    ),
 }
 
 
@@ -931,6 +977,7 @@ _DRIVER_ROTATION = [
     "h4_lateness_audit",
     "a6_schema_merge_scan",
     "g5_weather_correlation",
+    "e2_tx_merge_timetravel",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 

@@ -80,3 +80,48 @@ def test_ddl_and_stage_load_roundtrip(spark, tmp_path):
             "male_female_ratio", "year", "gmu_list",
         ).write.mode("overwrite").insertInto(warehouse.STAGE_TABLE)
     assert spark.table(warehouse.STAGE_TABLE).count() == 3
+
+
+def test_tx_table_commit_protocol(spark, tmp_path):
+    """warehouse_tx transactional guarantees: snapshot isolation (v0
+    unchanged after a merge commits), AS OF reads, optimistic-conflict
+    detection, and invisibility of uncommitted data files."""
+    import os
+
+    import pytest
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, s string, v double"
+    )
+    tx.create_table(spark, table, base)
+    assert {tuple(r) for r in tx.snapshot(spark, table).collect()} == {
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "XX", 99.0), (3, "c", 30.0)], "k bigint, s string, v double"
+    )
+    v = tx.merge(spark, table, updates, ["k"], ["v"])
+    assert v == 1
+    # current state: k=2 keeps its old s (partial update), new v
+    assert {tuple(r) for r in tx.snapshot(spark, table).collect()} == {
+        (1, "a", 10.0),
+        (2, "b", 99.0),
+        (3, "c", 30.0),
+    }
+    # time travel: version 0 is byte-identical to the original
+    assert {tuple(r) for r in tx.snapshot(spark, table, 0).collect()} == {
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+    }
+    # optimistic conflict: a second writer claiming version 1 loses
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        tx._commit(table, 1, add=[], remove=[])
+    # uncommitted data files are invisible to readers (log is truth)
+    stray = tx._write_data(base, table, 99)
+    assert all(p not in tx.live_files(table) for p in stray)
+    assert tx.snapshot(spark, table).count() == 3
