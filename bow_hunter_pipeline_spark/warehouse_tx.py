@@ -141,3 +141,40 @@ def merge(
     new_files = _write_data(merged, table, next_v)
     _commit(table, next_v, add=new_files, remove=live_files(table))
     return next_v
+
+
+def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
+    """OPTIMIZE: rewrite the current live set into ``target_files``
+    files — the small-files compaction, expressed as an ordinary
+    commit (add the compacted files, remove the fragmented ones).
+    Readers of any version are untouched; time travel still resolves
+    pre-compaction versions to the old files until vacuum removes
+    them. Returns the new version."""
+    current = snapshot(spark, table).coalesce(target_files)
+    next_v = _versions(table)[-1] + 1
+    new_files = _write_data(current, table, next_v)
+    _commit(table, next_v, add=new_files, remove=live_files(table))
+    return next_v
+
+
+def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
+    """VACUUM: delete data files unreachable from the retained version
+    window (the newest ``keep_versions`` commits). Time travel below
+    the window stops working — exactly Delta's retention trade. The
+    log entries stay (history metadata is cheap); only data files go.
+    Returns the number of files deleted."""
+    versions = _versions(table)
+    retained = versions[-keep_versions:]
+    keep: set[str] = set()
+    for v in retained:
+        keep |= set(live_files(table, v))
+    deleted = 0
+    data_root = os.path.join(table, _DATA_DIR)
+    for sub in sorted(os.listdir(data_root)):
+        subdir = os.path.join(data_root, sub)
+        for f in os.listdir(subdir):
+            rel = os.path.join(_DATA_DIR, sub, f)
+            if f.endswith(".parquet") and rel not in keep:
+                os.remove(os.path.join(table, rel))
+                deleted += 1
+    return deleted

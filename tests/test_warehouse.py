@@ -125,3 +125,38 @@ def test_tx_table_commit_protocol(spark, tmp_path):
     stray = tx._write_data(base, table, 99)
     assert all(p not in tx.live_files(table) for p in stray)
     assert tx.snapshot(spark, table).count() == 3
+
+
+def test_tx_table_compact_and_vacuum(spark, tmp_path):
+    """The lakehouse ops pair: OPTIMIZE rewrites the live set into few
+    files under a normal commit (old versions still readable), and
+    VACUUM deletes files outside the retention window (time travel
+    below it ends — Delta's retention trade)."""
+    import glob
+    import os
+
+    import pytest
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.range(100).selectExpr("id as k", "id * 1.0 as v")
+    tx.create_table(spark, table, base.repartition(6))
+    updates = spark.range(50, 150).selectExpr("id as k", "id * 2.0 as v")
+    tx.merge(spark, table, updates, ["k"], ["v"])
+
+    n_before = len(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+    v = tx.compact(spark, table, target_files=1)
+    assert len(tx.live_files(table, v)) == 1
+    # pre-compaction version still resolves (files not yet vacuumed)
+    assert tx.snapshot(spark, table, v - 1).count() == 150
+    assert tx.snapshot(spark, table).count() == 150
+
+    deleted = tx.vacuum(spark, table, keep_versions=1)
+    assert deleted > 0
+    n_after = len(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+    assert n_after < n_before
+    # current version unaffected; history below the window is gone
+    assert tx.snapshot(spark, table).count() == 150
+    with pytest.raises(Exception):
+        tx.snapshot(spark, table, 0).collect()
