@@ -43,6 +43,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.operators.upsert import upsert
 
@@ -178,3 +179,73 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
                 os.remove(os.path.join(table, rel))
                 deleted += 1
     return deleted
+
+
+def _file_key_stats(
+    spark: SparkSession, table: str, rel: str, key: str
+) -> tuple:
+    """Footer-only min/max of the merge key for one data file (A6
+    discipline — no data scan; parquet row-group stats)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(os.path.join(table, rel)).metadata
+    idx = md.schema.to_arrow_schema().get_field_index(key)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return (None, None)  # no stats → must rewrite
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return (lo, hi)
+
+
+def merge_pruned(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+) -> tuple[int, int, int]:
+    """MERGE with file pruning — the scale refinement the plain merge
+    documents: only data files whose [min, max] range of the FIRST
+    merge key intersects the updates' key range are rewritten;
+    everything else carries over untouched in the commit. This is the
+    Delta/Iceberg data-skipping rewrite, driven by parquet footer
+    statistics — the same stats Z-order layouts (a4_zorder_layout)
+    exist to tighten: clustered tables prune more files.
+
+    Returns (new_version, n_rewritten_files, n_carried_files).
+    Correctness: a key outside a file's min/max cannot be in the file,
+    so carried files can contain no matched rows; updates whose keys
+    miss every file are inserts and land in the rewritten output.
+    """
+    key = keys[0]
+    bounds = updates.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds.lo, bounds.hi
+
+    rewrite, carry = [], []
+    for rel in live_files(table):
+        f_lo, f_hi = _file_key_stats(spark, table, rel, key)
+        if (
+            lo is None  # empty updates: nothing can match
+            or f_lo is None  # no stats: conservatively rewrite
+            or (f_hi >= lo and f_lo <= hi)
+        ) and lo is not None:
+            rewrite.append(rel)
+        else:
+            carry.append(rel)
+
+    if rewrite:
+        touched = spark.read.parquet(
+            *[os.path.join(table, p) for p in rewrite]
+        )
+    else:
+        touched = snapshot(spark, table).limit(0)
+    merged = upsert(touched, updates, keys, update_cols)
+    next_v = _versions(table)[-1] + 1
+    new_files = _write_data(merged, table, next_v)
+    _commit(table, next_v, add=new_files, remove=rewrite)
+    return next_v, len(rewrite), len(carry)

@@ -160,3 +160,35 @@ def test_tx_table_compact_and_vacuum(spark, tmp_path):
     assert tx.snapshot(spark, table).count() == 150
     with pytest.raises(Exception):
         tx.snapshot(spark, table, 0).collect()
+
+
+def test_tx_merge_pruned_rewrites_only_intersecting_files(spark, tmp_path):
+    """File-pruned MERGE: with a range-partitioned layout, only the
+    file whose footer min/max intersects the updates' key range is
+    rewritten; the rest carry over byte-identical — and the result
+    equals the full-rewrite merge exactly. This is the data-skipping
+    rewrite the Z-order layout exists to maximize."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    t_full = str(tmp_path / "full")
+    t_pruned = str(tmp_path / "pruned")
+    base = spark.range(1000).selectExpr(
+        "id as k", "id * 1.0 as v"
+    ).repartitionByRange(4, "k")
+    for t in (t_full, t_pruned):
+        tx.create_table(spark, t, base)
+    before_live = set(tx.live_files(t_pruned))
+
+    updates = spark.range(900, 1100).selectExpr("id as k", "id * 9.0 as v")
+    tx.merge(spark, t_full, updates, ["k"], ["v"])
+    _, n_rewritten, n_carried = tx.merge_pruned(
+        spark, t_pruned, updates, ["k"], ["v"]
+    )
+    assert n_rewritten == 1 and n_carried == 3
+    # carried files are literally the same paths, untouched
+    after_live = set(tx.live_files(t_pruned))
+    assert len(before_live & after_live) == 3
+
+    a = sorted(map(tuple, tx.snapshot(spark, t_full).collect()))
+    b = sorted(map(tuple, tx.snapshot(spark, t_pruned).collect()))
+    assert a == b and len(b) == 1100
