@@ -316,3 +316,77 @@ def test_streaming_funnel_state_spans_micro_batches(spark, tmp_path):
         ).collect()
     }
     assert emissions == batch_truth
+
+
+def test_streaming_merge_into_tx_table_is_atomic_per_batch(spark, tmp_path):
+    """Streaming + lakehouse integration: foreachBatch MERGEs each
+    micro-batch into the commit-log table — one atomic commit per
+    batch, so the table's version history IS the batch history and a
+    crashed batch can never leave a half-applied state visible."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "txt")
+    src = tmp_path / "lake"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, v double"
+
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0), (2, 2.0)], schema)
+    )
+
+    def apply_batch(df, batch_id):
+        if df.isEmpty():
+            return
+        tx.merge(spark, table, df, ["k"], ["v"])
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).parquet(str(src))
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _land_file(
+        spark.createDataFrame([(2, 20.0), (3, 30.0)], schema),
+        staging,
+        src / "b1.parquet",
+    )
+    run()
+    assert {tuple(r) for r in tx.snapshot(spark, table).collect()} == {
+        (1, 1.0),
+        (2, 20.0),
+        (3, 30.0),
+    }
+    v_after_b1 = tx.live_files(table) and max(
+        int(f.split("/")[-1].split(".")[0])
+        for f in __import__("os").listdir(f"{table}/_log")
+        if f.endswith(".json")
+    )
+
+    _land_file(
+        spark.createDataFrame([(3, 99.0), (4, 40.0)], schema),
+        staging,
+        src / "b2.parquet",
+    )
+    run()
+    cur = {tuple(r) for r in tx.snapshot(spark, table).collect()}
+    assert cur == {(1, 1.0), (2, 20.0), (3, 99.0), (4, 40.0)}
+    # version history == batch history: AS OF the pre-b2 version
+    # reproduces the post-b1 state exactly
+    pre_b2 = {
+        tuple(r) for r in tx.snapshot(spark, table, v_after_b1).collect()
+    }
+    assert pre_b2 == {(1, 1.0), (2, 20.0), (3, 30.0)}
+    # a re-run with nothing new commits nothing
+    import os
+
+    n_commits = len(os.listdir(f"{table}/_log"))
+    run()
+    assert len(os.listdir(f"{table}/_log")) == n_commits
