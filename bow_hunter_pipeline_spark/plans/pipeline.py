@@ -606,3 +606,59 @@ def tx_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = roll(tx.snapshot(spark, TX_TABLE_PATH, 0), 0)
     v1 = roll(tx.snapshot(spark, TX_TABLE_PATH), 1)
     return v0.unionByName(v1)
+
+
+TX_PRUNED_PATH = "/tmp/bhps_tx_orders_pruned"
+
+
+def tx_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: the file-pruned MERGE (warehouse_tx.merge_pruned) driven
+    end-to-end: the base table lands range-partitioned on the merge
+    key (8 files with disjoint o_orderkey ranges — the layout footer
+    stats need), the 1994+ updates rewrite only the files whose key
+    range they touch, and the post-merge rollup must equal the SAME
+    oracle as the full-rewrite merge — data skipping proven by value
+    equivalence, not just by file counts (the unit test pins those).
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter(
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .repartitionByRange(8, "o_orderkey")
+    )
+    tx.create_table(spark, TX_PRUNED_PATH, base)
+
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.lit("XX").alias("o_orderstatus"),
+        (money("o_totalprice") * factor(F.lit(1.1)))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    tx.merge_pruned(
+        spark, TX_PRUNED_PATH, updates, ["o_orderkey"], ["o_totalprice"]
+    )
+
+    v0 = tx.snapshot(spark, TX_PRUNED_PATH, 0)
+    v1 = tx.snapshot(spark, TX_PRUNED_PATH)
+
+    def roll(df: DataFrame, version: int) -> DataFrame:
+        # scale-6 cast: see tx_merge_timetravel
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price", "decimal(18,6)"),
+        ).withColumn("version", F.lit(version))
+
+    return roll(v0, 0).unionByName(roll(v1, 1))

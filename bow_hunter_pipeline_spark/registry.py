@@ -869,6 +869,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_merge_timetravel,
         _TX_MERGE_SQL,
     ),
+    # E2+: file-pruned MERGE (footer-stat data skipping) — same oracle
+    "e2_tx_merge_pruned": (pipeline.tx_merge_pruned, _TX_MERGE_SQL),
 }
 
 
@@ -978,6 +980,7 @@ _DRIVER_ROTATION = [
     "a6_schema_merge_scan",
     "g5_weather_correlation",
     "e2_tx_merge_timetravel",
+    "e2_tx_merge_pruned",
     # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
 ]
 
