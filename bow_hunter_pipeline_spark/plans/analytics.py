@@ -304,9 +304,14 @@ def weather_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # nullif guard: a region with one active month (or zero variance
+    # on either side) has denominator 0 — correlation is undefined
+    # there, and NULL is the well-defined answer in BOTH engines
+    # (Spark would yield IEEE NaN, DuckDB's 0-division differs).
+    denom = F.nullif(
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy), F.lit(0.0)
     )
+    corr = (n * sxy - sx * sy) / denom
     return sums.select(
         "nationkey", "n", "sx", "sy", corr.alias("corr_temp_orders")
     )

@@ -170,19 +170,33 @@ DRIFT_TABLES = ["customer", "documents", "lineitem", "orders"]
 
 
 def drift_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4: the schema-drift audit as a driver query — footer-only
-    probe of each file against the canonical population columns
-    (the reference's ``bad_parquet.py`` scan, minus the data read).
+    """E4: the schema-drift audit as a driver query — the EXECUTOR-SIDE
+    variant (``operators/drift.py:audit_null_partitions``): one
+    mergeSchema scan of the whole lake, then a per-file null audit
+    against the canonical population columns (the reference's
+    ``bad_parquet.py`` scan, without its per-file driver loop). A file
+    missing a column yields all-NULL values for it under mergeSchema,
+    so ``count(col) == 0 ∧ count(*) > 0`` flags it; columns absent
+    from EVERY file never reach the merged schema and are injected as
+    typed NULLs so they flag too. One scan + one small shuffle —
+    scales to millions of files where the footer-per-file loop
+    (``audit_missing_columns``, kept for single-digit file sets) is a
+    driver bottleneck.
+
     Registered rows-only: the result is filesystem metadata, which
     SQL-over-views cannot express. File names are relativized so the
     output is sf_dir-independent.
     """
     from bow_hunter_pipeline_spark.operators.drift import (
-        audit_missing_columns,
+        audit_null_partitions,
     )
 
     files = [f"{sf_dir}/{t}.parquet" for t in DRIFT_TABLES]
-    audited = audit_missing_columns(spark, files, DRIFT_EXPECTED)
+    merged = spark.read.option("mergeSchema", "true").parquet(*files)
+    for c in DRIFT_EXPECTED:
+        if c not in merged.columns:
+            merged = merged.withColumn(c, F.lit(None).cast("double"))
+    audited = audit_null_partitions(merged, DRIFT_EXPECTED)
     return audited.withColumn(
         "file", F.element_at(F.split(F.col("file"), "/"), -1)
     )
@@ -635,7 +649,9 @@ def tx_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartitionByRange(8, "o_orderkey")
     )
-    tx.create_table(spark, TX_PRUNED_PATH, base)
+    # stats_cols: record per-file merge-key min/max in commit 0 so the
+    # pruned merge below reads the log, never a parquet footer
+    tx.create_table(spark, TX_PRUNED_PATH, base, stats_cols=["o_orderkey"])
 
     updates = orders.filter(
         F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")

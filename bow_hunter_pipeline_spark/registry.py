@@ -219,7 +219,7 @@ sums AS (
 )
 SELECT nationkey, n, sx, sy,
        (n * sxy - sx * sy)
-         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
          AS corr_temp_orders
 FROM sums
 """

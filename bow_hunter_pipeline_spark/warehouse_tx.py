@@ -12,11 +12,16 @@ same way Delta/Iceberg do at their core:
 - data lives in immutable parquet files under ``data/``
 - a commit is one JSON file ``_log/{version:08d}.json`` listing files
   added and removed; the log is the table
-- commits are ATOMIC: written to a temp name then ``os.rename``d into
-  place — POSIX rename is atomic, and an already-existing version file
-  makes the rename target collide, so two concurrent writers cannot
-  both claim a version (optimistic concurrency; the loser re-reads and
-  retries)
+- commits are ATOMIC: written to a temp name then hard-linked into
+  place with ``os.link`` — link(2) fails with EEXIST if the target
+  already exists, so two concurrent writers cannot both claim a
+  version (optimistic concurrency; the loser re-reads and retries).
+  Plain ``os.rename`` would NOT give this guarantee: POSIX rename
+  silently replaces an existing target, so the pre-check + rename
+  pair is a TOCTOU lost-update window, not a lock.
+- each commit records per-file min/max statistics for the table's
+  declared stat columns (Delta's add-action stats): pruning decisions
+  read the tiny log, never the data files
 - a snapshot at version V = replay log entries 0..V: live files =
   added minus removed. Readers only ever list the log, so an
   in-flight writer's data files are invisible until its commit lands
@@ -25,11 +30,11 @@ same way Delta/Iceberg do at their core:
   column update) → write the result as new files → one commit that
   removes every previously-live file and adds the new ones
 
-Scale notes: this demo rewrites the full table per merge (correct,
-simplest); production engines prune the rewrite to files whose
-min/max key ranges intersect the updates — the A4/Z-order layout work
-is what makes that pruning effective. The log itself stays tiny
-(one small JSON per commit) and replay cost is file-count, not data.
+Scale notes: ``merge`` rewrites the full table (correct, simplest);
+``merge_pruned`` rewrites only files whose logged [min, max] range of
+the first merge key intersects the updates — O(log-read) per merge,
+not O(files) footer RPCs. The log itself stays tiny (one small JSON
+per commit) and replay cost is file-count, not data.
 Cite: Armbrust et al., "Delta Lake: High-Performance ACID Table
 Storage over Cloud Object Stores", VLDB 2020 — this is that design's
 minimum viable core.
@@ -44,11 +49,24 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bow_hunter_pipeline_spark.operators.upsert import upsert
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+# Spark types whose parquet footer min/max are exact and totally
+# ordered the way pruning assumes. String statistics can be TRUNCATED
+# by exotic writers (max not exact), so pruning is gated to integrals.
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+class VersionVacuumedError(Exception):
+    """AS OF read below the vacuum retention window: the log entry
+    still exists (history metadata is kept) but its data files were
+    deleted. Matches Delta's behavior, with a crisp error instead of
+    a raw path-not-found from the scan."""
 
 
 def _log_path(table: str, version: int) -> str:
@@ -66,63 +84,162 @@ def _versions(table: str) -> list[int]:
     )
 
 
-def _write_data(df: DataFrame, table: str, version: int) -> list[str]:
-    """Write df as immutable parquet files; returns table-relative
-    paths. Files land under a unique directory so a failed writer
-    never collides with a committed one."""
+def _footer_stats(path: str, cols: list[str]) -> dict[str, list]:
+    """Footer-only min/max for ``cols`` of one just-written file (no
+    data scan — parquet row-group stats). Used once at WRITE time to
+    populate the commit's add-action stats; production engines get
+    the same numbers from task-commit messages without reopening the
+    file. Columns with absent or non-JSON-safe stats are skipped
+    (pruning then falls back to rewrite for that file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    arrow_schema = md.schema.to_arrow_schema()
+    out: dict[str, list] = {}
+    for col in cols:
+        idx = arrow_schema.get_field_index(col)
+        if idx < 0:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+            out[col] = [lo, hi]
+    return out
+
+
+def _write_data(
+    df: DataFrame,
+    table: str,
+    version: int,
+    stats_cols: list[str] | None = None,
+) -> tuple[list[str], dict[str, dict[str, list]]]:
+    """Write df as immutable parquet files; returns (table-relative
+    paths, per-file stats for ``stats_cols``). Files land under a
+    unique directory so a failed writer never collides with a
+    committed one."""
     rel_dir = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
     out_dir = os.path.join(table, rel_dir)
     df.write.mode("errorifexists").parquet(out_dir)
-    return [
+    rels = [
         os.path.join(rel_dir, f)
         for f in os.listdir(out_dir)
         if f.endswith(".parquet")
     ]
+    stats: dict[str, dict[str, list]] = {}
+    if stats_cols:
+        for rel in rels:
+            s = _footer_stats(os.path.join(table, rel), stats_cols)
+            if s:
+                stats[rel] = s
+    return rels, stats
 
 
-def _commit(table: str, version: int, add: list[str], remove: list[str]) -> None:
-    """Atomic commit: temp write + rename. An existing version file
-    means another writer won this version — raise for retry."""
+def _commit(
+    table: str,
+    version: int,
+    add: list[str],
+    remove: list[str],
+    stats: dict[str, dict[str, list]] | None = None,
+) -> None:
+    """Atomic commit: temp write + ``os.link`` to the final name.
+    link(2) fails with EEXIST if the version file already exists, so
+    exactly one writer can claim a version — the loser gets a
+    conflict error and retries against the newer snapshot. The
+    ``exists`` check is only a fast path; the link is the lock."""
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     final = _log_path(table, version)
     if os.path.exists(final):
         raise RuntimeError(f"concurrent commit for version {version}")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "add": add, "remove": remove}, f)
-    os.rename(tmp, final)
+        json.dump(
+            {
+                "version": version,
+                "add": add,
+                "remove": remove,
+                "stats": stats or {},
+            },
+            f,
+        )
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise RuntimeError(f"concurrent commit for version {version}")
+    finally:
+        os.unlink(tmp)
 
 
-def create_table(spark: SparkSession, table: str, df: DataFrame) -> None:
-    """Create (or replace) the table as commit version 0."""
+def create_table(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> None:
+    """Create (or replace) the table as commit version 0. Declaring
+    ``stats_cols`` (the future merge keys) records per-file min/max in
+    the commit so later ``merge_pruned`` calls never open a footer."""
     shutil.rmtree(table, ignore_errors=True)
     os.makedirs(table)
-    files = _write_data(df, table, 0)
-    _commit(table, 0, add=files, remove=[])
+    files, stats = _write_data(df, table, 0, stats_cols)
+    _commit(table, 0, add=files, remove=[], stats=stats)
 
 
-def live_files(table: str, version: int | None = None) -> list[str]:
-    """Replay the log up to ``version`` (default: latest)."""
+def _replay(table: str, version: int | None = None) -> tuple[
+    list[str], dict[str, dict[str, list]]
+]:
+    """Replay the log up to ``version`` (default: latest); returns
+    (sorted live files, per-live-file stats where recorded)."""
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no commits at {table}")
     upto = versions[-1] if version is None else version
     live: set[str] = set()
+    stats: dict[str, dict[str, list]] = {}
     for v in versions:
         if v > upto:
             break
         with open(_log_path(table, v)) as f:
             entry = json.load(f)
-        live -= set(entry["remove"])
+        for rel in entry["remove"]:
+            live.discard(rel)
+            stats.pop(rel, None)
         live |= set(entry["add"])
-    return sorted(live)
+        stats.update(entry.get("stats", {}))
+    return sorted(live), stats
+
+
+def live_files(table: str, version: int | None = None) -> list[str]:
+    """Replay the log up to ``version`` (default: latest)."""
+    return _replay(table, version)[0]
 
 
 def snapshot(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
-    """Read the table AS OF a version (time travel; default latest)."""
-    paths = [os.path.join(table, p) for p in live_files(table, version)]
+    """Read the table AS OF a version (time travel; default latest).
+
+    Raises :class:`VersionVacuumedError` if the version's data files
+    were deleted by :func:`vacuum` (log history outlives data, exactly
+    Delta's retention trade). The existence probe is a driver-side
+    listing of the snapshot's own files — O(files-in-snapshot) stat
+    calls, the same metadata the scan is about to open anyway.
+    """
+    rels = live_files(table, version)
+    paths = [os.path.join(table, p) for p in rels]
+    gone = [p for p in paths if not os.path.exists(p)]
+    if gone:
+        raise VersionVacuumedError(
+            f"version {version if version is not None else 'latest'} of "
+            f"{table} references {len(gone)} vacuumed data file(s) "
+            f"(e.g. {gone[0]}); re-read at or above the retention window"
+        )
     return spark.read.parquet(*paths)
 
 
@@ -139,8 +256,10 @@ def merge(
     current = snapshot(spark, table)
     merged = upsert(current, updates, keys, update_cols)
     next_v = _versions(table)[-1] + 1
-    new_files = _write_data(merged, table, next_v)
-    _commit(table, next_v, add=new_files, remove=live_files(table))
+    new_files, stats = _write_data(merged, table, next_v, keys)
+    _commit(
+        table, next_v, add=new_files, remove=live_files(table), stats=stats
+    )
     return next_v
 
 
@@ -151,19 +270,21 @@ def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
     Readers of any version are untouched; time travel still resolves
     pre-compaction versions to the old files until vacuum removes
     them. Returns the new version."""
+    rels, stats = _replay(table)
+    stat_cols = sorted({c for s in stats.values() for c in s})
     current = snapshot(spark, table).coalesce(target_files)
     next_v = _versions(table)[-1] + 1
-    new_files = _write_data(current, table, next_v)
-    _commit(table, next_v, add=new_files, remove=live_files(table))
+    new_files, new_stats = _write_data(current, table, next_v, stat_cols)
+    _commit(table, next_v, add=new_files, remove=rels, stats=new_stats)
     return next_v
 
 
 def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
     """VACUUM: delete data files unreachable from the retained version
     window (the newest ``keep_versions`` commits). Time travel below
-    the window stops working — exactly Delta's retention trade. The
-    log entries stay (history metadata is cheap); only data files go.
-    Returns the number of files deleted."""
+    the window raises :class:`VersionVacuumedError` — exactly Delta's
+    retention trade. The log entries stay (history metadata is cheap);
+    only data files go. Returns the number of files deleted."""
     versions = _versions(table)
     retained = versions[-keep_versions:]
     keep: set[str] = set()
@@ -184,20 +305,14 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
 def _file_key_stats(
     spark: SparkSession, table: str, rel: str, key: str
 ) -> tuple:
-    """Footer-only min/max of the merge key for one data file (A6
-    discipline — no data scan; parquet row-group stats)."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(os.path.join(table, rel)).metadata
-    idx = md.schema.to_arrow_schema().get_field_index(key)
-    lo = hi = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return (None, None)  # no stats → must rewrite
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
-    return (lo, hi)
+    """Footer-only min/max of the merge key for one data file — the
+    LEGACY fallback for commits written before stats lived in the log.
+    Current-format commits never hit this path (merge_pruned reads the
+    log's add-action stats instead)."""
+    stats = _footer_stats(os.path.join(table, rel), [key])
+    if key not in stats:
+        return (None, None)  # no stats → must rewrite
+    return tuple(stats[key])
 
 
 def merge_pruned(
@@ -211,31 +326,50 @@ def merge_pruned(
     documents: only data files whose [min, max] range of the FIRST
     merge key intersects the updates' key range are rewritten;
     everything else carries over untouched in the commit. This is the
-    Delta/Iceberg data-skipping rewrite, driven by parquet footer
-    statistics — the same stats Z-order layouts (a4_zorder_layout)
-    exist to tighten: clustered tables prune more files.
+    Delta/Iceberg data-skipping rewrite, driven by the add-action
+    stats recorded in the commit log at write time — reading the
+    (tiny) log, not one footer per live file. Files from legacy
+    commits without logged stats fall back to a one-time footer read;
+    files with no stats at all are conservatively rewritten.
+
+    Pruning is gated to INTEGRAL merge keys: string footer statistics
+    can be truncated by exotic writers (max not exact), which would
+    make skipping unsafe. Non-integral keys take the full-rewrite
+    path — correct, just unpruned.
 
     Returns (new_version, n_rewritten_files, n_carried_files).
     Correctness: a key outside a file's min/max cannot be in the file,
     so carried files can contain no matched rows; updates whose keys
     miss every file are inserts and land in the rewritten output.
+    An EMPTY updates frame is a no-op: the current version is returned
+    unchanged (no zero-row file, no log growth).
     """
     key = keys[0]
+    # one 2-value scalar aggregate — not a hot-path collect
     bounds = updates.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
     lo, hi = bounds.lo, bounds.hi
 
+    rels, logged = _replay(table)
+    if lo is None:  # empty updates: nothing to merge, nothing to write
+        return _versions(table)[-1], 0, len(rels)
+
+    prunable = isinstance(updates.schema[key].dataType, _INTEGRAL_TYPES)
     rewrite, carry = [], []
-    for rel in live_files(table):
-        f_lo, f_hi = _file_key_stats(spark, table, rel, key)
-        if (
-            lo is None  # empty updates: nothing can match
-            or f_lo is None  # no stats: conservatively rewrite
-            or (f_hi >= lo and f_lo <= hi)
-        ) and lo is not None:
+    for rel in rels:
+        if not prunable:
             rewrite.append(rel)
-        else:
+            continue
+        if rel in logged and key in logged[rel]:
+            f_lo, f_hi = logged[rel][key]
+        else:  # legacy commit without stats: one-time footer read
+            f_lo, f_hi = _file_key_stats(spark, table, rel, key)
+        if f_lo is None:  # no stats anywhere: conservatively rewrite
+            rewrite.append(rel)
+        elif f_hi >= lo and f_lo <= hi:  # ranges intersect: may match
+            rewrite.append(rel)
+        else:  # disjoint ranges: no row in this file can match
             carry.append(rel)
 
     if rewrite:
@@ -246,6 +380,6 @@ def merge_pruned(
         touched = snapshot(spark, table).limit(0)
     merged = upsert(touched, updates, keys, update_cols)
     next_v = _versions(table)[-1] + 1
-    new_files = _write_data(merged, table, next_v)
-    _commit(table, next_v, add=new_files, remove=rewrite)
+    new_files, stats = _write_data(merged, table, next_v, keys)
+    _commit(table, next_v, add=new_files, remove=rewrite, stats=stats)
     return next_v, len(rewrite), len(carry)

@@ -122,7 +122,7 @@ def test_tx_table_commit_protocol(spark, tmp_path):
     with pytest.raises(RuntimeError, match="concurrent commit"):
         tx._commit(table, 1, add=[], remove=[])
     # uncommitted data files are invisible to readers (log is truth)
-    stray = tx._write_data(base, table, 99)
+    stray, _ = tx._write_data(base, table, 99)
     assert all(p not in tx.live_files(table) for p in stray)
     assert tx.snapshot(spark, table).count() == 3
 
@@ -156,10 +156,11 @@ def test_tx_table_compact_and_vacuum(spark, tmp_path):
     assert deleted > 0
     n_after = len(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
     assert n_after < n_before
-    # current version unaffected; history below the window is gone
+    # current version unaffected; history below the window raises the
+    # dedicated error (log entry kept, data files gone — Delta's trade)
     assert tx.snapshot(spark, table).count() == 150
-    with pytest.raises(Exception):
-        tx.snapshot(spark, table, 0).collect()
+    with pytest.raises(tx.VersionVacuumedError, match="vacuumed"):
+        tx.snapshot(spark, table, 0)
 
 
 def test_tx_merge_pruned_rewrites_only_intersecting_files(spark, tmp_path):
@@ -192,3 +193,109 @@ def test_tx_merge_pruned_rewrites_only_intersecting_files(spark, tmp_path):
     a = sorted(map(tuple, tx.snapshot(spark, t_full).collect()))
     b = sorted(map(tuple, tx.snapshot(spark, t_pruned).collect()))
     assert a == b and len(b) == 1100
+
+
+def test_tx_pruned_merge_reads_stats_from_log_not_footers(
+    spark, tmp_path, monkeypatch
+):
+    """With stats_cols declared at create time, merge_pruned's pruning
+    decision comes entirely from the commit log's add-action stats —
+    ZERO parquet footer reads on the merge path (the legacy fallback
+    is poisoned to prove it). A second merge prunes off the stats the
+    FIRST merge recorded, closing the loop."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.range(1000).selectExpr(
+        "id as k", "id * 1.0 as v"
+    ).repartitionByRange(4, "k")
+    tx.create_table(spark, table, base, stats_cols=["k"])
+
+    def _boom(*a, **kw):
+        raise AssertionError("footer read on the pruned-merge path")
+
+    monkeypatch.setattr(tx, "_file_key_stats", _boom)
+
+    updates = spark.range(900, 950).selectExpr("id as k", "id * 9.0 as v")
+    _, n_rw, n_carry = tx.merge_pruned(spark, table, updates, ["k"], ["v"])
+    assert n_rw == 1 and n_carry == 3
+    # second merge: pruning driven by stats the previous MERGE logged
+    updates2 = spark.range(0, 50).selectExpr("id as k", "id * 5.0 as v")
+    _, n_rw2, n_carry2 = tx.merge_pruned(spark, table, updates2, ["k"], ["v"])
+    assert n_rw2 == 1 and n_carry2 >= 3
+    assert tx.snapshot(spark, table).count() == 1000
+
+
+def test_tx_pruned_merge_empty_updates_is_noop(spark, tmp_path):
+    """An empty updates frame must not write a zero-row file or grow
+    the log — the current version comes back unchanged."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.range(100).selectExpr("id as k", "id * 1.0 as v")
+    tx.create_table(spark, table, base, stats_cols=["k"])
+    before_versions = tx._versions(table)
+    before_live = tx.live_files(table)
+
+    empty = spark.range(0).selectExpr("id as k", "id * 1.0 as v")
+    v, n_rw, n_carry = tx.merge_pruned(spark, table, empty, ["k"], ["v"])
+    assert v == before_versions[-1]
+    assert n_rw == 0 and n_carry == len(before_live)
+    assert tx._versions(table) == before_versions
+    assert tx.live_files(table) == before_live
+
+
+def test_tx_pruned_merge_string_key_falls_back_to_full_rewrite(
+    spark, tmp_path
+):
+    """Non-integral merge keys are not prunable (string footer stats
+    can be truncated by exotic writers): every live file is rewritten,
+    and the result still matches the plain merge exactly."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.range(100).selectExpr(
+        "format_string('k%05d', id) as k", "id * 1.0 as v"
+    ).repartitionByRange(4, "k")
+    tx.create_table(spark, table, base, stats_cols=["k"])
+    updates = spark.range(90, 95).selectExpr(
+        "format_string('k%05d', id) as k", "id * 9.0 as v"
+    )
+    _, n_rw, n_carry = tx.merge_pruned(spark, table, updates, ["k"], ["v"])
+    assert n_carry == 0 and n_rw == 4  # conservative: no pruning
+    got = {
+        (r.k, r.v) for r in tx.snapshot(spark, table).collect()
+    }
+    assert ("k00090", 810.0) in got and ("k00010", 10.0) in got
+    assert len(got) == 100
+
+
+def test_tx_commit_is_atomic_under_link_collision(tmp_path, monkeypatch):
+    """The commit lock is os.link (EEXIST on collision), not the
+    exists() fast path: with the fast path blinded, a second writer
+    claiming the same version must still lose — and must NOT clobber
+    the winner's commit (the rename-based design silently would)."""
+    import json
+    import os
+
+    import pytest
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "_log"))
+    tx._commit(table, 0, add=["data/a.parquet"], remove=[])
+
+    monkeypatch.setattr(os.path, "exists", lambda p: False)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        tx._commit(table, 0, add=["data/EVIL.parquet"], remove=[])
+    monkeypatch.undo()
+
+    with open(tx._log_path(table, 0)) as f:
+        entry = json.load(f)
+    assert entry["add"] == ["data/a.parquet"]  # winner intact
+    # no temp litter left behind
+    leftovers = [
+        f for f in os.listdir(os.path.join(table, "_log")) if ".tmp-" in f
+    ]
+    assert leftovers == []

@@ -42,6 +42,13 @@ print(f"entry: {n_entry} rows {'OK' if n_entry > 0 else 'FAIL'}")
 
 qs = mod.queries()
 oracles = mod.oracle_sql()
+if len(sys.argv) > 1:  # optional filter: names, or "first:N" prefix
+    if sys.argv[1].startswith("first:"):
+        n = int(sys.argv[1].split(":")[1])
+        keep = list(qs)[:n]
+    else:
+        keep = sys.argv[1:]
+    qs = {k: qs[k] for k in keep}
 fails = []
 for name, fn in qs.items():
     try:
