@@ -34,6 +34,10 @@ HEADLINE = [
     "h1_minhash_lsh_pairs",
     "h4_sessionize",
     "h6_curation_pipeline",
+    # round 4: the widest join tree in the repo (6-table TPC-H Q9) and
+    # the transactional write path (create + MERGE + 2 AS OF reads)
+    "f_q9_product_profit",
+    "e2_tx_merge_timetravel",
 ]
 
 

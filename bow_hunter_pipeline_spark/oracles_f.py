@@ -979,3 +979,12 @@ SELECT COALESCE(balance_tier, 'pre-evolution') AS balance_tier,
        MIN(s_suppkey) AS min_key, MAX(s_suppkey) AS max_key
 FROM merged GROUP BY 1
 """
+
+
+C6_YEAR_FROM_PATH = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS file_year,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+"""

@@ -678,3 +678,42 @@ def tx_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("version", F.lit(version))
 
     return roll(v0, 0).unionByName(roll(v1, 1))
+
+
+C6_YEAR_PATH = "/tmp/bhps_c6_year_paths"
+
+
+def year_from_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 as a dedicated driver query: the reference derives the report
+    year by regexing the FILE PATH, not a column
+    (``ingest_harvest_data.py:355``, ``re.search(r"(\\d{4})", raw_file)``)
+    — ``functions/parsing.year_from_path`` is that rule over Spark's
+    ``input_file_name()``. Here the lake is landed with the year in the
+    path (A4 partitioned layout, one directory per year), read back as
+    a plain file scan, and the year recovered FROM THE PATH STRING
+    drives the rollup; the oracle recomputes the same rollup from
+    ``o_orderdate``, so the two agree only if every file's path-year
+    matches its rows' true year — the property C6 exists to enforce.
+
+    Scale: the regex runs on the scan's already-materialized file-name
+    metadata column (no data read, codegen'd); the rollup is the usual
+    one-shuffle groupBy. Idempotent scratch write, like the A4/A5
+    roundtrips.
+    """
+    from bow_hunter_pipeline_spark.functions.parsing import year_from_path
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(
+        C6_YEAR_PATH
+    )
+    # explicit schema (A6 discipline): an empty upstream writes no
+    # files and leaves inference nothing to probe
+    back = spark.read.schema(orders.schema).parquet(C6_YEAR_PATH)
+    return back.groupBy(
+        year_from_path().alias("file_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

@@ -484,6 +484,64 @@ def _assign_nearest(vecs: DataFrame, cents_row: DataFrame) -> DataFrame:
     )
 
 
+# A cluster of n vectors yields ~n²/2 candidate pairs, all landing on
+# ONE shuffle partition (the join key is the cluster id). Above this
+# size the pair join is salted: the probe side spreads over SEM_SALTS
+# partitions, the mate side replicates SEM_SALTS× — a mega-cluster
+# straggler becomes SEM_SALTS parallel tasks. 2000 vectors ≈ 2M pair
+# rows, a comfortable single-task slice; tune down for wide vectors.
+SEM_SALT_THRESHOLD = 2000
+SEM_SALTS = 8
+
+
+def _within_cluster_pairs(
+    assigned: DataFrame,
+    *,
+    salt_threshold: int = SEM_SALT_THRESHOLD,
+    n_salts: int = SEM_SALTS,
+) -> DataFrame:
+    """Within-cluster candidate pairs (b_id < a_id) for the SemDeDup
+    verify stage, with the skew guard the module docstring prescribes:
+    clusters larger than ``salt_threshold`` take the salted self-join
+    (operators.scale.salted_join — probe side spread by vec_id hash,
+    mate side replicated per salt), the rest take the plain equi-join.
+    Pair semantics are identical on both paths; only the exchange
+    layout differs, so the union is safe and the oracle unchanged.
+
+    The size split itself is one count per cluster (map-side combined)
+    and the big-cluster id list is dimension-sized → broadcast.
+    """
+    from bow_hunter_pipeline_spark.operators.scale import salted_join
+
+    mine = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("qe"),
+    )
+    mate = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("ce"),
+    )
+    big = (
+        assigned.groupBy(F.col("cluster").alias("cl"))
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .filter(F.col("__cn") > salt_threshold)
+        .select("cl")
+    )
+    plain = mine.join(F.broadcast(big), "cl", "left_anti").join(
+        mate.join(F.broadcast(big), "cl", "left_anti"), "cl"
+    )
+    salted = salted_join(
+        mine.join(F.broadcast(big), "cl", "left_semi"),
+        mate.join(F.broadcast(big), "cl", "left_semi"),
+        ["cl"],
+        n_salts=n_salts,
+        left_salt_from=F.col("a_id"),
+    )
+    return plain.unionByName(salted).filter(F.col("b_id") < F.col("a_id"))
+
+
 def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1/H2 SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
     the embedding space, then mark semantic duplicates only WITHIN a
@@ -502,8 +560,10 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the dim explode is narrow with map-side partial aggregation
     (K·DIM running sums per task); assignment broadcasts K structs;
     the only data-sized shuffles are the centroid groupBy and the
-    within-cluster join, both keyed on cluster. Skewed mega-clusters
-    split by salting the pair join or raising K. Returns per-cluster
+    within-cluster join, both keyed on cluster. Mega-cluster skew is
+    handled in ``_within_cluster_pairs``: clusters above
+    SEM_SALT_THRESHOLD take a salted self-join (probe side spread over
+    SEM_SALTS partitions). Returns per-cluster
     totals: (cluster_id, n_vecs, n_sem_dups, n_kept, min_vec_id).
     """
     emb = read_table(spark, sf_dir, "embeddings")
@@ -542,21 +602,8 @@ def semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = _assign_nearest(vecs, cent_row2)
 
-    mine = a2.select(
-        F.col("cluster").alias("a_cl"),
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("qe"),
-    )
-    mate = a2.select(
-        F.col("cluster").alias("b_cl"),
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("ce"),
-    )
     dup_ids = (
-        mine.join(
-            mate,
-            (F.col("a_cl") == F.col("b_cl")) & (F.col("b_id") < F.col("a_id")),
-        )
+        _within_cluster_pairs(a2)
         .withColumn(
             "cosine",
             dot_fold("qe", "ce")

@@ -871,6 +871,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # E2+: file-pruned MERGE (footer-stat data skipping) — same oracle
     "e2_tx_merge_pruned": (pipeline.tx_merge_pruned, _TX_MERGE_SQL),
+    # C6 as a dedicated row: year regexed from the FILE PATH drives the
+    # rollup; the oracle recomputes from o_orderdate (path==data proof)
+    "c6_year_from_path": (
+        pipeline.year_from_path_rollup,
+        oracles_f.C6_YEAR_FROM_PATH,
+    ),
 }
 
 
@@ -881,73 +887,19 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.flagship_pipeline(spark, sf_dir)
 
 
-# The external driver checks a fixed-size prefix of queries() (50 in
-# rounds 1-2, always the first 50 of the export order). Rotate which
-# entries lead so its coverage reaches the whole registry over rounds:
-# first the rows that were red in round 2 (proving the events-reader
-# fix), then families the driver has never checked (UDF shapes,
-# streaming, multimodal, approx, sink roundtrips, IVF/PQ, a TPC-H
-# sample). Everything not listed follows in registry order — nothing is
-# ever dropped, only reordered.
+# The external driver checks a fixed-size prefix of queries() (the
+# first 50 of the export order). Rotate which entries lead so its
+# coverage reaches the whole registry over rounds. Rounds 1-3 proved
+# 90 distinct queries (r01: original prefix; r03: UDF/streaming/
+# multimodal/H6/sink families — 48/50 hash-green, 2 rows-only by
+# design). Round 4 leads with the 50 entries that have NEVER had a
+# driver row: the queued wave-2 H6/H1/H2 set, the tx-merge and G5
+# rows, the new C6 path-year query, and a first slice of the TPC-H +
+# funcfamilies backlog. Everything not listed follows in registry
+# order — nothing is ever dropped, only reordered.
 _DRIVER_ROTATION = [
-    # round-2 red rows (events reader) — must show green in round 3
-    "c2_parse_long",
-    "c3_parse_unit",
-    "h4_hourly_event_agg",
-    "h4_rolling_hour_counts",
-    "h4_sessionize",
-    "h4_json_props_agg",
-    "h4_json_map_explode",
-    "f_asof_join_error_context",
-    "f_range_join_value_bands",
-    "f_pivot_event_counts",
-    # new this round
-    "a7_pending_work",
-    # never driver-checked: Python UDF/UDTF family
-    "udf_scalar_token_stats",
-    "udf_grouped_agg_floorsum",
-    "udf_grouped_map_neighbors",
-    "udf_cogrouped_order_profile",
-    "udf_grouped_map_arrow",
-    "udf_table_function",
-    # never driver-checked: Structured Streaming family
-    "h4_streaming_hourly_agg",
-    "h4_streaming_sessionize",
-    "h4_streaming_dedup",
-    "h4_streaming_upsert",
-    "h4_stream_static_join",
-    "h4_stream_stream_join",
-    "h4_session_window_builtin",
-    # approx sketches, multimodal plumbing, ANN scale paths
-    "h5_exact_distinct_quantiles",
-    "h5_approx_aggs",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_resize_media",
-    "mm_audio_windows",
-    "h2_ivf_topk",
-    "h2_pq_topk",
-    # source/sink roundtrips + ingest adapters
-    "a4_partition_roundtrip",
-    "a5_glob_scan",
-    "a5_csv_roundtrip",
-    "a5_json_roundtrip",
-    "a8_sql_ddl_roundtrip",
-    "e1_stage_full_refresh",
-    "a2_a3_pdf_ingest",
-    # warehouse history / drift / dedup / text stragglers
-    "e2_scd2_history",
-    "e4_drift_audit",
-    "h1_containment_pairs",
-    "h3_tfidf_top_terms",
-    "g4_moving_avg",
-    # new H6 training-data pipeline family (round 3)
-    "h6_sequence_packing",
-    "h6_contamination_check",
-    "h6_repetition_filter",
-    "h6_dedup_apply",
-    "h6_domain_upsample",
-    "h3_bpe_token_count",
+    # --- round-4 prefix: all never driver-checked -------------------
+    # wave-2 H6 corpus shaping + H2/H1 scale paths (queued since r03)
     "h6_pii_redaction",
     "h6_quality_rules",
     "h6_url_strip",
@@ -981,7 +933,59 @@ _DRIVER_ROTATION = [
     "g5_weather_correlation",
     "e2_tx_merge_timetravel",
     "e2_tx_merge_pruned",
-    # (h3_ttr/bigrams + TPC-H wave rotate in from round 4)
+    # new round-4 row: C6 year-from-path with a dedicated oracle
+    "c6_year_from_path",
+    # text-analysis stragglers + skew/explode/unpivot shapes
+    "h3_type_token_ratio",
+    "h3_bigram_counts",
+    "f_salted_skew_join",
+    "d2_posexplode_tokens",
+    "f_unpivot_metrics",
+    # window/array/string/map/try/struct function suites
+    "f_window_distribution",
+    "f_higher_order_arrays",
+    "f_string_functions",
+    "f_map_functions",
+    "f_try_arithmetic",
+    "f_nested_struct_roundtrip",
+    # TPC-H slice: the widest join trees + correlated-subquery shapes
+    "f_q2_min_cost_supplier",
+    "f_q9_product_profit",
+    "f_q13_customer_distribution",
+    "f_q17_small_quantity",
+    "f_q21_waiting_suppliers",
+    # --- round-5 queue: the remaining never-checked entries ---------
+    "f_sql_text_interface",
+    "f_q3_shipping_priority",
+    "f_above_avg_orders",
+    "f_q4_priority_exists",
+    "f_q7_volume_shipping",
+    "f_argmin_cheapest_per_brand",
+    "f_multi_distinct_monthly",
+    "f_q5_local_supplier_volume",
+    "f_histogram_order_values",
+    "f_disjunctive_join",
+    "f_null_safe_join",
+    "f_argminmax_per_customer",
+    "f_conditional_agg",
+    "f_paginated_top_orders",
+    "f_corr_qty_price",
+    "f_array_agg_years",
+    "f_q6_forecast_revenue",
+    "f_q10_returned_items",
+    "f_q12_late_shipment",
+    "f_q14_promo_revenue",
+    "f_q15_top_supplier",
+    "f_q18_large_volume",
+    "f_q8_market_share",
+    "f_q11_important_stock",
+    "f_q16_supplier_part_counts",
+    "f_q20_majority_shippers",
+    "f_q22_sales_opportunity",
+    "f_array_set_ops",
+    "f_date_arithmetic",
+    "f_bitwise_ops",
+    "f_conditional_scalars",
 ]
 
 

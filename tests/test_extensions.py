@@ -220,14 +220,32 @@ def test_driver_rotation_prefix_is_stable():
     driver-checked, and that every rotation name actually resolves."""
     from bow_hunter_pipeline_spark import registry
 
+    import json
+    import os
+
     names = list(registry.queries())
     rotation = [n for n in registry._DRIVER_ROTATION if n in registry._REGISTRY]
     assert rotation == names[: len(rotation)]
     missing = [n for n in registry._DRIVER_ROTATION if n not in registry._REGISTRY]
     assert not missing, f"rotation names not in registry: {missing}"
-    # round-2 red rows lead the rotation — they must stay in the
-    # driver-checked prefix until a green CORRECTNESS round retires them
-    for must_lead in ("c2_parse_long", "c3_parse_unit", "h4_sessionize"):
+    # round-4 goal: every prefix slot goes to a query with NO driver
+    # row in any prior CORRECTNESS file — the rotation's whole point
+    checked: set[str] = set()
+    for rnd in ("r01", "r02", "r03"):
+        path = f"/root/repo/CORRECTNESS_{rnd}.json"
+        if os.path.exists(path):
+            with open(path) as f:
+                checked |= set(json.load(f))
+    already = [n for n in names[:50] if n in checked]
+    assert not already, f"prefix wastes slots on driver-proven rows: {already}"
+    # the verdict's named round-4 targets must make the checked prefix
+    for must_lead in (
+        "g5_weather_correlation",
+        "e2_tx_merge_timetravel",
+        "e2_tx_merge_pruned",
+        "c6_year_from_path",
+        "a6_schema_merge_scan",
+    ):
         assert names.index(must_lead) < 50
 
 

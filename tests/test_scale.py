@@ -195,3 +195,41 @@ def test_max_partition_bytes_splits_large_scans(spark, tmp_path):
     # (big is not 1: files.minPartitionNum still targets the session's
     # default parallelism — the same config family, same lesson)
     assert small > big, (small, big)
+
+
+def test_semdedup_pair_join_salts_mega_clusters(spark):
+    """_within_cluster_pairs splits clusters at the salt threshold:
+    an induced mega-cluster takes the salted self-join (the salt
+    expression shows in the plan), the small cluster takes the plain
+    path — and the union equals the brute within-cluster pair set
+    exactly, so the oracle-checked SemDeDup result is unchanged."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.plans.simsearch import (
+        _within_cluster_pairs,
+    )
+
+    # cluster 0: 50 vectors (mega under threshold=20); cluster 1: 5
+    assigned = spark.range(55).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") < 50, F.lit(0)).otherwise(F.lit(1)).alias(
+            "cluster"
+        ),
+        F.array(F.col("id") * 1.0, F.lit(1.0)).alias("embedding"),
+    )
+    pairs = _within_cluster_pairs(assigned, salt_threshold=20, n_salts=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan  # salted exchange live
+
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    brute = {
+        (a, b)
+        for a in range(55)
+        for b in range(55)
+        if b < a and (a < 50) == (b < 50)
+    }
+    assert got == brute
+    # under-threshold clusters route to the plain leg (the salted leg
+    # is statically present but drains empty) — same pair set
+    unsalted = _within_cluster_pairs(assigned, salt_threshold=100)
+    assert {(r.a_id, r.b_id) for r in unsalted.collect()} == brute
