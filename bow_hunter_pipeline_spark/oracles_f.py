@@ -988,3 +988,22 @@ SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS file_year,
 FROM orders
 GROUP BY 1
 """
+
+
+ORC_ROUNDTRIP = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+TEXT_ROUNDTRIP = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY lang
+"""

@@ -1299,3 +1299,66 @@ SELECT event_type, COUNT(*) AS n_events,
          / CAST(COUNT(*) AS DOUBLE) AS late_ratio
 FROM run GROUP BY event_type
 """
+
+
+# H1 MinHash estimator audit: signature-match estimate vs exact
+# shingle Jaccard per LSH candidate pair. NULL-safe component match
+# (IS NOT DISTINCT FROM == Spark eqNullSafe) keeps shingle-less docs
+# well-defined; /NUM_PERM (a power of two) and the single Jaccard
+# division are exact IEEE on both engines.
+_MH_MATCH = " + ".join(
+    f"CAST(sa.s{p} IS NOT DISTINCT FROM sb.s{p} AS INT)"
+    for p in range(NUM_PERM)
+)
+
+MINHASH_ERROR_AUDIT = _MINHASH_CTES + f""",
+mh_match AS (
+  SELECT c.doc_a, c.doc_b, {_MH_MATCH} AS n_match
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+mh_sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle FROM docs
+),
+mh_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM mh_sh GROUP BY doc_id),
+mh_shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM mh_sh a JOIN mh_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b,
+       CAST(m.n_match AS DOUBLE) / {NUM_PERM} AS est_sim,
+       coalesce(CAST(s.n_shared AS DOUBLE)
+                  / (na.n_sh + nb.n_sh - s.n_shared), 0.0e0) AS jaccard,
+       abs(CAST(m.n_match AS DOUBLE) / {NUM_PERM}
+           - coalesce(CAST(s.n_shared AS DOUBLE)
+                        / (na.n_sh + nb.n_sh - s.n_shared), 0.0e0)) AS abs_err
+FROM mh_match m
+LEFT JOIN mh_shared s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+LEFT JOIN mh_sizes na ON na.doc_id = m.doc_a
+LEFT JOIN mh_sizes nb ON nb.doc_id = m.doc_b
+"""
+
+
+RETENTION_COHORTS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+with_first AS (
+  SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM days
+),
+per_user AS (
+  SELECT user_id, first_day,
+         MAX(CAST(date_diff('day', first_day, day) = 1 AS INT)) AS r1,
+         MAX(CAST(date_diff('day', first_day, day) BETWEEN 1 AND 7 AS INT))
+           AS r7
+  FROM with_first GROUP BY user_id, first_day
+)
+SELECT first_day AS cohort_day,
+       COUNT(*) AS n_users,
+       SUM(r1) AS n_retained_d1,
+       SUM(r7) AS n_retained_d7
+FROM per_user GROUP BY first_day
+"""

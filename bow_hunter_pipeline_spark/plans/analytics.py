@@ -315,3 +315,56 @@ def weather_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "nationkey", "n", "sx", "sy", corr.alias("corr_temp_orders")
     )
+
+
+def nearest_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 spatial leg: the declared "weather data integration"
+    (``rough-idea.md:29-32``) implies assigning each activity point to
+    its nearest station/sensor — the canonical spatial-join seam. Like
+    ``weather_correlation``, the sensor dimension is synthesized
+    deterministically on an integer grid (sensor and point coordinates
+    are hash-free modular functions of the keys), so every distance is
+    an exact bigint and the oracle replays the same arithmetic; a real
+    deployment swaps in station lat/lons and a haversine distance with
+    an identical plan shape.
+
+    Nearest = argmin over (squared distance, sensor_id) — the
+    lexicographic struct-min, which equals the oracle's
+    ROW_NUMBER-over-(d2, sensor_id) pick bit-for-bit, with one
+    groupBy shuffle and NO window over the expanded frame.
+
+    Scale: the sensor table is dimension-sized → broadcast; the
+    expansion is |points| × |sensors| rows but never shuffles (argmin
+    collapses it map-side via partial aggregation). For sensor sets
+    too big to broadcast, the production refinement is a grid-cell
+    (geohash) bucket join — same argmin, candidates bounded per cell.
+    """
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+
+    sensors = nation.select(
+        F.col("n_nationkey").alias("sensor_id"),
+        ((F.col("n_nationkey") * 37) % 100).cast("bigint").alias("sx"),
+        ((F.col("n_nationkey") * 61) % 100).cast("bigint").alias("sy"),
+    )
+    pts = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") * 13) % 100).cast("bigint").alias("px"),
+        ((F.col("c_custkey") * 29) % 100).cast("bigint").alias("py"),
+    )
+    dx = F.col("px") - F.col("sx")
+    dy = F.col("py") - F.col("sy")
+    d2 = (dx * dx + dy * dy).alias("d2")
+    nearest = (
+        pts.crossJoin(F.broadcast(sensors))
+        .select("c_custkey", "c_acctbal", d2, "sensor_id")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.min(F.struct("d2", "sensor_id")).alias("nr"))
+    )
+    return nearest.groupBy(F.col("nr.sensor_id").alias("sensor_id")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_acctbal", "decimal(12,2)"),
+        F.min("nr.d2").alias("min_d2"),
+        F.max("nr.d2").alias("max_d2"),
+    )

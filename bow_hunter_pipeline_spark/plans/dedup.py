@@ -81,6 +81,33 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{NUM_PERM-1}) minhash signature frame — the shared
+    core of the LSH bucket builder and the estimate-vs-exact audit.
+    One md5 per token, codegen'd integer shingle combine, explode with
+    map-side partial min per permutation (the shuffle carries one row
+    per doc). ``explode_outer`` keeps shingle-less docs with an
+    all-NULL signature, matching the SQL oracle's list_min over an
+    empty list."""
+    # token-hash array as its OWN projection: the shingle combine
+    # references it 3×, and a separate named column stops
+    # CollapseProject from inlining (= re-md5ing every token 3×)
+    with_th = docs.select("doc_id", token_hash_array("text").alias("th"))
+    hashed = with_th.select(
+        "doc_id",
+        F.explode_outer(shingle_hashes_from(F.col("th"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p]))
+                % F.lit(MERSENNE31)
+            ).alias(f"m{p}")
+            for p in range(NUM_PERM)
+        ]
+    )
+
+
 def _minhash_buckets(docs: DataFrame) -> DataFrame:
     """(doc_id, band_key) LSH bucket rows — the codegen-path MinHash.
 
@@ -112,23 +139,7 @@ def _minhash_buckets(docs: DataFrame) -> DataFrame:
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target, "doc_id")
-    # token-hash array as its OWN projection: the shingle combine
-    # references it 3×, and a separate named column stops
-    # CollapseProject from inlining (= re-md5ing every token 3×)
-    with_th = docs.select("doc_id", token_hash_array("text").alias("th"))
-    hashed = with_th.select(
-        "doc_id",
-        F.explode_outer(shingle_hashes_from(F.col("th"))).alias("h"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p]))
-                % F.lit(MERSENNE31)
-            ).alias(f"m{p}")
-            for p in range(NUM_PERM)
-        ]
-    )
+    sig = _minhash_sigs(docs)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -572,4 +583,98 @@ def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_repeat").cast("int")).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("repeat_ratio"),
+    )
+
+
+def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: MinHash estimator quality audit — for every LSH candidate
+    pair, the signature Jaccard ESTIMATE (matching permutation minima
+    / NUM_PERM) next to the EXACT shingle Jaccard and the absolute
+    error. The H1 twin of h2_ann_recall_audit: the query a dedup team
+    runs after retuning NUM_PERM/BANDS to see what the sketch buys —
+    and, like that audit, both sides are deterministic plans, so the
+    audit itself is oracle-checkable.
+
+    Scale: candidates come from the banded self-join (collision-sized);
+    the exact side is computed ONLY for docs that appear in some
+    candidate pair (semi-join pushdown before the shingle explode), so
+    the expensive all-pairs Jaccard never materializes — the same
+    "sketch recalls, exact verifies" split production dedup uses.
+    Estimate division by NUM_PERM (a power of two) and the one final
+    Jaccard division are exact IEEE, matching the oracle bit-for-bit.
+    """
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    buckets = _minhash_buckets(docs)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sig = _minhash_sigs(docs)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{p}").alias(f"ma{p}") for p in range(NUM_PERM)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{p}").alias(f"mb{p}") for p in range(NUM_PERM)],
+    )
+    n_match = sum(
+        F.col(f"ma{p}").eqNullSafe(F.col(f"mb{p}")).cast("int")
+        for p in range(NUM_PERM)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", n_match.alias("n_match")
+    )
+
+    # exact Jaccard, candidates only: restrict docs BEFORE the explode
+    in_cand = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(in_cand, "doc_id", "left_semi")
+        .select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    est_sim = F.col("n_match").cast("double") / F.lit(float(NUM_PERM))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a", "left")
+        .join(nb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            est_sim.alias("est_sim"),
+            F.coalesce(jac, F.lit(0.0)).alias("jaccard"),
+            F.abs(est_sim - F.coalesce(jac, F.lit(0.0))).alias("abs_err"),
+        )
     )

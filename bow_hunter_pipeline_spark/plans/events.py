@@ -300,3 +300,36 @@ def watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("late_ratio"),
     )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: day-cohort retention — the canonical product-analytics
+    rollup downstream of event ingestion: users grouped by the day of
+    their FIRST event, with day-1 and day-7 return counts (any later
+    event exactly 1 day after, or within days 1..7, respectively).
+
+    Shape: one distinct to (user, active-day) granularity (map-side
+    combined), a per-user min-day window, per-user retention flags via
+    conditional max, then the tiny cohort rollup. Two shuffles on
+    user_id back-to-back — Catalyst reuses the partitioning between
+    the window and the groupBy, so the data moves once.
+
+    Scale: (user × active-day) is orders of magnitude smaller than the
+    raw event stream, and everything after the first distinct is
+    per-user narrow. At 100 TB the distinct is the only heavy exchange
+    — exactly the shuffle a retention query must pay.
+    """
+    ev = read_events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    with_first = days.withColumn("first_day", F.min("day").over(w))
+    gap = F.datediff(F.col("day"), F.col("first_day"))
+    per_user = with_first.groupBy("user_id", "first_day").agg(
+        F.max((gap == 1).cast("int")).alias("r1"),
+        F.max(((gap >= 1) & (gap <= 7)).cast("int")).alias("r7"),
+    )
+    return per_user.groupBy(F.col("first_day").alias("cohort_day")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("r1").alias("n_retained_d1"),
+        F.sum("r7").alias("n_retained_d7"),
+    )

@@ -717,3 +717,72 @@ def year_from_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+A5_ORC_PATH = "/tmp/bhps_a5_orc"
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 for the ORC format (Spark-native columnar alternative to
+    parquet — common in Hive-lineage lakes): land an orders projection
+    as ORC, read it back, and aggregate. Completes the format matrix
+    (parquet/CSV/JSON/XML/ORC/text) the A5 family proves end to end.
+
+    ORC carries its own footer statistics and supports predicate
+    pushdown like parquet, so the scan-side discipline (explicit
+    schema, column pruning) transfers unchanged; the projection is
+    written pre-pruned, the at-scale habit for interchange copies.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(A5_ORC_PATH)
+    back = spark.read.schema(orders.schema).orc(A5_ORC_PATH)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+A5_TEXT_PATH = "/tmp/bhps_a5_text"
+
+
+def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 for the line-text format — the landing shape of raw scraped
+    corpora (one record per line, delimiter-joined): serialize
+    documents as tab-joined lines, read back with ``spark.read.text``,
+    re-parse with typed try_casts (C1/C2 discipline — a corrupt line
+    NULLs, never throws under ANSI), and aggregate per language.
+    The fixture texts are [a-z0-9 ] only, so the tab framing is
+    unambiguous; real corpora use escaped JSONL (a5_json_roundtrip).
+
+    Scale: text scans have no pushdown or pruning — the plan treats
+    the format as landing-only and converts immediately, like CSV.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+            F.col("text"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(A5_TEXT_PATH)
+    back = spark.read.text(A5_TEXT_PATH).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .try_cast("bigint")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("lang"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(3))
+        .try_cast("bigint")
+        .alias("n_chars"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(4)).alias("text"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -224,6 +224,41 @@ SELECT nationkey, n, sx, sy,
 FROM sums
 """
 
+# G5 spatial leg: nearest-sensor assignment on a deterministic
+# integer grid — ROW_NUMBER over (d2, sensor_id) = Spark's
+# lexicographic struct-min, bit-for-bit
+_SENSOR_JOIN_SQL = """
+WITH sensors AS (
+  SELECT n_nationkey AS sensor_id,
+         CAST((n_nationkey * 37) % 100 AS BIGINT) AS sx,
+         CAST((n_nationkey * 61) % 100 AS BIGINT) AS sy
+  FROM nation
+),
+pts AS (
+  SELECT c_custkey, c_acctbal,
+         CAST((c_custkey * 13) % 100 AS BIGINT) AS px,
+         CAST((c_custkey * 29) % 100 AS BIGINT) AS py
+  FROM customer
+),
+scored AS (
+  SELECT c_custkey, c_acctbal, sensor_id,
+         (px - sx) * (px - sx) + (py - sy) * (py - sy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_custkey
+           ORDER BY (px - sx) * (px - sx) + (py - sy) * (py - sy), sensor_id
+         ) AS rn
+  FROM pts CROSS JOIN sensors
+)
+SELECT sensor_id,
+       COUNT(*) AS n_customers,
+       CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 4) AS DOUBLE)
+         AS total_acctbal,
+       MIN(d2) AS min_d2,
+       MAX(d2) AS max_d2
+FROM scored WHERE rn = 1
+GROUP BY sensor_id
+"""
+
 # E2+: commit-log transactional MERGE — both versions rolled up.
 # Scale-6 decimal cast: merged prices carry 6 decimal digits and
 # rounding a double to 2 places diverges between engines near .xx5.
@@ -877,6 +912,24 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.year_from_path_rollup,
         oracles_f.C6_YEAR_FROM_PATH,
     ),
+    # H1: MinHash estimate vs exact Jaccard error audit (sketch QA)
+    "h1_minhash_error_audit": (
+        dedup.minhash_error_audit,
+        oracles_h.MINHASH_ERROR_AUDIT,
+    ),
+    # G5 spatial leg: nearest-sensor argmin grid join
+    "g5_nearest_sensor_join": (
+        analytics.nearest_sensor_join,
+        _SENSOR_JOIN_SQL,
+    ),
+    # A5 format matrix completion: ORC and line-text roundtrips
+    "a5_orc_roundtrip": (pipeline.orc_roundtrip, oracles_f.ORC_ROUNDTRIP),
+    "a5_text_roundtrip": (pipeline.text_roundtrip, oracles_f.TEXT_ROUNDTRIP),
+    # H4: day-cohort retention (d1/d7 return rates)
+    "h4_retention_cohorts": (
+        events.retention_cohorts,
+        oracles_h.RETENTION_COHORTS,
+    ),
 }
 
 
@@ -986,6 +1039,12 @@ _DRIVER_ROTATION = [
     "f_date_arithmetic",
     "f_bitwise_ops",
     "f_conditional_scalars",
+    # new round-4 queries — never checked, queued behind the backlog
+    "h1_minhash_error_audit",
+    "g5_nearest_sensor_join",
+    "a5_orc_roundtrip",
+    "a5_text_roundtrip",
+    "h4_retention_cohorts",
 ]
 
 
