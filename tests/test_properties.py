@@ -111,3 +111,48 @@ def test_upsert_pk_unique_and_partial_update(spark, old_rows, new_rows):
             assert upd == new[k] and keep == f"new{k}"
         else:
             assert upd == old[k] and keep == f"old{k}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    base_keys=st.lists(
+        st.integers(min_value=0, max_value=300),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    upd_keys=st.lists(
+        st.integers(min_value=0, max_value=300),
+        min_size=0,
+        max_size=20,
+        unique=True,
+    ),
+    n_files=st.integers(min_value=1, max_value=5),
+)
+def test_tx_merge_pruned_equals_full_merge(
+    spark, tmp_path_factory, base_keys, upd_keys, n_files
+):
+    """Property: for ANY base/update key sets and ANY file layout, the
+    file-pruned MERGE and the full-rewrite MERGE produce identical
+    tables — pruning is a pure I/O optimization, never a semantics
+    change. Covers empty updates (no-op path), all-insert, all-match,
+    and straddling ranges."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    root = tmp_path_factory.mktemp("txprop")
+    base = spark.createDataFrame(
+        [(k, f"s{k}", float(k)) for k in sorted(base_keys)],
+        "k bigint, s string, v double",
+    ).repartitionByRange(n_files, "k")
+    upd = spark.createDataFrame(
+        [(k, "UP", float(k) * 10) for k in sorted(upd_keys)],
+        "k bigint, s string, v double",
+    )
+    t_full, t_pruned = str(root / "full"), str(root / "pruned")
+    tx.create_table(spark, t_full, base)
+    tx.create_table(spark, t_pruned, base, stats_cols=["k"])
+    tx.merge(spark, t_full, upd, ["k"], ["v"])
+    tx.merge_pruned(spark, t_pruned, upd, ["k"], ["v"])
+    a = sorted(map(tuple, tx.snapshot(spark, t_full).collect()))
+    b = sorted(map(tuple, tx.snapshot(spark, t_pruned).collect()))
+    assert a == b
