@@ -1362,3 +1362,65 @@ SELECT first_day AS cohort_day,
        SUM(r7) AS n_retained_d7
 FROM per_user GROUP BY first_day
 """
+
+
+IVF_PQ_TOPK = f"""
+WITH icent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id, {_ACOS} AS acos
+  FROM embeddings e CROSS JOIN icent c
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY acos DESC, cent_id
+    ) AS arn
+    FROM assign_scored
+  ) WHERE arn = 1
+),
+pcent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id IN (11, 22, 33, 44, 55, 66, 77, 88)
+),
+sub AS (
+  SELECT vec_id, embedding, unnest(generate_series(0, 3)) AS s
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id, s, cent_id, {_PQ_SUB_L2} AS d
+  FROM sub, pcent
+),
+codes AS (
+  SELECT vec_id, s, cent_id AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+ptab AS (
+  SELECT vec_id AS q_id, s, cent_id AS code, d
+  FROM dists WHERE vec_id < {N_QUERIES}
+),
+summed AS (
+  SELECT p.q_id, c.vec_id AS c_id, qc.cell_id,
+         SUM(CASE WHEN c.s = 0 THEN p.d END) AS d0,
+         SUM(CASE WHEN c.s = 1 THEN p.d END) AS d1,
+         SUM(CASE WHEN c.s = 2 THEN p.d END) AS d2,
+         SUM(CASE WHEN c.s = 3 THEN p.d END) AS d3
+  FROM codes c
+  JOIN cells cc ON cc.vec_id = c.vec_id
+  JOIN ptab p ON p.s = c.s AND p.code = c.code
+  JOIN cells qc ON qc.vec_id = p.q_id AND qc.cell_id = cc.cell_id
+  WHERE c.vec_id <> p.q_id
+  GROUP BY p.q_id, c.vec_id, qc.cell_id
+)
+SELECT q_id, c_id, cell_id, approx_dist, rnk FROM (
+  SELECT q_id, c_id, cell_id, ((d0 + d1) + d2) + d3 AS approx_dist,
+         CAST(rank() OVER (PARTITION BY q_id
+                           ORDER BY ((d0 + d1) + d2) + d3, c_id) AS INT) AS rnk
+  FROM summed
+) WHERE rnk <= {TOP_K}
+"""

@@ -157,6 +157,30 @@ def embedding_near_dup(
 IVF_CENTROID_IDS = [10, 20, 30, 40]  # deterministic coarse centroids
 
 
+def _ivf_assign(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cell_id) IVF cell assignment — broadcast
+    cross-score against the K fixed centroids, argmax by cosine with
+    ties to the lower centroid id. Shared by ivf_topk and the IVF-PQ
+    composition."""
+    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored_assign = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "acos",
+        dot_fold("embedding", "cvec")
+        / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("cent_id")
+    )
+    return (
+        scored_assign.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
+    )
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 IVF with a *computed* coarse quantizer (vs ann_bucketed_topk,
     which trusts a precomputed bucket): assign every vector to its
@@ -174,23 +198,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each probe reads one cell — nprobe=1 IVF as partition pruning.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-    )
-    scored_assign = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "acos",
-        dot_fold("embedding", "cvec")
-        / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
-    )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("acos").desc(), F.col("cent_id")
-    )
-    assigned = (
-        scored_assign.withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
-    )
+    assigned = _ivf_assign(emb)
     probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
@@ -237,6 +245,25 @@ def _l2_sub(a: str, b: str) -> Column:
     )
 
 
+def _pq_dists(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, s, cent_id, d) subspace-distance frame —
+    every vector's L2² to each of the 8 codebook entries in each of
+    the M subspaces. Codes = argmin per (vec_id, s); probe distance
+    tables = the probe rows as-is. Shared by pq_topk and the IVF-PQ
+    composition."""
+    cent = emb.filter(F.col("vec_id").isin(*PQ_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    sub = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s"),
+    )
+    return sub.join(F.broadcast(cent)).withColumn(
+        "d", _l2_sub("embedding", "cvec")
+    )
+
+
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H2 product quantization (PQ) — the memory-bound leg of the ANN
     triad (brute-force = compute-bound baseline, IVF = partition
@@ -261,17 +288,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id").isin(*PQ_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
-    )
-    sub = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s"),
-    )
-    dists = sub.join(F.broadcast(cent)).withColumn(
-        "d", _l2_sub("embedding", "cvec")
-    )
+    dists = _pq_dists(emb)
     aw = Window.partitionBy("vec_id", "s").orderBy(F.col("d"), F.col("cent_id"))
     codes = (
         dists.withColumn("rn", F.row_number().over(aw))
@@ -664,4 +681,59 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k",
             F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
         )
+    )
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: IVF-PQ — the two scale legs composed into the production
+    ANN stack (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — the FAISS ``IVFADC`` index): IVF
+    cells prune WHICH candidates are scored, PQ codes decide HOW —
+    asymmetric distance against the candidate's code, never its full
+    vector. Probes search only their own cell (nprobe=1, as ivf_topk).
+
+    Structure = _ivf_assign × _pq_dists, glued by putting the cell id
+    INTO the code-join key: candidates hash-join the broadcast probe
+    distance table on (s, code, cell_id), so a candidate outside the
+    probe's cell never enters the ADC aggregate. Determinism: the ADC
+    sum is the pq_topk fixed-shape ((d0+d1)+d2)+d3 expression.
+
+    Scale: this is what a 100 TB vector lake actually deploys — the
+    lake is partitioned by cell_id (the IVF list), each cell stores
+    only (vec_id, codes), a probe reads one cell's code column and
+    broadcasts an M×K distance table. Neither full-vector I/O nor
+    cross-cell shuffles exist at query time.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cells = _ivf_assign(emb).select("vec_id", "cell_id")
+    dists = _pq_dists(emb)
+
+    aw = Window.partitionBy("vec_id", "s").orderBy(F.col("d"), F.col("cent_id"))
+    codes = (
+        dists.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cent_id").alias("code"))
+    ).join(cells, "vec_id")
+    ptab = dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "s", F.col("cent_id").alias("code"), "d"
+    ).join(
+        cells.select(F.col("vec_id").alias("q_id"), "cell_id"), "q_id"
+    )
+    joined = codes.join(F.broadcast(ptab), ["s", "code", "cell_id"]).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    terms = [
+        F.sum(F.when(F.col("s") == i, F.col("d"))).alias(f"d{i}")
+        for i in range(PQ_SUBSPACES)
+    ]
+    summed = joined.groupBy(
+        "q_id", F.col("vec_id").alias("c_id"), "cell_id"
+    ).agg(*terms)
+    dist = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_dist"), F.col("c_id"))
+    return (
+        summed.withColumn("approx_dist", dist)
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "c_id", "cell_id", "approx_dist", "rnk")
     )

@@ -930,6 +930,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.retention_cohorts,
         oracles_h.RETENTION_COHORTS,
     ),
+    # H2: IVF-PQ composition — cell-pruned candidates, ADC scoring
+    "h2_ivf_pq_topk": (simsearch.ivf_pq_topk, oracles_h.IVF_PQ_TOPK),
 }
 
 
@@ -1045,6 +1047,7 @@ _DRIVER_ROTATION = [
     "a5_orc_roundtrip",
     "a5_text_roundtrip",
     "h4_retention_cohorts",
+    "h2_ivf_pq_topk",
 ]
 
 

@@ -35,6 +35,7 @@ ALLOW: dict[str, set[str]] = {
         "h2_mmr_rerank",  # same bounded probe broadcast feeds the pool
         "h2_ivf_topk",  # K fixed centroids broadcast for cell assignment
         "h2_pq_topk",  # 8-entry codebook broadcast for subspace encoding
+        "h2_ivf_pq_topk",  # inherits both bounded broadcasts above
         "h2_ann_recall_audit",  # inherits cosine_topk's bounded probe broadcast
         "h1_semdedup_kmeans",  # 1-row centroid-list broadcast per Lloyd round
         "h6_rare_token_score",  # 1-row corpus-mean scalar broadcast
