@@ -164,3 +164,57 @@ def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hunters").alias("total_hunters"),
         F.max("harvest").alias("max_unit_harvest"),
     )
+
+
+def python_stream_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+ streaming: the agency feed through the Spark 4 Python
+    DataSource STREAM reader (sources/python_feed.py:
+    register_stream_feed) — one micro-batch per year with offset-based
+    exactly-once delivery, drained to a memory sink, then the same
+    per-(state, year) rollup as the batch connector
+    (python_datasource_feed), so ONE oracle covers both paths and any
+    loss or duplication across batches breaks the hash.
+
+    The drain polls to the feed's known finite size (3 states × 40
+    units × 3 years): SimpleDataSourceStreamReader advances one offset
+    per trigger, so a short processingTime trigger steps through all
+    three year-batches and the poll exits deterministically.
+    """
+    import time
+
+    from bow_hunter_pipeline_spark.sources.python_feed import (
+        FEED_STATES,
+        FEED_UNITS,
+        FEED_YEARS,
+        read_stream_feed,
+    )
+
+    name = "bhps_stream_feed_q"
+    total = len(FEED_STATES) * FEED_UNITS * len(FEED_YEARS)
+    stream = read_stream_feed(spark)
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= total:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    feed = spark.table(name)
+    return feed.groupBy("state", "year").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("harvest").alias("total_harvest"),
+        F.sum("hunters").alias("total_hunters"),
+        F.max("harvest").alias("max_unit_harvest"),
+    )

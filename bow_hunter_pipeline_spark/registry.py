@@ -932,6 +932,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # H2: IVF-PQ composition — cell-pruned candidates, ADC scoring
     "h2_ivf_pq_topk": (simsearch.ivf_pq_topk, oracles_h.IVF_PQ_TOPK),
+    # A1+ streaming: Python DataSource stream reader, same oracle as
+    # the batch connector (loss/duplication across batches breaks it)
+    "a1_python_stream_datasource": (
+        ingest_demo.python_stream_datasource_feed,
+        oracles_f.PYTHON_DATASOURCE_FEED,
+    ),
 }
 
 
@@ -1048,6 +1054,7 @@ _DRIVER_ROTATION = [
     "a5_text_roundtrip",
     "h4_retention_cohorts",
     "h2_ivf_pq_topk",
+    "a1_python_stream_datasource",
 ]
 
 

@@ -278,7 +278,10 @@ def test_every_query_survives_empty_fixtures(spark):
             pq.write_table(tbl.slice(0, 0), f"{EMPTY_FIXTURES}/{t}.parquet")
         crashed = []
         for name, fn in registry.queries().items():
-            if name.startswith("h4_streaming") or name == "a1_python_datasource":
+            if name.startswith("h4_streaming") or name in (
+                "a1_python_datasource",
+                "a1_python_stream_datasource",
+            ):
                 continue
             try:
                 fn(spark, EMPTY_FIXTURES).count()
