@@ -1424,3 +1424,27 @@ SELECT q_id, c_id, cell_id, approx_dist, rnk FROM (
   FROM summed
 ) WHERE rnk <= {TOP_K}
 """
+
+
+DSIR_PROXY = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents
+),
+target_counts AS (
+  SELECT token, COUNT(*) AS t_cnt FROM toks WHERE lang = 'en'
+  GROUP BY token
+),
+corpus_counts AS (
+  SELECT token, COUNT(*) AS c_cnt FROM toks GROUP BY token
+)
+SELECT t.doc_id, t.lang,
+       COUNT(*) AS n_toks,
+       CAST(SUM(coalesce(tc.t_cnt, 0)) AS BIGINT) AS target_mass,
+       CAST(SUM(cc.c_cnt) AS BIGINT) AS corpus_mass,
+       CAST(CAST(SUM(coalesce(tc.t_cnt, 0)) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(cc.c_cnt) AS BIGINT) AS DOUBLE) AS familiarity
+FROM toks t
+JOIN corpus_counts cc ON cc.token = t.token
+LEFT JOIN target_counts tc ON tc.token = t.token
+GROUP BY t.doc_id, t.lang
+"""

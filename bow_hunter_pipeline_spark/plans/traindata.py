@@ -689,3 +689,56 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_dups"
         ),
     )
+
+
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: DSIR-style importance weighting for data selection (Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): score every document by how much its
+    unigram mass looks like a TARGET domain (here lang='en') versus
+    the corpus at large, the signal DSIR thresholds to pick
+    pretraining data matched to a downstream distribution.
+
+    DSIR proper sums log p_target(t)/p_corpus(t) per token; the
+    engine's exactness discipline replaces the transcendental log-sum
+    with a ratio of two exact integer masses — Σ target-count vs Σ
+    corpus-count over the doc's token occurrences — one IEEE division
+    at the end (the same move tfidf_top_terms makes for log-idf).
+    Monotone in the aggregate familiarity it measures, bit-exact in
+    any engine.
+
+    Scale: two token-keyed count aggregates (map-side combined) and
+    one token-keyed join back — the join is the only data-sized
+    shuffle, and the count tables (vocabulary-sized) broadcast when
+    they fit, which for unigram vocabularies they essentially always
+    do. No per-row Python anywhere.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    target_counts = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    corpus_counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    scored = (
+        toks.join(corpus_counts, "token")
+        .join(target_counts, "token", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.coalesce(F.col("t_cnt"), F.lit(0))).alias("target_mass"),
+            F.sum("c_cnt").alias("corpus_mass"),
+        )
+    )
+    return scored.withColumn(
+        "familiarity",
+        F.col("target_mass").cast("double") / F.col("corpus_mass").cast("double"),
+    )

@@ -938,6 +938,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ingest_demo.python_stream_datasource_feed,
         oracles_f.PYTHON_DATASOURCE_FEED,
     ),
+    # H6: DSIR-style importance weighting (target-domain familiarity)
+    "h6_dsir_proxy": (traindata.dsir_proxy, oracles_h.DSIR_PROXY),
 }
 
 
@@ -1055,6 +1057,7 @@ _DRIVER_ROTATION = [
     "h4_retention_cohorts",
     "h2_ivf_pq_topk",
     "a1_python_stream_datasource",
+    "h6_dsir_proxy",
 ]
 
 
