@@ -425,3 +425,40 @@ def test_pagerank_iterations_join_then_reaggregate(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan, plan  # top-20 is a heap
+
+
+def test_ivf_pq_join_keys_include_cell(spark):
+    """IVF-PQ's ADC join must carry the cell id IN the hash-join key —
+    that is what makes it IVF-pruned rather than a global PQ scan. The
+    probe distance table broadcasts; candidates never shuffle on a
+    cell-less key."""
+    plan = _plan(simsearch.ivf_pq_topk(spark, SF_SMOKE))
+    # the code join's key list (formatted-explain detail section) must
+    # name all three components (s, code, cell_id)
+    key_lines = [
+        ln for ln in plan.splitlines() if ln.startswith("Left keys")
+    ]
+    assert any(
+        "cell_id" in ln and "code" in ln for ln in key_lines
+    ), f"no (s, code, cell_id)-keyed join in: {key_lines}"
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_proxy_counts_are_map_side_combined(spark):
+    """The DSIR proxy's two token-count aggregates must partial-agg
+    before their exchanges (vocabulary-sized shuffles, not corpus-
+    sized), and the whole plan stays JVM-side."""
+    plan = _plan(traindata.dsir_proxy(spark, SF_SMOKE))
+    assert "partial_count" in plan  # map-side combine present
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+
+
+def test_nearest_sensor_argmin_collapses_before_shuffle(spark):
+    """The sensor expansion (|points| × 25) must collapse via partial
+    min(struct) BEFORE the customer-key exchange — the argmin is
+    map-side, so the shuffle carries one row per customer."""
+    from bow_hunter_pipeline_spark.plans import analytics as an
+
+    plan = _plan(an.nearest_sensor_join(spark, SF_SMOKE))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
