@@ -678,3 +678,51 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_sim - F.coalesce(jac, F.lit(0.0))).alias("abs_err"),
         )
     )
+
+
+LSH_BUCKET_TABLE = "bhps_lsh_buckets"
+
+
+def bucketed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 at rest: the LSH bucket frame lands as a BUCKETED table
+    (operators.scale.write_bucketed — bucketBy band_key, sorted within
+    buckets), and the candidate self-join reads it back co-bucketed,
+    so the join itself needs NO exchange: the only shuffle left in the
+    plan is the final distinct over emitted pairs. Same result as
+    minhash_lsh_pairs (one oracle covers both) — this query is the
+    amortized-shuffle deployment of it: at 100 TB the bucket table is
+    written once per corpus snapshot and every downstream consumer
+    (pair mining, cluster formation, dedup application) joins it
+    exchange-free.
+
+    Idempotent: the table is overwritten per run (same discipline as
+    the A4/A5 scratch sinks).
+    """
+    import shutil
+
+    from bow_hunter_pipeline_spark.operators.scale import write_bucketed
+
+    # idempotence against stale state: drop the catalog entry AND any
+    # orphaned managed-table directory a crashed prior run left behind
+    # (saveAsTable refuses to reuse an existing location)
+    spark.sql(f"DROP TABLE IF EXISTS {LSH_BUCKET_TABLE}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    shutil.rmtree(f"{wh_path}/{LSH_BUCKET_TABLE}", ignore_errors=True)
+
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    write_bucketed(
+        _minhash_buckets(docs), LSH_BUCKET_TABLE, ["band_key"], 8
+    )
+    t = spark.table(LSH_BUCKET_TABLE)
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

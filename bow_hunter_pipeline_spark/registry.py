@@ -940,6 +940,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # H6: DSIR-style importance weighting (target-domain familiarity)
     "h6_dsir_proxy": (traindata.dsir_proxy, oracles_h.DSIR_PROXY),
+    # H1 at rest: bucketed LSH self-join (exchange-free candidate
+    # mining; same oracle as the shuffle-path minhash_lsh_pairs)
+    "h1_bucketed_lsh_pairs": (
+        dedup.bucketed_lsh_pairs,
+        oracles_h.MINHASH_LSH_PAIRS,
+    ),
 }
 
 
@@ -1058,6 +1064,7 @@ _DRIVER_ROTATION = [
     "h2_ivf_pq_topk",
     "a1_python_stream_datasource",
     "h6_dsir_proxy",
+    "h1_bucketed_lsh_pairs",
 ]
 
 

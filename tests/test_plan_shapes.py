@@ -462,3 +462,19 @@ def test_nearest_sensor_argmin_collapses_before_shuffle(spark):
     plan = _plan(an.nearest_sensor_join(spark, SF_SMOKE))
     assert "partial_min" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_lsh_join_is_exchange_free(spark):
+    """h1_bucketed_lsh_pairs' candidate self-join must consume the
+    bucket table's at-rest partitioning: with broadcast disabled, the
+    only exchange in the whole plan is the final distinct — the join
+    itself moves no data."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.bucketed_lsh_pairs(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
