@@ -1448,3 +1448,28 @@ JOIN corpus_counts cc ON cc.token = t.token
 LEFT JOIN target_counts tc ON tc.token = t.token
 GROUP BY t.doc_id, t.lang
 """
+
+
+ANOMALY_OUTLIERS = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       MIN(s.sx) AS sum_cents,
+       CAST(MIN(s.sx) AS DOUBLE) / (100 * MIN(s.n)) AS mean_value,
+       CAST(SUM(CAST((s.n * e.x - s.sx) * (s.n * e.x - s.sx)
+                     > 4 * (s.n * s.sxx - s.sx * s.sx) AS INT)) AS BIGINT)
+         AS n_outliers,
+       CAST(SUM(CAST((s.n * e.x - s.sx) * (s.n * e.x - s.sx)
+                     > 4 * (s.n * s.sxx - s.sx * s.sx) AS INT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS outlier_ratio
+FROM e JOIN stats s ON s.event_type = e.event_type
+GROUP BY e.event_type
+"""

@@ -333,3 +333,47 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r1").alias("n_retained_d1"),
         F.sum("r7").alias("n_retained_d7"),
     )
+
+
+def anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: per-type outlier detection — events whose value sits more
+    than 2σ from their type's mean, the standard ops anomaly gate on
+    an event stream. The whole test runs in EXACT integer arithmetic:
+    with X = value in cents (the fixture carries 2 decimals), the
+    population-variance inequality (x-μ)² > 4σ² multiplies through to
+
+        (n·X − ΣX)² > 4·(n·ΣX² − (ΣX)²)
+
+    — bigint both sides, no float mean/std ever computed for the
+    comparison, so the oracle matches bit-for-bit with no epsilon.
+    (Magnitudes: safe for n·ΣX² < 2⁶³, i.e. ~10⁹ events per type at
+    this value range; beyond that, promote to DECIMAL(38,0).)
+
+    Shape: one tiny per-type aggregate (5 rows) broadcast back onto
+    the stream, then a second conditional aggregate — two map-side
+    combined passes, no window over a skewed type partition.
+    """
+    ev = read_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+    )
+    joined = ev.select("event_type", cents.alias("x")).join(
+        F.broadcast(stats), "event_type"
+    )
+    lhs = F.col("n") * F.col("x") - F.col("sx")
+    rhs = F.lit(4) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.first("sx").alias("sum_cents"),
+        (F.first("sx").cast("double") / (F.lit(100) * F.first("n"))).alias(
+            "mean_value"
+        ),
+        F.sum((lhs * lhs > rhs).cast("int")).alias("n_outliers"),
+        (
+            F.sum((lhs * lhs > rhs).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("outlier_ratio"),
+    )

@@ -946,6 +946,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.bucketed_lsh_pairs,
         oracles_h.MINHASH_LSH_PAIRS,
     ),
+    # H4: exact-integer 2-sigma outlier gate per event type
+    "h4_anomaly_outliers": (
+        events.anomaly_outliers,
+        oracles_h.ANOMALY_OUTLIERS,
+    ),
 }
 
 
@@ -1065,6 +1070,7 @@ _DRIVER_ROTATION = [
     "a1_python_stream_datasource",
     "h6_dsir_proxy",
     "h1_bucketed_lsh_pairs",
+    "h4_anomaly_outliers",
 ]
 
 
