@@ -1473,3 +1473,75 @@ SELECT e.event_type,
 FROM e JOIN stats s ON s.event_type = e.event_type
 GROUP BY e.event_type
 """
+
+
+GAP_FILL_INTERPOLATE = """
+WITH hourly AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+         CAST(round(SUM(CAST(value AS DECIMAL(14,2))), 4) AS DOUBLE)
+           AS obs_value
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(hour_idx) AS h0, MAX(hour_idx) AS h1
+  FROM hourly GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS hour_idx FROM span
+),
+j AS (
+  SELECT s.user_id, s.hour_idx, h.obs_value
+  FROM spine s LEFT JOIN hourly h USING (user_id, hour_idx)
+),
+w AS (
+  SELECT *,
+    last_value(obs_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY hour_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN obs_value IS NOT NULL THEN hour_idx END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY hour_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    first_value(obs_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY hour_idx
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN obs_value IS NOT NULL THEN hour_idx END
+                IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY hour_idx
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM j
+)
+SELECT user_id, hour_idx,
+       coalesce(obs_value,
+                prev_v + (next_v - prev_v)
+                  * (CAST(hour_idx - prev_h AS DOUBLE)
+                     / CAST(next_h - prev_h AS DOUBLE))) AS value,
+       obs_value IS NULL AS is_interpolated
+FROM w
+"""
+
+LINK_BFS_REACH = """
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         unnest([(doc_id * 7 + 1) % n_docs,
+                 (doc_id * 13 + 2) % n_docs,
+                 (doc_id * 31 + 3) % n_docs]) AS dst
+  FROM documents, n
+),
+d0 AS (SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+f1 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN d0 ON e.src = d0.id),
+f2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f1 ON e.src = f1.id),
+f3 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN f2 ON e.src = f2.id),
+reach AS (
+  SELECT id, 0 AS d FROM d0
+  UNION ALL SELECT id, 1 FROM f1
+  UNION ALL SELECT id, 2 FROM f2
+  UNION ALL SELECT id, 3 FROM f3
+),
+dist AS (SELECT id, MIN(d) AS hops FROM reach GROUP BY id)
+SELECT hops, COUNT(*) AS n_docs,
+       MIN(id) AS min_doc_id, MAX(id) AS max_doc_id
+FROM dist GROUP BY hops
+"""

@@ -377,3 +377,65 @@ def anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("outlier_ratio"),
     )
+
+
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 time-series repair: hourly per-user value series with missing
+    hours LINEARLY INTERPOLATED between the nearest observed hours —
+    the gap-fill every downstream forecasting/feature job needs after
+    sparse event ingestion. One row per (user, hour-in-span) with the
+    observed-or-interpolated value and a provenance flag.
+
+    Exactness: the series key is an integer hour index (ts_ns div
+    3600e9 — no timestamp arithmetic crosses engines); observed values
+    are decimal-exact hourly sums; the interpolation
+    ``prev + (next − prev) · (Δh / span)`` is one fixed-shape IEEE
+    expression over exact inputs, identical in both engines. Interior
+    gaps always have both neighbors (the span is bounded by observed
+    hours), so no NULL leaks.
+
+    Scale: per-user spine explode is narrow (span-sized); the two
+    IGNORE NULLS running windows shuffle once on user_id; Catalyst
+    computes both window frames in one pass over that partitioning.
+    """
+    ev = read_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.expr("ts_ns div 3600000000000").alias("hour_idx")
+    ).agg(
+        to_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias(
+            "obs_value"
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_idx")
+    )
+    j = spine.join(hourly, ["user_id", "hour_idx"], "left")
+
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("obs_value").isNotNull(), F.col("hour_idx"))
+    prev_v = F.last("obs_value", ignorenulls=True).over(wp)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wp)
+    next_v = F.first("obs_value", ignorenulls=True).over(wn)
+    next_h = F.first(obs_h, ignorenulls=True).over(wn)
+    frac = (F.col("hour_idx") - prev_h).cast("double") / (
+        next_h - prev_h
+    ).cast("double")
+    interp = prev_v + (next_v - prev_v) * frac
+    return j.select(
+        "user_id",
+        "hour_idx",
+        F.coalesce(F.col("obs_value"), interp).alias("value"),
+        F.col("obs_value").isNull().alias("is_interpolated"),
+    )

@@ -91,3 +91,47 @@ def pagerank_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP)
         .select("doc_id", F.col("score").alias("pr_score"))
     )
+
+
+BFS_SEED_MOD = 50  # seeds: doc_id % 50 == 0
+BFS_HOPS = 3
+
+
+def link_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: bounded-hop BFS over the link graph — min-hop distance from
+    a deterministic seed set (doc_id % 50 == 0), rolled up per hop
+    level. The crawl-frontier / influence-radius query: which
+    documents sit within k links of the trusted set (the same
+    seed-expansion move quality-propagation pipelines use, e.g.
+    Common Crawl's seed-distance features).
+
+    Each round is frontier ⋈ edges → DISTINCT new frontier — the
+    distinct caps frontier growth at |V| per round, which is what
+    makes k-hop BFS tractable at graph scale (the join shuffles on
+    src; pre-partitioning edges by src amortizes it across rounds,
+    as pagerank_weights documents). Distances are small ints; the
+    rollup is exact.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _edges(docs)
+    seeds = docs.filter(F.col("doc_id") % BFS_SEED_MOD == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    levels = [seeds.withColumn("d", F.lit(0))]
+    frontier = seeds
+    for hop in range(1, BFS_HOPS + 1):
+        frontier = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("d", F.lit(hop)))
+    reached = levels[0]
+    for lv in levels[1:]:
+        reached = reached.unionByName(lv)
+    dist = reached.groupBy("id").agg(F.min("d").alias("hops"))
+    return dist.groupBy("hops").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("id").alias("min_doc_id"),
+        F.max("id").alias("max_doc_id"),
+    )

@@ -951,6 +951,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.anomaly_outliers,
         oracles_h.ANOMALY_OUTLIERS,
     ),
+    # H4: hourly gap-fill with linear interpolation (time-series repair)
+    "h4_gap_fill_interpolate": (
+        events.gap_fill_interpolate,
+        oracles_h.GAP_FILL_INTERPOLATE,
+    ),
+    # H6: bounded-hop BFS seed-distance over the link graph
+    "h6_link_bfs_reach": (graph.link_bfs_reach, oracles_h.LINK_BFS_REACH),
 }
 
 
@@ -1071,6 +1078,8 @@ _DRIVER_ROTATION = [
     "h6_dsir_proxy",
     "h1_bucketed_lsh_pairs",
     "h4_anomaly_outliers",
+    "h4_gap_fill_interpolate",
+    "h6_link_bfs_reach",
 ]
 
 

@@ -40,6 +40,7 @@ ALLOW: dict[str, set[str]] = {
         "h1_semdedup_kmeans",  # 1-row centroid-list broadcast per Lloyd round
         "h6_rare_token_score",  # 1-row corpus-mean scalar broadcast
         "h6_pagerank_weights",  # 1-row node-count scalar broadcast
+        "h6_link_bfs_reach",  # same 1-row node-count broadcast (_edges)
         "g5_nearest_sensor_join",  # 25-row sensor dim broadcast for argmin
     },
     # All-pairs semantics by design, bounded by blocking/banding
