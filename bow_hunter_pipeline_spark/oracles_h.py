@@ -1545,3 +1545,34 @@ SELECT hops, COUNT(*) AS n_docs,
        MIN(id) AS min_doc_id, MAX(id) AS max_doc_id
 FROM dist GROUP BY hops
 """
+
+
+MINHASH_DECONTAMINATE = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000 AS doc_id, text || ' eval set copy' AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+sigs AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs()}
+  FROM docs
+),
+bands AS (
+  SELECT doc_id, unnest({_band_exprs()}) AS band_key FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS train_id
+  FROM bands a JOIN bands b ON a.band_key = b.band_key
+  WHERE a.doc_id < 40000 AND b.doc_id >= 40000
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.train_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN c.train_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN cand c ON c.train_id = d.doc_id
+GROUP BY d.source
+"""

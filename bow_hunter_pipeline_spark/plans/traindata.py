@@ -742,3 +742,53 @@ def dsir_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "familiarity",
         F.col("target_mass").cast("double") / F.col("corpus_mass").cast("double"),
     )
+
+
+DECON_EVAL_OFFSET = 40_000
+
+
+def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: MinHash-LSH eval-set decontamination — the fuzzy
+    counterpart of ``contamination_check``'s exact-shingle join, and
+    what production pipelines actually run (GPT-3 appendix C /
+    Gopher-style 13-gram checks catch exact overlap; LSH catches the
+    paraphrased/suffixed leaks exact n-grams miss). The held-out set
+    is synthesized as every 25th doc with a trailing edit (so it is a
+    NEAR copy, not an exact one — precisely the case the exact join
+    under-reports), both corpora go through the same banded-signature
+    machinery as minhash_lsh_pairs, and a train doc is dropped when
+    any band collides with any eval doc. Output: per-source retention
+    accounting (the report a curation run publishes).
+
+    Scale: the cross-corpus join is keyed on band_key — collision-
+    sized; the eval side's bucket table is tiny and broadcasts. Same
+    signature computation for both sides (bit-identical machinery),
+    so the oracle replays the whole path arithmetically.
+    """
+    from bow_hunter_pipeline_spark.plans.dedup import _minhash_buckets
+
+    docs = read_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + DECON_EVAL_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" eval set copy")).alias("text"),
+    )
+    train_buckets = _minhash_buckets(docs.select("doc_id", "text"))
+    eval_buckets = _minhash_buckets(eval_docs)
+    contaminated = (
+        train_buckets.alias("t")
+        .join(
+            eval_buckets.alias("e"),
+            F.col("t.band_key") == F.col("e.band_key"),
+        )
+        .select(F.col("t.doc_id").alias("train_id"))
+        .distinct()
+    )
+    flagged = docs.join(
+        contaminated, docs.doc_id == contaminated.train_id, "left"
+    )
+    hit = F.col("train_id").isNotNull()
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(hit.cast("int")).cast("bigint").alias("n_contaminated"),
+        F.sum((~hit).cast("int")).cast("bigint").alias("n_kept"),
+    )

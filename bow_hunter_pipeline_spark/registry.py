@@ -958,6 +958,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # H6: bounded-hop BFS seed-distance over the link graph
     "h6_link_bfs_reach": (graph.link_bfs_reach, oracles_h.LINK_BFS_REACH),
+    # H6: LSH eval-set decontamination (fuzzy twin of the exact check)
+    "h6_minhash_decontaminate": (
+        traindata.minhash_decontaminate,
+        oracles_h.MINHASH_DECONTAMINATE,
+    ),
 }
 
 
@@ -1080,6 +1085,7 @@ _DRIVER_ROTATION = [
     "h4_anomaly_outliers",
     "h4_gap_fill_interpolate",
     "h6_link_bfs_reach",
+    "h6_minhash_decontaminate",
 ]
 
 
