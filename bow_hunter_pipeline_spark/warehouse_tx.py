@@ -263,6 +263,42 @@ def merge(
     return next_v
 
 
+def merge_retrying(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    max_attempts: int = 3,
+) -> int:
+    """MERGE with the optimistic-concurrency retry loop the commit
+    protocol is designed for: on a version-claim conflict (another
+    writer committed first), re-read the NOW-CURRENT snapshot and
+    re-apply the merge against it — the loser's work is recomputed on
+    fresh state, never silently dropped or double-applied. This is the
+    client-side half of OCC; :func:`_commit`'s ``os.link`` EEXIST is
+    the server-side half. Raises after ``max_attempts`` conflicts
+    (pathological contention — callers should back off and requeue).
+
+    Retry safety: each attempt reads the snapshot fresh inside
+    :func:`merge`, and an attempt that lost the race committed
+    NOTHING (the version file claim is all-or-nothing), so reapplying
+    is exactly-once by construction.
+    """
+    last: RuntimeError | None = None
+    for _ in range(max_attempts):
+        try:
+            return merge(spark, table, updates, keys, update_cols)
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                raise
+            last = e
+    raise RuntimeError(
+        f"merge lost {max_attempts} optimistic-concurrency races on "
+        f"{table}; giving up"
+    ) from last
+
+
 def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
     """OPTIMIZE: rewrite the current live set into ``target_files``
     files — the small-files compaction, expressed as an ordinary

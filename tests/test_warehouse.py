@@ -299,3 +299,50 @@ def test_tx_commit_is_atomic_under_link_collision(tmp_path, monkeypatch):
         f for f in os.listdir(os.path.join(table, "_log")) if ".tmp-" in f
     ]
     assert leftovers == []
+
+
+def test_tx_merge_retrying_wins_after_conflict(spark, tmp_path):
+    """OCC client loop: another writer claims the next version first;
+    merge_retrying loses round 1, re-reads the fresh snapshot, and
+    lands its merge at the following version — applied exactly once,
+    on top of the interloper's commit."""
+    import pytest
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, s string, v double"
+    )
+    tx.create_table(spark, table, base)
+    # interloper: claim version 1 directly (a competing writer's
+    # commit that lands between our snapshot read and our commit).
+    # It removes nothing and adds nothing — state unchanged, but the
+    # version is consumed.
+    tx._commit(table, 1, add=[], remove=[])
+
+    updates = spark.createDataFrame(
+        [(2, "XX", 99.0), (3, "c", 30.0)], "k bigint, s string, v double"
+    )
+    v = tx.merge_retrying(spark, table, updates, ["k"], ["v"])
+    assert v == 2  # lost version 1, won version 2
+    got = {tuple(r) for r in tx.snapshot(spark, table).collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 99.0), (3, "c", 30.0)}
+
+    # exhaustion: a merge that loses every race gives up after 3 tries
+    import bow_hunter_pipeline_spark.warehouse_tx as txm
+
+    orig_merge = txm.merge
+    calls = {"n": 0}
+
+    def losing_merge(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("concurrent commit for version 99")
+
+    txm.merge = losing_merge
+    try:
+        with pytest.raises(RuntimeError, match="optimistic-concurrency"):
+            txm.merge_retrying(spark, table, updates, ["k"], ["v"])
+        assert calls["n"] == 3
+    finally:
+        txm.merge = orig_merge
