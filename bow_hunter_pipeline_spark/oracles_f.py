@@ -1007,3 +1007,58 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 """
+
+
+FULL_OUTER_RECONCILIATION = """
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+),
+s AS (
+  SELECT k, CASE WHEN k % 7 = 0
+            THEN CAST(CAST(price AS DECIMAL(12,2))
+                      * CAST(1.05 AS DECIMAL(7,4)) AS DOUBLE)
+            ELSE price END AS s_price
+  FROM base WHERE k % 11 <> 0
+),
+t AS (SELECT k, price AS t_price FROM base),
+j AS (
+  SELECT COALESCE(s.k, t.k) AS k, s_price, t_price
+  FROM s FULL OUTER JOIN t ON s.k = t.k
+),
+c AS (
+  SELECT k, s_price, t_price,
+         CASE WHEN t_price IS NULL THEN 'only_in_source'
+              WHEN s_price IS NULL THEN 'only_in_target'
+              WHEN s_price <> t_price THEN 'differing'
+              ELSE 'matching' END AS status,
+         CASE WHEN s_price IS NOT NULL AND t_price IS NOT NULL
+              THEN CAST(s_price AS DECIMAL(18,6))
+                   - CAST(t_price AS DECIMAL(18,6)) END AS drift
+  FROM j
+)
+SELECT status, COUNT(*) AS n_keys,
+       CAST(round(SUM(drift), 4) AS DOUBLE) AS price_drift,
+       MIN(k) AS min_key, MAX(k) AS max_key
+FROM c GROUP BY status
+"""
+
+
+UNION_SCHEMA_EVOLUTION = """
+WITH gen1 AS (
+  SELECT s_suppkey, s_acctbal, CAST(NULL AS VARCHAR) AS tier
+  FROM supplier WHERE s_suppkey % 2 = 0
+),
+gen2 AS (
+  SELECT s_suppkey, s_acctbal,
+         CASE WHEN s_acctbal >= 0 THEN 'solvent' ELSE 'deficit' END AS tier
+  FROM supplier WHERE s_suppkey % 2 = 1
+),
+combined AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+SELECT coalesce(tier, 'pre-evolution') AS tier,
+       COUNT(*) AS n_suppliers,
+       CAST(round(SUM(CAST(s_acctbal AS DECIMAL(12,2))), 4) AS DOUBLE)
+         AS total_acctbal,
+       MIN(s_suppkey) AS min_key
+FROM combined GROUP BY 1
+"""

@@ -1576,3 +1576,36 @@ SELECT d.source,
 FROM documents d LEFT JOIN cand c ON c.train_id = d.doc_id
 GROUP BY d.source
 """
+
+
+DOW_HOUR_HEATMAP = """
+SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+CONTEXT_CHUNKING = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+),
+c AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(floor((n - 1) / 24) AS BIGINT)))
+           AS chunk_id,
+         toks, n
+  FROM t WHERE n > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 24 + 1,
+                           least(chunk_id * 24 + 32, n))) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id * 24 + 1,
+                                      least(chunk_id * 24 + 32, n)), ' '))
+         AS chunk_md5
+FROM c
+"""

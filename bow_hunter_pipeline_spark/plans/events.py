@@ -439,3 +439,24 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("obs_value"), interp).alias("value"),
         F.col("obs_value").isNull().alias("is_interpolated"),
     )
+
+
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: the activity heatmap grid — events bucketed by (weekday,
+    hour-of-day) with counts and exact value sums; the first dashboard
+    any event pipeline ships. Weekday is ISO-Monday-based (Spark
+    ``weekday`` == DuckDB ``isodow - 1``) so the two engines agree on
+    the grid coordinates. One map-side-combined aggregate on a 7×24
+    key space — nothing here changes at 100 TB.
+    """
+    ev = read_events(spark, sf_dir)
+    return ev.groupBy(
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        to_double(F.sum(F.col("value").cast("decimal(14,2)"))).alias(
+            "sum_value"
+        ),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -425,3 +425,35 @@ def sql_udf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tier, copy
         """
     )
+
+
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: schema-evolution UNION — two generations of the supplier
+    feed where generation 2 added a column, combined with
+    ``unionByName(allowMissingColumns=True)`` (the in-memory
+    counterpart of a6_schema_merge_scan's mergeSchema read): missing
+    columns null-fill, matching columns align BY NAME regardless of
+    position. The rollup groups on the evolved column with a
+    pre-evolution bucket for generation-1 rows.
+    """
+    sup = read_table(spark, sf_dir, "supplier")
+    gen1 = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_acctbal"
+    )
+    gen2 = sup.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey",
+        "s_acctbal",
+        F.when(F.col("s_acctbal") >= 0, F.lit("solvent"))
+        .otherwise(F.lit("deficit"))
+        .alias("tier"),
+    )
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    both = gen1.unionByName(gen2, allowMissingColumns=True)
+    return both.groupBy(
+        F.coalesce(F.col("tier"), F.lit("pre-evolution")).alias("tier")
+    ).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum("s_acctbal", "total_acctbal", "decimal(12,2)"),
+        F.min("s_suppkey").alias("min_key"),
+    )

@@ -22,6 +22,7 @@ from bow_hunter_pipeline_spark.functions.exact import (
     davg,
     dsum,
     dsum_expr,
+    factor,
     money,
     one_minus,
     to_double,
@@ -1068,4 +1069,60 @@ def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
         FROM to_root GROUP BY chain_len
         """
+    )
+
+
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: source-vs-target table diff — the reconciliation report every
+    migration/replication job runs: FULL OUTER join two snapshots of
+    orders (target = pre-1996 orders; source = the same minus a
+    deterministic slice, plus a price-bumped slice) and classify every
+    key as only_in_source / only_in_target / differing / matching,
+    rolled up with counts and the exact value drift.
+
+    Scale: one full-outer shuffle on the key (the unavoidable diff
+    cost); classification is a map-side CASE; the rollup is tiny.
+    Exact: drift sums run in DECIMAL on cent-exact prices.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    target = base
+    source = base.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            (money("price") * factor(F.lit(1.05))).cast("double"),
+        ).otherwise(F.col("price")),
+    )
+    s = source.select(
+        F.col("o_orderkey").alias("k"), F.col("price").alias("s_price")
+    )
+    t = target.select(
+        F.col("o_orderkey").alias("k"), F.col("price").alias("t_price")
+    )
+    j = s.join(t, "k", "full_outer")
+    status = (
+        F.when(F.col("t_price").isNull(), F.lit("only_in_source"))
+        .when(F.col("s_price").isNull(), F.lit("only_in_target"))
+        .when(F.col("s_price") != F.col("t_price"), F.lit("differing"))
+        .otherwise(F.lit("matching"))
+    )
+    # scale-6 decimal, NOT (12,2): the bumped price carries 6 decimal
+    # digits and rounding a double to 2 places diverges between engines
+    # near .xx5 (the e2_tx lesson) — at the value's own scale both
+    # engines recover the exact decimal
+    drift = F.when(
+        F.col("s_price").isNotNull() & F.col("t_price").isNotNull(),
+        F.col("s_price").cast("decimal(18,6)")
+        - F.col("t_price").cast("decimal(18,6)"),
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        to_double(F.sum(drift)).alias("price_drift"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
     )

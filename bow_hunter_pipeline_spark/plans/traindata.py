@@ -792,3 +792,44 @@ def minhash_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit.cast("int")).cast("bigint").alias("n_contaminated"),
         F.sum((~hit).cast("int")).cast("bigint").alias("n_kept"),
     )
+
+
+CHUNK_W = 32  # context window (tokens)
+CHUNK_S = 24  # stride (tokens) → 8-token overlap between neighbors
+
+
+def context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: RAG/pretraining context chunking — every document split
+    into fixed-size token windows with overlap (window=32, stride=24),
+    one row per chunk with its token count and content fingerprint.
+    This is the chunker feeding embedding pipelines and long-document
+    packing; the overlap preserves cross-boundary context, and the
+    md5 fingerprint is what downstream chunk-level dedup keys on.
+
+    Shape: one narrow transform builds the per-doc chunk array
+    (sequence over start offsets → slice → join), then a single
+    explode — no shuffle at all until a consumer aggregates. Chunk
+    count per doc = floor((n_tokens − 1) / stride) + 1, matching the
+    oracle's generate_series bound.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.floor((n - F.lit(1)) / F.lit(CHUNK_S)).cast("int")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_S + 1, CHUNK_W), " "
+        ),
+    )
+    exploded = docs.filter(n > 0).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

@@ -963,6 +963,23 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.minhash_decontaminate,
         oracles_h.MINHASH_DECONTAMINATE,
     ),
+    # F: full-outer source-vs-target reconciliation (the data-diff)
+    "f_full_outer_reconciliation": (
+        relational.full_outer_reconciliation,
+        oracles_f.FULL_OUTER_RECONCILIATION,
+    ),
+    # F: unionByName(allowMissingColumns) schema-evolution union
+    "f_union_schema_evolution": (
+        funcfamilies.union_schema_evolution,
+        oracles_f.UNION_SCHEMA_EVOLUTION,
+    ),
+    # H4: weekday x hour activity heatmap grid
+    "h4_dow_hour_heatmap": (events.dow_hour_heatmap, oracles_h.DOW_HOUR_HEATMAP),
+    # H6: RAG context chunking (overlapping token windows + fingerprint)
+    "h6_context_chunking": (
+        traindata.context_chunking,
+        oracles_h.CONTEXT_CHUNKING,
+    ),
 }
 
 
@@ -1086,6 +1103,10 @@ _DRIVER_ROTATION = [
     "h4_gap_fill_interpolate",
     "h6_link_bfs_reach",
     "h6_minhash_decontaminate",
+    "f_full_outer_reconciliation",
+    "f_union_schema_evolution",
+    "h4_dow_hour_heatmap",
+    "h6_context_chunking",
 ]
 
 
