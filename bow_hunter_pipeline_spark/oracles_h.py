@@ -1609,3 +1609,120 @@ SELECT doc_id,
          AS chunk_md5
 FROM c
 """
+
+
+KMEANS_CONVERGENCE_AUDIT = f"""
+WITH x AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * 1000000e0) AS BIGINT)) AS xi
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS c, xi AS m FROM x WHERE vec_id < {SEM_K}),
+d1 AS (
+  SELECT x.vec_id, x.xi, s.c, {_SEM_SQDIST} AS d
+  FROM x, seeds s
+),
+a1 AS (
+  SELECT vec_id, xi, c AS cluster FROM d1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+),
+sums AS (
+  SELECT cluster, i, SUM(xi[i]) AS s, COUNT(*) AS n
+  FROM a1, range(1, {DIM + 1}) AS t(i)
+  GROUP BY cluster, i
+),
+cents2 AS (
+  SELECT cluster AS c,
+         list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+              ORDER BY i) AS m
+  FROM sums GROUP BY cluster
+),
+d2 AS (
+  SELECT x.vec_id, x.xi, s.c, {_SEM_SQDIST} AS d
+  FROM x, cents2 s
+),
+a2 AS (
+  SELECT vec_id, c AS cluster FROM d2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+),
+shift AS (
+  SELECT c2.c AS cluster_id,
+         CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                                      i -> abs(c2.m[i] - s.m[i])))
+              AS BIGINT) AS l1_shift
+  FROM cents2 c2 JOIN seeds s ON s.c = c2.c
+),
+n1 AS (SELECT cluster AS cluster_id, COUNT(*) AS n_a1 FROM a1 GROUP BY 1),
+n2 AS (SELECT cluster AS cluster_id, COUNT(*) AS n_a2 FROM a2 GROUP BY 1),
+moved AS (
+  SELECT a2.cluster AS cluster_id, COUNT(*) AS n_moved_in
+  FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+  WHERE a1.cluster <> a2.cluster GROUP BY 1
+)
+SELECT sh.cluster_id,
+       sh.l1_shift,
+       CAST(coalesce(n1.n_a1, 0) AS BIGINT) AS n_a1,
+       CAST(coalesce(n2.n_a2, 0) AS BIGINT) AS n_a2,
+       CAST(coalesce(moved.n_moved_in, 0) AS BIGINT) AS n_moved_in
+FROM shift sh
+LEFT JOIN n1 USING (cluster_id)
+LEFT JOIN n2 USING (cluster_id)
+LEFT JOIN moved USING (cluster_id)
+"""
+
+
+RAKE_KEYWORDS = f"""
+WITH raw AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(l))) AS pos,
+         unnest(l) AS token
+  FROM raw
+),
+marked AS (
+  SELECT doc_id, pos, token,
+         CAST(token IN ({_STOP_IN}) AS INT) AS stop
+  FROM tok
+),
+grped AS (
+  SELECT *, SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+),
+words AS (SELECT doc_id, grp, pos, token FROM grped WHERE stop = 0),
+phr AS (
+  SELECT doc_id, grp, list(token ORDER BY pos) AS pwords,
+         COUNT(*) AS plen
+  FROM words GROUP BY doc_id, grp
+),
+occ AS (
+  SELECT doc_id, grp, plen,
+         unnest(generate_series(1, len(pwords))) AS wpos,
+         unnest(pwords) AS word
+  FROM phr
+),
+stats AS (
+  SELECT word, COUNT(*) AS freq, SUM(plen) AS deg FROM occ GROUP BY word
+),
+sw AS (
+  SELECT occ.doc_id, occ.grp, occ.wpos,
+         CAST(stats.deg AS DOUBLE) / CAST(stats.freq AS DOUBLE) AS s
+  FROM occ JOIN stats USING (word)
+),
+ps AS (
+  SELECT doc_id, grp,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(s ORDER BY wpos)),
+                     (a, b) -> a + b) AS score
+  FROM sw GROUP BY doc_id, grp
+)
+SELECT doc_id, phrase, score, rnk FROM (
+  SELECT phr.doc_id, array_to_string(pwords, ' ') AS phrase, ps.score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY phr.doc_id
+           ORDER BY ps.score DESC, array_to_string(pwords, ' '), phr.grp
+         ) AS INT) AS rnk
+  FROM phr JOIN ps ON phr.doc_id = ps.doc_id AND phr.grp = ps.grp
+) WHERE rnk <= 5
+"""

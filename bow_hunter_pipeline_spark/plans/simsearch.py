@@ -737,3 +737,87 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "c_id", "cell_id", "approx_dist", "rnk")
     )
+
+
+def kmeans_convergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/H2: k-means convergence monitoring — the between-iteration
+    drift report a clustering job emits to decide when to stop: per
+    cluster, the exact L1 centroid shift between the seed centroids
+    and the round-1 recompute, the cluster's population at both
+    assignments, and how many vectors MOVED into the cluster. All in
+    the fixed-point integer space of semdedup_kmeans (shifts are exact
+    bigint sums; no float tolerance anywhere), so the whole
+    convergence trace is oracle-checkable — rare for k-means tooling.
+
+    Shape: the same two broadcast-argmin assignment passes as
+    semdedup_kmeans (narrow, no shuffle), the dim-explode centroid
+    recompute (one map-side-combined shuffle), then three tiny
+    cluster-keyed aggregates. Nothing here grows faster than K·DIM.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", _scaled_vec("embedding").alias("xi")
+    )
+    seeds = vecs.filter(F.col("vec_id") < SEM_K).select(
+        F.col("vec_id").alias("c"), F.col("xi").alias("m")
+    )
+    seed_row = seeds.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("c", "m"))).alias("cents")
+    )
+    a1 = _assign_nearest(vecs, seed_row)
+
+    dims = a1.select("cluster", F.posexplode("xi").alias("i", "v"))
+    sums = dims.groupBy("cluster", "i").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cents2 = sums.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+            lambda t: F.floor(
+                t["s"].cast("double") / t["n"].cast("double")
+            ).cast("bigint"),
+        ).alias("m2")
+    )
+    cent_row2 = cents2.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cluster").alias("c"), F.col("m2").alias("m"))
+            )
+        ).alias("cents")
+    )
+    a2 = _assign_nearest(vecs, cent_row2)
+
+    l1 = F.aggregate(
+        F.zip_with(F.col("m2"), F.col("m"), lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    shift = (
+        cents2.join(seeds, cents2.cluster == seeds.c)
+        .select(F.col("cluster").alias("cluster_id"), l1.alias("l1_shift"))
+    )
+    n1 = a1.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_a1")
+    )
+    n2 = a2.groupBy(F.col("cluster").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_a2")
+    )
+    moved = (
+        a1.select("vec_id", F.col("cluster").alias("c1"))
+        .join(a2.select("vec_id", F.col("cluster").alias("c2")), "vec_id")
+        .filter(F.col("c1") != F.col("c2"))
+        .groupBy(F.col("c2").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_moved_in"))
+    )
+    return (
+        shift.join(n1, "cluster_id", "left")
+        .join(n2, "cluster_id", "left")
+        .join(moved, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "l1_shift",
+            F.coalesce("n_a1", F.lit(0)).alias("n_a1"),
+            F.coalesce("n_a2", F.lit(0)).alias("n_a2"),
+            F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
+        )
+    )

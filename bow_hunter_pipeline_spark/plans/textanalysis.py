@@ -357,3 +357,75 @@ def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("flesch_score"),
         (score < F.lit(30.0)).alias("is_difficult"),
     )
+
+
+RAKE_TOP = 5
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: RAKE keyword extraction (Rose et al., "Automatic Keyword
+    Extraction from Individual Documents", 2010): candidate phrases =
+    maximal stopword-free token runs; word score = corpus
+    degree/frequency over those phrase occurrences; phrase score = the
+    sum of its words' scores; top-5 phrases per document.
+
+    Exactness: the only divisions are one deg/freq per word (exact
+    IEEE on integer inputs) and the phrase score is an ORDER-PINNED
+    left fold over the phrase's word list — the rolling-fingerprint
+    discipline — so the float sum is bit-identical in both engines.
+
+    Shape: phrase building is one doc-keyed window (running stopword
+    count) + one groupBy; word stats are a vocabulary-sized aggregate
+    that broadcasts back; ranking is a per-doc window over ~phrases
+    rows. Nothing exceeds corpus-token scale.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "token")
+    )
+    is_stop = F.col("token").isin(*STOPWORDS)
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    words = (
+        tok.withColumn("stop", is_stop)
+        .withColumn("grp", F.sum(F.col("stop").cast("int")).over(wseq))
+        .filter(~F.col("stop"))
+    )
+    phr = words.groupBy("doc_id", "grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token"))),
+            lambda t: t["token"],
+        ).alias("pwords")
+    ).withColumn("plen", F.size("pwords"))
+    occ = phr.select(
+        "doc_id", "grp", "plen", F.posexplode("pwords").alias("wpos", "word")
+    )
+    stats = occ.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    sw = occ.join(stats, "word").select(
+        "doc_id",
+        "grp",
+        "wpos",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias("s"),
+    )
+    ps = sw.groupBy("doc_id", "grp").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "s"))),
+                lambda t: t["s"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score")
+    )
+    phrases = phr.select(
+        "doc_id", "grp", F.array_join("pwords", " ").alias("phrase")
+    ).join(ps, ["doc_id", "grp"])
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase"), F.col("grp")
+    )
+    return (
+        phrases.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= RAKE_TOP)
+        .select("doc_id", "phrase", "score", "rnk")
+    )

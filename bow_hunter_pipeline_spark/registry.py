@@ -980,6 +980,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.context_chunking,
         oracles_h.CONTEXT_CHUNKING,
     ),
+    # H1/H2: k-means convergence drift report (exact fixed-point)
+    "h1_kmeans_convergence_audit": (
+        simsearch.kmeans_convergence_audit,
+        oracles_h.KMEANS_CONVERGENCE_AUDIT,
+    ),
+    # H3: RAKE keyword extraction (order-pinned phrase-score folds)
+    "h3_rake_keywords": (
+        textanalysis.rake_keywords,
+        oracles_h.RAKE_KEYWORDS,
+    ),
 }
 
 
@@ -1107,6 +1117,8 @@ _DRIVER_ROTATION = [
     "f_union_schema_evolution",
     "h4_dow_hour_heatmap",
     "h6_context_chunking",
+    "h1_kmeans_convergence_audit",
+    "h3_rake_keywords",
 ]
 
 

@@ -38,6 +38,7 @@ ALLOW: dict[str, set[str]] = {
         "h2_ivf_pq_topk",  # inherits both bounded broadcasts above
         "h2_ann_recall_audit",  # inherits cosine_topk's bounded probe broadcast
         "h1_semdedup_kmeans",  # 1-row centroid-list broadcast per Lloyd round
+        "h1_kmeans_convergence_audit",  # same 1-row centroid broadcasts
         "h6_rare_token_score",  # 1-row corpus-mean scalar broadcast
         "h6_pagerank_weights",  # 1-row node-count scalar broadcast
         "h6_link_bfs_reach",  # same 1-row node-count broadcast (_edges)
