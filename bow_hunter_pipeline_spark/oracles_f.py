@@ -1062,3 +1062,14 @@ SELECT coalesce(tier, 'pre-evolution') AS tier,
        MIN(s_suppkey) AS min_key
 FROM combined GROUP BY 1
 """
+
+
+INCREMENTAL_JOIN_MAINTENANCE = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(7,4))), 4) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""

@@ -1726,3 +1726,25 @@ SELECT doc_id, phrase, score, rnk FROM (
   FROM phr JOIN ps ON phr.doc_id = ps.doc_id AND phr.grp = ps.grp
 ) WHERE rnk <= 5
 """
+
+
+SESSION_CONCURRENCY = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0 FROM events
+),
+pts AS (
+  SELECT user_id, t0 AS t, 1 AS delta FROM e
+  UNION ALL
+  SELECT user_id, t0 + 1800 AS t, -1 AS delta FROM e
+),
+swept AS (
+  SELECT user_id,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_now
+  FROM pts
+)
+SELECT user_id,
+       CAST(MAX(open_now) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM swept GROUP BY user_id
+"""

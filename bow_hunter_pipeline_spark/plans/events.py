@@ -460,3 +460,48 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+CONC_WINDOW_S = 1800  # each event opens a 30-minute presence interval
+
+
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: sweep-line interval concurrency — every event opens a
+    30-minute presence interval; per user, the maximum number of
+    simultaneously open intervals (the "how many overlapping sessions"
+    load metric; same sweep that prices concurrent-seat licenses and
+    sizes connection pools).
+
+    Sweep-line as pure SQL: +1 at each start, −1 at each end, running
+    sum in (time, delta) order — ends sort before starts at the same
+    second (−1 < +1), the closed-open interval convention. The running
+    max is permutation-invariant within tied keys, so the result is
+    deterministic even when multiple intervals open in the same
+    second.
+
+    Scale: the cumsum window partitions by user_id — no global
+    ordering anywhere, so the sweep parallelizes per user (a GLOBAL
+    concurrency sweep needs the two-phase range-partitioned prefix
+    sum; per-entity concurrency is the shape that ships).
+    """
+    ev = read_events(spark, sf_dir)
+    epoch_s = F.expr("ts_ns div 1000000000")
+    starts = ev.select(
+        "user_id", epoch_s.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "user_id",
+        (epoch_s + F.lit(CONC_WINDOW_S)).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = pts.withColumn("open_now", F.sum("delta").over(w))
+    return conc.groupBy("user_id").agg(
+        F.max("open_now").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+    )

@@ -19,6 +19,7 @@ from bow_hunter_pipeline_spark.functions.exact import (
     dsum,
     factor,
     money,
+    one_minus,
     to_double,
 )
 from bow_hunter_pipeline_spark.io.readers import read_table
@@ -785,4 +786,54 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5++: incremental maintenance of a JOIN materialization — the
+    delta-join identity
+
+        (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+
+    computed as four delta terms whose per-priority partial aggregates
+    re-sum to the full recompute (the oracle IS the full recompute, so
+    the hash match proves the maintenance identity on real data).
+    This is how a join-bearing materialized view absorbs a new
+    partition without re-joining the lake: three delta terms touch at
+    most one full side each, and the old A⋈B term is the stored view.
+
+    Exactness: each term's revenue partial is an exact DECIMAL sum;
+    decimal addition is associative, so re-summing partials is
+    bit-identical to the flat sum. Splits are date-keyed (orders
+    before/after 1996; lineitem shipped before/after 1996) — the
+    partition boundary an incremental pipeline would actually use.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-01-01").cast("timestamp_ntz")
+    a = orders.filter(F.col("o_orderdate") < cut)
+    da = orders.filter(F.col("o_orderdate") >= cut)
+    b = li.filter(F.col("l_shipdate") < cut)
+    db = li.filter(F.col("l_shipdate") >= cut)
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+
+    def term(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(revenue).alias("rev_dec"),
+            )
+        )
+
+    parts = (
+        term(a, b)
+        .unionByName(term(da, b))
+        .unionByName(term(a, db))
+        .unionByName(term(da, db))
+    )
+    return parts.groupBy("priority").agg(
+        F.sum("n_rows").alias("n_rows"),
+        to_double(F.sum("rev_dec")).alias("revenue"),
     )

@@ -990,6 +990,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.rake_keywords,
         oracles_h.RAKE_KEYWORDS,
     ),
+    # E5++: delta-join identity == full recompute (MV join maintenance)
+    "e5_incremental_join_maintenance": (
+        pipeline.incremental_join_maintenance,
+        oracles_f.INCREMENTAL_JOIN_MAINTENANCE,
+    ),
+    # H4: per-user sweep-line interval concurrency
+    "h4_session_concurrency": (
+        events.session_concurrency,
+        oracles_h.SESSION_CONCURRENCY,
+    ),
 }
 
 
@@ -1119,6 +1129,9 @@ _DRIVER_ROTATION = [
     "h6_context_chunking",
     "h1_kmeans_convergence_audit",
     "h3_rake_keywords",
+    # --- round-6 queue starts here ---
+    "e5_incremental_join_maintenance",
+    "h4_session_concurrency",
 ]
 
 
