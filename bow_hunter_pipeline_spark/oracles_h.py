@@ -23,6 +23,9 @@ from bow_hunter_pipeline_spark.plans.simsearch import (
     DIM,
     N_QUERIES,
     NEAR_DUP_THRESHOLD,
+    RRF_FUSE_TOP,
+    RRF_K,
+    RRF_LEG_TOP,
     SEM_K,
     SEM_TAU,
     TOP_K,
@@ -1747,4 +1750,69 @@ SELECT user_id,
        CAST(MAX(open_now) AS BIGINT) AS max_concurrent,
        CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
 FROM swept GROUP BY user_id
+"""
+
+
+HYBRID_RRF_SEARCH = f"""
+WITH corpus AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+probes AS (
+  SELECT doc_id AS q_id, text AS q_text, embedding AS qe
+  FROM corpus WHERE doc_id < {N_QUERIES}
+),
+qt AS (
+  SELECT q_id, unnest(list_distinct(str_split(q_text, ' '))) AS token
+  FROM probes
+),
+ct AS (
+  SELECT doc_id AS c_id,
+         unnest(list_distinct(str_split(text, ' '))) AS token
+  FROM corpus
+),
+shared AS (
+  SELECT qt.q_id, ct.c_id, COUNT(*) AS n_shared
+  FROM qt JOIN ct USING (token)
+  WHERE qt.q_id <> ct.c_id
+  GROUP BY qt.q_id, ct.c_id
+),
+lex AS (
+  SELECT q_id, c_id, rl FROM (
+    SELECT q_id, c_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY n_shared DESC, c_id) AS INT) AS rl
+    FROM shared
+  ) WHERE rl <= {RRF_LEG_TOP}
+),
+vpairs AS (
+  SELECT p.q_id, c.doc_id AS c_id, p.qe, c.embedding AS ce
+  FROM probes p CROSS JOIN corpus c
+  WHERE p.q_id <> c.doc_id
+),
+vscored AS (
+  SELECT q_id, c_id, {_COSINE} AS cosine FROM vpairs
+),
+vec AS (
+  SELECT q_id, c_id, rv FROM (
+    SELECT q_id, c_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, c_id) AS INT) AS rv
+    FROM vscored
+  ) WHERE rv <= {RRF_LEG_TOP}
+),
+fused AS (
+  SELECT COALESCE(lex.q_id, vec.q_id) AS q_id,
+         COALESCE(lex.c_id, vec.c_id) AS c_id,
+         coalesce(1e0 / ({RRF_K} + rl), 0e0)
+           + coalesce(1e0 / ({RRF_K} + rv), 0e0) AS rrf_score
+  FROM lex FULL OUTER JOIN vec
+    ON lex.q_id = vec.q_id AND lex.c_id = vec.c_id
+)
+SELECT q_id, c_id, rrf_score, rnk FROM (
+  SELECT q_id, c_id, rrf_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY rrf_score DESC, c_id) AS INT) AS rnk
+  FROM fused
+) WHERE rnk <= {RRF_FUSE_TOP}
 """

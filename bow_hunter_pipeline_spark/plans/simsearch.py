@@ -821,3 +821,100 @@ def kmeans_convergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
         )
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_LEG_TOP = 20  # depth of each leg's candidate list
+RRF_FUSE_TOP = 10
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: hybrid retrieval — the lexical leg (shared distinct tokens
+    between probe and candidate documents) and the vector leg (cosine
+    over embeddings) fused with Reciprocal Rank Fusion
+    (Cormack et al., SIGIR 2009): score = Σ_legs 1/(60 + rank). The
+    architecture every production RAG stack ships — BM25-ish recall
+    union'd with ANN recall, rank-fused so neither leg's score scale
+    dominates.
+
+    Corpus = documents ⋈ embeddings on id (candidates must have both a
+    text and a vector); probes are the first N_QUERIES ids. Each leg
+    ranks its own top-20 with deterministic (score desc, id)
+    tie-breaks; fusion is a full-outer join of the two lists with a
+    fixed-shape two-term sum (1/(60+r) is exact IEEE on int ranks).
+
+    Scale: the lexical leg joins on token (collision-sized, probe side
+    broadcast); the vector leg is the bounded-probe broadcast scan
+    (cosine_topk's shape; swap in the IVF/PQ leg unchanged); fusion
+    touches 2×20 rows per probe.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    probes = corpus.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("text").alias("q_text"),
+        F.col("embedding").alias("qe"),
+    )
+    cands = corpus.select(
+        F.col("doc_id").alias("c_id"),
+        F.col("text").alias("c_text"),
+        F.col("embedding").alias("ce"),
+    )
+
+    qt = probes.select(
+        "q_id",
+        F.explode(F.array_distinct(F.split("q_text", " "))).alias("token"),
+    )
+    ct = cands.select(
+        "c_id",
+        F.explode(F.array_distinct(F.split("c_text", " "))).alias("token"),
+    )
+    shared = (
+        F.broadcast(qt)
+        .join(ct, "token")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(
+        F.col("n_shared").desc(), F.col("c_id")
+    )
+    lex = (
+        shared.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= RRF_LEG_TOP)
+        .select("q_id", "c_id", "rl")
+    )
+
+    vec_pairs = (
+        F.broadcast(probes.select("q_id", "qe"))
+        .crossJoin(cands.select("c_id", "ce"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    vec = (
+        _scored_pairs(vec_pairs)
+        .withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= RRF_LEG_TOP)
+        .select("q_id", "c_id", "rv")
+    )
+
+    fused = lex.join(vec, ["q_id", "c_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rl")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rv")), F.lit(0.0))
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("c_id")
+    )
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= RRF_FUSE_TOP)
+        .select("q_id", "c_id", "rrf_score", "rnk")
+    )

@@ -1000,6 +1000,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.session_concurrency,
         oracles_h.SESSION_CONCURRENCY,
     ),
+    # H2: hybrid lexical+vector retrieval with reciprocal-rank fusion
+    "h2_hybrid_rrf": (
+        simsearch.hybrid_rrf_search,
+        oracles_h.HYBRID_RRF_SEARCH,
+    ),
 }
 
 
@@ -1132,6 +1137,7 @@ _DRIVER_ROTATION = [
     # --- round-6 queue starts here ---
     "e5_incremental_join_maintenance",
     "h4_session_concurrency",
+    "h2_hybrid_rrf",
 ]
 
 
