@@ -1073,3 +1073,29 @@ SELECT o_orderpriority AS priority,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """
+
+
+SEASONALITY_INDEX = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(month(o_orderdate) AS INT) AS month,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, month, n_orders,
+       CAST(12 * n_orders AS DOUBLE)
+         / CAST(SUM(n_orders) OVER (PARTITION BY priority) AS DOUBLE)
+         AS seasonality_index
+FROM monthly
+"""
+
+EQUI_DEPTH_HISTOGRAM = """
+WITH binned AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS price,
+         CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+           AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n_orders, MIN(price) AS lo, MAX(price) AS hi
+FROM binned GROUP BY bin
+"""

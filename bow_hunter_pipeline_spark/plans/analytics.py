@@ -368,3 +368,36 @@ def nearest_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nr.d2").alias("min_d2"),
         F.max("nr.d2").alias("max_d2"),
     )
+
+
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: monthly seasonality decomposition — each calendar month's
+    order-count share against the uniform 1/12 baseline, per priority
+    class (the "is archery season visible in the data" question the
+    reference's multi-year trend planning implies). index > 1 means
+    the month over-indexes for that priority.
+
+    Exactness: counts are integers; the index is one division of
+    exact doubles (12·month_n / total_n) — the tfidf ratio discipline,
+    no float aggregation anywhere.
+
+    Scale: one map-side-combined aggregate to (priority, month)
+    granularity (≤ 60 rows), then a windowed total per priority over
+    that tiny frame.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.month("o_orderdate").alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    w = Window.partitionBy("priority")
+    total = F.sum("n_orders").over(w)
+    idx = (F.lit(12) * F.col("n_orders")).cast("double") / total.cast(
+        "double"
+    )
+    return monthly.select(
+        "priority",
+        "month",
+        "n_orders",
+        idx.alias("seasonality_index"),
+    )

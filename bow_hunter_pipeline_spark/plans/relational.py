@@ -1126,3 +1126,31 @@ def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: equi-DEPTH histogram of order values — ntile(10) quantile
+    bins (equal population, data-driven edges), the complement of
+    f_histogram_order_values' equi-WIDTH bins and the statistic a
+    cost-based optimizer actually stores. Deterministic: the ntile
+    ordering carries a unique key tie-break, so bin assignment is
+    total even across equal prices.
+
+    Scale: ntile needs a global sort — the one legitimately global
+    window here — which Spark executes as a range-partitioned sort,
+    not a single-partition gather, when the optimizer sees the
+    unpartitioned window's range boundaries; per-bin rollup follows
+    pre-sorted. For a 100 TB approximate alternative, approx_percentile
+    edges + width bucketing avoid the sort entirely (h5 family).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    binned = orders.select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.ntile(10).over(w).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )

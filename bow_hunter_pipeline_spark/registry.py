@@ -1005,6 +1005,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.hybrid_rrf_search,
         oracles_h.HYBRID_RRF_SEARCH,
     ),
+    # G4: monthly seasonality index per priority class
+    "g4_seasonality_index": (
+        analytics.seasonality_index,
+        oracles_f.SEASONALITY_INDEX,
+    ),
+    # F: equi-depth (quantile) histogram via keyed ntile
+    "f_equi_depth_histogram": (
+        relational.equi_depth_histogram,
+        oracles_f.EQUI_DEPTH_HISTOGRAM,
+    ),
 }
 
 
@@ -1138,6 +1148,8 @@ _DRIVER_ROTATION = [
     "e5_incremental_join_maintenance",
     "h4_session_concurrency",
     "h2_hybrid_rrf",
+    "g4_seasonality_index",
+    "f_equi_depth_histogram",
 ]
 
 
