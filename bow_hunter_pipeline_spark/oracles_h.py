@@ -1816,3 +1816,66 @@ SELECT q_id, c_id, rrf_score, rnk FROM (
   FROM fused
 ) WHERE rnk <= {RRF_FUSE_TOP}
 """
+
+
+LANGID_CONFUSION = f"""
+WITH scored AS ({LANGUAGE_ID}),
+cells AS (
+  SELECT lang AS label, pred_lang AS predicted, COUNT(*) AS n_docs
+  FROM scored GROUP BY 1, 2
+)
+SELECT label, predicted, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY label) AS DOUBLE)
+         AS label_share
+FROM cells
+"""
+
+
+def _bloom_pos(key_sql: str, j: int) -> str:
+    """Portable seeded bloom hash: md5-60-bit of 'bloom{j}|key' mod m
+    (== functions.text.hash64, the FINGERPRINT_DOCS parity idiom)."""
+    return (
+        f"CAST('0x' || substr(md5('bloom{j}|' || CAST({key_sql} AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % 8192"
+    )
+
+
+BLOOM_MEMBERSHIP = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE EXTRACT(year FROM o_orderdate) = 1995
+),
+mpos AS (
+  SELECT unnest([{", ".join(_bloom_pos("o_custkey", j) for j in range(4))}])
+           AS p
+  FROM members
+),
+words AS (
+  SELECT p // 32 AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM mpos GROUP BY 1
+),
+cpos AS (
+  SELECT c_custkey,
+         unnest([{", ".join(_bloom_pos("c_custkey", j) for j in range(4))}])
+           AS p
+  FROM customer
+),
+probe AS (
+  SELECT cpos.c_custkey,
+         MIN(CASE WHEN words.bits IS NOT NULL
+                  AND ((words.bits >> CAST(cpos.p % 32 AS INT)) & 1) = 1
+             THEN 1 ELSE 0 END) AS all_hit
+  FROM cpos LEFT JOIN words ON words.w = cpos.p // 32
+  GROUP BY cpos.c_custkey
+),
+truth AS (SELECT o_custkey AS c_custkey, 1 AS is_member FROM members)
+SELECT COUNT(*) AS n_probed,
+       CAST(SUM(coalesce(t.is_member, 0)) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN p.all_hit = 1 AND t.is_member IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN p.all_hit = 0 AND t.is_member = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+FROM probe p LEFT JOIN truth t USING (c_custkey)
+"""

@@ -97,3 +97,98 @@ def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_customers"),
     )
     return part_rows.unionByName(merged)
+
+
+BLOOM_BITS = 8192  # m: 256 x 32-bit words
+BLOOM_K = 4  # seeded hash functions per key
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: Bloom-filter membership from first principles — build the
+    filter over customers who placed 1995 orders, probe EVERY
+    customer, report the confusion against exact (semi-join) truth.
+    Because the k hash functions are the engine's portable md5 family
+    (functions.text.hash64) and the bit array is plain integer words,
+    the WHOLE filter — including which non-members collide into
+    "maybe" — replays arithmetically in any engine: the false-positive
+    count itself is oracle-checked, not just bounded. Zero false
+    negatives is the invariant that makes a Bloom filter a sound join
+    pre-filter (additionally unit-test-pinned).
+
+    Layout: m = 8192 bits as 256 × 32-bit words in bigint columns
+    (bits 0..31 only — keeps every word positive, so shift semantics
+    are identical across engines); k = 4 seeded hashes per key.
+
+    Scale: this is THE shuffle-avoidance pattern for selective joins —
+    the word table is 256 rows (broadcast), build is one
+    map-side-combined bit_or aggregate, and probing drops fact rows
+    at the scan before any exchange; Spark's runtime row-group
+    filtering uses the same structure under the hood.
+    """
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+
+    def positions(key: F.Column) -> F.Column:
+        return F.array(
+            *[
+                hash64(
+                    F.concat(F.lit(f"bloom{j}|"), key.cast("string"))
+                )
+                % F.lit(BLOOM_BITS)
+                for j in range(BLOOM_K)
+            ]
+        )
+
+    members = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+    )
+    mpos = members.select(
+        F.explode(positions(F.col("o_custkey"))).alias("p")
+    )
+    words = mpos.groupBy(
+        F.expr("p div 32").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+        ).alias("bits")
+    )
+
+    cpos = cust.select(
+        "c_custkey", F.explode(positions(F.col("c_custkey"))).alias("p")
+    )
+    hit = (
+        F.when(
+            F.col("bits").isNotNull()
+            & F.expr("(shiftright(bits, cast(p % 32 as int)) & 1) = 1"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    probe = (
+        cpos.join(
+            F.broadcast(words), F.expr("p div 32") == F.col("w"), "left"
+        )
+        .select("c_custkey", hit.alias("hit"))
+        .groupBy("c_custkey")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    truth = members.select(
+        F.col("o_custkey").alias("c_custkey"), F.lit(1).alias("is_member")
+    )
+    j = probe.join(truth, "c_custkey", "left").select(
+        "all_hit", F.coalesce("is_member", F.lit(0)).alias("is_member")
+    )
+    return j.groupBy().agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum(
+            ((F.col("all_hit") == 1) & (F.col("is_member") == 0)).cast("int")
+        ).cast("bigint").alias("n_false_pos"),
+        F.sum(
+            ((F.col("all_hit") == 0) & (F.col("is_member") == 1)).cast("int")
+        ).cast("bigint").alias("n_false_neg"),
+    )

@@ -429,3 +429,27 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RAKE_TOP)
         .select("doc_id", "phrase", "score", "rnk")
     )
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 eval harness: the confusion matrix of the language-ID
+    heuristic against the labeled ``lang`` column — (label, predicted)
+    cells with counts and the cell's share of its label row. The
+    model-evaluation rollup every classifier in the curation stack
+    reports (here grading language_id's stopword heuristic; swap in
+    any predictor column and the query is unchanged).
+
+    Exactness: counts are integers; recall share is one division of
+    exact doubles. One aggregate over the scored frame.
+    """
+    scored = language_id(spark, sf_dir)
+    cells = scored.groupBy(
+        F.col("lang").alias("label"), F.col("pred_lang").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("label")
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast(
+        "double"
+    )
+    return cells.select(
+        "label", "predicted", "n_docs", share.alias("label_share")
+    )

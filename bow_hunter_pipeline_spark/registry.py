@@ -1015,6 +1015,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.equi_depth_histogram,
         oracles_f.EQUI_DEPTH_HISTOGRAM,
     ),
+    # H3: classifier-eval confusion matrix over the lang-ID heuristic
+    "h3_langid_confusion": (
+        textanalysis.langid_confusion_matrix,
+        oracles_h.LANGID_CONFUSION,
+    ),
+    # H5: first-principles Bloom membership — portable md5 hash family
+    # + integer bit words, so even the false positives hash-match
+    "h5_bloom_membership": (
+        approx.bloom_membership_audit,
+        oracles_h.BLOOM_MEMBERSHIP,
+    ),
 }
 
 
@@ -1150,6 +1161,8 @@ _DRIVER_ROTATION = [
     "h2_hybrid_rrf",
     "g4_seasonality_index",
     "f_equi_depth_histogram",
+    "h3_langid_confusion",
+    "h5_bloom_membership",
 ]
 
 

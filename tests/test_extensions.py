@@ -448,3 +448,18 @@ def test_mmr_selection_matches_pure_python_reference(spark):
             chosen.append(best)
             expect[(q, rank)] = best
     assert got == expect
+
+
+def test_bloom_membership_has_no_false_negatives(spark):
+    """The property that makes a Bloom filter a sound join pre-filter:
+    every true member answers 'maybe' — n_false_neg must be 0 at every
+    fixture scale (false positives are allowed and counted)."""
+    from bow_hunter_pipeline_spark.plans.approx import (
+        bloom_membership_audit,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = bloom_membership_audit(spark, sf_dir).collect()[0]
+        assert row.n_false_neg == 0
+        assert row.n_members > 0
+        assert row.n_probed >= row.n_members
