@@ -1099,3 +1099,25 @@ WITH binned AS (
 SELECT bin, COUNT(*) AS n_orders, MIN(price) AS lo, MAX(price) AS hi
 FROM binned GROUP BY bin
 """
+
+
+SCD2_POINT_IN_TIME = """
+WITH hist AS (
+  SELECT o_custkey, o_orderpriority AS priority,
+         o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+           AS valid_to,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS INT)
+           AS version
+  FROM orders
+)
+SELECT priority, COUNT(*) AS n_customers,
+       MIN(o_custkey) AS min_custkey,
+       MAX(version) AS max_version
+FROM hist
+WHERE valid_from <= TIMESTAMP '1996-06-30'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-30')
+GROUP BY priority
+"""

@@ -1879,3 +1879,57 @@ SELECT COUNT(*) AS n_probed,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
 FROM probe p LEFT JOIN truth t USING (c_custkey)
 """
+
+
+_AB_WILSON = """
+  SELECT treatment, n_users, n_converted,
+         CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+         CAST(n_users AS DOUBLE) AS n
+  FROM arms
+"""
+
+AB_TEST_GUARDRAIL = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CAST(event_type = 'purchase' AS INT)) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT user_id % 2 = 0 AS treatment,
+         COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+),
+scored AS (
+  SELECT treatment, n_users, n_converted,
+         CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+         (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+            + (1.96e0 * 1.96e0) / (2.0e0 * CAST(n_users AS DOUBLE)))
+           / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n_users AS DOUBLE))
+           - 1.96e0 * sqrt(
+               (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+               * (1.0e0 - CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+               / CAST(n_users AS DOUBLE)
+               + (1.96e0 * 1.96e0)
+                 / (4.0e0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+             / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n_users AS DOUBLE)) AS ci_lo,
+         (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+            + (1.96e0 * 1.96e0) / (2.0e0 * CAST(n_users AS DOUBLE)))
+           / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n_users AS DOUBLE))
+           + 1.96e0 * sqrt(
+               (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+               * (1.0e0 - CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+               / CAST(n_users AS DOUBLE)
+               + (1.96e0 * 1.96e0)
+                 / (4.0e0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE)))
+             / (1.0e0 + (1.96e0 * 1.96e0) / CAST(n_users AS DOUBLE)) AS ci_hi
+  FROM arms
+)
+SELECT t.n_users AS t_users, t.n_converted AS t_converted,
+       t.conv_rate AS t_rate, t.ci_lo AS t_lo, t.ci_hi AS t_hi,
+       c.n_users AS c_users, c.n_converted AS c_converted,
+       c.conv_rate AS c_rate, c.ci_lo AS c_lo, c.ci_hi AS c_hi,
+       (t.ci_lo > c.ci_hi OR t.ci_hi < c.ci_lo) AS significant
+FROM (SELECT * FROM scored WHERE treatment) t
+CROSS JOIN (SELECT * FROM scored WHERE NOT treatment) c
+"""

@@ -505,3 +505,82 @@ def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("open_now").alias("max_concurrent"),
         (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
     )
+
+
+AB_Z = 1.96  # 95% normal quantile — fixed literal, both engines
+
+
+def ab_test_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4/G1: A/B experiment guardrail — users split by a deterministic
+    assignment rule (even/odd user_id stands in for the hash bucket an
+    experiment platform assigns), per-arm purchase-conversion rate
+    with WILSON score intervals, and the ship/no-ship style flag (do
+    the 95% intervals overlap?). The experimentation readout every
+    event pipeline ultimately feeds.
+
+    Exactness: conversion counts are integers; the Wilson bounds are
+    one fixed-shape IEEE expression per arm (sqrt is correctly rounded
+    in both engines, and the expression tree is written identically in
+    the oracle), so even the interval endpoints hash-match — no
+    epsilon, which is rare for stats tooling.
+
+    Shape: one per-user conversion aggregate (map-side combined), one
+    two-row arm rollup, a 2×2 self-join of arms to compare intervals.
+    """
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted")
+    )
+    arms = per_user.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treatment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z2 = F.lit(AB_Z * AB_Z)
+    center = (p + z2 / (F.lit(2.0) * n)) / (F.lit(1.0) + z2 / n)
+    half = (
+        F.lit(AB_Z)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / (F.lit(1.0) + z2 / n)
+    )
+    scored = arms.select(
+        "treatment",
+        "n_users",
+        "n_converted",
+        p.alias("conv_rate"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )
+    t = scored.filter(F.col("treatment")).select(
+        F.col("n_users").alias("t_users"),
+        F.col("n_converted").alias("t_converted"),
+        F.col("conv_rate").alias("t_rate"),
+        F.col("ci_lo").alias("t_lo"),
+        F.col("ci_hi").alias("t_hi"),
+    )
+    c = scored.filter(~F.col("treatment")).select(
+        F.col("n_users").alias("c_users"),
+        F.col("n_converted").alias("c_converted"),
+        F.col("conv_rate").alias("c_rate"),
+        F.col("ci_lo").alias("c_lo"),
+        F.col("ci_hi").alias("c_hi"),
+    )
+    return t.crossJoin(c).select(
+        "t_users",
+        "t_converted",
+        "t_rate",
+        "t_lo",
+        "t_hi",
+        "c_users",
+        "c_converted",
+        "c_rate",
+        "c_lo",
+        "c_hi",
+        ((F.col("t_lo") > F.col("c_hi")) | (F.col("t_hi") < F.col("c_lo")))
+        .alias("significant"),
+    )

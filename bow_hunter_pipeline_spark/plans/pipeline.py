@@ -837,3 +837,35 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
         to_double(F.sum("rev_dec")).alias("revenue"),
     )
+
+
+SCD2_AS_OF = "1996-06-30"
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/F: point-in-time lookup against the SCD2 history — "what was
+    each customer's priority state AS OF 1996-06-30" — the temporal
+    dimension join every versioned warehouse serves (fact rows joined
+    to the dimension version valid at the fact's date). Interval
+    predicate: valid_from <= t < coalesce(valid_to, ∞), guaranteed
+    unique per key by the history's non-overlapping intervals; the
+    rollup counts customers per as-of priority state.
+
+    Scale: the history is derived in one window pass
+    (scd2_priority_history); the as-of filter is a map-side predicate
+    — no range join explosion, because the interval containment is
+    evaluated per history row against a constant. For fact-driven
+    lookups (per-row timestamps) the same history supports the as-of
+    union+window pattern f_asof_join_error_context implements.
+    """
+    hist = scd2_priority_history(spark, sf_dir)
+    t = F.lit(SCD2_AS_OF).cast("timestamp_ntz")
+    as_of = hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+    return as_of.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("version").alias("max_version"),
+    )

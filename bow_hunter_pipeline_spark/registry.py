@@ -1026,6 +1026,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         approx.bloom_membership_audit,
         oracles_h.BLOOM_MEMBERSHIP,
     ),
+    # E2/F: point-in-time lookup against the SCD2 history
+    "e2_scd2_point_in_time": (
+        pipeline.scd2_point_in_time_join,
+        oracles_f.SCD2_POINT_IN_TIME,
+    ),
+    # H4/G1: A/B guardrail with hash-exact Wilson intervals
+    "h4_ab_test_guardrail": (
+        events.ab_test_guardrail,
+        oracles_h.AB_TEST_GUARDRAIL,
+    ),
 }
 
 
@@ -1163,6 +1173,8 @@ _DRIVER_ROTATION = [
     "f_equi_depth_histogram",
     "h3_langid_confusion",
     "h5_bloom_membership",
+    "e2_scd2_point_in_time",
+    "h4_ab_test_guardrail",
 ]
 
 

@@ -44,6 +44,7 @@ ALLOW: dict[str, set[str]] = {
         "h6_pagerank_weights",  # 1-row node-count scalar broadcast
         "h6_link_bfs_reach",  # same 1-row node-count broadcast (_edges)
         "g5_nearest_sensor_join",  # 25-row sensor dim broadcast for argmin
+        "h4_ab_test_guardrail",  # 1-row treatment × 1-row control arms
     },
     # All-pairs semantics by design, bounded by blocking/banding
     # upstream (LSH buckets, band keys) or quadratic-in-small-n.
