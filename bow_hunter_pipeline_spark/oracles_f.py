@@ -1121,3 +1121,17 @@ WHERE valid_from <= TIMESTAMP '1996-06-30'
   AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-30')
 GROUP BY priority
 """
+
+
+DYNAMIC_PARTITION_BACKFILL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(CASE
+              WHEN EXTRACT(year FROM o_orderdate) = 1996
+              THEN CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(12,2))
+                   * CAST(1.05 AS DECIMAL(7,4))
+              ELSE CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,6))
+            END AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1
+"""

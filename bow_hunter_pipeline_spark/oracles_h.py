@@ -1933,3 +1933,59 @@ SELECT t.n_users AS t_users, t.n_converted AS t_converted,
 FROM (SELECT * FROM scored WHERE treatment) t
 CROSS JOIN (SELECT * FROM scored WHERE NOT treatment) c
 """
+
+
+_TRUNC_DOT = (
+    "list_sum(list_transform(generate_series(1, 16), "
+    "i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+)
+_TRUNC_NORM = (
+    "list_sum(list_transform(list_slice({col}, 1, 16), "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+_TRUNC_COSINE = (
+    f"{_TRUNC_DOT} / (sqrt({_TRUNC_NORM.format(col='qe')})"
+    f" * sqrt({_TRUNC_NORM.format(col='ce')}))"
+)
+
+MATRYOSHKA_RECALL_AUDIT = f"""
+WITH probes AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT p.q_id, e.vec_id AS c_id, p.qe, e.embedding AS ce
+  FROM probes p CROSS JOIN embeddings e
+  WHERE p.q_id <> e.vec_id
+),
+fullk AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           RANK() OVER (PARTITION BY q_id
+                        ORDER BY {_COSINE} DESC, c_id) AS rnk
+    FROM pairs
+  ) WHERE rnk <= {TOP_K}
+),
+trunck AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           RANK() OVER (PARTITION BY q_id
+                        ORDER BY {_TRUNC_COSINE} DESC, c_id) AS rnk
+    FROM pairs
+  ) WHERE rnk <= {TOP_K}
+),
+j AS (
+  SELECT COALESCE(f.q_id, t.q_id) AS q_id,
+         f.c_id AS f_c, t.c_id AS t_c
+  FROM fullk f FULL OUTER JOIN trunck t
+    ON f.q_id = t.q_id AND f.c_id = t.c_id
+)
+SELECT q_id,
+       CAST(SUM(CASE WHEN f_c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_full,
+       CAST(SUM(CASE WHEN t_c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_trunc,
+       CAST(SUM(CASE WHEN f_c IS NOT NULL AND t_c IS NOT NULL
+                THEN 1 ELSE 0 END) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM j GROUP BY q_id
+"""

@@ -869,3 +869,56 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").alias("min_custkey"),
         F.max("version").alias("max_version"),
     )
+
+
+A4_DYN_PATH = "/tmp/bhps_a4_dynamic_overwrite"
+
+
+def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/E1+: DYNAMIC partition overwrite — the backfill primitive:
+    land orders partitioned by year, then rewrite ONLY the 1996
+    partition (prices bumped 5%) with
+    ``partitionOverwriteMode=dynamic``: the writer replaces exactly
+    the partitions present in the incoming frame and leaves every
+    other year's files untouched — the difference between "backfill
+    one day" and "rewrite the lake" at 100 TB. The read-back rollup
+    proves 1996 changed and the other years are byte-identical to the
+    source.
+
+    STATIC overwrite mode (the default) would have dropped all other
+    partitions — the classic lakehouse foot-gun this mode exists to
+    fix; the conf is set only for the backfill write and restored.
+    """
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "order_year",
+    )
+    base.write.mode("overwrite").partitionBy("order_year").parquet(
+        A4_DYN_PATH
+    )
+
+    backfill = base.filter(F.col("order_year") == 1996).withColumn(
+        "price", (money("price") * factor(F.lit(1.05))).cast("double")
+    )
+    old_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        backfill.write.mode("overwrite").partitionBy(
+            "order_year"
+        ).parquet(A4_DYN_PATH)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+
+    back = spark.read.schema(base.schema).parquet(A4_DYN_PATH)
+    return back.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price", "total_price", "decimal(18,6)"),
+    )

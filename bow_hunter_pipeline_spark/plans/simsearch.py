@@ -918,3 +918,67 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_FUSE_TOP)
         .select("q_id", "c_id", "rrf_score", "rnk")
     )
+
+
+MRL_DIM = 16  # truncated prefix dimensionality (vs full DIM=64)
+
+
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: Matryoshka truncation audit (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022 — serve the first d dims of
+    an embedding as a cheaper index): per probe, recall@k of top-k
+    computed on the FIRST 16 DIMS against top-k on the full 64 — the
+    measurement that decides how far a vector store can truncate
+    before quality drops. Same deterministic-fold machinery as the
+    ANN recall audit; both rankings and the recall are hash-exact.
+
+    Scale: the truncated leg reads/folds a quarter of the vector
+    bytes — at 100 TB that is the difference between an in-memory and
+    a spilled index; the audit itself is bounded by the probe count.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    pairs = F.broadcast(probes).crossJoin(cands).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+
+    def leg(score_col, name):
+        w = Window.partitionBy("q_id").orderBy(
+            F.col(name).desc(), F.col("c_id")
+        )
+        return (
+            pairs.withColumn(name, score_col)
+            .withColumn("rnk", F.rank().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("q_id", "c_id")
+        )
+
+    full_cos = dot_fold("qe", "ce") / (
+        F.sqrt(norm2_fold("qe")) * F.sqrt(norm2_fold("ce"))
+    )
+    tq = F.slice(F.col("qe"), 1, MRL_DIM)
+    tc = F.slice(F.col("ce"), 1, MRL_DIM)
+    trunc_cos = dot_fold(tq, tc) / (
+        F.sqrt(norm2_fold(tq)) * F.sqrt(norm2_fold(tc))
+    )
+    full = leg(full_cos, "cos_full").withColumn("in_full", F.lit(1))
+    trunc = leg(trunc_cos, "cos_trunc").withColumn("in_trunc", F.lit(1))
+    joined = full.join(trunc, ["q_id", "c_id"], "full_outer")
+    return joined.groupBy("q_id").agg(
+        F.sum(F.coalesce("in_full", F.lit(0))).alias("n_full"),
+        F.sum(F.coalesce("in_trunc", F.lit(0))).alias("n_trunc"),
+        (
+            F.sum(
+                (
+                    F.col("in_full").isNotNull()
+                    & F.col("in_trunc").isNotNull()
+                ).cast("int")
+            ).cast("double")
+            / F.lit(float(TOP_K))
+        ).alias("recall_at_k"),
+    )

@@ -1036,6 +1036,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.ab_test_guardrail,
         oracles_h.AB_TEST_GUARDRAIL,
     ),
+    # A4/E1+: dynamic partition overwrite (backfill one partition)
+    "a4_dynamic_partition_backfill": (
+        pipeline.dynamic_partition_backfill,
+        oracles_f.DYNAMIC_PARTITION_BACKFILL,
+    ),
+    # H2: Matryoshka truncated-dimension recall audit
+    "h2_matryoshka_recall": (
+        simsearch.matryoshka_recall_audit,
+        oracles_h.MATRYOSHKA_RECALL_AUDIT,
+    ),
 }
 
 
@@ -1175,6 +1185,8 @@ _DRIVER_ROTATION = [
     "h5_bloom_membership",
     "e2_scd2_point_in_time",
     "h4_ab_test_guardrail",
+    "a4_dynamic_partition_backfill",
+    "h2_matryoshka_recall",
 ]
 
 
