@@ -1989,3 +1989,35 @@ SELECT q_id,
                 THEN 1 ELSE 0 END) AS DOUBLE) / {TOP_K} AS recall_at_k
 FROM j GROUP BY q_id
 """
+
+
+TOKEN_BUDGET_CURRICULUM = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+per_source AS (
+  SELECT source, COUNT(*) AS src_tokens,
+         CAST(SUM(CAST(token IN ('the', 'a', 'of', 'to', 'and') AS INT))
+              AS BIGINT) AS stop_mass
+  FROM toks GROUP BY source
+),
+ranked AS (
+  SELECT source, src_tokens,
+         CAST(stop_mass AS DOUBLE) / CAST(src_tokens AS DOUBLE) AS quality
+  FROM per_source
+),
+w AS (
+  SELECT source, quality, src_tokens,
+         CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, source) AS INT)
+           AS rnk,
+         CAST(SUM(src_tokens) OVER (ORDER BY quality DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(src_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM ranked
+)
+SELECT source, rnk, quality, src_tokens, cum_tokens,
+       CAST(cum_tokens AS DOUBLE)
+         <= 0.6e0 * CAST(total_tokens AS DOUBLE) AS selected
+FROM w
+"""

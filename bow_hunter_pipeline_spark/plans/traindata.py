@@ -833,3 +833,61 @@ def context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("chunk_text"), " ")).alias("n_chunk_tokens"),
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+BUDGET_FRAC = 0.6  # token budget as a fraction of the corpus
+
+
+def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: data-budget allocation — rank sources by a quality signal
+    (stopword-mass ratio, the language_id heuristic at source grain)
+    and admit them greedily until the token budget (60% of the corpus)
+    is spent: the "which sources make the cut for this training run"
+    decision, with the running budget accounting a data card publishes.
+
+    Exactness: quality = one division of two exact bigint masses;
+    the greedy admission is a window cumsum of bigint token counts
+    compared against budget_frac × total (one IEEE multiply) — every
+    column replays bit-for-bit.
+
+    Shape: one token-explode aggregate to source grain (map-side
+    combined), then two windows over the ~20-row source frame.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("src_tokens"),
+        F.sum(
+            F.col("token").isin("the", "a", "of", "to", "and").cast("int")
+        ).alias("stop_mass"),
+    )
+    quality = F.col("stop_mass").cast("double") / F.col(
+        "src_tokens"
+    ).cast("double")
+    ranked = per_source.withColumn("quality", quality)
+    wr = Window.orderBy(F.col("quality").desc(), F.col("source"))
+    wall = Window.partitionBy()
+    out = (
+        ranked.withColumn("rnk", F.row_number().over(wr))
+        .withColumn(
+            "cum_tokens",
+            F.sum("src_tokens").over(
+                wr.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("total_tokens", F.sum("src_tokens").over(wall))
+    )
+    selected = (
+        F.col("cum_tokens").cast("double")
+        <= F.lit(BUDGET_FRAC) * F.col("total_tokens").cast("double")
+    )
+    return out.select(
+        "source",
+        "rnk",
+        "quality",
+        "src_tokens",
+        "cum_tokens",
+        selected.alias("selected"),
+    )

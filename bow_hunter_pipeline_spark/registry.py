@@ -1046,6 +1046,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.matryoshka_recall_audit,
         oracles_h.MATRYOSHKA_RECALL_AUDIT,
     ),
+    # H6: greedy token-budget source admission (curriculum cut)
+    "h6_token_budget_curriculum": (
+        traindata.token_budget_curriculum,
+        oracles_h.TOKEN_BUDGET_CURRICULUM,
+    ),
 }
 
 
@@ -1187,6 +1192,7 @@ _DRIVER_ROTATION = [
     "h4_ab_test_guardrail",
     "a4_dynamic_partition_backfill",
     "h2_matryoshka_recall",
+    "h6_token_budget_curriculum",
 ]
 
 
