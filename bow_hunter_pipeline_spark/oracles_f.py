@@ -1135,3 +1135,19 @@ SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
 FROM orders
 GROUP BY 1
 """
+
+
+DPP_PRUNED_JOIN = f"""
+WITH years AS (
+  SELECT DISTINCT 1992 + n_nationkey % 7 AS order_year,
+         CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS label
+  FROM nation
+),
+dim AS (SELECT * FROM years WHERE label = 'even')
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       dim.label,
+       COUNT(*) AS n_orders,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders JOIN dim ON EXTRACT(year FROM o_orderdate) = dim.order_year
+GROUP BY 1, 2
+"""

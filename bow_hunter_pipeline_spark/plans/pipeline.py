@@ -922,3 +922,53 @@ def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("price", "total_price", "decimal(18,6)"),
     )
+
+
+A4_DPP_PATH = "/tmp/bhps_a4_dpp_lake"
+
+
+def dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F: DYNAMIC partition pruning — the join-time partition skip
+    that makes star joins viable on a partitioned lake: the fact side
+    lands partitioned by year, the dimension side is a (year, label)
+    table filtered to two labels, and Catalyst injects the dim's
+    surviving years into the fact scan's partition filter AT RUNTIME
+    (``dynamicpruning`` subquery in the scan — asserted in
+    tests/test_plan_shapes.py). At 100 TB this is the difference
+    between scanning two years and scanning the decade, without the
+    query author naming a year anywhere.
+
+    The year dimension is synthesized deterministically from the
+    nation table (year 1992+n%7, label parity) so the oracle replays
+    the dim arithmetic; idempotent scratch write like the other A4
+    roundtrips.
+    """
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    fact = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "order_year",
+    )
+    fact.write.mode("overwrite").partitionBy("order_year").parquet(
+        A4_DPP_PATH
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    years = nation.select(
+        (F.lit(1992) + F.col("n_nationkey") % 7).alias("order_year"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("label"),
+    ).distinct()
+    dim = years.filter(F.col("label") == "even")
+
+    back = spark.read.schema(fact.schema).parquet(A4_DPP_PATH)
+    return (
+        back.join(dim, "order_year")
+        .groupBy("order_year", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("price", "total_price"),
+        )
+    )

@@ -1051,6 +1051,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.token_budget_curriculum,
         oracles_h.TOKEN_BUDGET_CURRICULUM,
     ),
+    # A4/F: dynamic partition pruning on the partitioned scratch lake
+    "a4_dpp_pruned_join": (
+        pipeline.dpp_pruned_join,
+        oracles_f.DPP_PRUNED_JOIN,
+    ),
 }
 
 
@@ -1193,6 +1198,7 @@ _DRIVER_ROTATION = [
     "a4_dynamic_partition_backfill",
     "h2_matryoshka_recall",
     "h6_token_budget_curriculum",
+    "a4_dpp_pruned_join",
 ]
 
 

@@ -478,3 +478,13 @@ def test_bucketed_lsh_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dpp_join_injects_runtime_partition_filter(spark):
+    """a4_dpp_pruned_join's fact scan must carry a dynamicpruning
+    partition filter fed by the dimension — join-time partition skip,
+    not a full-lake scan."""
+    from bow_hunter_pipeline_spark.plans import pipeline as pl
+
+    plan = _plan(pl.dpp_pruned_join(spark, SF_SMOKE))
+    assert "dynamicpruning" in plan.lower(), plan
