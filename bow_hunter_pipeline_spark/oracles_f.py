@@ -1151,3 +1151,36 @@ SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
 FROM orders JOIN dim ON EXTRACT(year FROM o_orderdate) = dim.order_year
 GROUP BY 1, 2
 """
+
+
+TX_SCHEMA_EVOLUTION = """
+WITH e AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+),
+u AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(7,4))
+              AS DOUBLE) AS o_totalprice,
+         o_orderpriority,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'online' ELSE 'store' END
+           AS channel
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+),
+merged AS (
+  SELECT COALESCE(e.o_orderkey, u.o_orderkey) AS o_orderkey,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+              ELSE e.o_totalprice END AS o_totalprice,
+         CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_orderpriority
+              ELSE u.o_orderpriority END AS o_orderpriority,
+         CASE WHEN u.o_orderkey IS NOT NULL THEN u.channel END AS channel
+  FROM e FULL OUTER JOIN u ON e.o_orderkey = u.o_orderkey
+)
+SELECT o_orderpriority, coalesce(channel, 'legacy') AS channel,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_price
+FROM merged
+GROUP BY 1, 2
+"""

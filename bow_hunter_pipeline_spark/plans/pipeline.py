@@ -972,3 +972,62 @@ def dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("price", "total_price"),
         )
     )
+
+
+TX_EVOLVE_PATH = "/tmp/bhps_tx_orders_evolve"
+
+
+def tx_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/A6: schema-EVOLVING transactional MERGE — the updates batch
+    introduces a column (``channel``) the table never had; with
+    ``evolve_schema=True`` the merge adds it additively (Delta's
+    autoMerge): matched and inserted rows carry the update's value,
+    untouched pre-evolution rows carry NULL, rolled up here under the
+    'legacy' bucket. The full rewrite leaves every live file on the
+    evolved schema, so the AS OF read needs no mergeSchema.
+
+    The rollup groups by (priority, channel-or-legacy) over the
+    post-merge snapshot — counts plus the scale-6 decimal price sums
+    of the tx family.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    tx.create_table(spark, TX_EVOLVE_PATH, base)
+
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        (money("o_totalprice") * factor(F.lit(1.1)))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("online"))
+        .otherwise(F.lit("store"))
+        .alias("channel"),
+    )
+    tx.merge(
+        spark,
+        TX_EVOLVE_PATH,
+        updates,
+        ["o_orderkey"],
+        ["o_totalprice", "channel"],
+        evolve_schema=True,
+    )
+
+    snap = tx.snapshot(spark, TX_EVOLVE_PATH)
+    return snap.groupBy(
+        "o_orderpriority",
+        F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price", "decimal(18,6)"),
+    )

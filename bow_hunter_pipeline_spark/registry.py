@@ -1056,6 +1056,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.dpp_pruned_join,
         oracles_f.DPP_PRUNED_JOIN,
     ),
+    # E2+/A6: schema-evolving MERGE (updates introduce a column)
+    "e2_tx_schema_evolution": (
+        pipeline.tx_merge_schema_evolution,
+        oracles_f.TX_SCHEMA_EVOLUTION,
+    ),
 }
 
 
@@ -1199,6 +1204,7 @@ _DRIVER_ROTATION = [
     "h2_matryoshka_recall",
     "h6_token_budget_curriculum",
     "a4_dpp_pruned_join",
+    "e2_tx_schema_evolution",
 ]
 
 

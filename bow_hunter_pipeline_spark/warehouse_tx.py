@@ -243,17 +243,46 @@ def snapshot(
     return spark.read.parquet(*paths)
 
 
+def _align_schemas(
+    current: DataFrame, updates: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Additive schema evolution (Delta's autoMerge semantics): pad
+    each side with typed NULLs for columns only the other side has,
+    so an updates batch can INTRODUCE a column — existing rows carry
+    NULL for it, and the upsert's partial-update rule applies to it
+    like any other column. Column renames/drops are intentionally not
+    inferred (destructive evolution needs an explicit migration)."""
+    for f in updates.schema.fields:
+        if f.name not in current.columns:
+            current = current.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    for f in current.schema.fields:
+        if f.name not in updates.columns:
+            updates = updates.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    return current, updates.select(*current.columns)
+
+
 def merge(
     spark: SparkSession,
     table: str,
     updates: DataFrame,
     keys: list[str],
     update_cols: list[str],
+    *,
+    evolve_schema: bool = False,
 ) -> int:
     """Transactional MERGE: deterministic upsert of ``updates`` into
     the current snapshot, committed as the next version. Returns the
-    new version number."""
+    new version number. With ``evolve_schema=True``, columns new to
+    the updates batch are added to the table (additive evolution —
+    the full rewrite makes every live file carry the evolved schema,
+    so readers never need mergeSchema)."""
     current = snapshot(spark, table)
+    if evolve_schema:
+        current, updates = _align_schemas(current, updates)
     merged = upsert(current, updates, keys, update_cols)
     next_v = _versions(table)[-1] + 1
     new_files, stats = _write_data(merged, table, next_v, keys)
