@@ -1184,3 +1184,13 @@ SELECT o_orderpriority, coalesce(channel, 'legacy') AS channel,
 FROM merged
 GROUP BY 1, 2
 """
+
+
+ZSTD_COMPRESSION_ROUNDTRIP = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {_DSUM.format(c='l_quantity')} AS sum_qty,
+       {_DSUM.format(c='l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -1031,3 +1031,31 @@ def tx_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price", "decimal(18,6)"),
     )
+
+
+A4_ZSTD_PATH = "/tmp/bhps_a4_zstd"
+
+
+def zstd_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: codec control — land lineitem's hot columns as
+    zstd-compressed parquet (vs the snappy default) and read them
+    back; the rollup proves the roundtrip lossless against the
+    oracle. zstd is the 100 TB default choice: ~30% smaller than
+    snappy at similar scan speed, which at lake scale is petabytes of
+    storage and scan I/O. File sizes are environment-dependent so
+    they stay OUT of the hash-checked result; the actual size win is
+    asserted in tests/test_scale.py::test_zstd_writes_smaller_files
+    _than_snappy on this run's real files.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    li.write.mode("overwrite").option("compression", "zstd").parquet(
+        A4_ZSTD_PATH
+    )
+    back = spark.read.schema(li.schema).parquet(A4_ZSTD_PATH)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )

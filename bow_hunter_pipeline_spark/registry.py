@@ -1061,6 +1061,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_merge_schema_evolution,
         oracles_f.TX_SCHEMA_EVOLUTION,
     ),
+    # A4: zstd codec roundtrip (lossless; size win unit-tested)
+    "a4_zstd_roundtrip": (
+        pipeline.zstd_compression_roundtrip,
+        oracles_f.ZSTD_COMPRESSION_ROUNDTRIP,
+    ),
 }
 
 
@@ -1205,6 +1210,7 @@ _DRIVER_ROTATION = [
     "h6_token_budget_curriculum",
     "a4_dpp_pruned_join",
     "e2_tx_schema_evolution",
+    "a4_zstd_roundtrip",
 ]
 
 
