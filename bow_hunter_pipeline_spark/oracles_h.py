@@ -2021,3 +2021,56 @@ SELECT source, rnk, quality, src_tokens, cum_tokens,
          <= 0.6e0 * CAST(total_tokens AS DOUBLE) AS selected
 FROM w
 """
+
+
+def _sweep_band_exprs(bands: int, rows: int) -> str:
+    keys = []
+    for b in range(bands):
+        comps = ", ".join(f"s{b * rows + r}" for r in range(rows))
+        keys.append(f"md5(concat_ws('|', '{bands}x{rows}:{b}', {comps}))")
+    return "[" + ", ".join(keys) + "]"
+
+
+def _sweep_cfg_sql(bands: int, rows: int) -> str:
+    tag = f"{bands}x{rows}"
+    return f"""
+b_{tag} AS (
+  SELECT doc_id, unnest({_sweep_band_exprs(bands, rows)}) AS band_key
+  FROM sigs
+),
+c_{tag} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM b_{tag} a JOIN b_{tag} b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def _sweep_select(bands: int, rows: int) -> str:
+    tag = f"{bands}x{rows}"
+    return f"""
+SELECT '{tag}' AS config,
+       COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN doc_b = doc_a + 20000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_planted_caught,
+       CAST(SUM(CASE WHEN doc_b = doc_a + 20000 THEN 1 ELSE 0 END)
+            AS DOUBLE) / (SELECT CAST(n_planted AS DOUBLE) FROM planted)
+         AS planted_recall
+FROM c_{tag}"""
+
+
+LSH_PARAM_SWEEP = (
+    f"""
+WITH docs AS ({_DOCS_WITH_NEAR_COPIES}),
+sigs AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs()}
+  FROM docs
+),
+planted AS (
+  SELECT COUNT(*) AS n_planted FROM docs WHERE doc_id >= 20000
+),"""
+    + ",".join(_sweep_cfg_sql(b, r) for b, r in [(2, 8), (4, 4), (8, 2)])
+    + " UNION ALL ".join(
+        _sweep_select(b, r) for b, r in [(2, 8), (4, 4), (8, 2)]
+    )
+)

@@ -726,3 +726,77 @@ def bucketed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+LSH_SWEEP_CONFIGS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows) with b*r = 16
+
+
+def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: the LSH tuning table — ONE query that evaluates three
+    banding configurations (2×8, 4×4, 8×2) of the same 16-permutation
+    signatures against the corpus's PLANTED near-duplicates: per
+    config, the candidate-pair volume (the cost axis) and the recall
+    of the planted pairs (the quality axis). This is the sweep a
+    dedup team runs before fixing BANDS/ROWS_PER_BAND in production —
+    more bands = higher recall AND more candidates; the table shows
+    the trade on real data, hash-exactly.
+
+    One signature pass feeds all three configs (the sigs frame is
+    computed once and localCheckpointed); each config contributes a
+    banded self-join sized by its own collisions. Planted truth =
+    the _with_near_copies pairs (doc_id, doc_id + 20000).
+    """
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    sig = _minhash_sigs(docs).localCheckpoint()
+    n_planted = docs.filter(F.col("doc_id") >= 20000).count()
+
+    out = None
+    for bands, rows in LSH_SWEEP_CONFIGS:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(f"{bands}x{rows}:{b}"),
+                    *[
+                        F.col(f"m{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+        buckets = sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
+        )
+        a, b_ = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        planted_caught = cand.filter(
+            F.col("doc_b") == F.col("doc_a") + 20000
+        )
+        row = cand.agg(
+            F.lit(f"{bands}x{rows}").alias("config"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        ).crossJoin(
+            planted_caught.agg(F.count(F.lit(1)).alias("n_planted_caught"))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "config",
+        "n_candidates",
+        "n_planted_caught",
+        (
+            F.col("n_planted_caught").cast("double")
+            / F.lit(float(n_planted))
+        ).alias("planted_recall"),
+    )

@@ -1066,6 +1066,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.zstd_compression_roundtrip,
         oracles_f.ZSTD_COMPRESSION_ROUNDTRIP,
     ),
+    # H1: LSH banding parameter sweep (cost vs planted-pair recall)
+    "h1_lsh_param_sweep": (
+        dedup.lsh_param_sweep,
+        oracles_h.LSH_PARAM_SWEEP,
+    ),
 }
 
 
@@ -1211,6 +1216,7 @@ _DRIVER_ROTATION = [
     "a4_dpp_pruned_join",
     "e2_tx_schema_evolution",
     "a4_zstd_roundtrip",
+    "h1_lsh_param_sweep",
 ]
 
 
