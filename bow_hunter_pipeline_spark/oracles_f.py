@@ -1194,3 +1194,25 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+ASOF_FORWARD_RECOVERY = """
+WITH l AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'error'
+),
+r AS (
+  SELECT user_id, epoch_us(ts) AS r_ts_us, event_type AS r_type
+  FROM events WHERE event_type <> 'error'
+),
+nxt AS (
+  SELECT l.event_id, l.user_id, l.t_us, MIN(r.r_ts_us) AS next_ts_us
+  FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.r_ts_us >= l.t_us
+  GROUP BY 1, 2, 3
+)
+SELECT n.event_id, n.user_id, n.t_us, n.next_ts_us,
+       r.r_type AS next_type,
+       n.next_ts_us - n.t_us AS recovery_us
+FROM nxt n
+LEFT JOIN r ON r.user_id = n.user_id AND r.r_ts_us = n.next_ts_us
+"""

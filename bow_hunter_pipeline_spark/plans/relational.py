@@ -1154,3 +1154,63 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
     )
+
+
+def asof_forward_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: FORWARD as-of join — for every ``error`` event, the EARLIEST
+    later (or simultaneous) non-error event of the same user: the
+    "time to recovery" twin of asof_join_error_context's backward
+    lookup (MTTR dashboards, retry-latency audits). Same union +
+    window machinery mirrored: right-side rows sort first on ties and
+    the frame runs CURRENT ROW → UNBOUNDED FOLLOWING with
+    ``first(…, ignoreNulls)`` — still one user-keyed shuffle, no
+    range cross-product.
+
+    Oracle: DuckDB has no forward ASOF direction, so the oracle uses
+    the equivalent correlated MIN — correct at oracle scale, while
+    the engine side keeps the linear window form that survives 100×.
+    """
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "t_us", F.expr("ts_ns div 1000")
+    )
+    left = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "t_us",
+        "event_id",
+        F.lit(1).alias("is_l"),
+        F.lit(None).cast("bigint").alias("r_ts_us"),
+        F.lit(None).cast("string").alias("r_type"),
+    )
+    right = ev.filter(F.col("event_type") != "error").select(
+        "user_id",
+        "t_us",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(0).alias("is_l"),
+        F.col("t_us").alias("r_ts_us"),
+        F.col("event_type").alias("r_type"),
+    )
+    # inclusive forward: LEFT rows sort before right rows on t ties so
+    # a simultaneous right event stays inside the forward frame
+    # ((user_id, t_us) is unique in the fixture, so this is belt-and-
+    # braces rather than load-bearing)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", (F.lit(1) - F.col("is_l")))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn(
+            "next_ts_us", F.first("r_ts_us", ignorenulls=True).over(w)
+        )
+        .withColumn("next_type", F.first("r_type", ignorenulls=True).over(w))
+        .filter(F.col("is_l") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "t_us",
+            "next_ts_us",
+            "next_type",
+            (F.col("next_ts_us") - F.col("t_us")).alias("recovery_us"),
+        )
+    )

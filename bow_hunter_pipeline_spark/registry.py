@@ -1071,6 +1071,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.lsh_param_sweep,
         oracles_h.LSH_PARAM_SWEEP,
     ),
+    # F: FORWARD as-of join (time-to-recovery twin of the backward one)
+    "f_asof_forward_recovery": (
+        relational.asof_forward_recovery,
+        oracles_f.ASOF_FORWARD_RECOVERY,
+    ),
 }
 
 
@@ -1217,6 +1222,7 @@ _DRIVER_ROTATION = [
     "e2_tx_schema_evolution",
     "a4_zstd_roundtrip",
     "h1_lsh_param_sweep",
+    "f_asof_forward_recovery",
 ]
 
 
