@@ -2074,3 +2074,50 @@ planted AS (
         _sweep_select(b, r) for b, r in [(2, 8), (4, 4), (8, 2)]
     )
 )
+
+
+ERROR_STREAKS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+errs AS (
+  SELECT user_id, rn,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM seq WHERE event_type = 'error'
+),
+per_streak AS (
+  SELECT user_id, grp, COUNT(*) AS streak_len
+  FROM errs GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+       COUNT(*) AS n_streaks,
+       CAST(SUM(streak_len) AS BIGINT) AS n_errors
+FROM per_streak GROUP BY user_id
+"""
+
+VOCAB_COVERAGE_CURVE = f"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS cnt FROM (
+    SELECT unnest({_TOKS}) AS token FROM documents
+  ) GROUP BY token
+),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk,
+         SUM(cnt) OVER () AS total
+  FROM counts
+),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(SUM(cnt) AS BIGINT) AS top_mass,
+       CAST(MIN(total) AS BIGINT) AS total_mass,
+       COUNT(*) AS n_types_used,
+       CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(MIN(total) AS BIGINT) AS DOUBLE) AS coverage
+FROM ranked JOIN ks ON ranked.rnk <= ks.k
+GROUP BY ks.k
+"""

@@ -584,3 +584,34 @@ def ab_test_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("t_lo") > F.col("c_hi")) | (F.col("t_hi") < F.col("c_lo")))
         .alias("significant"),
     )
+
+
+def error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: gaps-and-islands — longest run of CONSECUTIVE error events
+    per user (alert fatigue / flapping detection: one error is noise,
+    eight in a row is an incident). The classic rn-difference trick:
+    number every event per user, number the error events per user,
+    and the difference is constant within one unbroken error run —
+    grouping on it isolates the islands without any self-join or
+    iteration.
+
+    Two window passes over the same user-keyed sort (one shuffle,
+    Catalyst shares the partitioning) + two small aggregates. Streak
+    lengths and counts are exact integers.
+    """
+    ev = read_events(spark, sf_dir)
+    seq = Window.partitionBy("user_id").orderBy("ts_ns")
+    with_rn = ev.withColumn("rn", F.row_number().over(seq))
+    errs = with_rn.filter(F.col("event_type") == "error")
+    eseq = Window.partitionBy("user_id").orderBy("ts_ns")
+    islands = errs.withColumn(
+        "grp", F.col("rn") - F.row_number().over(eseq)
+    )
+    per_streak = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return per_streak.groupBy("user_id").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("streak_len").alias("n_errors"),
+    )

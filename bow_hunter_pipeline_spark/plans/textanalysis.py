@@ -453,3 +453,47 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "label", "predicted", "n_docs", share.alias("label_share")
     )
+
+
+COVERAGE_KS = [10, 100, 1000]
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/H6: vocabulary coverage curve — what fraction of all token
+    OCCURRENCES the top-K most frequent types cover, for K in
+    {10, 100, 1000}: the Zipf-mass readout that sizes a tokenizer
+    vocabulary (and explains why the last 10% of coverage costs 10×
+    the vocab). Ranks break ties by token text, so the curve is
+    deterministic; coverage is one division of exact bigint masses
+    per row.
+
+    Shape: one token-count aggregate, one rank window over the
+    vocabulary-sized frame, then a 3-row rollup via a literal K table
+    (range join on rank <= K against 3 values — the tiny side is the
+    K list, broadcast).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    wall = Window.partitionBy()
+    ranked = counts.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "total", F.sum("cnt").over(wall)
+    )
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
+    return (
+        ranked.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum("cnt").alias("top_mass"),
+            F.first("total").alias("total_mass"),
+            F.count(F.lit(1)).alias("n_types_used"),
+            (
+                F.sum("cnt").cast("double")
+                / F.first("total").cast("double")
+            ).alias("coverage"),
+        )
+    )

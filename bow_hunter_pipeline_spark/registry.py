@@ -1076,6 +1076,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.asof_forward_recovery,
         oracles_f.ASOF_FORWARD_RECOVERY,
     ),
+    # H4: gaps-and-islands — consecutive-error streaks per user
+    "h4_error_streaks": (events.error_streaks, oracles_h.ERROR_STREAKS),
+    # H3/H6: Zipf coverage curve for tokenizer vocabulary sizing
+    "h3_vocab_coverage_curve": (
+        textanalysis.vocab_coverage_curve,
+        oracles_h.VOCAB_COVERAGE_CURVE,
+    ),
 }
 
 
@@ -1223,6 +1230,8 @@ _DRIVER_ROTATION = [
     "a4_zstd_roundtrip",
     "h1_lsh_param_sweep",
     "f_asof_forward_recovery",
+    "h4_error_streaks",
+    "h3_vocab_coverage_curve",
 ]
 
 
