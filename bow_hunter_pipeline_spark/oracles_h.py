@@ -2121,3 +2121,26 @@ SELECT CAST(ks.k AS INT) AS k,
 FROM ranked JOIN ks ON ranked.rnk <= ks.k
 GROUP BY ks.k
 """
+
+
+FILTERED_VECTOR_SEARCH = f"""
+WITH probes AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+cands AS (
+  SELECT e.vec_id AS c_id, e.embedding AS ce
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+),
+pairs AS (
+  SELECT p.q_id, c.c_id, p.qe, c.ce
+  FROM probes p CROSS JOIN cands c WHERE p.q_id <> c.c_id
+),
+scored AS (SELECT q_id, c_id, {_COSINE} AS cosine FROM pairs)
+SELECT q_id, c_id, cosine, rnk FROM (
+  SELECT *, CAST(RANK() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, c_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""

@@ -982,3 +982,38 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(TOP_K))
         ).alias("recall_at_k"),
     )
+
+
+FILTER_LANG = "en"
+
+
+def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: metadata-FILTERED vector search — top-k restricted to
+    candidates whose joined document metadata passes a predicate
+    (lang = 'en'), the capability every production vector store names
+    ("filtered ANN") and the classic pre-filter-vs-post-filter trade:
+    post-filtering a top-k can return fewer than k rows, so the
+    filter must intersect the CANDIDATE set before ranking — which is
+    exactly what the plan does (metadata join + predicate upstream of
+    the score window).
+
+    Scale: the metadata side is the documents table joined on id —
+    at lake scale the filter column lives WITH the vectors
+    (denormalized at index build) and prunes before any distance is
+    computed; here the join stands in for that, and the bounded probe
+    broadcast is unchanged from cosine_topk.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cands = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .filter(F.col("lang") == FILTER_LANG)
+        .select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    )
+    pairs = F.broadcast(probes).crossJoin(cands).filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    return _topk(_scored_pairs(pairs))

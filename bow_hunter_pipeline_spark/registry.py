@@ -1083,6 +1083,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.vocab_coverage_curve,
         oracles_h.VOCAB_COVERAGE_CURVE,
     ),
+    # H2: metadata-filtered vector search (pre-filter ANN)
+    "h2_filtered_vector_search": (
+        simsearch.filtered_vector_search,
+        oracles_h.FILTERED_VECTOR_SEARCH,
+    ),
 }
 
 
@@ -1232,6 +1237,7 @@ _DRIVER_ROTATION = [
     "f_asof_forward_recovery",
     "h4_error_streaks",
     "h3_vocab_coverage_curve",
+    "h2_filtered_vector_search",
 ]
 
 

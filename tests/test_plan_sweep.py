@@ -34,6 +34,7 @@ ALLOW: dict[str, set[str]] = {
         "h2_cosine_topk",  # brute-force baseline: tiny probe set broadcast
         "h2_hybrid_rrf",  # vector leg = the same bounded probe broadcast
         "h2_matryoshka_recall",  # both legs are the bounded probe broadcast
+        "h2_filtered_vector_search",  # same bounded probe broadcast
         "h2_mmr_rerank",  # same bounded probe broadcast feeds the pool
         "h2_ivf_topk",  # K fixed centroids broadcast for cell assignment
         "h2_pq_topk",  # 8-entry codebook broadcast for subspace encoding
