@@ -1059,3 +1059,45 @@ def zstd_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+: referential-integrity audit across the star schema — for
+    each FK edge (orders→customer, lineitem→orders, lineitem→part,
+    lineitem→supplier, customer→nation), the count of child rows whose
+    key has no parent (anti-join orphans) next to the child total.
+    The warehouse health check that runs after every load; a nonzero
+    orphan row is the signal E2's upsert or an ingest dropped parents.
+    The fixture is consistent, so all orphan counts are 0 — proven
+    against the oracle, not assumed.
+
+    Scale: each edge is one anti-join keyed on the FK (the A7/E5
+    shape); parents reduce to distinct keys before the exchange, and
+    dimension-sized parents broadcast.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    sup = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ck, parent, pk):
+        parents = parent.select(F.col(pk).alias(ck)).distinct()
+        orphans = child.select(ck).join(parents, ck, "left_anti")
+        return child.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+
+    edges = [
+        edge("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", sup, "s_suppkey"),
+        edge("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out

@@ -1088,6 +1088,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.filtered_vector_search,
         oracles_h.FILTERED_VECTOR_SEARCH,
     ),
+    # E3+: FK orphan audit across every star-schema edge
+    "e3_referential_integrity": (
+        pipeline.referential_integrity_audit,
+        oracles_f.REFERENTIAL_INTEGRITY_AUDIT,
+    ),
 }
 
 
@@ -1238,6 +1243,7 @@ _DRIVER_ROTATION = [
     "h4_error_streaks",
     "h3_vocab_coverage_curve",
     "h2_filtered_vector_search",
+    "e3_referential_integrity",
 ]
 
 

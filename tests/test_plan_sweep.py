@@ -48,6 +48,7 @@ ALLOW: dict[str, set[str]] = {
         "g5_nearest_sensor_join",  # 25-row sensor dim broadcast for argmin
         "h4_ab_test_guardrail",  # 1-row treatment × 1-row control arms
         "h1_lsh_param_sweep",  # 1-row count × 1-row count per config
+        "e3_referential_integrity",  # 1-row total × 1-row orphan count
         "h3_vocab_coverage_curve",  # 3-row K-list broadcast, rank<=K theta
     },
     # All-pairs semantics by design, bounded by blocking/banding
