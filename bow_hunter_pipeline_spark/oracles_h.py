@@ -2144,3 +2144,28 @@ SELECT q_id, c_id, cosine, rnk FROM (
   FROM scored
 ) WHERE rnk <= {TOP_K}
 """
+
+
+SOURCE_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+),
+corpus AS (SELECT token, COUNT(*) AS d FROM toks GROUP BY token),
+src AS (
+  SELECT source, token, COUNT(*) AS c FROM toks GROUP BY source, token
+),
+m AS (SELECT source, COUNT(*) AS m_total FROM toks GROUP BY source),
+n AS (SELECT CAST(SUM(d) AS BIGINT) AS n_total FROM corpus),
+grid AS (
+  SELECT m.source, m.m_total, corpus.token, corpus.d, n.n_total,
+         coalesce(src.c, 0) AS c0
+  FROM m CROSS JOIN corpus CROSS JOIN n
+  LEFT JOIN src ON src.source = m.source AND src.token = corpus.token
+)
+SELECT source,
+       CAST(MIN(m_total) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(abs(c0 * n_total - d * m_total)) AS BIGINT) AS DOUBLE)
+         / (2.0e0 * CAST(MIN(m_total) AS DOUBLE)
+            * CAST(MIN(n_total) AS DOUBLE)) AS tv_distance
+FROM grid GROUP BY source
+"""

@@ -497,3 +497,48 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/H6: distribution drift per source — the TOTAL-VARIATION
+    distance between each source's unigram distribution and the whole
+    corpus's: TV = ½ Σ_t |p_t − q_t|. The drift monitor a curation
+    pipeline runs per ingest batch (is this crawl slice suddenly
+    different?), and the transcendental-free sibling of KL/JS
+    divergence: multiplying through by both totals makes the sum an
+    exact bigint — Σ_t |c_t·N − d_t·M| — with ONE final division by
+    2·M·N, so the metric hash-matches the oracle (rare for
+    divergence tooling).
+
+    Shape: corpus and per-source counts are two map-side-combined
+    aggregates; the (source × vocab) grid joins the vocabulary-sized
+    corpus table (broadcast) so absent tokens contribute their full
+    |0 − d_t·M| mass — forgetting them is the classic TV bug.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_toks()).alias("token"))
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("d"))
+    src = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    m = toks.groupBy("source").agg(F.count(F.lit(1)).alias("m_total"))
+    n = corpus.agg(F.sum("d").alias("n_total"))
+
+    grid = (
+        m.crossJoin(F.broadcast(corpus))
+        .join(src, ["source", "token"], "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    term = F.abs(
+        F.col("c0") * F.col("n_total") - F.col("d") * F.col("m_total")
+    )
+    return grid.groupBy("source").agg(
+        F.first("m_total").alias("n_tokens"),
+        (
+            F.sum(term).cast("double")
+            / (
+                F.lit(2.0)
+                * F.first("m_total").cast("double")
+                * F.first("n_total").cast("double")
+            )
+        ).alias("tv_distance"),
+    )

@@ -1093,6 +1093,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.referential_integrity_audit,
         oracles_f.REFERENTIAL_INTEGRITY_AUDIT,
     ),
+    # H3/H6: exact total-variation drift per source vs the corpus
+    "h3_source_divergence": (
+        textanalysis.source_divergence,
+        oracles_h.SOURCE_DIVERGENCE,
+    ),
 }
 
 
@@ -1244,6 +1249,7 @@ _DRIVER_ROTATION = [
     "h3_vocab_coverage_curve",
     "h2_filtered_vector_search",
     "e3_referential_integrity",
+    "h3_source_divergence",
 ]
 
 

@@ -50,6 +50,7 @@ ALLOW: dict[str, set[str]] = {
         "h1_lsh_param_sweep",  # 1-row count × 1-row count per config
         "e3_referential_integrity",  # 1-row total × 1-row orphan count
         "h3_vocab_coverage_curve",  # 3-row K-list broadcast, rank<=K theta
+        "h3_source_divergence",  # vocab-sized corpus table + 1-row total
     },
     # All-pairs semantics by design, bounded by blocking/banding
     # upstream (LSH buckets, band keys) or quadratic-in-small-n.
