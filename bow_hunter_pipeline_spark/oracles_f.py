@@ -1249,3 +1249,19 @@ SELECT 'customer->nation',
         WHERE NOT EXISTS (SELECT 1 FROM nation n
                           WHERE n.n_nationkey = c.c_nationkey))
 """
+
+
+MULTISET_OPS = """
+WITH keys AS (SELECT o_custkey AS custkey FROM orders),
+urgent AS (
+  SELECT o_custkey AS custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+bag AS (SELECT * FROM keys UNION ALL SELECT * FROM urgent),
+i AS (SELECT * FROM bag INTERSECT ALL SELECT * FROM keys),
+x AS (SELECT * FROM bag EXCEPT ALL SELECT * FROM keys)
+SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+       COUNT(DISTINCT custkey) AS n_customers FROM i
+UNION ALL
+SELECT 'except_all', COUNT(*), COUNT(DISTINCT custkey) FROM x
+"""

@@ -1214,3 +1214,36 @@ def asof_forward_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_ts_us") - F.col("t_us")).alias("recovery_us"),
         )
     )
+
+
+def multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: EXCEPT ALL / INTERSECT ALL — bag semantics, where
+    multiplicity matters (the DISTINCT set ops of
+    set_ops_repeat_buyers lose it): per customer, orders counted with
+    duplicates preserved. Built on a frame with REAL multiplicity
+    (every customer's orders + a second copy of the urgent ones):
+    intersectAll with the plain orders keeps min(m, n) copies,
+    exceptAll keeps m − n — both proven by the rollup.
+
+    Spark's exceptAll/intersectAll plan as aggregate+generate (count
+    per row value, then replicate) — no join explosion; the oracle is
+    ANSI EXCEPT ALL / INTERSECT ALL, which DuckDB implements natively.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent_twice = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("custkey"))
+    bag = keys.unionAll(urgent_twice)
+
+    inter = bag.intersectAll(keys).groupBy().agg(
+        F.lit("intersect_all").alias("op"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("custkey").alias("n_customers"),
+    )
+    exc = bag.exceptAll(keys).groupBy().agg(
+        F.lit("except_all").alias("op"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("custkey").alias("n_customers"),
+    )
+    return inter.unionByName(exc)

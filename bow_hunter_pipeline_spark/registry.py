@@ -1098,6 +1098,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.source_divergence,
         oracles_h.SOURCE_DIVERGENCE,
     ),
+    # F: EXCEPT ALL / INTERSECT ALL (bag semantics with multiplicity)
+    "f_multiset_ops": (relational.multiset_ops, oracles_f.MULTISET_OPS),
 }
 
 
@@ -1250,6 +1252,7 @@ _DRIVER_ROTATION = [
     "h2_filtered_vector_search",
     "e3_referential_integrity",
     "h3_source_divergence",
+    "f_multiset_ops",
 ]
 
 
