@@ -1265,3 +1265,28 @@ SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
 UNION ALL
 SELECT 'except_all', COUNT(*), COUNT(DISTINCT custkey) FROM x
 """
+
+
+GINI_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT c.c_nationkey, c.c_custkey,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_custkey
+),
+ranked AS (
+  SELECT c_nationkey, rev_cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+              ORDER BY rev_cents, c_custkey) AS BIGINT) AS i,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM per_cust
+)
+SELECT c_nationkey AS nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST(CAST(SUM((2 * i - n - 1) * rev_cents) AS BIGINT) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE)
+            * CAST(CAST(SUM(rev_cents) AS BIGINT) AS DOUBLE)) AS gini
+FROM ranked GROUP BY c_nationkey
+"""

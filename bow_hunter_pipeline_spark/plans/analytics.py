@@ -401,3 +401,48 @@ def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         idx.alias("seasonality_index"),
     )
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1+: revenue concentration per nation — the Gini coefficient of
+    customer order-revenue, computed EXACTLY from the rank formula
+
+        G = Σ_i (2i − n − 1)·x_i / (n · Σx)     (x ascending)
+
+    with revenues in integer cents and ranks from a deterministic
+    (value, key) sort: the numerator is an exact bigint sum, the
+    denominator two exact bigints, one final IEEE division — the
+    inequality metric every marketplace/concentration dashboard shows,
+    hash-exact (no sorting-based approximation, no float lorenz area).
+
+    Shape: one customer-grain aggregate, one per-nation rank window,
+    one rollup. The window partitions by nation — no global sort.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_nationkey", "c_custkey", "rev_cents")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev_cents", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = per_cust.withColumn(
+        "i", F.row_number().over(w).cast("bigint")
+    ).withColumn("n", F.count(F.lit(1)).over(wn))
+    num = (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col(
+        "rev_cents"
+    )
+    return ranked.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("total_cents"),
+        (
+            F.sum(num).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.sum("rev_cents").cast("double")
+            )
+        ).alias("gini"),
+    )

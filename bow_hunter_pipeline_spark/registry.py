@@ -1100,6 +1100,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # F: EXCEPT ALL / INTERSECT ALL (bag semantics with multiplicity)
     "f_multiset_ops": (relational.multiset_ops, oracles_f.MULTISET_OPS),
+    # G1+: exact Gini revenue concentration per nation
+    "g1_gini_concentration": (
+        analytics.gini_concentration,
+        oracles_f.GINI_CONCENTRATION,
+    ),
 }
 
 
@@ -1253,6 +1258,7 @@ _DRIVER_ROTATION = [
     "e3_referential_integrity",
     "h3_source_divergence",
     "f_multiset_ops",
+    "g1_gini_concentration",
 ]
 
 
