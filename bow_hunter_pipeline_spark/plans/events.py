@@ -600,10 +600,14 @@ def error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     lengths and counts are exact integers.
     """
     ev = read_events(spark, sf_dir)
-    seq = Window.partitionBy("user_id").orderBy("ts_ns")
+    # Tie-break on event_id so the numbering is total even if two
+    # events of one user share a timestamp (matches the oracle's
+    # ORDER BY ts, event_id; (user_id, ts_ns) uniqueness in the
+    # fixture is not something to rely on).
+    seq = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     with_rn = ev.withColumn("rn", F.row_number().over(seq))
     errs = with_rn.filter(F.col("event_type") == "error")
-    eseq = Window.partitionBy("user_id").orderBy("ts_ns")
+    eseq = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     islands = errs.withColumn(
         "grp", F.col("rn") - F.row_number().over(eseq)
     )

@@ -207,6 +207,11 @@ def python_stream_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame
             if spark.table(name).count() >= total:
                 break
             time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"stream feed drained only "
+                f"{spark.table(name).count()}/{total} rows in 60s"
+            )
     finally:
         q.stop()
         q.awaitTermination()

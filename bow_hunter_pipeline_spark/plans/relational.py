@@ -1136,12 +1136,12 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering carries a unique key tie-break, so bin assignment is
     total even across equal prices.
 
-    Scale: ntile needs a global sort — the one legitimately global
-    window here — which Spark executes as a range-partitioned sort,
-    not a single-partition gather, when the optimizer sees the
-    unpartitioned window's range boundaries; per-bin rollup follows
-    pre-sorted. For a 100 TB approximate alternative, approx_percentile
-    edges + width bucketing avoid the sort entirely (h5 family).
+    Scale: an UNPARTITIONED window moves every row to one partition
+    (Spark warns "No Partition Defined for Window operation") — fine
+    at orders-table fixture scale, a deliberate non-goal at 100 TB.
+    The at-scale path is the approximate one: approx_percentile edges
+    + width_bucket assignment (h5 family) computes near-equi-depth
+    bins with an ordinary shuffle-free aggregate and no global sort.
     """
     orders = read_table(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))

@@ -34,7 +34,12 @@ Scale notes: ``merge`` rewrites the full table (correct, simplest);
 ``merge_pruned`` rewrites only files whose logged [min, max] range of
 the first merge key intersects the updates — O(log-read) per merge,
 not O(files) footer RPCs. The log itself stays tiny (one small JSON
-per commit) and replay cost is file-count, not data.
+per commit), and a checkpoint every ``CHECKPOINT_INTERVAL`` commits
+materializes the live set so replay is O(interval), not O(history) —
+a decade-old table with 10^5 commits replays 10 files, not 10^5.
+A merge that loses the optimistic-concurrency race deletes its own
+uncommitted data files before retrying (nothing references them, so
+they would otherwise leak past vacuum forever).
 Cite: Armbrust et al., "Delta Lake: High-Performance ACID Table
 Storage over Cloud Object Stores", VLDB 2020 — this is that design's
 minimum viable core.
@@ -56,6 +61,12 @@ from bow_hunter_pipeline_spark.operators.upsert import upsert
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 
+# Write a log checkpoint every N commits (Delta paper §3.2's answer to
+# unbounded log replay): the checkpoint materializes the live-file set
+# + stats at a version, so _replay is O(N) commits past the newest
+# checkpoint instead of O(all history) forever.
+CHECKPOINT_INTERVAL = 10
+
 # Spark types whose parquet footer min/max are exact and totally
 # ordered the way pruning assumes. String statistics can be TRUNCATED
 # by exotic writers (max not exact), so pruning is gated to integrals.
@@ -73,6 +84,10 @@ def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
 
 
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"checkpoint-{version:08d}.json")
+
+
 def _versions(table: str) -> list[int]:
     log_dir = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(log_dir):
@@ -80,7 +95,18 @@ def _versions(table: str) -> list[int]:
     return sorted(
         int(f.split(".")[0])
         for f in os.listdir(log_dir)
-        if f.endswith(".json")
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+
+
+def _checkpoint_versions(table: str) -> list[int]:
+    log_dir = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(f[len("checkpoint-"):].split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.startswith("checkpoint-") and f.endswith(".json")
     )
 
 
@@ -141,6 +167,20 @@ def _write_data(
     return rels, stats
 
 
+def _discard_uncommitted(table: str, rels: list[str]) -> None:
+    """Delete data files a writer produced but failed to commit (lost
+    the optimistic-concurrency race). No log entry references them —
+    vacuum only walks the log — so without this they would leak on
+    disk forever. All of one attempt's files share one unique
+    directory (see :func:`_write_data`), so removing that directory is
+    exact: it cannot contain any committed file."""
+    if not rels:
+        return
+    shutil.rmtree(
+        os.path.join(table, os.path.dirname(rels[0])), ignore_errors=True
+    )
+
+
 def _commit(
     table: str,
     version: int,
@@ -174,6 +214,22 @@ def _commit(
         raise RuntimeError(f"concurrent commit for version {version}")
     finally:
         os.unlink(tmp)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(table, version)
+
+
+def _write_checkpoint(table: str, version: int) -> None:
+    """Materialize the live-file set + stats at ``version`` as a
+    checkpoint file. Deterministic from the log, so concurrent writers
+    producing the same checkpoint is harmless (last rename wins with
+    identical content); a crash before the rename just means the next
+    interval commit retries. Plain rename suffices here — checkpoints
+    are derived data, not the lock."""
+    live, stats = _replay(table, version)
+    tmp = _checkpoint_path(table, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "live": live, "stats": stats}, f)
+    os.replace(tmp, _checkpoint_path(table, version))
 
 
 def create_table(
@@ -191,18 +247,40 @@ def create_table(
     _commit(table, 0, add=files, remove=[], stats=stats)
 
 
-def _replay(table: str, version: int | None = None) -> tuple[
-    list[str], dict[str, dict[str, list]]
-]:
+def _replay(
+    table: str,
+    version: int | None = None,
+    *,
+    use_checkpoint: bool = True,
+) -> tuple[list[str], dict[str, dict[str, list]]]:
     """Replay the log up to ``version`` (default: latest); returns
-    (sorted live files, per-live-file stats where recorded)."""
+    (sorted live files, per-live-file stats where recorded).
+
+    Starts from the newest checkpoint at or below the target version
+    (written every :data:`CHECKPOINT_INTERVAL` commits), so the cost
+    is O(interval) commit reads regardless of table age — the Delta
+    paper's checkpointing, minus the parquet encoding (a single JSON
+    is fine at one small record per live file). ``use_checkpoint=
+    False`` forces a full from-zero replay (the property test's
+    ground truth)."""
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no commits at {table}")
     upto = versions[-1] if version is None else version
     live: set[str] = set()
     stats: dict[str, dict[str, list]] = {}
+    start = 0
+    if use_checkpoint:
+        ckpts = [c for c in _checkpoint_versions(table) if c <= upto]
+        if ckpts:
+            with open(_checkpoint_path(table, ckpts[-1])) as f:
+                snap = json.load(f)
+            live = set(snap["live"])
+            stats = dict(snap["stats"])
+            start = snap["version"] + 1
     for v in versions:
+        if v < start:
+            continue
         if v > upto:
             break
         with open(_log_path(table, v)) as f:
@@ -279,16 +357,29 @@ def merge(
     new version number. With ``evolve_schema=True``, columns new to
     the updates batch are added to the table (additive evolution —
     the full rewrite makes every live file carry the evolved schema,
-    so readers never need mergeSchema)."""
-    current = snapshot(spark, table)
+    so readers never need mergeSchema).
+
+    OCC correctness: the version read is PINNED first and the commit
+    targets exactly ``read_v + 1`` — a competing commit that lands
+    between our snapshot read and our claim makes the link fail, so a
+    merge computed on stale state can never land (targeting "latest
+    + 1" at commit time instead would silently erase the interleaved
+    writer's update)."""
+    read_v = _versions(table)[-1]
+    current = snapshot(spark, table, read_v)
     if evolve_schema:
         current, updates = _align_schemas(current, updates)
     merged = upsert(current, updates, keys, update_cols)
-    next_v = _versions(table)[-1] + 1
+    next_v = read_v + 1
     new_files, stats = _write_data(merged, table, next_v, keys)
-    _commit(
-        table, next_v, add=new_files, remove=live_files(table), stats=stats
-    )
+    try:
+        _commit(
+            table, next_v, add=new_files,
+            remove=live_files(table, read_v), stats=stats,
+        )
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
     return next_v
 
 
@@ -335,12 +426,17 @@ def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
     Readers of any version are untouched; time travel still resolves
     pre-compaction versions to the old files until vacuum removes
     them. Returns the new version."""
-    rels, stats = _replay(table)
+    read_v = _versions(table)[-1]
+    rels, stats = _replay(table, read_v)
     stat_cols = sorted({c for s in stats.values() for c in s})
-    current = snapshot(spark, table).coalesce(target_files)
-    next_v = _versions(table)[-1] + 1
+    current = snapshot(spark, table, read_v).coalesce(target_files)
+    next_v = read_v + 1
     new_files, new_stats = _write_data(current, table, next_v, stat_cols)
-    _commit(table, next_v, add=new_files, remove=rels, stats=new_stats)
+    try:
+        _commit(table, next_v, add=new_files, remove=rels, stats=new_stats)
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
     return next_v
 
 
@@ -416,9 +512,12 @@ def merge_pruned(
     ).collect()[0]
     lo, hi = bounds.lo, bounds.hi
 
-    rels, logged = _replay(table)
+    # OCC: pin the read version; the commit targets read_v + 1 so an
+    # interleaved writer forces a conflict instead of being erased
+    read_v = _versions(table)[-1]
+    rels, logged = _replay(table, read_v)
     if lo is None:  # empty updates: nothing to merge, nothing to write
-        return _versions(table)[-1], 0, len(rels)
+        return read_v, 0, len(rels)
 
     prunable = isinstance(updates.schema[key].dataType, _INTEGRAL_TYPES)
     rewrite, carry = [], []
@@ -442,9 +541,13 @@ def merge_pruned(
             *[os.path.join(table, p) for p in rewrite]
         )
     else:
-        touched = snapshot(spark, table).limit(0)
+        touched = snapshot(spark, table, read_v).limit(0)
     merged = upsert(touched, updates, keys, update_cols)
-    next_v = _versions(table)[-1] + 1
+    next_v = read_v + 1
     new_files, stats = _write_data(merged, table, next_v, keys)
-    _commit(table, next_v, add=new_files, remove=rewrite, stats=stats)
+    try:
+        _commit(table, next_v, add=new_files, remove=rewrite, stats=stats)
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
     return next_v, len(rewrite), len(carry)
