@@ -2169,3 +2169,92 @@ SELECT source,
             * CAST(MIN(n_total) AS DOUBLE)) AS tv_distance
 FROM grid GROUP BY source
 """
+
+
+# --- round-5 additions: MMR k=1 twin, filtered IVF, HLL bound ---------
+
+from bow_hunter_pipeline_spark.plans.simsearch import (  # noqa: E402
+    FILTER_LANG,
+    MMR_LAMBDA,
+)
+
+MMR_RERANK_K1 = f"""
+WITH probes AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+cands AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+),
+pairs AS (
+  SELECT p.q_id, c.c_id, p.qe, c.ce
+  FROM probes p CROSS JOIN cands c WHERE p.q_id <> c.c_id
+),
+scored AS (SELECT q_id, c_id, {_COSINE} AS cosine FROM pairs)
+SELECT q_id, c_id, cosine AS relevance,
+       {MMR_LAMBDA}e0 * cosine AS mmr_score,
+       CAST(1 AS INT) AS mmr_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, c_id
+  ) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+_IVF_ASSIGNED_CTES = f"""
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings WHERE vec_id IN (10, 20, 30, 40)
+),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.cent_id, {_ACOS} AS acos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cent_id AS cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY acos DESC, cent_id
+    ) AS arn
+    FROM assign_scored
+  ) WHERE arn = 1
+)"""
+
+FILTERED_IVF_TOPK = f"""
+WITH {_IVF_ASSIGNED_CTES},
+indexed AS (
+  SELECT a.vec_id, a.embedding, a.cell_id, d.lang
+  FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.cell_id AS cell_id,
+         q.embedding AS qe, c.embedding AS ce
+  FROM indexed q JOIN indexed c ON q.cell_id = c.cell_id
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    AND c.lang = '{FILTER_LANG}'
+),
+scored AS (
+  SELECT q_id, c_id, cell_id, {_COSINE} AS cosine FROM pairs
+)
+SELECT q_id, c_id, cell_id, cosine, rnk FROM (
+  SELECT *, CAST(RANK() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, c_id
+  ) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+# The sketch estimate is engine-specific; the PORTABLE claim is the
+# error envelope, so the oracle pins exact counts and TRUE — a broken
+# sketch/union flips the Spark-side boolean and fails the hash.
+HLL_ERROR_BOUND = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL' AS o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_bound
+FROM orders
+"""

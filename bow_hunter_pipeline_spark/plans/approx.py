@@ -99,6 +99,57 @@ def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part_rows.unionByName(merged)
 
 
+HLL_REL_ERROR = 0.05  # documented envelope for the default lgK sketch
+
+
+def hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: QUANTITATIVE oracle row for the HLL merge path — upgrades
+    :func:`hll_partition_merge` from rows-only to a value-level hash
+    check. The sketch estimates themselves are engine-specific (no
+    SQL engine replays DataSketches binaries), but the CLAIM that
+    makes them usable is portable: |estimate − exact| / exact ≤ the
+    published envelope, including for the estimate produced ONLY by
+    unioning per-partition sketches. So the checked columns are the
+    exact count and a ``within_bound`` boolean computed from the live
+    sketch — the oracle asserts TRUE for every row, and a broken
+    sketch build, a broken union, or a blown error envelope flips the
+    boolean and fails the hash. Same scale posture as the rows-only
+    twin: partials are kilobyte blobs, the ALL row is a 5-row union,
+    the exact columns exist only to judge the sketch.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_part = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    part_rows = per_part.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("est"),
+        "exact_customers",
+    )
+    merged = (
+        per_part.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .crossJoin(  # 1x1: global exact distinct next to the merged est
+            orders.agg(
+                F.count_distinct("o_custkey").alias("exact_customers")
+            )
+        )
+        .select(F.lit("ALL").alias("o_orderpriority"), "est", "exact_customers")
+    )
+    both = part_rows.unionByName(merged)
+    return both.select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= F.lit(HLL_REL_ERROR)
+        ).alias("within_bound"),
+    )
+
+
 BLOOM_BITS = 8192  # m: 256 x 32-bit words
 BLOOM_K = 4  # seeded hash functions per key
 
@@ -192,3 +243,92 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("all_hit") == 0) & (F.col("is_member") == 1)).cast("int")
         ).cast("bigint").alias("n_false_neg"),
     )
+
+
+KMV_K = 64  # k smallest hashes kept per sketch
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: K-Minimum-Values distinct sketch — the PORTABLE counterpart
+    of the HLL rows: because the sketch is "the k smallest md5-derived
+    hash values", it is a deterministic function of the data, so the
+    ESTIMATE ITSELF is oracle-checked bit-for-bit (no engine-specific
+    binaries, no error-envelope indirection). Per order priority:
+    estimate = (k−1) / u_k with u_k the k-th smallest hash normalized
+    to (0,1] (Bar-Yossef et al. 2002; Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations", SIGMOD
+    2007). Groups with fewer than k distinct keys are exact by
+    construction (the sketch holds every value).
+
+    The ALL row is computed by MERGING the per-priority sketches — k
+    smallest of the union of partials — never re-touching the data:
+    KMV's closure under union (k-min of k-min partials == k-min of
+    the whole) is exactly why warehouses ship it for partitioned
+    rollups, and the oracle PROVES the merge: DuckDB computes the
+    global u_k from scratch, so any divergence in the merged estimate
+    fails the hash.
+
+    Scale: the per-group state is k bigints (map-side combinable via
+    the rank window's WindowGroupLimit pushdown at fixture scale; at
+    lake scale the k-min list is an aggregation buffer); the merge is
+    a #groups×k-row sort, not a data scan. Division by 2^60 and
+    (k−1)/u_k are single IEEE ops — exact in every engine.
+    """
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    orders = read_table(spark, sf_dir, "orders")
+    hashed = orders.select(
+        "o_orderpriority",
+        hash64(
+            F.concat(F.lit("kmv|"), F.col("o_custkey").cast("string"))
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    kmin = ranked.filter(F.col("rn") <= KMV_K)
+
+    two60 = F.lit(float(1 << 60))
+
+    def estimate(kth: DataFrame, exact: DataFrame) -> DataFrame:
+        """(group, n_kept, u_k) + exact → estimate columns."""
+        j = kth.join(exact, "o_orderpriority")
+        est = F.when(
+            F.col("n_kept") < KMV_K,  # sketch holds everything: exact
+            F.col("exact_customers").cast("double"),
+        ).otherwise(
+            F.lit(float(KMV_K - 1)) / (F.col("u_k") / two60)
+        )
+        return j.select(
+            "o_orderpriority",
+            "exact_customers",
+            est.alias("est_customers"),
+        )
+
+    per_kth = kmin.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").cast("double").alias("u_k"),
+    )
+    per_exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    part_rows = estimate(per_kth, per_exact)
+
+    # merge: k smallest of the union of the per-priority k-min lists
+    gw = Window.orderBy("h")
+    merged_kth = (
+        kmin.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(gw))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").cast("double").alias("u_k"),
+        )
+        .select(F.lit("ALL").alias("o_orderpriority"), "n_kept", "u_k")
+    )
+    global_exact = orders.agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    ).select(F.lit("ALL").alias("o_orderpriority"), "exact_customers")
+    merged_row = estimate(merged_kth, global_exact)
+
+    return part_rows.unionByName(merged_row)

@@ -362,7 +362,9 @@ MMR_POOL = 20
 MMR_LAMBDA = 0.7
 
 
-def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mmr_rerank(
+    spark: SparkSession, sf_dir: str, k: int = MMR_K
+) -> DataFrame:
     """H2: Maximal Marginal Relevance re-rank — diversified top-k.
 
     Retrieval for training-data curation wants coverage, not K copies
@@ -415,7 +417,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_ids = pdf["c_id"].to_numpy()
         chosen: list[int] = []
         out = []
-        for rank in range(1, min(MMR_K, len(pdf)) + 1):
+        for rank in range(1, min(k, len(pdf)) + 1):
             if chosen:
                 div = (unit @ unit[chosen].T).max(axis=1)
             else:
@@ -445,6 +447,20 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_score double, mmr_rank int"
     )
     return pool.groupBy("q_id").applyInPandas(_mmr, schema)
+
+
+def mmr_rerank_k1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: oracle-matched degenerate twin of :func:`mmr_rerank` — the
+    SAME grouped-map greedy implementation run at k=1, where the
+    chain collapses to pure argmax (the diversity term is zero before
+    the first pick, so mmr_score = λ·cosine and the selection is the
+    top-1 by (cosine desc, c_id)). That IS one-statement SQL, so this
+    row upgrades the MMR machinery from rows-only to a value-level
+    hash check: pool construction, Arrow round-trip, numpy scoring,
+    and tie-break all sit on the checked path; only the k>1 diversity
+    recursion remains SQL-inexpressible (covered by the differential
+    unit test and the rows-only driver row)."""
+    return mmr_rerank(spark, sf_dir, k=1)
 
 
 # --- SemDeDup: k-means partition + within-cluster near-dup ------------
@@ -1017,3 +1033,127 @@ def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_id") != F.col("c_id")
     )
     return _topk(_scored_pairs(pairs))
+
+
+def filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: metadata filter composed INTO the IVF index — the
+    production refinement of :func:`filtered_vector_search`, which
+    pre-filters but then brute-forces the whole filtered set. Here
+    the filter column (lang) is denormalized NEXT TO the IVF cell
+    assignment — the join happens once at index build, exactly how a
+    lake-scale vector index stores per-row metadata — so at query
+    time the predicate prunes candidates INSIDE the probe's cell,
+    below any distance computation: candidates = one cell ∩ lang,
+    never all-cells ∩ lang (filtered_vector_search) nor a post-filter
+    of an unfiltered top-k (which can return < k rows for no reason
+    the user can see).
+
+    Plan: lang predicate sits on the candidate side upstream of the
+    cosine fold and the rank window (test-asserted); probes broadcast;
+    the only wide op is the per-probe rank over cell-local, filter-
+    surviving rows. At 100 TB: index table partitioned by cell_id
+    with lang as a row-group column — the scan reads one partition
+    and skips row groups by the pushed lang filter.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # index build: assignment + denormalized filter column
+    indexed = _ivf_assign(emb).join(
+        docs, F.col("vec_id") == F.col("doc_id")
+    ).select("vec_id", "embedding", "cell_id", "lang")
+    probes = indexed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    cands = indexed.filter(F.col("lang") == FILTER_LANG).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("cell_id").alias("c_cell"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cands, F.col("q_cell") == F.col("c_cell"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        _scored_pairs(pairs)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "q_id", "c_id", F.col("q_cell").alias("cell_id"), "cosine", "rnk"
+        )
+    )
+
+
+IVF_NPROBE = 2  # cells searched per probe
+
+
+def ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: multi-probe IVF (nprobe=2) — the production recall knob
+    :func:`ivf_topk` (nprobe=1) deliberately left at its floor. A
+    query near a cell boundary loses neighbors that fell into the
+    second-closest cell; probing the 2 nearest cells recovers them at
+    exactly 2× the candidate cost, still never the full corpus. This
+    is the latency/recall dial every IVF deployment exposes (FAISS
+    ``nprobe``), expressed relationally: probe side = the 2 best
+    centroid assignments per query (rank ≤ 2 over the same broadcast
+    centroid scoring), candidate side unchanged, join on cell.
+
+    No duplicate pairs by construction: a candidate lives in exactly
+    one cell, so the two probed cells contribute disjoint candidate
+    sets — no dedup step needed before the rank window.
+
+    Scale: identical posture to ivf_topk — centroids broadcast,
+    lake partitioned by cell_id, each probe reads nprobe partitions.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    pscored = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "acos",
+            dot_fold("embedding", "cvec")
+            / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
+        )
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("cent_id")
+    )
+    probe_cells = (
+        pscored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("q_cell"),
+        )
+    )
+    cands = _ivf_assign(emb).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("cell_id").alias("c_cell"),
+    )
+    pairs = (
+        F.broadcast(probe_cells)
+        .join(cands, F.col("q_cell") == F.col("c_cell"))
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        _scored_pairs(pairs)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "q_id", "c_id", F.col("c_cell").alias("cell_id"), "cosine", "rnk"
+        )
+    )

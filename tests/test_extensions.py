@@ -228,23 +228,23 @@ def test_driver_rotation_prefix_is_stable():
     assert rotation == names[: len(rotation)]
     missing = [n for n in registry._DRIVER_ROTATION if n not in registry._REGISTRY]
     assert not missing, f"rotation names not in registry: {missing}"
-    # round-4 goal: every prefix slot goes to a query with NO driver
+    # rotation goal: every prefix slot goes to a query with NO driver
     # row in any prior CORRECTNESS file — the rotation's whole point
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03"):
+    for rnd in ("r01", "r02", "r03", "r04"):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:
                 checked |= set(json.load(f))
     already = [n for n in names[:50] if n in checked]
     assert not already, f"prefix wastes slots on driver-proven rows: {already}"
-    # the verdict's named round-4 targets must make the checked prefix
+    # the verdict's named round-5 targets must make the checked prefix
     for must_lead in (
-        "g5_weather_correlation",
-        "e2_tx_merge_timetravel",
-        "e2_tx_merge_pruned",
-        "c6_year_from_path",
-        "a6_schema_merge_scan",
+        "h2_mmr_rerank_k1",
+        "h2_filtered_ivf_topk",
+        "h5_hll_error_bound",
+        "f_sql_text_interface",
+        "h2_ivf_pq_topk",
     ):
         assert names.index(must_lead) < 50
 

@@ -488,3 +488,17 @@ def test_dpp_join_injects_runtime_partition_filter(spark):
 
     plan = _plan(pl.dpp_pruned_join(spark, SF_SMOKE))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_filtered_ivf_pushes_lang_predicate_below_distance(spark):
+    """h2_filtered_ivf_topk's contract: the metadata predicate is
+    composed into the index — lang = 'en' reaches the documents
+    parquet scan (PushedFilters), i.e. candidates are pruned BELOW
+    the cosine computation, and the probe side stays broadcast."""
+    plan = _plan(simsearch.filtered_ivf_topk(spark, SF_SMOKE))
+    pushed = [
+        seg.split("\n")[0]
+        for seg in plan.split("PushedFilters")[1:]
+    ]
+    assert any("lang" in p and "en" in p for p in pushed), pushed
+    assert "BroadcastHashJoin" in plan

@@ -37,6 +37,8 @@ ALLOW: dict[str, set[str]] = {
         "h2_filtered_vector_search",  # same bounded probe broadcast
         "h2_mmr_rerank",  # same bounded probe broadcast feeds the pool
         "h2_ivf_topk",  # K fixed centroids broadcast for cell assignment
+        "h2_filtered_ivf_topk",  # same K-centroid broadcast assignment
+        "h2_mmr_rerank_k1",  # same bounded probe broadcast feeds the pool
         "h2_pq_topk",  # 8-entry codebook broadcast for subspace encoding
         "h2_ivf_pq_topk",  # inherits both bounded broadcasts above
         "h2_ann_recall_audit",  # inherits cosine_topk's bounded probe broadcast
@@ -50,6 +52,7 @@ ALLOW: dict[str, set[str]] = {
         "h1_lsh_param_sweep",  # 1-row count × 1-row count per config
         "e3_referential_integrity",  # 1-row total × 1-row orphan count
         "h3_vocab_coverage_curve",  # 3-row K-list broadcast, rank<=K theta
+        "h5_hll_error_bound",  # 1-row merged-estimate × 1-row global exact
         "h3_source_divergence",  # vocab-sized corpus table + 1-row total
     },
     # All-pairs semantics by design, bounded by blocking/banding
