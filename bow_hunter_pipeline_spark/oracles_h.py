@@ -2258,3 +2258,87 @@ SELECT 'ALL' AS o_orderpriority,
        TRUE AS within_bound
 FROM orders
 """
+
+
+from bow_hunter_pipeline_spark.plans.approx import KMV_K  # noqa: E402
+from bow_hunter_pipeline_spark.plans.simsearch import (  # noqa: E402
+    IVF_NPROBE,
+)
+
+_KMV_HASH = (
+    "CAST('0x' || substr(md5('kmv|' || CAST(o_custkey AS VARCHAR)), 1, 15)"
+    " AS BIGINT)"
+)
+_TWO60 = "1152921504606846976e0"  # 2^60 as a double literal
+
+# KMV is a deterministic function of the data (md5-derived hashes),
+# so the ESTIMATE replays bit-for-bit: (k-1)/u_k with u_k the k-th
+# smallest hash normalized by 2^60 — both divisions single IEEE ops.
+# The ALL row's merge (k-min of per-group k-mins == global k-min) is
+# proven by the oracle computing the global u_k from scratch.
+KMV_DISTINCT_SKETCH = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority, {_KMV_HASH} AS h FROM orders
+),
+ranked AS (
+  SELECT o_orderpriority, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM hashed
+),
+kmin AS (SELECT o_orderpriority, h FROM ranked WHERE rn <= {KMV_K}),
+per_kth AS (
+  SELECT o_orderpriority, COUNT(*) AS n_kept, CAST(MAX(h) AS DOUBLE) AS u_k
+  FROM kmin GROUP BY o_orderpriority
+),
+per_exact AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+  FROM orders GROUP BY o_orderpriority
+),
+gkth AS (
+  SELECT COUNT(*) AS n_kept, CAST(MAX(h) AS DOUBLE) AS u_k FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM kmin)
+  ) WHERE rn <= {KMV_K}
+),
+gexact AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+  FROM orders
+)
+SELECT p.o_orderpriority, e.exact_customers,
+       CASE WHEN p.n_kept < {KMV_K} THEN CAST(e.exact_customers AS DOUBLE)
+            ELSE {KMV_K - 1}e0 / (p.u_k / {_TWO60}) END AS est_customers
+FROM per_kth p JOIN per_exact e USING (o_orderpriority)
+UNION ALL
+SELECT 'ALL' AS o_orderpriority, gexact.exact_customers,
+       CASE WHEN gkth.n_kept < {KMV_K}
+            THEN CAST(gexact.exact_customers AS DOUBLE)
+            ELSE {KMV_K - 1}e0 / (gkth.u_k / {_TWO60}) END AS est_customers
+FROM gkth CROSS JOIN gexact
+"""
+
+IVF_NPROBE_TOPK = f"""
+WITH {_IVF_ASSIGNED_CTES},
+probe_cells AS (
+  SELECT vec_id AS q_id, embedding AS qe, cent_id AS q_cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY acos DESC, cent_id
+    ) AS arn
+    FROM assign_scored WHERE vec_id < {N_QUERIES}
+  ) WHERE arn <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.q_id, c.vec_id AS c_id, c.cell_id, p.qe, c.embedding AS ce
+  FROM probe_cells p JOIN assigned c ON p.q_cell = c.cell_id
+  WHERE p.q_id <> c.vec_id
+),
+scored AS (
+  SELECT q_id, c_id, cell_id, {_COSINE} AS cosine FROM pairs
+)
+SELECT q_id, c_id, cell_id, cosine, rnk FROM (
+  SELECT *, CAST(RANK() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, c_id
+  ) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""

@@ -16,7 +16,7 @@ oracle-matched.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.io.readers import read_table

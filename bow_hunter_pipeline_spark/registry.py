@@ -1114,6 +1114,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # H5: quantitative error-envelope check for the HLL merge path
     "h5_hll_error_bound": (approx.hll_error_bound, oracles_h.HLL_ERROR_BOUND),
+    # H5: KMV sketch — deterministic, so the ESTIMATE is hash-checked
+    "h5_kmv_distinct_sketch": (
+        approx.kmv_distinct_sketch,
+        oracles_h.KMV_DISTINCT_SKETCH,
+    ),
+    # H2: multi-probe IVF (nprobe=2 recall knob)
+    "h2_ivf_nprobe_topk": (
+        simsearch.ivf_nprobe_topk,
+        oracles_h.IVF_NPROBE_TOPK,
+    ),
 }
 
 
@@ -1223,6 +1233,8 @@ _DRIVER_ROTATION = [
     "h3_source_divergence",
     "f_multiset_ops",
     "g1_gini_concentration",
+    "h5_kmv_distinct_sketch",
+    "h2_ivf_nprobe_topk",
 ]
 
 

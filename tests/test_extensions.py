@@ -463,3 +463,71 @@ def test_bloom_membership_has_no_false_negatives(spark):
         assert row.n_false_neg == 0
         assert row.n_members > 0
         assert row.n_probed >= row.n_members
+
+
+def test_ivf_nprobe_dominates_single_probe_recall(spark):
+    """nprobe=2's candidate set is a superset of nprobe=1's (the
+    second-closest cell is added, cells are disjoint), so for every
+    probe the best cosine found can only improve. This is the recall
+    monotonicity that makes nprobe a safe knob."""
+    from bow_hunter_pipeline_spark.plans import simsearch
+    from tests.conftest import SF_SMOKE
+
+    one = {
+        r.q_id: r.cosine
+        for r in simsearch.ivf_topk(spark, SF_SMOKE)
+        .filter("rnk = 1")
+        .collect()
+    }
+    two = {
+        r.q_id: r.cosine
+        for r in simsearch.ivf_nprobe_topk(spark, SF_SMOKE)
+        .filter("rnk = 1")
+        .collect()
+    }
+    assert set(two) >= set(one)
+    for q, c in one.items():
+        assert two[q] >= c
+
+
+def test_kmv_merge_equals_scratch_and_bounds_error(spark):
+    """KMV invariants beyond the oracle: the ALL row's merged estimate
+    equals a from-scratch global KMV (closure under union), and the
+    estimate's relative error is within the theoretical ~1/sqrt(k-1)
+    envelope (×3 slack) wherever the sketch isn't exact."""
+    import math
+
+    from bow_hunter_pipeline_spark.functions.text import hash64
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans import approx
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.o_orderpriority: r
+        for r in approx.kmv_distinct_sketch(spark, SF_SMOKE).collect()
+    }
+    assert "ALL" in rows and len(rows) == 6
+    # from-scratch global KMV (no partials)
+    orders = read_table(spark, SF_SMOKE, "orders")
+    hashes = sorted(
+        r.h
+        for r in orders.select(
+            hash64(
+                F.concat(F.lit("kmv|"), F.col("o_custkey").cast("string"))
+            ).alias("h")
+        )
+        .distinct()
+        .collect()
+    )
+    if len(hashes) >= approx.KMV_K:
+        scratch = (approx.KMV_K - 1) / (
+            hashes[approx.KMV_K - 1] / float(1 << 60)
+        )
+    else:
+        scratch = float(rows["ALL"].exact_customers)
+    assert rows["ALL"].est_customers == scratch  # merge == from-scratch
+    envelope = 3.0 / math.sqrt(approx.KMV_K - 1)
+    for r in rows.values():
+        rel = abs(r.est_customers - r.exact_customers) / r.exact_customers
+        assert rel <= envelope, (r.o_orderpriority, rel)

@@ -38,6 +38,8 @@ ALLOW: dict[str, set[str]] = {
         "h2_mmr_rerank",  # same bounded probe broadcast feeds the pool
         "h2_ivf_topk",  # K fixed centroids broadcast for cell assignment
         "h2_filtered_ivf_topk",  # same K-centroid broadcast assignment
+        "h2_ivf_nprobe_topk",  # same K-centroid broadcast assignment
+        "h5_kmv_distinct_sketch",  # 1-row merged-kth × 1-row global exact
         "h2_mmr_rerank_k1",  # same bounded probe broadcast feeds the pool
         "h2_pq_topk",  # 8-entry codebook broadcast for subspace encoding
         "h2_ivf_pq_topk",  # inherits both bounded broadcasts above
