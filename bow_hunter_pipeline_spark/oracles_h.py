@@ -2342,3 +2342,55 @@ SELECT q_id, c_id, cell_id, cosine, rnk FROM (
   FROM scored
 ) WHERE rnk <= {TOP_K}
 """
+
+
+from bow_hunter_pipeline_spark.plans.approx import (  # noqa: E402
+    CMS_D,
+    CMS_TOP,
+    CMS_W,
+)
+
+
+def _cms_cell(j: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms{j}|' || token), 1, 15) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+
+
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT token, {j} AS row, {_cms_cell(j)} AS cell FROM toks"
+    for j in range(CMS_D)
+)
+
+# CMS is deterministic (md5 family + integer counters): the oracle
+# rebuilds the whole 1024-counter sketch and every estimate replays
+# bit-for-bit, including the one-sided overestimates.
+COUNTMIN_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+),
+cells AS ({_CMS_CELLS}),
+counters AS (
+  SELECT row, cell, COUNT(*) AS cnt FROM cells GROUP BY row, cell
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token
+),
+cands AS (
+  SELECT token, exact_cnt, CAST(rnk AS INT) AS rnk FROM (
+    SELECT token, exact_cnt,
+           ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, token) AS rnk
+    FROM exact
+  ) WHERE rnk <= {CMS_TOP}
+),
+probe AS ({" UNION ALL ".join(
+    f"SELECT token, exact_cnt, rnk, {j} AS row, {_cms_cell(j)} AS cell "
+    f"FROM cands"
+    for j in range(CMS_D)
+)})
+SELECT p.token, p.exact_cnt, MIN(c.cnt) AS cms_est,
+       MIN(c.cnt) - p.exact_cnt AS overestimate, p.rnk
+FROM probe p JOIN counters c ON p.row = c.row AND p.cell = c.cell
+GROUP BY p.token, p.exact_cnt, p.rnk
+"""

@@ -16,7 +16,7 @@ oracle-matched.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.io.readers import read_table
@@ -332,3 +332,74 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged_row = estimate(merged_kth, global_exact)
 
     return part_rows.unionByName(merged_row)
+
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+CMS_TOP = 20  # audited heavy hitters
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: Count-Min sketch frequency estimation (Cormode &
+    Muthukrishnan 2005) over document tokens, audited against exact
+    counts for the top heavy hitters. Like the KMV row — and unlike
+    HLL — the sketch is a deterministic function of the data (md5
+    hash family, integer counters), so the oracle replays the ENTIRE
+    structure bit-for-bit: every estimate, and every overestimate
+    (CMS error is one-sided: est ≥ exact always; est ≤ exact + εN
+    with high probability). A hash-family change, a counter-width
+    bug, or a broken min-over-rows all shift checked values.
+
+    Scale: the sketch is a fixed d×w = 1024-counter table built by
+    ONE map-side-combinable aggregate over the token stream —
+    constant memory no matter the corpus (THE point of CMS at 100 TB:
+    frequency estimates without a per-token shuffle); probes join the
+    kilobyte counter table broadcast. The exact side (full token
+    groupBy + global top-k window) exists only to judge the sketch —
+    production keeps the sketch and drops the exact pass.
+    """
+    from bow_hunter_pipeline_spark.functions.text import hash64, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+
+    def cells(tok: Column) -> Column:
+        return F.array(
+            *[
+                hash64(F.concat(F.lit(f"cms{j}|"), tok)) % F.lit(CMS_W)
+                for j in range(CMS_D)
+            ]
+        )
+
+    counters = (
+        toks.select(F.posexplode(cells(F.col("token"))).alias("row", "cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token"))
+    cands = (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CMS_TOP)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+    probe = cands.select(
+        "token",
+        "exact_cnt",
+        "rnk",
+        F.posexplode(cells(F.col("token"))).alias("row", "cell"),
+    )
+    return (
+        probe.join(F.broadcast(counters), ["row", "cell"])
+        .groupBy("token", "exact_cnt", "rnk")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+            "rnk",
+        )
+    )

@@ -1101,3 +1101,96 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionByName(e)
     return out
+
+
+TX_QUARANTINE_PATH = "/tmp/bhps_tx_orders_quarantine"
+
+
+def tx_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: MERGE with CHECK-constraint enforcement + quarantine
+    (warehouse_tx.merge_with_constraints — Delta table constraints /
+    DLT expectations as a batch primitive) driven end-to-end with
+    DETERMINISTIC corruption: the 1994+ updates batch flips a negative
+    price onto every 97th order key and an unknown status onto every
+    89th, the declared constraints (positive_price, known_status)
+    divert those rows to the quarantine frame tagged with the violated
+    constraint names, and only the clean rows reach the committed
+    table.
+
+    Output: the post-merge per-priority rollup (kind='final') UNION
+    the per-constraint quarantine rollup (kind='quarantine', one row
+    per violated constraint counting the rows that tripped it — a row
+    failing both constraints counts under each, which is what an
+    expectations dashboard reports). The oracle replays the
+    corruption, the three-valued constraint verdicts, and the
+    partial-update merge — so a classification bug, a dropped
+    quarantine row, or a violation leaking into the table all break
+    the hash.
+
+    Scale: classification is one codegen'd projection on the updates
+    batch; everything else is the ordinary tx-merge path.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    tx.create_table(spark, TX_QUARANTINE_PATH, base)
+
+    bumped = (money("o_totalprice") * factor(F.lit(1.1))).cast("double")
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("ZZ"))
+        .otherwise(F.lit("XX"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 97 == 0, -bumped)
+        .otherwise(bumped)
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    _, quarantined = tx.merge_with_constraints(
+        spark,
+        TX_QUARANTINE_PATH,
+        updates,
+        ["o_orderkey"],
+        ["o_totalprice"],
+        {
+            "positive_price": "o_totalprice > 0",
+            "known_status": "o_orderstatus IN ('O', 'F', 'P', 'XX')",
+        },
+    )
+
+    final = (
+        tx.snapshot(spark, TX_QUARANTINE_PATH)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price", "decimal(18,6)"),
+        )
+        .select(
+            F.lit("final").alias("kind"),
+            F.col("o_orderpriority").alias("key"),
+            "n_rows",
+            "total_price",
+        )
+    )
+    quar = (
+        quarantined.select(
+            F.explode("violations").alias("key"), "o_totalprice"
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", "total_price", "decimal(18,6)"),
+        )
+        .select(F.lit("quarantine").alias("kind"), "key", "n_rows", "total_price")
+    )
+    return final.unionByName(quar)

@@ -300,6 +300,53 @@ v1 AS (
 SELECT * FROM v0 UNION ALL SELECT * FROM v1
 """
 
+_TX_QUARANTINE_SQL = """
+WITH e AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01'
+),
+u AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'ZZ' ELSE 'XX' END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN -1e0 ELSE 1e0 END
+           * CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                  * CAST(1.1 AS DECIMAL(7,4)) AS DOUBLE)
+           AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+),
+valid AS (
+  SELECT * FROM u
+  WHERE o_totalprice > 0 AND o_orderstatus IN ('O', 'F', 'P', 'XX')
+),
+merged AS (
+  SELECT COALESCE(e.o_orderkey, v.o_orderkey) AS o_orderkey,
+         CASE WHEN v.o_orderkey IS NOT NULL THEN v.o_totalprice
+              ELSE e.o_totalprice END AS o_totalprice,
+         CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_orderpriority
+              ELSE v.o_orderpriority END AS o_orderpriority
+  FROM e FULL OUTER JOIN valid v ON e.o_orderkey = v.o_orderkey
+)
+SELECT 'final' AS kind, o_orderpriority AS "key", COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_price
+FROM merged GROUP BY o_orderpriority
+UNION ALL
+SELECT 'quarantine' AS kind, 'positive_price' AS "key",
+       COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_price
+FROM u WHERE NOT (o_totalprice > 0)
+UNION ALL
+SELECT 'quarantine' AS kind, 'known_status' AS "key",
+       COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_price
+FROM u WHERE NOT (o_orderstatus IN ('O', 'F', 'P', 'XX'))
+"""
+
 # --- registry ----------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1124,6 +1171,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ivf_nprobe_topk,
         oracles_h.IVF_NPROBE_TOPK,
     ),
+    # H5: count-min sketch — deterministic, every estimate hash-checked
+    "h5_countmin_heavy_hitters": (
+        approx.countmin_heavy_hitters,
+        oracles_h.COUNTMIN_HEAVY_HITTERS,
+    ),
+    # E2+: CHECK-constraint merge with quarantine (DLT expectations)
+    "e2_tx_constraint_quarantine": (
+        pipeline.tx_constraint_quarantine,
+        _TX_QUARANTINE_SQL,
+    ),
 }
 
 
@@ -1235,6 +1292,8 @@ _DRIVER_ROTATION = [
     "g1_gini_concentration",
     "h5_kmv_distinct_sketch",
     "h2_ivf_nprobe_topk",
+    "h5_countmin_heavy_hitters",
+    "e2_tx_constraint_quarantine",
 ]
 
 

@@ -496,3 +496,43 @@ def test_tx_multi_writer_occ_stress(spark, tmp_path):
             if f.endswith(".parquet"):
                 on_disk.add(os.path.join("data", sub, f))
     assert on_disk <= referenced, on_disk - referenced
+
+
+def test_tx_merge_with_constraints_quarantines_null_verdicts(spark, tmp_path):
+    """Three-valued logic: a constraint evaluating to NULL (not just
+    FALSE) must quarantine the row — an unproven invariant never
+    enters the table — and the violations tag lists every failed
+    constraint by name."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a")], "k bigint, v double, s string"
+    )
+    tx.create_table(spark, table, base)
+    updates = spark.createDataFrame(
+        [
+            (1, 20.0, "b"),      # clean: updates v
+            (2, -5.0, "c"),      # violates positive_v
+            (3, None, "d"),      # NULL verdict on positive_v → quarantined
+            (4, -1.0, None),     # violates both
+        ],
+        "k bigint, v double, s string",
+    )
+    version, quarantined = tx.merge_with_constraints(
+        spark,
+        table,
+        updates,
+        ["k"],
+        ["v"],
+        {"positive_v": "v > 0", "has_s": "s IS NOT NULL"},
+    )
+    assert version == 1
+    state = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    assert state == {1: 20.0}  # only the clean row merged
+    quar = {r.k: sorted(r.violations) for r in quarantined.collect()}
+    assert quar == {
+        2: ["positive_v"],
+        3: ["positive_v"],
+        4: ["has_s", "positive_v"],
+    }
