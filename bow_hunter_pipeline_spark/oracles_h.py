@@ -2394,3 +2394,42 @@ SELECT p.token, p.exact_cnt, MIN(c.cnt) AS cms_est,
 FROM probe p JOIN counters c ON p.row = c.row AND p.cell = c.cell
 GROUP BY p.token, p.exact_cnt, p.rnk
 """
+
+
+ATTRIBUTION_FIRST_LAST = """
+WITH touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS touch_id,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+conv AS (
+  SELECT user_id, ts AS c_ts, event_id AS conv_id, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.conv_id, c.value, t.touch_type, t.t_ts, t.touch_id
+  FROM conv c JOIN touches t ON c.user_id = t.user_id
+  WHERE t.t_ts < c.c_ts AND t.t_ts >= c.c_ts - INTERVAL 7 DAY
+),
+marked AS (
+  SELECT conv_id, value, touch_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY conv_id ORDER BY t_ts, touch_id
+         ) AS rn_first,
+         ROW_NUMBER() OVER (
+           PARTITION BY conv_id ORDER BY t_ts DESC, touch_id DESC
+         ) AS rn_last
+  FROM pairs
+),
+picked AS (
+  SELECT 'first_touch' AS model, touch_type, value
+  FROM marked WHERE rn_first = 1
+  UNION ALL
+  SELECT 'last_touch' AS model, touch_type, value
+  FROM marked WHERE rn_last = 1
+)
+SELECT model, touch_type, COUNT(*) AS n_conversions,
+       CAST(round(SUM(CAST(value AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS attributed_value
+FROM picked GROUP BY model, touch_type
+"""

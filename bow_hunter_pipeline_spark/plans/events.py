@@ -619,3 +619,70 @@ def error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("streak_len").alias("n_errors"),
     )
+
+
+ATTRIBUTION_LOOKBACK_NS = 7 * 86_400 * 1_000_000_000  # 7 days in ns
+
+
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: multi-touch attribution — for every purchase, the FIRST and
+    LAST marketing touch (view/click) of the same user inside a 7-day
+    lookback window, rolled up to attributed conversions + revenue per
+    (model, touch type). First-touch and last-touch are THE two
+    endpoint models every attribution system ships; computing both
+    from one candidate set shows the general shape (position-based /
+    time-decay models differ only in the weight expression).
+
+    Plan: touches ⋈ conversions is an equi-join on user_id with the
+    lookback as a residual range predicate — the shuffle is keyed by
+    high-cardinality user_id, candidates per conversion are bounded by
+    the window, and endpoint selection is one rank window per model
+    over (conversion, candidate) rows with a total (ts_ns, event_id)
+    order, so ties are deterministic. Revenue sums are exact decimal.
+    At 100 TB: same join keyed on user, AQE handles tail skew; a
+    per-user sort-merge join reuses the sessionization layout.
+    """
+    ev = read_events(spark, sf_dir)
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts_ns").alias("t_ns"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_ns").alias("c_ns"),
+        F.col("event_id").alias("conv_id"),
+        "value",
+    )
+    pairs = conv.join(touches, "user_id").filter(
+        (F.col("t_ns") < F.col("c_ns"))
+        & (F.col("t_ns") >= F.col("c_ns") - F.lit(ATTRIBUTION_LOOKBACK_NS))
+    )
+    wf = Window.partitionBy("conv_id").orderBy("t_ns", "touch_id")
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.col("t_ns").desc(), F.col("touch_id").desc()
+    )
+    endpoints = pairs.select(
+        "conv_id",
+        "value",
+        "touch_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    first = endpoints.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), "touch_type", "value"
+    )
+    last = endpoints.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), "touch_type", "value"
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            to_double(
+                F.sum(F.col("value").cast("decimal(14,2)"))
+            ).alias("attributed_value"),
+        )
+    )

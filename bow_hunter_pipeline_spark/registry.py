@@ -1181,6 +1181,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_constraint_quarantine,
         _TX_QUARANTINE_SQL,
     ),
+    # H4: first/last-touch attribution over a 7-day lookback band join
+    "h4_attribution_first_last": (
+        events.attribution_first_last,
+        oracles_h.ATTRIBUTION_FIRST_LAST,
+    ),
 }
 
 
@@ -1294,6 +1299,7 @@ _DRIVER_ROTATION = [
     "h2_ivf_nprobe_topk",
     "h5_countmin_heavy_hitters",
     "e2_tx_constraint_quarantine",
+    "h4_attribution_first_last",
 ]
 
 
