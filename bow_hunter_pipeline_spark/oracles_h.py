@@ -2433,3 +2433,36 @@ SELECT model, touch_type, COUNT(*) AS n_conversions,
          AS attributed_value
 FROM picked GROUP BY model, touch_type
 """
+
+
+from bow_hunter_pipeline_spark.plans.sampling import SAMPLE_MOD  # noqa: E402
+
+SAMPLE_ESTIMATE_AUDIT = f"""
+WITH sample AS (
+  SELECT * FROM lineitem
+  WHERE CAST('0x' || substr(md5(
+          'smp|' || CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+        % {SAMPLE_MOD} = 0
+),
+s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_sample,
+         COUNT(*) * {SAMPLE_MOD} AS est_total,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
+              * {SAMPLE_MOD} AS DECIMAL(18,2)) AS DOUBLE) AS est_sum_qty,
+         quantile_cont(l_quantity, 0.5) AS sample_median
+  FROM sample GROUP BY l_returnflag
+),
+t AS (
+  SELECT l_returnflag,
+         COUNT(*) AS exact_total,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2)))
+              AS DECIMAL(18,2)) AS DOUBLE) AS exact_sum_qty,
+         quantile_cont(l_quantity, 0.5) AS exact_median
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, s.n_sample, s.est_total, t.exact_total,
+       s.est_sum_qty, t.exact_sum_qty, s.sample_median, t.exact_median
+FROM s JOIN t ON s.l_returnflag = t.l_returnflag
+"""

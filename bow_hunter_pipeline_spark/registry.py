@@ -1186,6 +1186,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.attribution_first_last,
         oracles_h.ATTRIBUTION_FIRST_LAST,
     ),
+    # H: Horvitz-Thompson estimation from the deterministic sample
+    "h5_sample_estimate_audit": (
+        sampling.sample_estimate_audit,
+        oracles_h.SAMPLE_ESTIMATE_AUDIT,
+    ),
 }
 
 
@@ -1300,6 +1305,7 @@ _DRIVER_ROTATION = [
     "h5_countmin_heavy_hitters",
     "e2_tx_constraint_quarantine",
     "h4_attribution_first_last",
+    "h5_sample_estimate_audit",
 ]
 
 
