@@ -38,6 +38,10 @@ HEADLINE = [
     # the transactional write path (create + MERGE + 2 AS OF reads)
     "f_q9_product_profit",
     "e2_tx_merge_timetravel",
+    # round 5: sketch build over the token stream (CMS counters +
+    # exact audit) and the user-keyed lookback band join
+    "h5_countmin_heavy_hitters",
+    "h4_attribution_first_last",
 ]
 
 

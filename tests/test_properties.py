@@ -156,3 +156,60 @@ def test_tx_merge_pruned_equals_full_merge(
     a = sorted(map(tuple, tx.snapshot(spark, t_full).collect()))
     b = sorted(map(tuple, tx.snapshot(spark, t_pruned).collect()))
     assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["merge", "pruned", "compact"]),
+            st.lists(
+                st.integers(min_value=0, max_value=60),
+                min_size=0,
+                max_size=6,
+                unique=True,
+            ),
+        ),
+        min_size=3,
+        max_size=14,
+    ),
+)
+def test_tx_model_based_history_and_checkpoints(
+    spark, tmp_path_factory, ops
+):
+    """Model-based property: apply an arbitrary sequence of
+    merge / pruned-merge / compact ops to a tx table AND to a plain
+    Python dict model; at the end the table equals the model, and at
+    EVERY version the checkpointed replay equals the full from-zero
+    replay. Catches protocol bugs a fixed-sequence test can't (e.g.
+    checkpoint interaction with compaction's remove-all commits)."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    root = tmp_path_factory.mktemp("txmodel")
+    table = str(root / "t")
+    model = {k: float(k) for k in range(10)}
+    base = spark.createDataFrame(
+        sorted(model.items()), "k bigint, v double"
+    )
+    tx.create_table(spark, table, base, stats_cols=["k"])
+
+    step = 0
+    for op, keys in ops:
+        step += 1
+        if op == "compact":
+            tx.compact(spark, table)
+            continue  # state unchanged
+        upd_rows = [(k, float(1000 * step + k)) for k in sorted(keys)]
+        upd = spark.createDataFrame(upd_rows, "k bigint, v double")
+        if op == "merge":
+            tx.merge(spark, table, upd, ["k"], ["v"])
+        else:
+            tx.merge_pruned(spark, table, upd, ["k"], ["v"])
+        model.update({k: v for k, v in upd_rows})
+
+    got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    assert got == model
+    for v in tx._versions(table):
+        assert tx._replay(table, v) == tx._replay(
+            table, v, use_checkpoint=False
+        ), f"checkpoint replay diverged at v{v}"
