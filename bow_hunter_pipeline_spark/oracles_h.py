@@ -2466,3 +2466,47 @@ SELECT s.l_returnflag, s.n_sample, s.est_total, t.exact_total,
        s.est_sum_qty, t.exact_sum_qty, s.sample_median, t.exact_median
 FROM s JOIN t ON s.l_returnflag = t.l_returnflag
 """
+
+
+LEAKAGE_SAFE_SPLIT = _MINHASH_CTES.replace(
+    "WITH docs AS", "WITH RECURSIVE docs AS", 1
+) + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b, doc_a FROM cand
+),
+walk(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+),
+clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM walk GROUP BY id),
+rep AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep
+  FROM (SELECT doc_id FROM docs) d
+  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+),
+splits AS (
+  SELECT doc_id, rep,
+         CASE WHEN h < 80 THEN 'train'
+              WHEN h < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *, CAST('0x' || substr(md5('lsplit|' || CAST(rep AS VARCHAR)),
+                   1, 15) AS BIGINT) % 100 AS h
+    FROM rep
+  )
+)
+SELECT 'split' AS kind, split AS "key", COUNT(*) AS n_docs,
+       COUNT(DISTINCT rep) AS n_groups
+FROM splits GROUP BY split
+UNION ALL
+SELECT 'audit' AS kind, 'straddling_pairs' AS "key",
+       CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs,
+       COUNT(*) AS n_groups
+FROM cand
+JOIN splits sa ON cand.doc_a = sa.doc_id
+JOIN splits sb ON cand.doc_b = sb.doc_id
+"""

@@ -800,3 +800,87 @@ def lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(n_planted))
         ).alias("planted_recall"),
     )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6/H1: near-dup-LEAKAGE-SAFE train/val/test split — the split
+    key is the document's dedup CLUSTER representative, not the
+    document itself, so near-duplicates can never straddle train and
+    test (the classic eval-contamination failure: a test document's
+    near-copy in train inflates benchmark scores; Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 measure exactly this leak). Docs outside any LSH pair
+    are their own singleton cluster, so the split stays hash-stable
+    for the whole corpus (same bucket law as
+    h6_train_val_test_split, keyed on the representative).
+
+    The result carries its own proof: per-split doc/cluster counts
+    PLUS an audit row counting LSH candidate pairs whose endpoints
+    landed in different splits — structurally ZERO here (both
+    endpoints share a cluster representative by construction, hence a
+    split), and the oracle recomputes the same zero from scratch. A
+    doc-keyed split fails this audit wherever a pair exists.
+
+    Scale: clusters come from the iterative min-label propagation
+    (dedup_clusters — O(diameter) rounds over the edge list); the
+    split/bucket assignment is one narrow projection; the audit joins
+    the pair list (collision-sized, not corpus-sized) against the
+    split map twice. Production persists the pair list once and
+    reuses it for clustering and audit.
+    """
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    docs = _with_near_copies(read_table(spark, sf_dir, "documents")).select(
+        "doc_id"
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    rep = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
+    )
+    bucket = (
+        hash64(F.concat(F.lit("lsplit|"), F.col("rep").cast("string")))
+        % 100
+    )
+    withsplit = rep.withColumn(
+        "split",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test"),
+    )
+    per = (
+        withsplit.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("rep").alias("n_groups"),
+        )
+        .select(
+            F.lit("split").alias("kind"),
+            F.col("split").alias("key"),
+            "n_docs",
+            "n_groups",
+        )
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sa = withsplit.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    sb = withsplit.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    audit = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(
+            F.sum((F.col("sa") != F.col("sb")).cast("bigint")).alias(
+                "n_docs"
+            ),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .select(
+            F.lit("audit").alias("kind"),
+            F.lit("straddling_pairs").alias("key"),
+            "n_docs",
+            "n_groups",
+        )
+    )
+    return per.unionByName(audit)

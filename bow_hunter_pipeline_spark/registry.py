@@ -1191,6 +1191,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         sampling.sample_estimate_audit,
         oracles_h.SAMPLE_ESTIMATE_AUDIT,
     ),
+    # H6/H1: cluster-keyed split — near-dups never straddle train/test
+    "h6_leakage_safe_split": (
+        dedup.leakage_safe_split,
+        oracles_h.LEAKAGE_SAFE_SPLIT,
+    ),
 }
 
 
@@ -1306,6 +1311,7 @@ _DRIVER_ROTATION = [
     "e2_tx_constraint_quarantine",
     "h4_attribution_first_last",
     "h5_sample_estimate_audit",
+    "h6_leakage_safe_split",
 ]
 
 
