@@ -350,13 +350,16 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with high probability). A hash-family change, a counter-width
     bug, or a broken min-over-rows all shift checked values.
 
-    Scale: the sketch is a fixed d×w = 1024-counter table built by
-    ONE map-side-combinable aggregate over the token stream —
-    constant memory no matter the corpus (THE point of CMS at 100 TB:
-    frequency estimates without a per-token shuffle); probes join the
-    kilobyte counter table broadcast. The exact side (full token
-    groupBy + global top-k window) exists only to judge the sketch —
-    production keeps the sketch and drops the exact pass.
+    Scale: the sketch is a fixed d×w = 1024-counter table. The plan
+    hashes per DISTINCT token, not per occurrence: one explode+agg
+    pass reduces the corpus to (token, count) at vocabulary size,
+    then the counters are the count-weighted sum over each token's d
+    cells — identical values to per-occurrence increments (addition
+    is associative), at d×|vocab| md5s instead of d×N. Both
+    aggregates combine map-side; probes join the kilobyte counter
+    table broadcast. The exact columns exist only to judge the
+    sketch — production keeps the counter build and drops the audit
+    join.
     """
     from bow_hunter_pipeline_spark.functions.text import hash64, tokens
 
@@ -371,13 +374,16 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    counters = (
-        toks.select(F.posexplode(cells(F.col("token"))).alias("row", "cell"))
-        .groupBy("row", "cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     exact = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("exact_cnt")
+    )
+    counters = (
+        exact.select(
+            "exact_cnt",
+            F.posexplode(cells(F.col("token"))).alias("row", "cell"),
+        )
+        .groupBy("row", "cell")
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
     w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token"))
     cands = (
