@@ -531,3 +531,29 @@ def test_kmv_merge_equals_scratch_and_bounds_error(spark):
     for r in rows.values():
         rel = abs(r.est_customers - r.exact_customers) / r.exact_customers
         assert rel <= envelope, (r.o_orderpriority, rel)
+
+
+def test_rotation_finishes_registry_within_two_rounds():
+    """Every registry query with NO driver row through round 4 must sit
+    within the first 100 export positions — the round-5 prefix (first
+    50) plus a round-6 tail of at most 50 — so two rotations provably
+    cover the whole registry. Guards against a new query being
+    appended somewhere the rotation would never reach."""
+    import json
+    import os
+
+    from bow_hunter_pipeline_spark import registry
+
+    checked: set[str] = set()
+    for rnd in ("r01", "r02", "r03", "r04"):
+        path = f"/root/repo/CORRECTNESS_{rnd}.json"
+        if os.path.exists(path):
+            with open(path) as f:
+                checked |= set(json.load(f))
+    names = list(registry.queries())
+    stragglers = [
+        n for i, n in enumerate(names) if n not in checked and i >= 100
+    ]
+    assert not stragglers, (
+        f"never-checked queries beyond position 100: {stragglers}"
+    )
