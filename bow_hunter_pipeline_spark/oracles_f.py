@@ -1290,3 +1290,20 @@ SELECT c_nationkey AS nationkey,
             * CAST(CAST(SUM(rev_cents) AS BIGINT) AS DOUBLE)) AS gini
 FROM ranked GROUP BY c_nationkey
 """
+
+
+NTILE_CUSTOMER_TIERS = """
+WITH tiers AS (
+  SELECT c_nationkey,
+         CAST(NTILE(4) OVER (
+           PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ) AS INT) AS tier,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+)
+SELECT c_nationkey, tier, COUNT(*) AS n_customers,
+       CAST(MIN(bal) AS DOUBLE) AS lo_bal,
+       CAST(MAX(bal) AS DOUBLE) AS hi_bal,
+       CAST(CAST(SUM(bal) AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal
+FROM tiers GROUP BY c_nationkey, tier
+"""

@@ -2510,3 +2510,30 @@ FROM cand
 JOIN splits sa ON cand.doc_a = sa.doc_id
 JOIN splits sb ON cand.doc_b = sb.doc_id
 """
+
+
+INVERTED_INDEX_SEARCH = f"""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+  ) GROUP BY doc_id, token
+),
+vocab AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+qterms AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS trn
+    FROM vocab WHERE token NOT IN ({_STOP_IN})
+  ) WHERE trn <= 3
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf JOIN qterms USING (token)
+  GROUP BY doc_id HAVING COUNT(*) = 3
+)
+SELECT doc_id, total_tf, rnk FROM (
+  SELECT doc_id, total_tf,
+         CAST(ROW_NUMBER() OVER (ORDER BY total_tf DESC, doc_id) AS INT)
+           AS rnk
+  FROM hits
+) WHERE rnk <= 20
+"""

@@ -1247,3 +1247,32 @@ def multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("custkey").alias("n_customers"),
     )
     return inter.unionByName(exc)
+
+
+def ntile_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: PARTITIONED ntile — quartile account-balance tiers per
+    nation, the scale-safe form of equi-depth bucketing that
+    equi_depth_histogram's docstring points to: partitioning the
+    window by nation keeps every sort local to its group (ordinary
+    hash-partitioned exchange + per-partition sort — no global
+    gather), so the plan survives any number of groups at any size.
+    Tie-break on c_custkey makes tier assignment total and
+    engine-identical (SQL-standard ntile distributes remainder to the
+    leading tiers in both engines). Per-(nation, tier) rollup: counts
+    and exact balance bounds/sums.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    tiers = cust.select(
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("tier"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    return tiers.groupBy("c_nationkey", "tier").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("bal").cast("double").alias("lo_bal"),
+        F.max("bal").cast("double").alias("hi_bal"),
+        F.sum("bal").cast("decimal(18,2)").cast("double").alias("sum_bal"),
+    )

@@ -542,3 +542,64 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tv_distance"),
     )
+
+
+IDX_QUERY_TERMS = 3  # conjunctive query width
+IDX_TOP_DOCS = 20
+
+
+def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: boolean retrieval over an INVERTED INDEX — the posting-list
+    intersection every search system starts from, expressed
+    relationally: the index is the (token → doc, tf) postings table
+    (one explode+agg pass); the query is the 3 most frequent
+    non-stopword terms (derived from the corpus itself so the plan is
+    deterministic at every scale factor); a doc matches a conjunctive
+    AND query iff it appears in ALL three posting lists — the
+    3-row-broadcast semi-join + per-doc count(distinct-term) == 3
+    gate IS the intersection. Matches rank by summed term frequency
+    (exact integers; tie → doc_id), top 20.
+
+    Scale: the postings build is the standard explode + map-side
+    combined agg; query terms are a broadcast of |query| rows, so
+    matching touches ONLY the queried posting lists (at rest the
+    postings table is bucketed by token, making that a pruned read —
+    the inverted-index property itself); the intersection shuffles at
+    matched-posting size, never corpus size. The term-selection
+    window runs over the vocabulary — production keeps term stats as
+    a tiny dimension table instead.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(_toks()).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("cnt"))
+        .filter(~F.col("token").isin(*STOPWORDS))
+    )
+    vw = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    qterms = (
+        vocab.withColumn("trn", F.row_number().over(vw))
+        .filter(F.col("trn") <= IDX_QUERY_TERMS)
+        .select("token")
+    )
+    hits = (
+        tf.join(F.broadcast(qterms), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == IDX_QUERY_TERMS)
+    )
+    rw = Window.orderBy(F.col("total_tf").desc(), F.col("doc_id"))
+    return (
+        hits.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= IDX_TOP_DOCS)
+        .select("doc_id", "total_tf", "rnk")
+    )

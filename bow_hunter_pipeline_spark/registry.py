@@ -1196,6 +1196,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.leakage_safe_split,
         oracles_h.LEAKAGE_SAFE_SPLIT,
     ),
+    # H3: inverted-index boolean retrieval (posting intersection)
+    "h3_inverted_index_search": (
+        textanalysis.inverted_index_search,
+        oracles_h.INVERTED_INDEX_SEARCH,
+    ),
+    # F: partitioned ntile — the scale-safe equi-depth form
+    "f_ntile_customer_tiers": (
+        relational.ntile_customer_tiers,
+        oracles_f.NTILE_CUSTOMER_TIERS,
+    ),
 }
 
 
@@ -1312,6 +1322,8 @@ _DRIVER_ROTATION = [
     "h4_attribution_first_last",
     "h5_sample_estimate_audit",
     "h6_leakage_safe_split",
+    "h3_inverted_index_search",
+    "f_ntile_customer_tiers",
 ]
 
 
