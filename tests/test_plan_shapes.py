@@ -502,3 +502,27 @@ def test_filtered_ivf_pushes_lang_predicate_below_distance(spark):
     ]
     assert any("lang" in p and "en" in p for p in pushed), pushed
     assert "BroadcastHashJoin" in plan
+
+
+def test_countmin_probe_join_is_broadcast_and_aggs_are_partial(spark):
+    """CMS contract: the probe side joins the kilobyte counter table
+    as a broadcast (no shuffle to look up 4 cells per candidate), and
+    the counter build itself map-side combines (partial HashAggregate
+    below the exchange)."""
+    from bow_hunter_pipeline_spark.plans import approx
+
+    plan = _plan(approx.countmin_heavy_hitters(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan and "Exchange" in plan
+
+
+def test_attribution_joins_on_user_id_no_cartesian(spark):
+    """The lookback band join must execute as an equi-join on user_id
+    with the time range as a residual predicate — never a nested-loop
+    or cartesian expansion."""
+    from bow_hunter_pipeline_spark.plans import events
+
+    plan = _plan(events.attribution_first_last(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan
