@@ -557,3 +557,47 @@ def test_rotation_finishes_registry_within_two_rounds():
     assert not stragglers, (
         f"never-checked queries beyond position 100: {stragglers}"
     )
+
+
+def test_countmin_overestimate_is_one_sided_for_all_tokens(spark):
+    """The CMS invariant the top-20 audit samples: est(t) >= exact(t)
+    for EVERY token, not just heavy hitters — a counter can only
+    absorb extra collisions, never lose its own increments. Rebuild
+    the counters and probe the WHOLE vocabulary at smoke scale."""
+    from bow_hunter_pipeline_spark.functions.text import hash64, tokens
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans.approx import CMS_D, CMS_W
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+
+    def cells(tok):
+        return F.array(
+            *[
+                hash64(F.concat(F.lit(f"cms{j}|"), tok)) % F.lit(CMS_W)
+                for j in range(CMS_D)
+            ]
+        )
+
+    counters = (
+        exact.select(
+            "exact_cnt", F.posexplode(cells(F.col("token"))).alias("row", "cell")
+        )
+        .groupBy("row", "cell")
+        .agg(F.sum("exact_cnt").alias("cnt"))
+    )
+    probe = exact.select(
+        "token", "exact_cnt", F.posexplode(cells(F.col("token"))).alias("row", "cell")
+    )
+    est = (
+        probe.join(F.broadcast(counters), ["row", "cell"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    n_under = est.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert n_under == 0
+    # every token was actually probed (no silent drop in the join)
+    assert est.count() == exact.count()
