@@ -1206,6 +1206,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.ntile_customer_tiers,
         oracles_f.NTILE_CUSTOMER_TIERS,
     ),
+    # H4 × E2+: exactly-once streaming sink on the tx table (txn ids)
+    "h4_streaming_tx_merge": (
+        structured.streaming_tx_merge,
+        oracles_f.STREAMING_UPSERT,
+    ),
 }
 
 
@@ -1324,6 +1329,7 @@ _DRIVER_ROTATION = [
     "h6_leakage_safe_split",
     "h3_inverted_index_search",
     "f_ntile_customer_tiers",
+    "h4_streaming_tx_merge",
 ]
 
 

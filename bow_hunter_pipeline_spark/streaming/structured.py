@@ -616,3 +616,87 @@ def streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(out, "bhps_stream_funnel", "update")
     return spark.table("bhps_stream_funnel")
+
+
+def streaming_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × E2+: EXACTLY-ONCE streaming sink into the transactional
+    commit-log table — foreachBatch + ``warehouse_tx.merge_idempotent``
+    with the batch id as the transaction version (Delta's
+    txnAppId/txnVersion protocol). Structured Streaming guarantees
+    at-least-once foreachBatch delivery; the txn stamp in the commit
+    log turns that into exactly-once: a re-delivered batch whose
+    version is already committed is skipped before any data is read.
+
+    The query PROVES the skip: after the stream drains, every batch id
+    is re-delivered (the restart-replay scenario) with a deliberately
+    different updates frame — all must come back ``applied=False``
+    with the table version unchanged, i.e. the redelivery changed
+    nothing. The returned snapshot then equals the plain streaming
+    upsert's oracle (latest event per user × type).
+
+    Scale: per batch, one merge (shuffle on the key) + one O(interval)
+    txn-map replay; txn state is one integer per writer app in the
+    checkpointed log.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    keys = ["user_id", "event_type"]
+    order_cols = ["last_t_us", "last_event_id"]
+    update_cols = ["last_event_id", "last_t_us", "last_value"]
+    app_id = "bhps_stream_txmerge"
+
+    ev = read_event_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.expr("ts_ns div 1000").alias("last_t_us"),
+        F.col("value").alias("last_value"),
+    )
+    root = tempfile.mkdtemp(prefix="bhps_stream_txmerge_")
+    table = os.path.join(root, "t")
+    state: dict = {"created": False, "batch_ids": []}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not state["created"]:
+            tx.create_table(sess, table, batch.limit(0))
+            state["created"] = True
+        tx.merge_idempotent(
+            sess, table, batch, keys, update_cols, txn=(app_id, batch_id)
+        )
+        state["batch_ids"].append(batch_id)
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["created"] and state["batch_ids"]
+
+    # restart-replay: re-deliver every batch with a POISON frame — the
+    # skip must fire before the frame is ever read
+    final = tx.snapshot(spark, table)
+    poison = final.withColumn("last_value", F.lit(-1.0))
+    v_before = tx._versions(table)[-1]
+    for bid in state["batch_ids"]:
+        v, applied = tx.merge_idempotent(
+            spark, table, poison, keys, update_cols, txn=(app_id, bid)
+        )
+        assert not applied and v == v_before, (bid, v, v_before)
+    assert tx._versions(table)[-1] == v_before
+    return tx.snapshot(spark, table)

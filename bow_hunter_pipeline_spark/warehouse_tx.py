@@ -187,27 +187,34 @@ def _commit(
     add: list[str],
     remove: list[str],
     stats: dict[str, dict[str, list]] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
     exactly one writer can claim a version — the loser gets a
     conflict error and retries against the newer snapshot. The
-    ``exists`` check is only a fast path; the link is the lock."""
+    ``exists`` check is only a fast path; the link is the lock.
+
+    ``txn=(app_id, txn_version)`` stamps the commit with a writer
+    transaction identity (Delta's txnAppId/txnVersion): idempotent
+    writers (streaming foreachBatch sinks) record their batch id here
+    and consult :func:`last_txn_version` before re-applying — the
+    exactly-once handshake for at-least-once batch re-delivery."""
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     final = _log_path(table, version)
     if os.path.exists(final):
         raise RuntimeError(f"concurrent commit for version {version}")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    entry = {
+        "version": version,
+        "add": add,
+        "remove": remove,
+        "stats": stats or {},
+    }
+    if txn is not None:
+        entry["txn"] = [txn[0], txn[1]]
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "version": version,
-                "add": add,
-                "remove": remove,
-                "stats": stats or {},
-            },
-            f,
-        )
+        json.dump(entry, f)
     try:
         os.link(tmp, final)
     except FileExistsError:
@@ -226,10 +233,63 @@ def _write_checkpoint(table: str, version: int) -> None:
     interval commit retries. Plain rename suffices here — checkpoints
     are derived data, not the lock."""
     live, stats = _replay(table, version)
+    txns = _replay_txns(table, version)
     tmp = _checkpoint_path(table, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "live": live, "stats": stats}, f)
+        json.dump(
+            {
+                "version": version,
+                "live": live,
+                "stats": stats,
+                "txns": txns,
+            },
+            f,
+        )
     os.replace(tmp, _checkpoint_path(table, version))
+
+
+def _replay_txns(
+    table: str,
+    version: int | None = None,
+    *,
+    use_checkpoint: bool = True,
+) -> dict[str, int]:
+    """Per-app max committed transaction version up to ``version``
+    (checkpoint-seeded like :func:`_replay` — checkpoints written
+    before txn support carry no ``txns`` map, which is correct only
+    if no earlier commit used one; txn support and checkpointing ship
+    together, so that mix does not occur in practice)."""
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits at {table}")
+    upto = versions[-1] if version is None else version
+    txns: dict[str, int] = {}
+    start = 0
+    if use_checkpoint:
+        ckpts = [c for c in _checkpoint_versions(table) if c <= upto]
+        if ckpts:
+            with open(_checkpoint_path(table, ckpts[-1])) as f:
+                snap = json.load(f)
+            txns = {k: int(v) for k, v in snap.get("txns", {}).items()}
+            start = snap["version"] + 1
+    for v in versions:
+        if v < start:
+            continue
+        if v > upto:
+            break
+        with open(_log_path(table, v)) as f:
+            entry = json.load(f)
+        t = entry.get("txn")
+        if t is not None:
+            app, ver = t[0], int(t[1])
+            txns[app] = max(txns.get(app, -1), ver)
+    return txns
+
+
+def last_txn_version(table: str, app_id: str) -> int:
+    """Highest transaction version committed by ``app_id`` (-1 if
+    none) — the read half of the exactly-once handshake."""
+    return _replay_txns(table).get(app_id, -1)
 
 
 def create_table(
@@ -351,6 +411,7 @@ def merge(
     update_cols: list[str],
     *,
     evolve_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Transactional MERGE: deterministic upsert of ``updates`` into
     the current snapshot, committed as the next version. Returns the
@@ -375,7 +436,7 @@ def merge(
     try:
         _commit(
             table, next_v, add=new_files,
-            remove=live_files(table, read_v), stats=stats,
+            remove=live_files(table, read_v), stats=stats, txn=txn,
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
@@ -604,3 +665,46 @@ def merge_with_constraints(
         spark, table, valid, keys, update_cols, evolve_schema=evolve_schema
     )
     return version, quarantined
+
+
+def merge_idempotent(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    txn: tuple[str, int],
+    max_attempts: int = 3,
+) -> tuple[int, bool]:
+    """Exactly-once MERGE for at-least-once delivery — Delta's
+    txnAppId/txnVersion protocol: the caller names its write with a
+    monotonically increasing per-app transaction version (a streaming
+    sink's micro-batch id), and a re-delivered batch whose version is
+    already committed is SKIPPED instead of double-applied. The check
+    and the stamp ride the same commit protocol, and the skip test is
+    re-run inside the optimistic retry loop, so a conflict-retry can
+    never re-apply a batch a concurrent attempt just landed.
+
+    Returns ``(current_version, applied)`` — ``applied`` False means
+    the batch was recognized as already committed.
+
+    Scale: the txn map replays checkpoint-seeded like the file list
+    (O(interval), not O(history)); state per app is one integer.
+    """
+    app_id, txn_version = txn
+    last: RuntimeError | None = None
+    for _ in range(max_attempts):
+        if txn_version <= last_txn_version(table, app_id):
+            return _versions(table)[-1], False
+        try:
+            return (
+                merge(spark, table, updates, keys, update_cols, txn=txn),
+                True,
+            )
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                raise
+            last = e
+    raise RuntimeError(
+        f"idempotent merge lost {max_attempts} races on {table}"
+    ) from last

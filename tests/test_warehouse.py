@@ -536,3 +536,43 @@ def test_tx_merge_with_constraints_quarantines_null_verdicts(spark, tmp_path):
         3: ["positive_v"],
         4: ["has_s", "positive_v"],
     }
+
+
+def test_tx_idempotent_merge_and_txn_checkpoint_replay(spark, tmp_path):
+    """Exactly-once protocol: a txn version at or below the last
+    committed one is skipped (applied=False, version unchanged) even
+    with a poison frame; txn state replays identically through
+    checkpoints (cross a checkpoint interval, then compare the
+    checkpointed and full-replay txn maps)."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame([(0, 0.0)], "k bigint, v double")
+    tx.create_table(spark, table, base)
+
+    n = tx.CHECKPOINT_INTERVAL + 3  # cross one checkpoint
+    for i in range(n):
+        upd = spark.createDataFrame([(i + 1, float(i))], "k bigint, v double")
+        v, applied = tx.merge_idempotent(
+            spark, table, upd, ["k"], ["v"], txn=("app", i)
+        )
+        assert applied and v == i + 1
+    assert tx.last_txn_version(table, "app") == n - 1
+    assert tx.last_txn_version(table, "other") == -1
+    # checkpointed txn replay == full replay
+    assert tx._replay_txns(table) == tx._replay_txns(
+        table, use_checkpoint=False
+    )
+    assert tx._checkpoint_versions(table)  # a checkpoint exists
+
+    # redelivery of every earlier txn with a poison frame: all skipped
+    poison = spark.createDataFrame([(0, -999.0)], "k bigint, v double")
+    v_before = tx._versions(table)[-1]
+    for i in range(n):
+        v, applied = tx.merge_idempotent(
+            spark, table, poison, ["k"], ["v"], txn=("app", i)
+        )
+        assert not applied and v == v_before
+    state = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    assert state[0] == 0.0  # poison never applied
+    assert len(state) == n + 1
