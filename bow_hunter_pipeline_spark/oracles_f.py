@@ -1307,3 +1307,26 @@ SELECT c_nationkey, tier, COUNT(*) AS n_customers,
        CAST(CAST(SUM(bal) AS DECIMAL(18,2)) AS DOUBLE) AS sum_bal
 FROM tiers GROUP BY c_nationkey, tier
 """
+
+
+SEASONAL_NAIVE_FORECAST = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total_dec
+  FROM orders GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT c.priority, c.total_dec AS actual, p.total_dec AS forecast
+  FROM monthly c
+  JOIN monthly p ON c.priority = p.priority
+   AND c.yr = p.yr + 1 AND c.mo = p.mo
+)
+SELECT priority, COUNT(*) AS n_forecasts,
+       CAST(round(SUM(ABS(actual - forecast)), 4) AS DOUBLE) / COUNT(*)
+         AS mae,
+       CAST(round(SUM(actual - forecast), 4) AS DOUBLE) / COUNT(*)
+         AS mean_bias
+FROM j GROUP BY priority
+"""

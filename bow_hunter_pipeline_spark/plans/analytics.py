@@ -446,3 +446,51 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gini"),
     )
+
+
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4+: FORECAST EVALUATION — the seasonal-naive baseline
+    (forecast(month m, year y) = actual(month m, year y−1)) scored
+    against actuals per priority: forecast count, mean absolute
+    error, and mean signed bias. Seasonal-naive is the baseline every
+    forecasting benchmark (M-competitions) requires you to beat, and
+    its evaluation is pure arithmetic — exact decimal residuals, one
+    double division per mean — so the whole scorecard hash-matches
+    the oracle, unlike model-fit metrics that need transcendentals.
+
+    Gap-safe: the lag is an explicit self-join on (priority, year−1,
+    month) — a missing month simply contributes no forecast, where a
+    row-offset LAG(12) would silently misalign across gaps.
+
+    Scale: one monthly pre-aggregate (map-side combined) shrinks the
+    fact table to #priorities × #months rows before the self-join —
+    the join is over the tiny aggregate, never the facts.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(
+        F.sum(money("o_totalprice")).alias("total_dec")
+    )
+    cur = monthly.select(
+        "priority", "yr", "mo", F.col("total_dec").alias("actual")
+    )
+    prev = monthly.select(
+        "priority",
+        (F.col("yr") + 1).alias("yr"),
+        "mo",
+        F.col("total_dec").alias("forecast"),
+    )
+    j = cur.join(prev, ["priority", "yr", "mo"])
+    resid = F.col("actual") - F.col("forecast")
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        (
+            to_double(F.sum(F.abs(resid))) / F.count(F.lit(1))
+        ).alias("mae"),
+        (
+            to_double(F.sum(resid)) / F.count(F.lit(1))
+        ).alias("mean_bias"),
+    )

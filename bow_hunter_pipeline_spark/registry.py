@@ -1211,6 +1211,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_tx_merge,
         oracles_f.STREAMING_UPSERT,
     ),
+    # G4+: seasonal-naive forecast scorecard (gap-safe seasonal join)
+    "g4_seasonal_naive_forecast": (
+        analytics.seasonal_naive_forecast,
+        oracles_f.SEASONAL_NAIVE_FORECAST,
+    ),
 }
 
 
@@ -1330,6 +1335,7 @@ _DRIVER_ROTATION = [
     "h3_inverted_index_search",
     "f_ntile_customer_tiers",
     "h4_streaming_tx_merge",
+    "g4_seasonal_naive_forecast",
 ]
 
 
