@@ -1330,3 +1330,35 @@ SELECT priority, COUNT(*) AS n_forecasts,
          AS mean_bias
 FROM j GROUP BY priority
 """
+
+
+RETRACTABLE_ROLLUP = """
+WITH post AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2))
+              * CAST(1.1 AS DECIMAL(7,4)) AS DECIMAL(18,6)) AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,6))
+  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(price), 4) AS DOUBLE) AS total_price
+FROM post GROUP BY o_orderpriority
+"""
+
+
+JSON_CORRUPT_RECORDS = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_rows,
+       CAST(0 AS BIGINT) AS n_corrupt,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+         AS total_price
+FROM orders WHERE o_orderkey % 50 <> 0
+GROUP BY o_orderpriority
+UNION ALL
+SELECT '_corrupt' AS priority, COUNT(*) AS n_rows,
+       COUNT(*) AS n_corrupt,
+       CAST(NULL AS DOUBLE) AS total_price
+FROM orders WHERE o_orderkey % 50 = 0
+"""

@@ -2537,3 +2537,52 @@ SELECT doc_id, total_tf, rnk FROM (
   FROM hits
 ) WHERE rnk <= 20
 """
+
+
+from bow_hunter_pipeline_spark.plans.simsearch import (  # noqa: E402
+    INT8_RECALL_K,
+)
+
+INT8_SEARCH_AUDIT = f"""
+WITH qt AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127e0 AS scale
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, ve, scale,
+         list_transform(ve, x -> CAST(round(x / scale) AS INT)) AS q
+  FROM qt WHERE scale <> 0e0
+),
+pairs AS (
+  SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(list_sum(list_transform(generate_series(1, {DIM}),
+              i -> CAST(p.q[i] AS BIGINT) * CAST(c.q[i] AS BIGINT)))
+           AS BIGINT) AS idot,
+         p.scale AS qs, c.scale AS cs,
+         list_sum(list_transform(generate_series(1, {DIM}),
+              i -> p.ve[i] * c.ve[i])) AS fdot
+  FROM qq p JOIN qq c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < {N_QUERIES}
+),
+marked AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY CAST(idot AS DOUBLE) * qs * cs DESC, c_id) AS rn8,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY fdot DESC, c_id) AS rnf
+  FROM pairs
+),
+overlap AS (
+  SELECT q_id, COUNT(*) AS n_overlap FROM marked
+  WHERE rn8 <= {INT8_RECALL_K} AND rnf <= {INT8_RECALL_K}
+  GROUP BY q_id
+)
+SELECT p.q_id, COALESCE(o.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / {INT8_RECALL_K}e0
+         AS recall_at_10
+FROM (SELECT DISTINCT vec_id AS q_id FROM qq WHERE vec_id < {N_QUERIES}) p
+LEFT JOIN overlap o ON p.q_id = o.q_id
+"""

@@ -1194,3 +1194,125 @@ def tx_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("quarantine").alias("kind"), "key", "n_rows", "total_price")
     )
     return final.unionByName(quar)
+
+
+def retractable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+: RETRACTION-aware materialized-rollup maintenance — the CDC
+    upgrade of incremental_rollup: the change stream carries DELETES
+    (and updates = delete+insert), and the rollup absorbs them as
+    NEGATIVE partial states (count −1, sum −value) instead of
+    recomputing. This is how Flink retract streams and Materialize
+    maintain SUM/COUNT under churn: those aggregates form a group
+    (inverses exist), so upserts never force a rescan.
+
+    Scenario, derived deterministically from the fixture: the base
+    snapshot is ALL orders; the change batch deletes every 5th order
+    key and re-inserts every 7th with a 10%-bumped price (an update =
+    retraction + insertion — keys divisible by both 5 and 7 get the
+    delete AND the re-insert pair applied, i.e. net one bumped row).
+    The maintained rollup must equal the oracle's from-scratch
+    aggregate over the post-change table, bit-for-bit (decimal
+    partials are associative AND invertible).
+
+    Scale: the base side is the stored #groups-row aggregate; only
+    the change batch is scanned; the merge is a #groups-sized
+    re-aggregation — churn cost is proportional to the delta, never
+    the table.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    is_del = F.col("o_orderkey") % 5 == 0
+    is_upd = F.col("o_orderkey") % 7 == 0
+
+    def _signed(df: DataFrame, sign: int, price: F.Column) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.count(F.lit(1)) * sign).alias("n_part"),
+            (F.sum(price) * sign).alias("sum_part"),
+        )
+
+    base = _signed(orders, 1, money("o_totalprice"))
+    # retractions: the deleted rows AND the old image of updated rows
+    retract = _signed(
+        orders.filter(is_del | is_upd), -1, money("o_totalprice")
+    )
+    # insertions: the new image of updated rows (10% bump)
+    insert = _signed(
+        orders.filter(is_upd),
+        1,
+        money("o_totalprice") * factor(F.lit(1.1)),
+    )
+    merged = base.unionByName(retract).unionByName(insert)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_part").alias("n_orders"),
+            to_double(F.sum("sum_part")).alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+A5_CORRUPT_PATH = "/tmp/bhps_a5_corrupt_json"
+
+
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+: schema-on-read JSON with CORRUPT-RECORD capture — the
+    robustness half of a5_json_roundtrip: real feeds contain broken
+    lines, and the production posture is PERMISSIVE parsing with
+    ``columnNameOfCorruptRecord`` so bad rows are QUARANTINED with
+    their raw payload instead of failing the job (FAILFAST) or
+    vanishing (DROPMALFORMED). Deterministic corruption: every 50th
+    order key is landed as a truncated JSON object; the read must
+    route exactly those to the corrupt column — the oracle recomputes
+    both the good-side rollup and the corrupt count from the fixture
+    rule, so a parser that drops, mis-routes, or double-counts any
+    line breaks the hash.
+
+    Prices ride as DECIMAL(12,2) through the JSON (exact text
+    round-trip; no double-repr hazard). Scale: landing is one narrow
+    projection; the read is Spark's streaming-capable JSON scan with
+    the schema supplied (no inference pass), and the corrupt column
+    prunes away for queries that don't select it.
+    """
+    import shutil
+
+    orders = read_table(spark, sf_dir, "orders")
+    good = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("priority"),
+            money("o_totalprice").alias("price"),
+        )
+    )
+    broken = F.concat(
+        F.lit('{"k": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "priority": '),
+    )
+    line = F.when(F.col("o_orderkey") % 50 == 0, broken).otherwise(good)
+    shutil.rmtree(A5_CORRUPT_PATH, ignore_errors=True)
+    orders.select(line.alias("value")).write.mode("overwrite").text(
+        A5_CORRUPT_PATH
+    )
+    parsed = (
+        spark.read.schema(
+            "k bigint, priority string, price decimal(12,2), "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(A5_CORRUPT_PATH)
+    )
+    # One aggregation referencing the normal columns (Spark forbids
+    # corrupt-column-only queries on raw JSON): corrupt rows parse
+    # with every regular field NULL, so they group under '_corrupt',
+    # and n_corrupt — summed from the corrupt column itself — proves
+    # routing: it must equal n_rows there and 0 everywhere else.
+    return parsed.groupBy(
+        F.coalesce(F.col("priority"), F.lit("_corrupt")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.col("_corrupt_record").isNotNull().cast("bigint")
+        ).alias("n_corrupt"),
+        to_double(F.sum("price")).alias("total_price"),
+    )

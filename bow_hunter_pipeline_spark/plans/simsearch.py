@@ -1157,3 +1157,91 @@ def ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "c_id", F.col("c_cell").alias("cell_id"), "cosine", "rnk"
         )
     )
+
+
+INT8_RECALL_K = 10
+
+
+def int8_search_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: SEARCH in the int8-compressed domain, audited — the
+    follow-through on :func:`int8_quantize` (which grades storage
+    error): rank candidates by the integer dot product of quantized
+    vectors rescaled by the two per-vector scales, and report
+    recall@10 against the exact float-dot ranking per probe. This is
+    the number that decides whether a 4×-smaller vector lake can
+    serve retrieval directly or must rescore in float — the
+    compressed-domain-scan trade every int8 deployment measures.
+
+    Exactness: the integer dot is exact bigint arithmetic; the
+    rescale is two IEEE multiplications; round() is half-away-from-
+    zero in both engines — so both rankings, their intersection, and
+    the recall fractions replay bit-for-bit in the oracle.
+
+    Scale: quantization is a narrow map; probes broadcast; both rank
+    windows share one (probe × candidate) frame and one q_id
+    exchange. The float ranking exists only for the audit —
+    production serves the int8 ranking and samples this audit.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    scale = F.when(scale != 0, scale)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    qt = emb.select(
+        "vec_id", v.alias("ve"), scale.alias("scale"), q.alias("q")
+    ).filter(F.col("scale").isNotNull())
+    probes = qt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ve").alias("qe"),
+        F.col("q").alias("qq"),
+        F.col("scale").alias("qs"),
+    )
+    cands = qt.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("ve").alias("ce"),
+        F.col("q").alias("cq"),
+        F.col("scale").alias("cs"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            "qq", "cq", lambda a, b: a.cast("bigint") * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    int8_score = idot.cast("double") * F.col("qs") * F.col("cs")
+    fdot = dot_fold("qe", "ce")
+    w8 = Window.partitionBy("q_id").orderBy(
+        int8_score.desc(), F.col("c_id")
+    )
+    wf = Window.partitionBy("q_id").orderBy(fdot.desc(), F.col("c_id"))
+    marked = pairs.select(
+        "q_id",
+        "c_id",
+        F.row_number().over(w8).alias("rn8"),
+        F.row_number().over(wf).alias("rnf"),
+    )
+    overlap = (
+        marked.filter(
+            (F.col("rn8") <= INT8_RECALL_K) & (F.col("rnf") <= INT8_RECALL_K)
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        probes.select("q_id")
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.lit(float(INT8_RECALL_K))
+            ).alias("recall_at_10"),
+        )
+    )

@@ -1216,6 +1216,21 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.seasonal_naive_forecast,
         oracles_f.SEASONAL_NAIVE_FORECAST,
     ),
+    # H2: compressed-domain int8 search with recall@10 audit
+    "h2_int8_search_audit": (
+        simsearch.int8_search_audit,
+        oracles_h.INT8_SEARCH_AUDIT,
+    ),
+    # E5+: retraction-aware (delete/update) rollup maintenance
+    "e5_retractable_rollup": (
+        pipeline.retractable_rollup,
+        oracles_f.RETRACTABLE_ROLLUP,
+    ),
+    # A5+: PERMISSIVE JSON with corrupt-record quarantine
+    "a5_json_corrupt_records": (
+        pipeline.json_corrupt_records,
+        oracles_f.JSON_CORRUPT_RECORDS,
+    ),
 }
 
 
@@ -1336,6 +1351,9 @@ _DRIVER_ROTATION = [
     "f_ntile_customer_tiers",
     "h4_streaming_tx_merge",
     "g4_seasonal_naive_forecast",
+    "h2_int8_search_audit",
+    "e5_retractable_rollup",
+    "a5_json_corrupt_records",
 ]
 
 
