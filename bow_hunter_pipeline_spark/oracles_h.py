@@ -2586,3 +2586,54 @@ SELECT p.q_id, COALESCE(o.n_overlap, 0) AS n_overlap,
 FROM (SELECT DISTINCT vec_id AS q_id FROM qq WHERE vec_id < {N_QUERIES}) p
 LEFT JOIN overlap o ON p.q_id = o.q_id
 """
+
+
+def _pack_bits(start: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_slice(ve, {start}, {start + 31}), "
+        "x -> CASE WHEN x > 0e0 THEN CAST(1 AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)), (acc, b) -> acc * 2 + b)"
+    )
+
+
+BINARY_HAMMING_SEARCH = f"""
+WITH packed AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+words AS (
+  SELECT vec_id, ve,
+         {_pack_bits(1)} AS w1,
+         {_pack_bits(33)} AS w2
+  FROM packed
+),
+pairs AS (
+  SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+         bit_count(xor(p.w1, c.w1)) + bit_count(xor(p.w2, c.w2))
+           AS hamming,
+         list_sum(list_transform(generate_series(1, {DIM}),
+              i -> p.ve[i] * c.ve[i])) AS fdot
+  FROM words p JOIN words c ON p.vec_id <> c.vec_id
+  WHERE p.vec_id < {N_QUERIES}
+),
+marked AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY hamming ASC, c_id) AS rnh,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY fdot DESC, c_id) AS rnf
+  FROM pairs
+),
+overlap AS (
+  SELECT q_id, COUNT(*) AS n_overlap FROM marked
+  WHERE rnh <= {INT8_RECALL_K} AND rnf <= {INT8_RECALL_K}
+  GROUP BY q_id
+)
+SELECT p.q_id, COALESCE(o.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / {INT8_RECALL_K}e0
+         AS recall_at_10
+FROM (SELECT vec_id AS q_id FROM words WHERE vec_id < {N_QUERIES}) p
+LEFT JOIN overlap o ON p.q_id = o.q_id
+"""

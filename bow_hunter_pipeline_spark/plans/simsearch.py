@@ -1245,3 +1245,88 @@ def int8_search_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+def binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: 1-BIT binary quantization + Hamming search, audited — the
+    extreme end of the quantization family (float32 → int8 → 1 bit):
+    each dimension keeps only its sign, the 64-dim vector packs into
+    two 32-bit integer words, and distance is popcount(xor) — 32×
+    smaller than float32 and the cheapest possible scan, at whatever
+    recall the corpus tolerates (which is exactly what the audit
+    column reports: recall@10 vs the exact float-dot ranking).
+
+    Everything is integer or fixed IEEE arithmetic — the bit packing
+    is an order-pinned fold (acc·2 + bit), XOR/popcount are exact —
+    so the packed words, every Hamming distance, both rankings, and
+    the recall fractions replay bit-for-bit in the oracle.
+
+    Scale: packing is one narrow map (the lake stores 8 bytes per
+    vector); the Hamming scan is two XORs + two popcounts per
+    candidate inside whole-stage codegen; probes broadcast. The float
+    ranking exists only for the audit.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def pack(v: Column, start: int) -> Column:
+        # bits start..start+31 (1-indexed slice), MSB-first fold
+        return F.aggregate(
+            F.slice(v, start, 32),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * 2
+            + (x.cast("double") > 0).cast("bigint"),
+        )
+
+    v = F.col("embedding")
+    packed = emb.select(
+        "vec_id",
+        F.transform(v, lambda x: x.cast("double")).alias("ve"),
+        pack(v, 1).alias("w1"),
+        pack(v, 33).alias("w2"),
+    )
+    probes = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ve").alias("qe"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    cands = packed.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("ve").alias("ce"),
+        F.col("w1").alias("cw1"),
+        F.col("w2").alias("cw2"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("q_id") != F.col("c_id"))
+    )
+    hamming = F.expr("bit_count(qw1 ^ cw1) + bit_count(qw2 ^ cw2)")
+    fdot = dot_fold("qe", "ce")
+    wh = Window.partitionBy("q_id").orderBy(hamming.asc(), F.col("c_id"))
+    wf = Window.partitionBy("q_id").orderBy(fdot.desc(), F.col("c_id"))
+    marked = pairs.select(
+        "q_id",
+        "c_id",
+        F.row_number().over(wh).alias("rnh"),
+        F.row_number().over(wf).alias("rnf"),
+    )
+    overlap = (
+        marked.filter(
+            (F.col("rnh") <= INT8_RECALL_K) & (F.col("rnf") <= INT8_RECALL_K)
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        probes.select("q_id")
+        .join(overlap, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.lit(float(INT8_RECALL_K))
+            ).alias("recall_at_10"),
+        )
+    )

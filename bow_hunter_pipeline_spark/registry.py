@@ -1231,6 +1231,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.json_corrupt_records,
         oracles_f.JSON_CORRUPT_RECORDS,
     ),
+    # H2: 1-bit binary quantization + popcount Hamming search audit
+    "h2_binary_hamming_search": (
+        simsearch.binary_hamming_search,
+        oracles_h.BINARY_HAMMING_SEARCH,
+    ),
 }
 
 
@@ -1354,6 +1359,7 @@ _DRIVER_ROTATION = [
     "h2_int8_search_audit",
     "e5_retractable_rollup",
     "a5_json_corrupt_records",
+    "h2_binary_hamming_search",
 ]
 
 

@@ -42,6 +42,7 @@ ALLOW: dict[str, set[str]] = {
         "h5_kmv_distinct_sketch",  # 1-row merged-kth × 1-row global exact
         "h2_mmr_rerank_k1",  # same bounded probe broadcast feeds the pool
         "h2_int8_search_audit",  # same bounded probe broadcast
+        "h2_binary_hamming_search",  # same bounded probe broadcast
         "h2_pq_topk",  # 8-entry codebook broadcast for subspace encoding
         "h2_ivf_pq_topk",  # inherits both bounded broadcasts above
         "h2_ann_recall_audit",  # inherits cosine_topk's bounded probe broadcast
