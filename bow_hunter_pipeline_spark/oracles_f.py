@@ -1362,3 +1362,22 @@ SELECT '_corrupt' AS priority, COUNT(*) AS n_rows,
        CAST(NULL AS DOUBLE) AS total_price
 FROM orders WHERE o_orderkey % 50 = 0
 """
+
+
+INTERVAL_RANGE_FRAME = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n_day,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_dec
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, day, n_day,
+       SUM(n_day) OVER (PARTITION BY priority ORDER BY day
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+         AS n_30d,
+       CAST(round(SUM(sum_dec) OVER (PARTITION BY priority ORDER BY day
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4)
+         AS DOUBLE) AS sum_30d
+FROM daily
+"""

@@ -457,3 +457,42 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("s_acctbal", "total_acctbal", "decimal(12,2)"),
         F.min("s_suppkey").alias("min_key"),
     )
+
+
+def interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-win: RANGE frames over TIME INTERVALS — the window family's
+    remaining frame kind (ROWS and numeric-RANGE are covered
+    elsewhere): a trailing-30-day rolling count and exact rolling
+    revenue per priority, where the frame boundary is `INTERVAL 30
+    DAYS PRECEDING` over the date axis. Interval frames are the
+    correct rolling-metric form when rows are unevenly spaced in time
+    — a ROWS frame would silently mix 30 rows with 30 days.
+
+    Exactness: frame membership is a pure date comparison (no float);
+    the rolling sum is an exact decimal aggregate over a well-defined
+    row set, rounded once for the double conversion.
+
+    Scale: one daily pre-aggregate collapses the fact table to
+    #priorities × #days before the window; the window itself shares
+    that tiny frame's priority partitioning — the fact table is never
+    window-scanned.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date(F.col("o_orderdate")).alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_day"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("sum_dec"),
+    )
+    frame = (
+        "OVER (PARTITION BY priority ORDER BY day "
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return daily.selectExpr(
+        "priority",
+        "day",
+        "n_day",
+        f"sum(n_day) {frame} AS n_30d",
+        f"CAST(round(sum(sum_dec) {frame}, 4) AS DOUBLE) AS sum_30d",
+    )

@@ -1236,6 +1236,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.binary_hamming_search,
         oracles_h.BINARY_HAMMING_SEARCH,
     ),
+    # F-win: trailing-30-day INTERVAL RANGE frame (uneven spacing)
+    "f_interval_range_frame": (
+        funcfamilies.interval_range_frame,
+        oracles_f.INTERVAL_RANGE_FRAME,
+    ),
 }
 
 
@@ -1360,6 +1365,7 @@ _DRIVER_ROTATION = [
     "e5_retractable_rollup",
     "a5_json_corrupt_records",
     "h2_binary_hamming_search",
+    "f_interval_range_frame",
 ]
 
 
