@@ -1316,3 +1316,56 @@ def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_corrupt"),
         to_double(F.sum("price")).alias("total_price"),
     )
+
+
+TX_CLONE_SRC = "/tmp/bhps_tx_clone_src"
+TX_CLONE_DST = "/tmp/bhps_tx_clone_dst"
+
+
+def tx_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: zero-copy SHALLOW CLONE driven end-to-end — create the
+    source table (pre-1995 orders), clone it without copying a byte,
+    MERGE the 1994+ updates into the CLONE, and read back BOTH
+    tables: the source must still equal its original state (the clone
+    diverged, the source did not — isolation across tables, not just
+    versions), and the clone must equal the post-merge state. Same
+    rollup/oracle shape as e2_tx_merge_timetravel with version 0 =
+    untouched source, version 1 = diverged clone; the zero-copy
+    property itself (no parquet under the clone before its first
+    write) is unit-test-pinned.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    tx.create_table(spark, TX_CLONE_SRC, base)
+    tx.clone_table(TX_CLONE_SRC, TX_CLONE_DST)
+
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp_ntz")
+    ).select(
+        "o_orderkey",
+        F.lit("XX").alias("o_orderstatus"),
+        (money("o_totalprice") * factor(F.lit(1.1)))
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    tx.merge(spark, TX_CLONE_DST, updates, ["o_orderkey"], ["o_totalprice"])
+
+    def roll(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price", "decimal(18,6)"),
+        ).withColumn("version", F.lit(version))
+
+    src_now = roll(tx.snapshot(spark, TX_CLONE_SRC), 0)
+    clone_now = roll(tx.snapshot(spark, TX_CLONE_DST), 1)
+    return src_now.unionByName(clone_now)

@@ -1241,6 +1241,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         funcfamilies.interval_range_frame,
         oracles_f.INTERVAL_RANGE_FRAME,
     ),
+    # E2+: zero-copy shallow clone, merge into the clone, both read back
+    "e2_tx_shallow_clone": (pipeline.tx_shallow_clone, _TX_MERGE_SQL),
 }
 
 
@@ -1366,6 +1368,7 @@ _DRIVER_ROTATION = [
     "a5_json_corrupt_records",
     "h2_binary_hamming_search",
     "f_interval_range_frame",
+    "e2_tx_shallow_clone",
 ]
 
 

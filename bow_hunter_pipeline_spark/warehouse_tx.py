@@ -708,3 +708,34 @@ def merge_idempotent(
     raise RuntimeError(
         f"idempotent merge lost {max_attempts} races on {table}"
     ) from last
+
+
+def clone_table(src: str, dst: str) -> None:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+    ``dst``'s version-0 commit references ``src``'s current live data
+    files by ABSOLUTE path — zero bytes copied, instant at any table
+    size. The clone then diverges independently: its merges write new
+    files under its own ``data/`` and its commits remove the absolute
+    references, while the source is never touched (``vacuum`` on the
+    clone walks only the clone's own data directory, so it can never
+    delete source files — the one sharp edge of shallow clones, made
+    structurally impossible here; vacuum on the SOURCE can still
+    strand a clone, exactly Delta's documented caveat).
+
+    Works through the unmodified read path because ``os.path.join(
+    table, p)`` returns ``p`` unchanged when ``p`` is absolute — the
+    same trick object-store manifests use with fully-qualified URIs.
+
+    Use cases are the production ones: dev/test snapshots of a
+    production table, experiment branches, and point-in-time
+    archiving without duplicating 100 TB.
+    """
+    src_abs = os.path.abspath(src)
+    rels, stats = _replay(src)
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    abs_files = [os.path.join(src_abs, r) for r in rels]
+    abs_stats = {
+        os.path.join(src_abs, k): v for k, v in stats.items()
+    }
+    _commit(dst, 0, add=abs_files, remove=[], stats=abs_stats)

@@ -576,3 +576,42 @@ def test_tx_idempotent_merge_and_txn_checkpoint_replay(spark, tmp_path):
     state = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
     assert state[0] == 0.0  # poison never applied
     assert len(state) == n + 1
+
+
+def test_tx_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """Shallow clone: version 0 of the clone copies NO data (its data/
+    directory doesn't exist yet), reads resolve to the source's files,
+    a merge into the clone writes only under the clone, and the source
+    is untouched — including after vacuum on the clone (which must
+    never delete source files)."""
+    import glob
+    import os
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.createDataFrame(
+        [(k, float(k)) for k in range(20)], "k bigint, v double"
+    )
+    tx.create_table(spark, src, base)
+    tx.clone_table(src, dst)
+
+    # zero-copy: no parquet under the clone yet, but reads work
+    assert not glob.glob(os.path.join(dst, "data", "*", "*.parquet"))
+    assert tx.snapshot(spark, dst).count() == 20
+
+    upd = spark.createDataFrame([(1, 100.0), (99, 9.0)], "k bigint, v double")
+    tx.merge(spark, dst, upd, ["k"], ["v"])
+    # clone diverged; source untouched
+    assert tx.snapshot(spark, dst).count() == 21
+    assert {r.k: r.v for r in tx.snapshot(spark, dst).collect()}[1] == 100.0
+    assert {r.k: r.v for r in tx.snapshot(spark, src).collect()}[1] == 1.0
+
+    src_files = set(glob.glob(os.path.join(src, "data", "*", "*.parquet")))
+    tx.vacuum(spark, dst, keep_versions=1)
+    # vacuum on the clone never deletes source data
+    assert src_files == set(
+        glob.glob(os.path.join(src, "data", "*", "*.parquet"))
+    )
+    assert tx.snapshot(spark, src).count() == 20
