@@ -2637,3 +2637,26 @@ SELECT p.q_id, COALESCE(o.n_overlap, 0) AS n_overlap,
 FROM (SELECT vec_id AS q_id FROM words WHERE vec_id < {N_QUERIES}) p
 LEFT JOIN overlap o ON p.q_id = o.q_id
 """
+
+
+DEDUP_METHOD_AGREEMENT = f"""
+WITH mh AS ({MINHASH_LSH_PAIRS}),
+sh AS (SELECT doc_a, doc_b FROM ({SIMHASH_NEAR_DUP})),
+u AS (
+  SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
+         COALESCE(m.doc_b, s.doc_b) AS doc_b,
+         (m.doc_a IS NOT NULL) AS in_mh,
+         (s.doc_a IS NOT NULL) AS in_sh
+  FROM mh m FULL OUTER JOIN sh s
+    ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+)
+SELECT CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+       CAST(SUM(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+       CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       COUNT(*) AS n_union,
+       CAST(CAST(SUM(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS pair_jaccard
+FROM u
+"""

@@ -884,3 +884,44 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per.unionByName(audit)
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: METHOD-AGREEMENT audit — MinHash+LSH and SimHash candidate
+    pair sets compared head-to-head (counts, overlap, and pair-set
+    Jaccard) on the same corpus. The two sketches detect different
+    notions of similarity (set-resemblance vs weighted-bit
+    proximity), so before standardizing a 100 TB dedup pass on one,
+    this is the audit a data team runs: how much do they agree, and
+    how many pairs does each find that the other misses?
+
+    Both pair generators are the existing banded-candidate plans (no
+    O(n²) anywhere); the comparison is one full-outer join on the
+    pair key + a single-row aggregate. Every number is an exact
+    integer (and one exact division for the Jaccard), so the whole
+    audit hash-matches the oracle's from-scratch replay of both
+    methods.
+    """
+    mh = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
+    )
+    sh = simhash_near_dup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    both = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("in_mh", F.lit(0))).alias("n_minhash"),
+        F.sum(F.coalesce("in_sh", F.lit(0))).alias("n_simhash"),
+        F.sum(
+            (F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull())
+            .cast("bigint")
+        ).alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+        (
+            F.sum(
+                (F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull())
+                .cast("bigint")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("pair_jaccard"),
+    )

@@ -1243,6 +1243,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # E2+: zero-copy shallow clone, merge into the clone, both read back
     "e2_tx_shallow_clone": (pipeline.tx_shallow_clone, _TX_MERGE_SQL),
+    # H1: MinHash-vs-SimHash pair-set agreement audit
+    "h1_method_agreement": (
+        dedup.dedup_method_agreement,
+        oracles_h.DEDUP_METHOD_AGREEMENT,
+    ),
 }
 
 
@@ -1369,6 +1374,7 @@ _DRIVER_ROTATION = [
     "h2_binary_hamming_search",
     "f_interval_range_frame",
     "e2_tx_shallow_clone",
+    "h1_method_agreement",
 ]
 
 
