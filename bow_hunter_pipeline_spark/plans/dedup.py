@@ -296,7 +296,9 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 20
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """H1 cluster formation: connected components over the MinHash+LSH
     candidate-pair graph — the step that turns pairwise near-dup hits
     into dedup groups (keep min doc_id per cluster, drop the rest).
@@ -316,9 +318,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite (Kiveris et al., "Connected Components in MapReduce"),
     which converges in O(log²n) rounds on the same join primitive.
     The convergence probe is an ``isEmpty``-style count aggregate, not
-    a collect — nothing data-sized reaches the driver.
+    a collect — nothing data-sized reaches the driver. Callers that
+    already materialized the pair list (leakage_safe_split) pass it
+    via ``pairs`` so the signature pass runs once, not twice.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -833,7 +838,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_near_copies(read_table(spark, sf_dir, "documents")).select(
         "doc_id"
     )
-    clusters = dedup_clusters(spark, sf_dir)
+    # materialize the pair list ONCE; clustering and the audit share it
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    clusters = dedup_clusters(spark, sf_dir, pairs=pairs)
     rep = docs.join(clusters, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("rep")
     )
@@ -860,7 +867,6 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_groups",
         )
     )
-    pairs = minhash_lsh_pairs(spark, sf_dir)
     sa = withsplit.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
     )
