@@ -390,3 +390,67 @@ def test_streaming_merge_into_tx_table_is_atomic_per_batch(spark, tmp_path):
     n_commits = len(os.listdir(f"{table}/_log"))
     run()
     assert len(os.listdir(f"{table}/_log")) == n_commits
+
+
+def test_streaming_tx_merge_multi_batch_exactly_once(spark, tmp_path):
+    """The exactly-once sink under MULTI-batch delivery (the fixture
+    stream is one batch; here maxFilesPerTrigger=1 forces three): one
+    tx-table version per batch, last-batch-wins on key collisions,
+    and a full redelivery pass (restart scenario) applies nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    src = str(tmp_path / "src")
+    for i, rows in enumerate(
+        [[(1, 10.0), (2, 20.0)], [(2, 21.0), (3, 30.0)], [(1, 12.0)]]
+    ):
+        spark.createDataFrame(rows, "k bigint, v double").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"f{i}"))
+
+    table = str(tmp_path / "t")
+    app = "multi_batch_test"
+    state = {"created": False, "ids": []}
+
+    def apply_batch(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        if not state["created"]:
+            tx.create_table(sess, table, batch_df.limit(0))
+            state["created"] = True
+        tx.merge_idempotent(
+            sess, table, batch_df, ["k"], ["v"], txn=(app, batch_id)
+        )
+        state["ids"].append(batch_id)
+
+    stream = (
+        spark.readStream.schema("k bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(state["ids"]) == 3
+    # one version per batch on top of the create
+    assert tx._versions(table)[-1] == 3
+    got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    # file order is lexicographic (f0, f1, f2): later batches win
+    assert got == {1: 12.0, 2: 21.0, 3: 30.0}
+
+    # full redelivery: nothing applies, nothing changes
+    poison = spark.createDataFrame([(9, -1.0)], "k bigint, v double")
+    for bid in state["ids"]:
+        v, applied = tx.merge_idempotent(
+            spark, table, poison, ["k"], ["v"], txn=(app, bid)
+        )
+        assert not applied and v == 3
+    assert {
+        r.k: r.v for r in tx.snapshot(spark, table).collect()
+    } == got
