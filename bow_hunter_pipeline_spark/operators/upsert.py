@@ -51,6 +51,7 @@ def upsert(
     update_cols: list[str],
     *,
     batch_order_col: str | None = None,
+    guard_cols: list[str] | None = None,
 ) -> DataFrame:
     """Post-merge state of ``existing`` upserted with ``updates``.
 
@@ -58,6 +59,15 @@ def upsert(
       all other columns keep the existing row's value.
     - unmatched update keys: inserted as-is.
     - unmatched existing keys: untouched.
+
+    ``guard_cols`` makes the matched-row update CONDITIONAL — Delta's
+    ``WHEN MATCHED AND <cond> THEN UPDATE``: the update wins only when
+    its guard tuple compares strictly greater (lexicographic struct
+    compare) than the existing row's. This is the out-of-order CDC
+    defense — a replayed or late batch carrying an OLDER version of a
+    key leaves the newer table state untouched, so cross-batch merge
+    order stops mattering. Without it, matched rows are blind
+    last-batch-wins.
 
     Column order of the result == column order of ``existing``.
     """
@@ -77,13 +87,26 @@ def upsert(
 
     matched_e = F.col("__in_e").isNotNull()
     matched_u = F.col("__in_u").isNotNull()
+    if guard_cols:
+        # NULL-safe: an unmatched existing side yields NULL struct →
+        # comparison NULL → update still applies via ~matched_e.
+        newer = F.struct(
+            *[F.col(f"__u_{g}") for g in guard_cols]
+        ) > F.struct(*[F.col(g) for g in guard_cols])
+        takes_update = matched_u & (
+            ~matched_e | newer.eqNullSafe(F.lit(True))
+        )
+    else:
+        takes_update = matched_u
     select_exprs = []
     for c in cols:
         if c in keys:
             select_exprs.append(F.coalesce(F.col(c), F.col(f"__u_{c}")).alias(c))
         elif c in update_cols:
             select_exprs.append(
-                F.when(matched_u, F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
+                F.when(takes_update, F.col(f"__u_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
             )
         else:
             select_exprs.append(

@@ -1001,7 +1001,7 @@ GROUP BY o_orderstatus
 TEXT_ROUNDTRIP = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id
 FROM documents
@@ -1373,9 +1373,9 @@ WITH daily AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT priority, day, n_day,
-       SUM(n_day) OVER (PARTITION BY priority ORDER BY day
+       CAST(SUM(n_day) OVER (PARTITION BY priority ORDER BY day
          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
-         AS n_30d,
+         AS BIGINT) AS n_30d,
        CAST(round(SUM(sum_dec) OVER (PARTITION BY priority ORDER BY day
          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 4)
          AS DOUBLE) AS sum_30d

@@ -1361,8 +1361,8 @@ per_user AS (
 )
 SELECT first_day AS cohort_day,
        COUNT(*) AS n_users,
-       SUM(r1) AS n_retained_d1,
-       SUM(r7) AS n_retained_d7
+       CAST(SUM(r1) AS BIGINT) AS n_retained_d1,
+       CAST(SUM(r7) AS BIGINT) AS n_retained_d7
 FROM per_user GROUP BY first_day
 """
 

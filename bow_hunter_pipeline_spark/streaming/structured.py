@@ -674,8 +674,14 @@ def streaming_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not state["created"]:
             tx.create_table(sess, table, batch.limit(0))
             state["created"] = True
+        # guard_cols makes the cross-batch merge ORDER-AWARE (Delta's
+        # WHEN MATCHED AND s.guard > t.guard): a batch carrying an
+        # older (last_t_us, last_event_id) than table state leaves the
+        # newer row untouched, so batches may arrive in any event-time
+        # order — not just the single-file in-order fixture case.
         tx.merge_idempotent(
-            sess, table, batch, keys, update_cols, txn=(app_id, batch_id)
+            sess, table, batch, keys, update_cols,
+            txn=(app_id, batch_id), guard_cols=order_cols,
         )
         state["batch_ids"].append(batch_id)
 

@@ -80,6 +80,15 @@ class VersionVacuumedError(Exception):
     a raw path-not-found from the scan."""
 
 
+class TxnAlreadyApplied(Exception):
+    """In-commit transaction validation: the (app_id, txn_version)
+    this merge carries is already committed AT THE PINNED READ
+    VERSION, so applying it again would double-apply the batch.
+    Raised from inside :func:`merge` (not pre-checked by the caller)
+    so the check is serialized against the same version the commit
+    claims — mirroring Delta's in-commit txn validation."""
+
+
 def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:08d}.json")
 
@@ -222,7 +231,16 @@ def _commit(
     finally:
         os.unlink(tmp)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
-        _write_checkpoint(table, version)
+        # The version is already durable here. Checkpoints are derived
+        # data (the next interval commit retries), so a failure MUST
+        # NOT escape as a commit failure: merge/compact/merge_pruned
+        # treat RuntimeError from _commit as "commit lost" and delete
+        # the just-committed data files — a table-corruption path if
+        # a checkpoint exception ever propagated past this point.
+        try:
+            _write_checkpoint(table, version)
+        except Exception:  # noqa: BLE001 — best-effort derived data
+            pass
 
 
 def _write_checkpoint(table: str, version: int) -> None:
@@ -412,6 +430,7 @@ def merge(
     *,
     evolve_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    guard_cols: list[str] | None = None,
 ) -> int:
     """Transactional MERGE: deterministic upsert of ``updates`` into
     the current snapshot, committed as the next version. Returns the
@@ -425,12 +444,31 @@ def merge(
     between our snapshot read and our claim makes the link fail, so a
     merge computed on stale state can never land (targeting "latest
     + 1" at commit time instead would silently erase the interleaved
-    writer's update)."""
+    writer's update).
+
+    Txn validation rides the same pin: with ``txn=(app, ver)``, the
+    per-app committed-version map is evaluated AS OF ``read_v`` and
+    the commit targets ``read_v + 1`` — an interleaved same-app
+    commit necessarily claims ``read_v + 1`` first, forcing this
+    attempt into a conflict-retry that re-pins and re-checks. The
+    check-then-commit pair is therefore atomic; a pre-check outside
+    the pin (the old merge_idempotent shape) admits the zombie-driver
+    double-apply: check-B / commit-A / merge-B(pins post-A, no
+    conflict)."""
     read_v = _versions(table)[-1]
+    if txn is not None:
+        app_id, txn_version = txn
+        if txn_version <= _replay_txns(table, read_v).get(app_id, -1):
+            raise TxnAlreadyApplied(
+                f"txn ({app_id}, {txn_version}) already committed at "
+                f"version {read_v} of {table}"
+            )
     current = snapshot(spark, table, read_v)
     if evolve_schema:
         current, updates = _align_schemas(current, updates)
-    merged = upsert(current, updates, keys, update_cols)
+    merged = upsert(
+        current, updates, keys, update_cols, guard_cols=guard_cols
+    )
     next_v = read_v + 1
     new_files, stats = _write_data(merged, table, next_v, keys)
     try:
@@ -514,6 +552,11 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
         keep |= set(live_files(table, v))
     deleted = 0
     data_root = os.path.join(table, _DATA_DIR)
+    if not os.path.isdir(data_root):
+        # A fresh shallow clone owns no data files until its first
+        # write — every live file is an absolute reference into the
+        # source table, which vacuum must never walk.
+        return 0
     for sub in sorted(os.listdir(data_root)):
         subdir = os.path.join(data_root, sub)
         for f in os.listdir(subdir):
@@ -675,15 +718,22 @@ def merge_idempotent(
     update_cols: list[str],
     txn: tuple[str, int],
     max_attempts: int = 3,
+    guard_cols: list[str] | None = None,
 ) -> tuple[int, bool]:
     """Exactly-once MERGE for at-least-once delivery — Delta's
     txnAppId/txnVersion protocol: the caller names its write with a
     monotonically increasing per-app transaction version (a streaming
     sink's micro-batch id), and a re-delivered batch whose version is
-    already committed is SKIPPED instead of double-applied. The check
-    and the stamp ride the same commit protocol, and the skip test is
-    re-run inside the optimistic retry loop, so a conflict-retry can
-    never re-apply a batch a concurrent attempt just landed.
+    already committed is SKIPPED instead of double-applied.
+
+    The skip check is IN-COMMIT (inside :func:`merge`, evaluated at
+    the pinned read version the commit serializes against), so two
+    concurrent deliveries of the same (app_id, txn_version) — the
+    zombie-driver redelivery scenario — cannot both apply: whichever
+    commits second either hits the version-claim conflict (retry →
+    re-pin → sees the first's txn → skips) or saw the first's txn at
+    its own pin. A pre-commit check here would NOT be atomic with the
+    pin and admits check/commit/merge interleavings that double-apply.
 
     Returns ``(current_version, applied)`` — ``applied`` False means
     the batch was recognized as already committed.
@@ -691,16 +741,18 @@ def merge_idempotent(
     Scale: the txn map replays checkpoint-seeded like the file list
     (O(interval), not O(history)); state per app is one integer.
     """
-    app_id, txn_version = txn
     last: RuntimeError | None = None
     for _ in range(max_attempts):
-        if txn_version <= last_txn_version(table, app_id):
-            return _versions(table)[-1], False
         try:
             return (
-                merge(spark, table, updates, keys, update_cols, txn=txn),
+                merge(
+                    spark, table, updates, keys, update_cols,
+                    txn=txn, guard_cols=guard_cols,
+                ),
                 True,
             )
+        except TxnAlreadyApplied:
+            return _versions(table)[-1], False
         except RuntimeError as e:
             if "concurrent commit" not in str(e):
                 raise

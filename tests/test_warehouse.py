@@ -615,3 +615,134 @@ def test_tx_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
         glob.glob(os.path.join(src, "data", "*", "*.parquet"))
     )
     assert tx.snapshot(spark, src).count() == 20
+
+
+def test_tx_in_commit_txn_validation_beats_zombie_race(
+    spark, tmp_path, monkeypatch
+):
+    """The zombie-driver double-apply interleaving (check-B / commit-A
+    / merge-B) that a PRE-commit idempotence check admits: writer A
+    commits (app, 1) while writer B is mid-merge with the SAME txn.
+    With the check evaluated in-commit at B's pinned read version,
+    B's commit must conflict, and the retry must recognize A's txn
+    and skip — the poison batch never lands."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    tx.create_table(spark, table, base)
+    app = "zombie"
+    good = spark.createDataFrame([(1, 11.0)], "k bigint, v double")
+    poison = spark.createDataFrame([(1, -1.0)], "k bigint, v double")
+
+    real_write = tx._write_data
+    fired = {"done": False}
+
+    def interleaved_write(df, table_, version, stats_cols=None):
+        if not fired["done"]:
+            fired["done"] = True
+            # writer A lands the same-txn commit AFTER B pinned its
+            # read version (B is already past its skip check)
+            monkeypatch.setattr(tx, "_write_data", real_write)
+            tx.merge(spark, table, good, ["k"], ["v"], txn=(app, 1))
+            monkeypatch.setattr(tx, "_write_data", interleaved_write)
+        return real_write(df, table_, version, stats_cols)
+
+    monkeypatch.setattr(tx, "_write_data", interleaved_write)
+    v, applied = tx.merge_idempotent(
+        spark, table, poison, ["k"], ["v"], txn=(app, 1)
+    )
+    monkeypatch.setattr(tx, "_write_data", real_write)
+    assert not applied, "redelivered txn must be skipped, not applied"
+    assert v == tx._versions(table)[-1]
+    got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    assert got == {1: 11.0}, "writer A's batch wins; poison never lands"
+
+
+def test_tx_merge_guard_cols_ignores_stale_updates(spark, tmp_path):
+    """Order-aware MERGE (WHEN MATCHED AND s.guard > t.guard): a late
+    batch carrying an OLDER guard tuple than table state must leave
+    the row untouched; a newer one must win; ties lose (strict >)."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 100, 5, 1.0), (2, 200, 7, 2.0)],
+        "k bigint, t bigint, seq bigint, v double",
+    )
+    tx.create_table(spark, table, base)
+    late = spark.createDataFrame(
+        [
+            (1, 90, 9, -1.0),   # older t: stale, must NOT apply
+            (2, 200, 7, -2.0),  # tie on (t, seq): must NOT apply
+            (3, 50, 1, 3.0),    # new key: inserts regardless of guard
+        ],
+        "k bigint, t bigint, seq bigint, v double",
+    )
+    tx.merge(
+        spark, table, late, ["k"], ["t", "seq", "v"],
+        guard_cols=["t", "seq"],
+    )
+    got = {r.k: (r.t, r.seq, r.v) for r in tx.snapshot(spark, table).collect()}
+    assert got == {
+        1: (100, 5, 1.0),
+        2: (200, 7, 2.0),
+        3: (50, 1, 3.0),
+    }
+    fresh = spark.createDataFrame(
+        [(1, 100, 6, 9.0)], "k bigint, t bigint, seq bigint, v double"
+    )
+    tx.merge(
+        spark, table, fresh, ["k"], ["t", "seq", "v"],
+        guard_cols=["t", "seq"],
+    )
+    got = {r.k: (r.t, r.seq, r.v) for r in tx.snapshot(spark, table).collect()}
+    assert got[1] == (100, 6, 9.0), "lexicographically newer tuple wins"
+
+
+def test_tx_vacuum_on_fresh_shallow_clone_is_noop(spark, tmp_path):
+    """vacuum on a clone that has not written yet owns no data/ dir —
+    it must return 0, not raise, and must not touch source files."""
+    import glob
+    import os
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tx.create_table(
+        spark, src, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+    tx.clone_table(src, dst)
+    src_files = set(glob.glob(os.path.join(src, "data", "*", "*.parquet")))
+    assert tx.vacuum(spark, dst) == 0
+    assert src_files == set(
+        glob.glob(os.path.join(src, "data", "*", "*.parquet"))
+    )
+    assert tx.snapshot(spark, dst).count() == 1
+
+
+def test_tx_checkpoint_failure_never_poisons_a_landed_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A checkpoint write failure after the version file is durable
+    must NOT escape _commit: merge would treat it as a failed commit
+    and delete the just-committed data files (table corruption)."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+
+    def boom(table_, version):
+        raise RuntimeError("checkpoint io failure")
+
+    monkeypatch.setattr(tx, "_write_checkpoint", boom)
+    up = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    for i in range(tx.CHECKPOINT_INTERVAL):
+        tx.merge(spark, table, up, ["k"], ["v"])
+    # the interval commit (version == CHECKPOINT_INTERVAL) crossed the
+    # checkpoint path with a raising writer — table must be intact
+    assert tx._versions(table)[-1] == tx.CHECKPOINT_INTERVAL
+    assert {r.v for r in tx.snapshot(spark, table).collect()} == {2.0}
