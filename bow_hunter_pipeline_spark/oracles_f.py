@@ -1381,3 +1381,39 @@ SELECT priority, day, n_day,
          AS DOUBLE) AS sum_30d
 FROM daily
 """
+
+
+TX_GUARDED_MERGE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderdate AS g,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 4 <> 3
+),
+upd AS (
+  SELECT o_orderkey AS k,
+    CASE o_orderkey % 4
+      WHEN 0 THEN o_orderdate + INTERVAL 365 DAY
+      WHEN 1 THEN o_orderdate - INTERVAL 365 DAY
+      ELSE o_orderdate END AS g,
+    CASE o_orderkey % 4
+      WHEN 0 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100000
+                       AS DOUBLE)
+      WHEN 1 THEN -1e0
+      WHEN 2 THEN -2e0
+      ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders
+),
+final AS (
+  SELECT COALESCE(b.k, u.k) AS k,
+         CASE WHEN u.k IS NOT NULL AND (b.k IS NULL OR u.g > b.g)
+              THEN u.g ELSE b.g END AS g,
+         CASE WHEN u.k IS NOT NULL AND (b.k IS NULL OR u.g > b.g)
+              THEN u.price ELSE b.price END AS price
+  FROM base b FULL OUTER JOIN upd u ON b.k = u.k
+)
+SELECT k % 4 AS bucket, COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(price AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS total_price,
+       MIN(g) AS min_g, MAX(g) AS max_g
+FROM final GROUP BY 1
+"""

@@ -368,3 +368,18 @@ SELECT doc_id,
        len(list_filter(l, t -> t <> lower(t))) = 0 AS all_lowercase
 FROM toks
 """
+
+
+_Q19_BRANCH = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+    f"AND l_quantity BETWEEN {lo}e0 AND {hi}e0)"
+    for b, s, lo, hi in t.Q19_BANDS
+)
+
+Q19_DISCOUNTED_PARTS = f"""
+SELECT
+  CAST(round(SUM({_REV}), 4) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey AND ({_Q19_BRANCH})
+"""

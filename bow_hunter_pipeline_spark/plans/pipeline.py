@@ -1369,3 +1369,67 @@ def tx_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_now = roll(tx.snapshot(spark, TX_CLONE_SRC), 0)
     clone_now = roll(tx.snapshot(spark, TX_CLONE_DST), 1)
     return src_now.unionByName(clone_now)
+
+
+TX_GUARD_PATH = "/tmp/bhps_tx_orders_guarded"
+
+
+def tx_guarded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: ORDER-AWARE MERGE (Delta's ``WHEN MATCHED AND s.guard >
+    t.guard THEN UPDATE``) — the out-of-order CDC defense: an update
+    batch mixing newer rows, stale rows, exact-tie rows, and brand-new
+    keys is merged with ``guard_cols`` on the event date, and only the
+    strictly-newer updates may touch existing state.
+
+    Buckets by o_orderkey % 4 (every case proves a different rule):
+    - 0: update guard = date + 365d  → newer, MUST apply
+    - 1: update guard = date - 365d  → stale, must NOT apply
+    - 2: update guard = date (tie)   → strict >, must NOT apply
+    - 3: key absent from base        → insert regardless of guard
+
+    The 'must not apply' updates carry poison prices (-1, -2) so any
+    guard violation corrupts the checked rollup immediately.
+
+    Scale: identical cost to plain MERGE — the guard is one struct
+    compare inside the same full-outer join; no extra shuffle, no
+    second table read.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 4 != 3).select(
+        k.alias("k"),
+        F.col("o_orderdate").alias("g"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, TX_GUARD_PATH, base)
+
+    bucket = k % 4
+    day365 = F.expr("INTERVAL 365 DAYS")
+    updates = orders.select(
+        k.alias("k"),
+        F.when(bucket == 0, F.col("o_orderdate") + day365)
+        .when(bucket == 1, F.col("o_orderdate") - day365)
+        .otherwise(F.col("o_orderdate"))
+        .alias("g"),
+        F.when(
+            bucket == 0,
+            (money("o_totalprice") + F.lit(100000)).cast("double"),
+        )
+        .when(bucket == 1, F.lit(-1.0))
+        .when(bucket == 2, F.lit(-2.0))
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price"),
+    )
+    tx.merge(
+        spark, TX_GUARD_PATH, updates, ["k"], ["g", "price"],
+        guard_cols=["g"],
+    )
+    final = tx.snapshot(spark, TX_GUARD_PATH)
+    return final.groupBy((F.col("k") % 4).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("price", "total_price", "decimal(18,6)"),
+        F.min("g").alias("min_g"),
+        F.max("g").alias("max_g"),
+    )

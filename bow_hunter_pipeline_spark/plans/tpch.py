@@ -659,3 +659,50 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal", cast="decimal(12,2)"),
         )
     )
+
+
+# Q19 bands: (brand, max size, [qty_lo, qty_hi]) — OR-of-conjuncts
+Q19_BANDS = [
+    ("Brand#13", 15, 1.0, 11.0),
+    ("Brand#23", 30, 10.0, 20.0),
+    ("Brand#34", 50, 20.0, 30.0),
+]
+
+
+def q19_discounted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from a join whose ON clause is an OR of
+    three conjunct groups (brand × size band × quantity band) — the
+    canonical disjunctive-join-predicate pattern. (Fixture part has
+    no container column and lineitem no shipmode/shipinstruct; the
+    brand/size/quantity core of each branch is verbatim Q19.)
+
+    Scale: the common ``l_partkey = p_partkey`` equi-conjunct is what
+    matters — Catalyst extracts it as the join key and evaluates the
+    disjunction as a post-join filter, so this stays a hash join, not
+    a nested-loop over 100 TB. ``p_size <= max(bands)`` and the
+    overall quantity envelope are implied single-column predicates
+    that push into both scans.
+    """
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    branch = None
+    for brand, size_hi, q_lo, q_hi in Q19_BANDS:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_hi))
+            & (F.col("l_quantity").between(q_lo, q_hi))
+        )
+        branch = c if branch is None else (branch | c)
+    joined = li.join(
+        part, (F.col("l_partkey") == F.col("p_partkey")) & branch
+    )
+    return joined.agg(
+        dsum_expr(
+            money("l_extendedprice") * one_minus("l_discount"), "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -953,6 +953,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # E2+: file-pruned MERGE (footer-stat data skipping) — same oracle
     "e2_tx_merge_pruned": (pipeline.tx_merge_pruned, _TX_MERGE_SQL),
+    # E2+: order-aware MERGE (guarded update — WHEN MATCHED AND
+    # s.guard > t.guard): newer/stale/tie/insert buckets in one batch
+    "e2_tx_guarded_merge": (
+        pipeline.tx_guarded_merge,
+        oracles_f.TX_GUARDED_MERGE,
+    ),
+    # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
+    "f_q19_discounted_parts": (
+        tpch.q19_discounted_parts,
+        oracles_tpch.Q19_DISCOUNTED_PARTS,
+    ),
     # C6 as a dedicated row: year regexed from the FILE PATH drives the
     # rollup; the oracle recomputes from o_orderdate (path==data proof)
     "c6_year_from_path": (
@@ -1260,76 +1271,19 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The external driver checks a fixed-size prefix of queries() (the
 # first 50 of the export order). Rotate which entries lead so its
-# coverage reaches the whole registry over rounds. Rounds 1-4 proved
-# 140 distinct queries (r01: original prefix; r03: UDF/streaming/
-# multimodal/H6/sink families; r04: wave-2 H6/H1/H2 + TPC-H slice +
-# funcfamilies — 48/50 hash-green, 2 rows-only by design). Round 5
-# leads with 50 never-checked entries: the three new round-5 rows,
-# the SQL text interface, the remaining TPC-H shapes, the
-# funcfamilies remainder, and the round-4 query additions. The
-# 27-entry round-6 tail (position 51+) finishes the registry.
-# Everything not listed follows in registry order — nothing is ever
-# dropped, only reordered.
+# coverage reaches the whole registry over rounds. Rounds 1-5 proved
+# 187 distinct queries green (r01: original prefix; r03: UDF/
+# streaming/multimodal/H6/sink families; r04: wave-2 H6/H1/H2 +
+# TPC-H slice + funcfamilies; r05: staged queue — 47/50 green, 3
+# oracle-type mismatches fixed and re-queued below). Everything not
+# listed follows in registry order — nothing is ever dropped, only
+# reordered.
 _DRIVER_ROTATION = [
-    # --- round-5 prefix: all never driver-checked -------------------
-    # new round-5 rows first (verdict asks): MMR k=1 oracle twin,
-    # filter-composed IVF, quantitative HLL error-envelope row
-    "h2_mmr_rerank_k1",
-    "h2_filtered_ivf_topk",
-    "h5_hll_error_bound",
-    # the staged round-5 queue: SQL text interface, remaining TPC-H
-    # shapes, funcfamilies remainder, and the round-4 additions
-    "f_sql_text_interface",
-    "f_q3_shipping_priority",
-    "f_above_avg_orders",
-    "f_q4_priority_exists",
-    "f_q7_volume_shipping",
-    "f_argmin_cheapest_per_brand",
-    "f_multi_distinct_monthly",
-    "f_q5_local_supplier_volume",
-    "f_histogram_order_values",
-    "f_disjunctive_join",
-    "f_null_safe_join",
-    "f_argminmax_per_customer",
-    "f_conditional_agg",
-    "f_paginated_top_orders",
-    "f_corr_qty_price",
-    "f_array_agg_years",
-    "f_q6_forecast_revenue",
-    "f_q10_returned_items",
-    "f_q12_late_shipment",
-    "f_q14_promo_revenue",
-    "f_q15_top_supplier",
-    "f_q18_large_volume",
-    "f_q8_market_share",
-    "f_q11_important_stock",
-    "f_q16_supplier_part_counts",
-    "f_q20_majority_shippers",
-    "f_q22_sales_opportunity",
-    "f_array_set_ops",
-    "f_date_arithmetic",
-    "f_bitwise_ops",
-    "f_conditional_scalars",
-    # new round-4 queries — never checked, queued behind the backlog
-    "h1_minhash_error_audit",
-    "g5_nearest_sensor_join",
-    "a5_orc_roundtrip",
-    "a5_text_roundtrip",
-    "h4_retention_cohorts",
-    "h2_ivf_pq_topk",
-    "a1_python_stream_datasource",
-    "h6_dsir_proxy",
-    "h1_bucketed_lsh_pairs",
-    "h4_anomaly_outliers",
-    "h4_gap_fill_interpolate",
-    "h6_link_bfs_reach",
-    "h6_minhash_decontaminate",
-    "f_full_outer_reconciliation",
-    "f_union_schema_evolution",
-    "h4_dow_hour_heatmap",
-    # --- round-6 queue starts here (position 51+): the final tail —
-    # the 3 entries the new round-5 rows displaced, then the rest.
-    # After round 6 every registry query has a driver row.
+    # --- round-6 prefix: the final never-driver-checked tail (45),
+    # the 3 round-5 hash-mismatch fixes re-queued for green rows
+    # (their oracles summed integers uncast — DuckDB HUGEINT — now
+    # CAST AS BIGINT), and the 2 new round-6 queries. After this
+    # rotation every registry query has at least one driver row.
     "h6_context_chunking",
     "h1_kmeans_convergence_audit",
     "h3_rake_keywords",
@@ -1375,6 +1329,13 @@ _DRIVER_ROTATION = [
     "f_interval_range_frame",
     "e2_tx_shallow_clone",
     "h1_method_agreement",
+    # round-5 red rows, oracle-fixed this round — re-checked here
+    "f_q12_late_shipment",
+    "a5_text_roundtrip",
+    "h4_retention_cohorts",
+    # new round-6 queries (guarded CDC merge, TPC-H Q19)
+    "e2_tx_guarded_merge",
+    "f_q19_discounted_parts",
 ]
 
 
