@@ -42,6 +42,9 @@ HEADLINE = [
     # exact audit) and the user-keyed lookback band join
     "h5_countmin_heavy_hitters",
     "h4_attribution_first_last",
+    # round 6: order-aware CDC merge through the commit-log table
+    # (create + guarded MERGE + snapshot rollup)
+    "e2_tx_guarded_merge",
 ]
 
 

@@ -31,6 +31,7 @@ from bow_hunter_pipeline_spark.plans.simsearch import (
     TOP_K,
 )
 from bow_hunter_pipeline_spark.plans.textanalysis import STOPWORDS
+from bow_hunter_pipeline_spark.plans.traindata import TOKEN_BUDGET
 
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 _TOKS = "str_split(text, ' ')"
@@ -2659,4 +2660,32 @@ SELECT CAST(SUM(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
                  AS BIGINT) AS DOUBLE)
          / CAST(COUNT(*) AS DOUBLE) AS pair_jaccard
 FROM u
+"""
+
+
+GREEDY_PACKING = f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CAST(len({_TOKS}) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS pack_id,
+         CAST(n_tokens AS BIGINT) AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN rec.fill + d.n_tokens > {TOKEN_BUDGET}
+              THEN rec.pack_id + 1 ELSE rec.pack_id END,
+         CASE WHEN rec.fill + d.n_tokens > {TOKEN_BUDGET}
+              THEN CAST(d.n_tokens AS BIGINT)
+              ELSE rec.fill + d.n_tokens END
+  FROM rec JOIN d ON d.source = rec.source AND d.rn = rec.rn + 1
+)
+SELECT source, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+FROM rec GROUP BY 1, 2
 """

@@ -891,3 +891,61 @@ def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         selected.alias("selected"),
     )
+
+
+def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: TRUE greedy next-fit sequence packing — the stateful scan
+    :func:`sequence_packing`'s docstring defers: walk docs per source
+    in doc_id order keeping a (pack_id, fill) accumulator; a doc whose
+    tokens no longer fit OPENS A NEW PACK (next-fit discipline: no
+    doc ever spans two packs — the difference from chunked packing,
+    which splits mid-doc; and no back-filling of earlier packs, the
+    streaming-friendly compromise production packers make).
+    Oversized docs (> budget) get a pack of their own.
+
+    Implementation: grouped-map ``applyInPandas`` — one Arrow batch
+    per source, a vectorized-in/sequential-fold inner loop, O(1)
+    state. This is the (b)-tier custom-operator shape (SURVEY §2
+    guidance): the fold is inherently sequential per stream, so no
+    composition of built-ins expresses it; everything around it
+    (grouping, rollup) stays declarative. The DuckDB oracle replays
+    the same fold as a recursive CTE.
+
+    Scale: parallelism = number of pack streams. Five fixture sources
+    → five tasks; a production corpus packs within (source × shard)
+    streams — thousands of groups — so the same plan saturates any
+    cluster. Per-task memory is one row of state; the sort inside
+    each group is the batch's own doc_id order.
+    """
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pack_id, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            if not first and fill + n > TOKEN_BUDGET:
+                pack_id += 1
+                fill = 0
+            pack_ids.append(pack_id)
+            fill += int(n)
+            first = False
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["source", "doc_id", "n_tokens", "pack_id"]]
+
+    packed = docs.groupBy("source").applyInPandas(
+        pack, "source string, doc_id bigint, n_tokens int, pack_id bigint"
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

@@ -811,6 +811,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.sequence_packing,
         oracles_h.SEQUENCE_PACKING,
     ),
+    # H6: true next-fit packing (stateful grouped-map; recursive-CTE
+    # oracle replays the same fold)
+    "h6_greedy_packing": (
+        traindata.greedy_packing,
+        oracles_h.GREEDY_PACKING,
+    ),
     "h6_contamination_check": (
         traindata.contamination_check,
         oracles_h.CONTAMINATION_CHECK,

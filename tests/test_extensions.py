@@ -634,3 +634,40 @@ def test_countmin_overestimate_is_one_sided_for_all_tokens(spark):
     assert n_under == 0
     # every token was actually probed (no silent drop in the join)
     assert est.count() == exact.count()
+
+
+def test_greedy_packing_invariants(spark):
+    """Next-fit packing laws: a pack exceeds the budget only as an
+    oversized singleton; pack ids per source are contiguous from 0;
+    token mass is conserved vs the raw corpus."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.functions.text import tokens
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans.traindata import (
+        TOKEN_BUDGET,
+        greedy_packing,
+    )
+    from tests.conftest import SF_SMOKE
+
+    packs = greedy_packing(spark, SF_SMOKE).collect()
+    assert packs
+    per_source: dict[str, list] = {}
+    for r in packs:
+        assert r.pack_tokens <= TOKEN_BUDGET or r.n_docs == 1, (
+            "over-budget pack with more than one doc"
+        )
+        per_source.setdefault(r.source, []).append(r.pack_id)
+    for src, ids in per_source.items():
+        assert sorted(ids) == list(range(len(ids))), src
+    total = {
+        r.source: r.t
+        for r in read_table(spark, SF_SMOKE, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+        .collect()
+    }
+    packed_total: dict[str, int] = {}
+    for r in packs:
+        packed_total[r.source] = packed_total.get(r.source, 0) + r.pack_tokens
+    assert packed_total == total
