@@ -526,3 +526,34 @@ def test_attribution_joins_on_user_id_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "user_id" in plan
+
+
+def test_q19_disjunctive_join_is_hash_join_with_pushed_envelopes(spark):
+    """Q19's OR-of-conjuncts must NOT degrade to a nested loop: the
+    common l_partkey=p_partkey conjunct becomes the hash-join key, the
+    disjunction evaluates as the join residual, and Catalyst derives
+    each side's OR-envelope (quantity bands / brand×size bands) as a
+    pushed scan filter on BOTH tables."""
+    from bow_hunter_pipeline_spark.plans import tpch
+
+    plan = _plan(tpch.q19_discounted_parts(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # per-side envelopes reached the scans
+    li_scan = plan.split("lineitem.parquet", 1)[0]
+    assert "l_quantity" in li_scan.split("PushedFilters:")[-1]
+    part_scan = plan.split("part.parquet", 1)[0]
+    assert "p_brand" in part_scan.split("PushedFilters:")[-1]
+
+
+def test_greedy_packing_single_python_stage(spark):
+    """The stateful fold is ONE grouped-map python stage over the
+    source shuffle; the rollup after it is JVM-side HashAggregate."""
+    plan = _plan(traindata.greedy_packing(spark, SF_SMOKE))
+    # formatted explain names each node once in the tree and once in
+    # the details section — count the tree occurrences via node ids
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("FlatMapGroupsInPandas") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
