@@ -1417,3 +1417,20 @@ SELECT k % 4 AS bucket, COUNT(*) AS n_rows,
        MIN(g) AS min_g, MAX(g) AS max_g
 FROM final GROUP BY 1
 """
+
+
+TX_DELETE_RESTORE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price,
+       'deleted' AS state
+FROM orders WHERE o_orderkey % 7 <> 0
+GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price,
+       'restored' AS state
+FROM orders
+GROUP BY 1
+"""

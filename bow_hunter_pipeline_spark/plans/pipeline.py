@@ -1433,3 +1433,46 @@ def tx_guarded_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("g").alias("min_g"),
         F.max("g").alias("max_g"),
     )
+
+
+TX_DELRES_PATH = "/tmp/bhps_tx_orders_delres"
+
+
+def tx_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: row-level DELETE + RESTORE on the commit-log table — the
+    GDPR arc: create from orders, ``DELETE WHERE o_orderkey % 7 = 0``
+    (copy-on-write rewrite of only the touched files), then RESTORE
+    to version 0 (metadata-only rollback; the delete stays in
+    history). The result unions the per-priority rollup of both
+    states: 'deleted' must equal orders minus the matching keys,
+    'restored' must equal the original table exactly.
+
+    Scale: the delete's find phase pushes the predicate into the
+    scan; the rewrite touches only files containing matches; the
+    restore moves zero data bytes at any size.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, TX_DELRES_PATH, base, stats_cols=["o_orderkey"])
+
+    v_del, n_deleted = tx.delete_where(
+        spark, TX_DELRES_PATH, "o_orderkey % 7 = 0"
+    )
+    assert n_deleted > 0
+
+    def roll(df: DataFrame, state: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("price", "total_price", "decimal(14,2)"),
+        ).withColumn("state", F.lit(state))
+
+    deleted = roll(tx.snapshot(spark, TX_DELRES_PATH, v_del), "deleted")
+    tx.restore(spark, TX_DELRES_PATH, 0)
+    restored = roll(tx.snapshot(spark, TX_DELRES_PATH), "restored")
+    return deleted.unionByName(restored)

@@ -965,6 +965,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_guarded_merge,
         oracles_f.TX_GUARDED_MERGE,
     ),
+    # E2+: row-level DELETE (copy-on-write, file-pruned) + RESTORE
+    # (metadata-only rollback) through the commit-log table
+    "e2_tx_delete_restore": (
+        pipeline.tx_delete_restore,
+        oracles_f.TX_DELETE_RESTORE,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,

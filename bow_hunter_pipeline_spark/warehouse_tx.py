@@ -791,3 +791,115 @@ def clone_table(src: str, dst: str) -> None:
         os.path.join(src_abs, k): v for k, v in stats.items()
     }
     _commit(dst, 0, add=abs_files, remove=[], stats=abs_stats)
+
+
+def delete_where(
+    spark: SparkSession, table: str, condition: str
+) -> tuple[int, int]:
+    """Row-level DELETE (Delta's ``DELETE FROM t WHERE ...``), copy-on-
+    write at file granularity: a find phase locates the live files
+    that CONTAIN matching rows (predicate pushed into the scan, so
+    untouched files cost only footer metadata), then exactly those
+    files are rewritten without their matching rows and swapped in one
+    commit. Files with no matches carry over untouched — the GDPR
+    delete against a 100 TB table rewrites only the files the keys
+    live in, same as ``merge_pruned``.
+
+    Returns ``(new_version, n_deleted)``; a no-match delete commits
+    nothing and returns the current version.
+
+    NULL semantics are SQL DELETE's: rows where the predicate is NULL
+    are KEPT (only predicate-TRUE rows are deleted).
+    """
+    read_v = _versions(table)[-1]
+    rels, stats = _replay(table, read_v)
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table, r)): r for r in rels
+    }
+    cond = F.expr(condition)
+    df = spark.read.parquet(*abs_to_rel).withColumn(
+        "__file", F.input_file_name()
+    )
+    per_file = (
+        df.filter(cond)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not per_file:
+        return read_v, 0
+    strip = lambda uri: os.path.abspath(uri.removeprefix("file:"))  # noqa: E731
+    hit_rels = [abs_to_rel[strip(r["__file"])] for r in per_file]
+    n_deleted = sum(r["n"] for r in per_file)
+
+    stat_cols = sorted({c for s in stats.values() for c in s})
+    keep = spark.read.parquet(
+        *[os.path.join(table, r) for r in hit_rels]
+    ).filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+    next_v = read_v + 1
+    new_files, new_stats = _write_data(keep, table, next_v, stat_cols)
+    carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
+    try:
+        _commit(
+            table, next_v, add=new_files, remove=hit_rels,
+            stats={**carry, **new_stats},
+        )
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v, n_deleted
+
+
+def restore(spark: SparkSession, table: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the CURRENT state
+    back to an earlier snapshot as a new commit (history is append-
+    only; the rollback itself is versioned and revertible, exactly
+    Delta's RESTORE). Metadata-only: the commit re-adds the target
+    version's live files and removes the current extras — zero data
+    bytes move at any table size.
+
+    Raises :class:`VersionVacuumedError` if the target snapshot's
+    files were already vacuumed (same retention trade as AS OF
+    reads)."""
+    read_v = _versions(table)[-1]
+    target_rels, target_stats = _replay(table, version)
+    gone = [
+        r for r in target_rels
+        if not os.path.exists(os.path.join(table, r))
+    ]
+    if gone:
+        raise VersionVacuumedError(
+            f"cannot restore {table} to version {version}: "
+            f"{len(gone)} data file(s) vacuumed (e.g. {gone[0]})"
+        )
+    current = set(live_files(table, read_v))
+    target = set(target_rels)
+    add = sorted(target - current)
+    remove = sorted(current - target)
+    next_v = read_v + 1
+    _commit(
+        table, next_v, add=add, remove=remove,
+        stats={r: target_stats[r] for r in add if r in target_stats},
+    )
+    return next_v
+
+
+def history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY — one summary record per commit, oldest
+    first: version, files added/removed, writer txn stamp if any.
+    Reads only the log (never data); O(versions) driver-side, the
+    audit surface a table owner queries, not a per-read path."""
+    out = []
+    for v in _versions(table):
+        with open(_log_path(table, v)) as f:
+            entry = json.load(f)
+        out.append(
+            {
+                "version": v,
+                "n_added": len(entry["add"]),
+                "n_removed": len(entry["remove"]),
+                "txn_app": (entry.get("txn") or [None, None])[0],
+                "txn_version": (entry.get("txn") or [None, None])[1],
+            }
+        )
+    return out

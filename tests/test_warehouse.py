@@ -746,3 +746,85 @@ def test_tx_checkpoint_failure_never_poisons_a_landed_commit(
     # checkpoint path with a raising writer — table must be intact
     assert tx._versions(table)[-1] == tx.CHECKPOINT_INTERVAL
     assert {r.v for r in tx.snapshot(spark, table).collect()} == {2.0}
+
+
+def test_tx_delete_where_rewrites_only_files_with_matches(spark, tmp_path):
+    """Copy-on-write DELETE: files without matching rows must carry
+    over by identity (same relative path in the new live set), and
+    only the touched files are replaced."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    # two files with disjoint key ranges via repartitionByRange
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartitionByRange(2, "k")
+    tx.create_table(spark, table, df, stats_cols=["k"])
+    before = set(tx.live_files(table))
+    assert len(before) == 2
+
+    v, n = tx.delete_where(spark, table, "k >= 90")
+    assert n == 10
+    after = set(tx.live_files(table, v))
+    # the low-range file is untouched, the high-range file replaced
+    assert len(before & after) == 1
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == set(range(90))
+    # no-match delete: no commit, same version
+    v2, n2 = tx.delete_where(spark, table, "k > 1000")
+    assert (v2, n2) == (v, 0)
+    # NULL predicate rows are KEPT (SQL DELETE semantics)
+    tbl2 = str(tmp_path / "t2")
+    d2 = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 50.0)], "k bigint, v double"
+    )
+    tx.create_table(spark, tbl2, d2)
+    _, n3 = tx.delete_where(spark, tbl2, "v > 10")
+    assert n3 == 1
+    assert {r.k for r in tx.snapshot(spark, tbl2).collect()} == {1, 2}
+
+
+def test_tx_restore_is_metadata_only_and_versioned(spark, tmp_path):
+    """RESTORE re-points the live set without moving data, lands as a
+    new commit (the rollback itself is in history and revertible),
+    and refuses to resurrect a vacuumed snapshot."""
+    import pytest as _pytest
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, v double"
+    )
+    tx.create_table(spark, table, base)
+    up = spark.createDataFrame([(1, -1.0), (99, 9.0)], "k bigint, v double")
+    tx.merge(spark, table, up, ["k"], ["v"])
+    v0_files = set(tx.live_files(table, 0))
+
+    v_restore = tx.restore(spark, table, 0)
+    assert v_restore == 2
+    # live set is exactly version 0's files — no new data written
+    assert set(tx.live_files(table)) == v0_files
+    assert {(r.k, r.v) for r in tx.snapshot(spark, table).collect()} == {
+        (i, float(i)) for i in range(20)
+    }
+    # the restore is itself revertible: roll forward to the merge state
+    tx.restore(spark, table, 1)
+    got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    assert got[1] == -1.0 and got[99] == 9.0
+
+    hist = tx.history(table)
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+    # restore-to-0 removed the merge's files and re-added v0's
+    assert hist[2]["n_added"] == len(v0_files)
+
+    # vacuum the old merge snapshot, then restoring to it must fail
+    tx.restore(spark, table, 0)
+    tx.vacuum(spark, table, keep_versions=1)
+    with _pytest.raises(tx.VersionVacuumedError):
+        tx.restore(spark, table, 1)
