@@ -1434,3 +1434,18 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
 FROM orders
 GROUP BY 1
 """
+
+
+TX_UPDATE_CHANGE_FEED = """
+SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(14,2))),
+                  4) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT 'insert' AS _change_type, COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(CAST(o_totalprice AS DOUBLE) * 2
+                           AS DECIMAL(14,2))), 4) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""

@@ -1476,3 +1476,43 @@ def tx_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx.restore(spark, TX_DELRES_PATH, 0)
     restored = roll(tx.snapshot(spark, TX_DELRES_PATH), "restored")
     return deleted.unionByName(restored)
+
+
+TX_UPDFEED_PATH = "/tmp/bhps_tx_orders_updfeed"
+
+
+def tx_update_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: row-level UPDATE + change data feed — the CDC-producer
+    arc: create from orders, ``UPDATE SET price = price * 2 WHERE
+    o_orderpriority = '1-URGENT'``, then read the CHANGES between the
+    two versions. Every urgent order must appear exactly twice in the
+    feed — its pre-image tagged ``delete`` and its doubled post-image
+    tagged ``insert`` — and unchanged rows that merely shared a
+    rewritten file must cancel out of the diff entirely.
+
+    Scale: the update rewrites only files containing urgent rows; the
+    feed diffs only the files the two versions do not share, with
+    row-level cancellation (exceptAll) handling rewritten survivors.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, TX_UPDFEED_PATH, base, stats_cols=["o_orderkey"])
+    v, n = tx.update_where(
+        spark,
+        TX_UPDFEED_PATH,
+        "o_orderpriority = '1-URGENT'",
+        {"price": "price * 2"},
+    )
+    assert n > 0
+    feed = tx.change_feed(spark, TX_UPDFEED_PATH, 0, v)
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("price", "total_price", "decimal(14,2)"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+    )

@@ -971,6 +971,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_delete_restore,
         oracles_f.TX_DELETE_RESTORE,
     ),
+    # E2+: row-level UPDATE + change data feed between versions
+    "e2_tx_update_change_feed": (
+        pipeline.tx_update_change_feed,
+        oracles_f.TX_UPDATE_CHANGE_FEED,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,

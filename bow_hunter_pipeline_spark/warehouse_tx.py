@@ -903,3 +903,111 @@ def history(table: str) -> list[dict]:
             }
         )
     return out
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    assignments: dict[str, str],
+) -> tuple[int, int]:
+    """Row-level UPDATE (Delta's ``UPDATE t SET ... WHERE ...``),
+    copy-on-write at file granularity like :func:`delete_where`: the
+    find phase locates files containing predicate-TRUE rows, and only
+    those files are rewritten with ``assignments`` (column → SQL
+    expression, evaluated per matching row; non-matching rows in the
+    same file are carried through unchanged). Returns
+    ``(new_version, n_updated)``; a no-match update commits nothing.
+
+    NULL predicate rows are NOT updated (SQL UPDATE semantics)."""
+    read_v = _versions(table)[-1]
+    rels, stats = _replay(table, read_v)
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table, r)): r for r in rels
+    }
+    cond = F.expr(condition)
+    df = spark.read.parquet(*abs_to_rel).withColumn(
+        "__file", F.input_file_name()
+    )
+    per_file = (
+        df.filter(cond)
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not per_file:
+        return read_v, 0
+    strip = lambda uri: os.path.abspath(uri.removeprefix("file:"))  # noqa: E731
+    hit_rels = [abs_to_rel[strip(r["__file"])] for r in per_file]
+    n_updated = sum(r["n"] for r in per_file)
+
+    hit = spark.read.parquet(*[os.path.join(table, r) for r in hit_rels])
+    is_hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+    rewritten = hit.select(
+        *[
+            F.when(is_hit, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in hit.columns
+        ]
+    )
+    stat_cols = sorted({c for s in stats.values() for c in s})
+    next_v = read_v + 1
+    new_files, new_stats = _write_data(rewritten, table, next_v, stat_cols)
+    carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
+    try:
+        _commit(
+            table, next_v, add=new_files, remove=hit_rels,
+            stats={**carry, **new_stats},
+        )
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v, n_updated
+
+
+def change_feed(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change data feed between two versions (Delta's
+    ``table_changes``), derived from the snapshots: rows present at
+    ``v_to`` but not ``v_from`` tagged ``insert``, rows present at
+    ``v_from`` but not ``v_to`` tagged ``delete`` (an update appears
+    as its delete+insert pair — the exact row images). Diffing reads
+    ONLY the files the two versions do not share: common files cancel
+    by construction, so the scan cost tracks the churn between the
+    versions, not the table size.
+
+    Columns: the table's columns plus ``_change_type``.
+    """
+    from_rels = set(live_files(table, v_from))
+    to_rels = set(live_files(table, v_to))
+    only_from = sorted(from_rels - to_rels)
+    only_to = sorted(to_rels - from_rels)
+
+    def read(rels: list[str]) -> DataFrame | None:
+        if not rels:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(table, r) for r in rels]
+        )
+
+    old, new = read(only_from), read(only_to)
+    if old is None and new is None:
+        empty = snapshot(spark, table, v_from).limit(0)
+        return empty.withColumn("_change_type", F.lit("insert")).limit(0)
+    inserts = deletes = None
+    if new is not None:
+        inserts = (new.exceptAll(old) if old is not None else new)
+        inserts = inserts.withColumn("_change_type", F.lit("insert"))
+    if old is not None:
+        deletes = (old.exceptAll(new) if new is not None else old)
+        deletes = deletes.withColumn("_change_type", F.lit("delete"))
+    if inserts is None:
+        return deletes
+    if deletes is None:
+        return inserts
+    return inserts.unionByName(deletes)

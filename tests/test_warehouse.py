@@ -828,3 +828,40 @@ def test_tx_restore_is_metadata_only_and_versioned(spark, tmp_path):
     tx.vacuum(spark, table, keep_versions=1)
     with _pytest.raises(tx.VersionVacuumedError):
         tx.restore(spark, table, 1)
+
+
+def test_tx_update_where_and_change_feed_round_trip(spark, tmp_path):
+    """UPDATE rewrites only touched files; the change feed shows the
+    exact delete+insert pair per updated row and nothing for
+    unchanged rows — even ones that shared a rewritten file."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(2, "k")
+    tx.create_table(spark, table, df, stats_cols=["k"])
+    before = set(tx.live_files(table))
+
+    v, n = tx.update_where(spark, table, "k IN (30, 35)", {"v": "v + 100"})
+    assert n == 2
+    # only the high-range file was rewritten
+    assert len(before & set(tx.live_files(table, v))) == 1
+    got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    assert got[30] == 130.0 and got[35] == 135.0 and got[0] == 0.0
+
+    feed = tx.change_feed(spark, table, 0, v).collect()
+    changes = {(r._change_type, r.k, r.v) for r in feed}
+    assert changes == {
+        ("delete", 30, 30.0),
+        ("delete", 35, 35.0),
+        ("insert", 30, 130.0),
+        ("insert", 35, 135.0),
+    }
+    # no-match update: nothing committed
+    v3, n3 = tx.update_where(spark, table, "k > 900", {"v": "0.0"})
+    assert (v3, n3) == (v, 0)
+    # identical-version feed is empty
+    assert tx.change_feed(spark, table, v, v).count() == 0
