@@ -1449,3 +1449,13 @@ SELECT 'insert' AS _change_type, COUNT(*) AS n_rows,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM orders WHERE o_orderpriority = '1-URGENT'
 """
+
+
+TX_STREAM_SOURCE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1
+"""

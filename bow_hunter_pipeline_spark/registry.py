@@ -976,6 +976,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_update_change_feed,
         oracles_f.TX_UPDATE_CHANGE_FEED,
     ),
+    # H4 × E2+: streaming source tailing the commit-log table (one
+    # commit per micro-batch; insert-only contract enforced)
+    "h4_streaming_tx_source": (
+        structured.streaming_tx_source,
+        oracles_f.TX_STREAM_SOURCE,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,

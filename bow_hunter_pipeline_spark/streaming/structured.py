@@ -706,3 +706,79 @@ def streaming_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert not applied and v == v_before, (bid, v, v_before)
     assert tx._versions(table)[-1] == v_before
     return tx.snapshot(spark, table)
+
+
+TX_STREAM_TABLE = "/tmp/bhps_tx_stream_orders"
+
+
+def streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × E2+: STREAM FROM the transactional table — the from-scratch
+    'streaming Delta source' (sources/tx_stream.py): the commit log is
+    tailed one commit per micro-batch, so a create + two appends
+    arrive as three incremental batches through a real readStream.
+
+    The rollup (complete mode) must equal the batch aggregate over the
+    three slices' union — i.e. over ALL orders — proving no loss and
+    no duplication across the version-checkpointed batches. The
+    insert-only contract is load-bearing: a rewriting commit in the
+    tailed range raises instead of double-delivering rows.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.sources.tx_stream import read_tx_stream
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    k = F.col("o_orderkey")
+    tx.create_table(spark, TX_STREAM_TABLE, orders.filter(k % 3 == 0))
+    tx.append(spark, TX_STREAM_TABLE, orders.filter(k % 3 == 1))
+    tx.append(spark, TX_STREAM_TABLE, orders.filter(k % 3 == 2))
+
+    stream = read_tx_stream(spark, TX_STREAM_TABLE)
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price", "total_price", "decimal(14,2)"),
+        # no exact count_distinct on a stream (unbounded state);
+        # o_orderkey is the key, so min/max pin the delivered range
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    # Python stream sources don't support availableNow (Spark falls
+    # back to ONE batch) — drain with a short processingTime trigger
+    # and poll to the known finite total, one commit per micro-batch
+    # (same discipline as a1_python_stream_datasource).
+    import time
+
+    name = "bhps_stream_tx_source"
+    n_total = orders.count()
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = (
+                spark.table(name)
+                .agg(F.sum("n_orders").alias("n"))
+                .collect()[0]["n"]
+            )
+            if got == n_total:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"tx stream drained {got} of {n_total} rows in 120s"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)

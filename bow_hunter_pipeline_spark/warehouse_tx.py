@@ -1011,3 +1011,24 @@ def change_feed(
     if deletes is None:
         return inserts
     return inserts.unionByName(deletes)
+
+
+def append(spark: SparkSession, table: str, df: DataFrame) -> int:
+    """Blind INSERT INTO — an append-only commit: new files added,
+    nothing removed, existing files untouched. The cheapest write the
+    protocol supports (no snapshot read, no join), and the commit
+    shape a streaming source can tail incrementally. Retries on
+    version-claim conflicts are safe to re-run via merge_idempotent's
+    txn protocol if exactly-once matters; plain append is
+    at-least-once under blind retry, like Delta's INSERT."""
+    read_v = _versions(table)[-1]
+    _, stats = _replay(table, read_v)
+    stat_cols = sorted({c for s in stats.values() for c in s})
+    next_v = read_v + 1
+    new_files, new_stats = _write_data(df, table, next_v, stat_cols)
+    try:
+        _commit(table, next_v, add=new_files, remove=[], stats=new_stats)
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v

@@ -454,3 +454,83 @@ def test_streaming_tx_merge_multi_batch_exactly_once(spark, tmp_path):
     assert {
         r.k: r.v for r in tx.snapshot(spark, table).collect()
     } == got
+
+
+def test_tx_stream_source_delivers_per_commit_batches(spark, tmp_path):
+    """The commit-log stream source: three append commits arrive as
+    three distinct micro-batches (offset advances one version per
+    trigger), and the drained rows equal the table exactly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import read_tx_stream
+
+    table = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, mk(0, 10))
+    tx.append(spark, table, mk(10, 25))
+    tx.append(spark, table, mk(25, 30))
+
+    name = "tx_stream_unit"
+    q = (
+        read_tx_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 30:
+            time.sleep(0.2)
+        rows = {(r.k, r.v) for r in spark.table(name).collect()}
+        batches = [
+            p["numInputRows"]
+            for p in (q.recentProgress or [])
+            if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    assert rows == {(i, float(i)) for i in range(30)}
+    # one commit per micro-batch: the three commits' row counts arrive
+    # as separate batches (10, 15, 5), never coalesced
+    assert batches == [10, 15, 5]
+
+
+def test_tx_stream_source_rejects_rewriting_commits(spark, tmp_path):
+    """Insert-only contract: a merge (rewrite) in the tailed range
+    fails the stream instead of double-delivering rewritten rows."""
+    import pyspark.errors
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import read_tx_stream
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    up = spark.createDataFrame([(1, -1.0)], "k bigint, v double")
+    tx.merge(spark, table, up, ["k"], ["v"])  # version 1 removes files
+
+    q = (
+        read_tx_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName("tx_stream_reject")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    with _pytest.raises(pyspark.errors.StreamingQueryException) as e:
+        q.awaitTermination(30)
+        raise AssertionError("stream should have failed on the merge commit")
+    assert "insert-only" in str(e.value)
