@@ -1461,10 +1461,9 @@ def tx_delete_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tx.create_table(spark, TX_DELRES_PATH, base, stats_cols=["o_orderkey"])
 
-    v_del, n_deleted = tx.delete_where(
+    v_del, _n_deleted = tx.delete_where(
         spark, TX_DELRES_PATH, "o_orderkey % 7 = 0"
     )
-    assert n_deleted > 0
 
     def roll(df: DataFrame, state: str) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
@@ -1503,13 +1502,12 @@ def tx_update_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
     )
     tx.create_table(spark, TX_UPDFEED_PATH, base, stats_cols=["o_orderkey"])
-    v, n = tx.update_where(
+    v, _n = tx.update_where(
         spark,
         TX_UPDFEED_PATH,
         "o_orderpriority = '1-URGENT'",
         {"price": "price * 2"},
     )
-    assert n > 0
     feed = tx.change_feed(spark, TX_UPDFEED_PATH, 0, v)
     return feed.groupBy("_change_type").agg(
         F.count(F.lit(1)).alias("n_rows"),

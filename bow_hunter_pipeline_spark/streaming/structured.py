@@ -771,7 +771,7 @@ def streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.table(name)
                 .agg(F.sum("n_orders").alias("n"))
                 .collect()[0]["n"]
-            )
+            ) or 0
             if got == n_total:
                 break
             time.sleep(0.2)

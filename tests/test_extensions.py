@@ -305,7 +305,8 @@ def test_every_query_survives_empty_fixtures(spark):
             try:
                 fn(spark, EMPTY_FIXTURES).count()
             except Exception as exc:
-                crashed.append((name, str(exc).splitlines()[0][:100]))
+                msg = str(exc).splitlines() or ["<empty>"]
+                crashed.append((name, msg[0][:100]))
         assert not crashed, crashed
     finally:
         shutil.rmtree(EMPTY_FIXTURES, ignore_errors=True)
