@@ -1459,3 +1459,20 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
 FROM orders
 GROUP BY 1
 """
+
+
+TX_DV_DELETE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price,
+       'remaining' AS state
+FROM orders WHERE o_orderkey % 5 <> 0
+GROUP BY 1
+UNION ALL
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price,
+       'dv_deleted' AS state
+FROM orders WHERE o_orderkey % 5 = 0
+GROUP BY 1
+"""

@@ -1514,3 +1514,48 @@ def tx_update_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("price", "total_price", "decimal(14,2)"),
         F.count_distinct("o_orderkey").alias("n_orders"),
     )
+
+
+TX_DV_PATH = "/tmp/bhps_tx_orders_dv"
+
+
+def tx_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: MERGE-ON-READ delete via deletion vectors — the 100 TB
+    GDPR-delete shape where rewriting files is unaffordable: the
+    delete commits only row positions (zero data bytes move; the live
+    file set is asserted unchanged in-plan), readers anti-join the
+    vectors on the scan's own row index, and the change feed reports
+    the vectored rows as row-level deletes even though no file
+    changed.
+
+    Result: the post-delete per-priority rollup ('remaining') union
+    the change-feed delete rollup ('dv_deleted') — together they must
+    re-add to the original table, which is what the oracle checks.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).repartitionByRange(4, "o_orderkey")
+    tx.create_table(spark, TX_DV_PATH, base)
+    files_before = set(tx.live_files(TX_DV_PATH))
+
+    v, _n = tx.delete_where_dv(spark, TX_DV_PATH, "o_orderkey % 5 = 0")
+    assert set(tx.live_files(TX_DV_PATH, v)) == files_before, (
+        "merge-on-read delete must not move data"
+    )
+
+    def roll(df: DataFrame, state: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("price", "total_price", "decimal(14,2)"),
+        ).withColumn("state", F.lit(state))
+
+    remaining = roll(tx.snapshot(spark, TX_DV_PATH), "remaining")
+    feed = tx.change_feed(spark, TX_DV_PATH, 0, v).filter(
+        F.col("_change_type") == "delete"
+    )
+    return remaining.unionByName(roll(feed, "dv_deleted"))

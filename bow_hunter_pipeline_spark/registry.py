@@ -982,6 +982,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_tx_source,
         oracles_f.TX_STREAM_SOURCE,
     ),
+    # E2+: merge-on-read DELETE (deletion vectors: positions in the
+    # commit, zero data movement; reads anti-join the vector)
+    "e2_tx_dv_delete": (
+        pipeline.tx_dv_delete,
+        oracles_f.TX_DV_DELETE,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,

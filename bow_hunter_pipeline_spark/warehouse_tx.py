@@ -197,6 +197,7 @@ def _commit(
     remove: list[str],
     stats: dict[str, dict[str, list]] | None = None,
     txn: tuple[str, int] | None = None,
+    dv: dict[str, list[int]] | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
@@ -208,7 +209,13 @@ def _commit(
     transaction identity (Delta's txnAppId/txnVersion): idempotent
     writers (streaming foreachBatch sinks) record their batch id here
     and consult :func:`last_txn_version` before re-applying — the
-    exactly-once handshake for at-least-once batch re-delivery."""
+    exactly-once handshake for at-least-once batch re-delivery.
+
+    ``dv`` records DELETION VECTORS: per file, the sorted row indexes
+    readers must skip (merge-on-read DELETE). A file's dv entry
+    REPLACES any earlier entry for that file — writers always publish
+    the full survivor-complement, never a delta — and removing a file
+    drops its vector."""
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     final = _log_path(table, version)
     if os.path.exists(final):
@@ -222,6 +229,8 @@ def _commit(
     }
     if txn is not None:
         entry["txn"] = [txn[0], txn[1]]
+    if dv is not None:
+        entry["dv"] = {r: sorted(ids) for r, ids in dv.items()}
     with open(tmp, "w") as f:
         json.dump(entry, f)
     try:
@@ -252,6 +261,7 @@ def _write_checkpoint(table: str, version: int) -> None:
     are derived data, not the lock."""
     live, stats = _replay(table, version)
     txns = _replay_txns(table, version)
+    dvs = _replay_dvs(table, version, use_checkpoint=False)
     tmp = _checkpoint_path(table, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(
@@ -260,6 +270,7 @@ def _write_checkpoint(table: str, version: int) -> None:
                 "live": live,
                 "stats": stats,
                 "txns": txns,
+                "dvs": dvs,
             },
             f,
         )
@@ -308,6 +319,50 @@ def last_txn_version(table: str, app_id: str) -> int:
     """Highest transaction version committed by ``app_id`` (-1 if
     none) — the read half of the exactly-once handshake."""
     return _replay_txns(table).get(app_id, -1)
+
+
+def _replay_dvs(
+    table: str,
+    version: int | None = None,
+    *,
+    use_checkpoint: bool = True,
+) -> dict[str, list[int]]:
+    """Deletion-vector state at ``version``: per live file, the row
+    indexes readers must skip. Replay rules: a file's dv entry
+    replaces earlier ones; removing a file drops its vector; empty
+    vectors are dropped (a cleared file reads plainly again).
+    Checkpoint-seeded like :func:`_replay`."""
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits at {table}")
+    upto = versions[-1] if version is None else version
+    dvs: dict[str, list[int]] = {}
+    start = 0
+    if use_checkpoint:
+        ckpts = [c for c in _checkpoint_versions(table) if c <= upto]
+        if ckpts:
+            with open(_checkpoint_path(table, ckpts[-1])) as f:
+                snap = json.load(f)
+            dvs = {
+                k: [int(i) for i in v]
+                for k, v in snap.get("dvs", {}).items()
+            }
+            start = snap["version"] + 1
+    for v in versions:
+        if v < start:
+            continue
+        if v > upto:
+            break
+        with open(_log_path(table, v)) as f:
+            entry = json.load(f)
+        for rel in entry["remove"]:
+            dvs.pop(rel, None)
+        for rel, ids in entry.get("dv", {}).items():
+            if ids:
+                dvs[rel] = [int(i) for i in ids]
+            else:
+                dvs.pop(rel, None)
+    return dvs
 
 
 def create_table(
@@ -396,7 +451,60 @@ def snapshot(
             f"{table} references {len(gone)} vacuumed data file(s) "
             f"(e.g. {gone[0]}); re-read at or above the retention window"
         )
-    return spark.read.parquet(*paths)
+    return _read_live(spark, table, rels, _replay_dvs(table, version))
+
+
+def _norm_file_path() -> "F.Column":
+    """``_metadata.file_path`` (a ``file:///...`` URI) normalized to a
+    plain absolute path, for joining against log-relative names."""
+    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+
+
+def _read_live(
+    spark: SparkSession,
+    table: str,
+    rels: list[str],
+    dvs: dict[str, list[int]],
+    *,
+    with_file: bool = False,
+    with_pos: bool = False,
+) -> DataFrame:
+    """Scan ``rels`` applying deletion vectors (merge-on-read): rows
+    whose (file, row_index) appear in a DV are anti-joined away using
+    the scan's own ``_metadata`` row position — no data rewrite ever
+    happened for them. The DV side broadcasts (vectors are small
+    relative to data; production engines use roaring bitmaps, same
+    join shape). ``with_file`` keeps the normalized file path as
+    ``__file`` for callers that need file attribution."""
+    df = spark.read.parquet(*[os.path.join(table, r) for r in rels])
+    live_dvs = {r: ids for r, ids in dvs.items() if r in set(rels) and ids}
+    if not live_dvs and not (with_file or with_pos):
+        return df
+    cols = df.columns
+    df = df.withColumn("__file", _norm_file_path()).withColumn(
+        "__idx", F.col("_metadata.row_index")
+    )
+    if live_dvs:
+        pairs = [
+            (os.path.abspath(os.path.join(table, r)), int(i))
+            for r, ids in live_dvs.items()
+            for i in ids
+        ]
+        dv_df = spark.createDataFrame(
+            pairs, "__dv_file string, __dv_idx bigint"
+        )
+        df = df.join(
+            F.broadcast(dv_df),
+            (df["__file"] == dv_df["__dv_file"])
+            & (df["__idx"] == dv_df["__dv_idx"]),
+            "left_anti",
+        )
+    keep = list(cols)
+    if with_file:
+        keep.append("__file")
+    if with_pos:
+        keep.append("__idx")
+    return df.select(*keep)
 
 
 def _align_schemas(
@@ -641,8 +749,8 @@ def merge_pruned(
             carry.append(rel)
 
     if rewrite:
-        touched = spark.read.parquet(
-            *[os.path.join(table, p) for p in rewrite]
+        touched = _read_live(
+            spark, table, rewrite, _replay_dvs(table, read_v)
         )
     else:
         touched = snapshot(spark, table, read_v).limit(0)
@@ -813,13 +921,12 @@ def delete_where(
     """
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
+    dvs = _replay_dvs(table, read_v)
     abs_to_rel = {
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
     cond = F.expr(condition)
-    df = spark.read.parquet(*abs_to_rel).withColumn(
-        "__file", F.input_file_name()
-    )
+    df = _read_live(spark, table, rels, dvs, with_file=True)
     per_file = (
         df.filter(cond)
         .groupBy("__file")
@@ -828,14 +935,13 @@ def delete_where(
     )
     if not per_file:
         return read_v, 0
-    strip = lambda uri: os.path.abspath(uri.removeprefix("file:"))  # noqa: E731
-    hit_rels = [abs_to_rel[strip(r["__file"])] for r in per_file]
+    hit_rels = [abs_to_rel[r["__file"]] for r in per_file]
     n_deleted = sum(r["n"] for r in per_file)
 
     stat_cols = sorted({c for s in stats.values() for c in s})
-    keep = spark.read.parquet(
-        *[os.path.join(table, r) for r in hit_rels]
-    ).filter(~F.coalesce(cond.cast("boolean"), F.lit(False)))
+    keep = _read_live(spark, table, hit_rels, dvs).filter(
+        ~F.coalesce(cond.cast("boolean"), F.lit(False))
+    )
     next_v = read_v + 1
     new_files, new_stats = _write_data(keep, table, next_v, stat_cols)
     carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
@@ -876,10 +982,22 @@ def restore(spark: SparkSession, table: str, version: int) -> int:
     target = set(target_rels)
     add = sorted(target - current)
     remove = sorted(current - target)
+    # deletion vectors roll back with the snapshot: publish the target
+    # version's vector for every target file whose current vector
+    # differs (an empty vector clears — rows come back without any
+    # data movement)
+    target_dvs = _replay_dvs(table, version)
+    current_dvs = _replay_dvs(table, read_v)
+    dv = {
+        r: target_dvs.get(r, [])
+        for r in sorted(target)
+        if target_dvs.get(r, []) != current_dvs.get(r, [])
+    }
     next_v = read_v + 1
     _commit(
         table, next_v, add=add, remove=remove,
         stats={r: target_stats[r] for r in add if r in target_stats},
+        dv=dv or None,
     )
     return next_v
 
@@ -922,13 +1040,12 @@ def update_where(
     NULL predicate rows are NOT updated (SQL UPDATE semantics)."""
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
+    dvs = _replay_dvs(table, read_v)
     abs_to_rel = {
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
     cond = F.expr(condition)
-    df = spark.read.parquet(*abs_to_rel).withColumn(
-        "__file", F.input_file_name()
-    )
+    df = _read_live(spark, table, rels, dvs, with_file=True)
     per_file = (
         df.filter(cond)
         .groupBy("__file")
@@ -937,11 +1054,10 @@ def update_where(
     )
     if not per_file:
         return read_v, 0
-    strip = lambda uri: os.path.abspath(uri.removeprefix("file:"))  # noqa: E731
-    hit_rels = [abs_to_rel[strip(r["__file"])] for r in per_file]
+    hit_rels = [abs_to_rel[r["__file"]] for r in per_file]
     n_updated = sum(r["n"] for r in per_file)
 
-    hit = spark.read.parquet(*[os.path.join(table, r) for r in hit_rels])
+    hit = _read_live(spark, table, hit_rels, dvs)
     is_hit = F.coalesce(cond.cast("boolean"), F.lit(False))
     rewritten = hit.select(
         *[
@@ -985,17 +1101,26 @@ def change_feed(
     """
     from_rels = set(live_files(table, v_from))
     to_rels = set(live_files(table, v_to))
-    only_from = sorted(from_rels - to_rels)
-    only_to = sorted(to_rels - from_rels)
+    from_dvs = _replay_dvs(table, v_from)
+    to_dvs = _replay_dvs(table, v_to)
+    # a deletion-vector change is a row change with NO file change —
+    # common files whose vector differs must enter the diff too
+    dv_changed = {
+        r
+        for r in from_rels & to_rels
+        if from_dvs.get(r, []) != to_dvs.get(r, [])
+    }
+    only_from = sorted((from_rels - to_rels) | dv_changed)
+    only_to = sorted((to_rels - from_rels) | dv_changed)
 
-    def read(rels: list[str]) -> DataFrame | None:
+    def read(
+        rels: list[str], dvs: dict[str, list[int]]
+    ) -> DataFrame | None:
         if not rels:
             return None
-        return spark.read.parquet(
-            *[os.path.join(table, r) for r in rels]
-        )
+        return _read_live(spark, table, rels, dvs)
 
-    old, new = read(only_from), read(only_to)
+    old, new = read(only_from, from_dvs), read(only_to, to_dvs)
     if old is None and new is None:
         empty = snapshot(spark, table, v_from).limit(0)
         return empty.withColumn("_change_type", F.lit("insert")).limit(0)
@@ -1032,3 +1157,56 @@ def append(spark: SparkSession, table: str, df: DataFrame) -> int:
         _discard_uncommitted(table, new_files)
         raise
     return next_v
+
+
+def delete_where_dv(
+    spark: SparkSession, table: str, condition: str
+) -> tuple[int, int]:
+    """Row-level DELETE, MERGE-ON-READ: instead of rewriting files
+    (:func:`delete_where`'s copy-on-write), record the matching rows'
+    positions as DELETION VECTORS in the commit — zero data bytes
+    move, at any table size. Readers apply the vectors as a broadcast
+    anti-join on the scan's own ``_metadata.row_index``; the next
+    rewriting operation (merge/compact/delete_where) materializes the
+    survivors and drops the vectors.
+
+    This is the 100 TB GDPR-delete trade: copy-on-write pays the
+    rewrite now and keeps reads pure; merge-on-read pays a tiny
+    metadata commit now and a per-read anti-join until the next
+    compaction. Both live here so the caller chooses per table.
+
+    A file's published vector is always the FULL set of its deleted
+    rows (prior vector ∪ new matches) — replace semantics, never a
+    delta. Returns ``(new_version, n_newly_deleted)``; no matches
+    commits nothing.
+
+    NULL predicate rows are KEPT (SQL DELETE semantics)."""
+    read_v = _versions(table)[-1]
+    rels, _ = _replay(table, read_v)
+    dvs = _replay_dvs(table, read_v)
+    cond = F.expr(condition)
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table, r)): r for r in rels
+    }
+    # the DV-applied read cannot re-match already-deleted rows
+    df = _read_live(
+        spark, table, rels, dvs, with_file=True, with_pos=True
+    )
+    hits = (
+        df.filter(cond)
+        .groupBy("__file")
+        .agg(F.collect_list("__idx").alias("idxs"))
+        .collect()
+    )
+    if not hits:
+        return read_v, 0
+    dv: dict[str, list[int]] = {}
+    n_deleted = 0
+    for row in hits:
+        rel = abs_to_rel[row["__file"]]
+        new_ids = [int(i) for i in row["idxs"]]
+        n_deleted += len(new_ids)
+        dv[rel] = sorted(set(dvs.get(rel, [])) | set(new_ids))
+    next_v = read_v + 1
+    _commit(table, next_v, add=[], remove=[], dv=dv)
+    return next_v, n_deleted

@@ -865,3 +865,106 @@ def test_tx_update_where_and_change_feed_round_trip(spark, tmp_path):
     assert (v3, n3) == (v, 0)
     # identical-version feed is empty
     assert tx.change_feed(spark, table, v, v).count() == 0
+
+
+def test_tx_deletion_vectors_merge_on_read(spark, tmp_path):
+    """delete_where_dv: zero data movement (live files unchanged),
+    reads skip the vectored rows, repeat deletes union into the
+    vector, and AS OF below the delete still sees every row."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(2, "k")
+    tx.create_table(spark, table, df)
+    files_v0 = set(tx.live_files(table))
+
+    v1, n1 = tx.delete_where_dv(spark, table, "k % 10 = 0")
+    assert n1 == 5
+    assert set(tx.live_files(table, v1)) == files_v0, "no files rewritten"
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {k for k in range(50) if k % 10 != 0}
+    # time travel below the DV commit sees everything
+    assert tx.snapshot(spark, table, 0).count() == 50
+
+    # second DV delete unions; already-deleted rows never re-match
+    v2, n2 = tx.delete_where_dv(spark, table, "k % 5 = 0")
+    assert n2 == 5  # 5,15,25,35,45 — the %10 rows are already gone
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {k for k in range(50) if k % 5 != 0}
+    # no-match: nothing committed
+    assert tx.delete_where_dv(spark, table, "k > 999") == (v2, 0)
+
+
+def test_tx_deletion_vectors_survive_rewrites_and_restore(spark, tmp_path):
+    """DV interplay with the rest of the protocol: a merge
+    materializes survivors (vectored rows stay deleted, vectors drop
+    with the removed files); restore rolls the vector state back; the
+    change feed reports a DV delete as row deletes even though no
+    file changed; checkpointed DV replay equals full replay."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    v_dv, _ = tx.delete_where_dv(spark, table, "k < 10")
+
+    # change feed across the DV commit: 10 deletes, 0 inserts
+    feed = tx.change_feed(spark, table, 0, v_dv).collect()
+    assert {r._change_type for r in feed} == {"delete"}
+    assert {r.k for r in feed} == set(range(10))
+
+    # merge materializes: vectored rows remain deleted afterwards
+    up = spark.createDataFrame([(29, -1.0)], "k bigint, v double")
+    v_m = tx.merge(spark, table, up, ["k"], ["v"])
+    assert tx._replay_dvs(table, v_m) == {}, "rewrite drops vectors"
+    got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+    assert set(got) == set(range(10, 30)) and got[29] == -1.0
+
+    # restore to the DV state and to the pre-DV state
+    tx.restore(spark, table, v_dv)
+    assert {r.k for r in tx.snapshot(spark, table).collect()} == set(
+        range(10, 30)
+    )
+    tx.restore(spark, table, 0)
+    assert tx.snapshot(spark, table).count() == 30
+
+    # checkpoint-seeded DV replay == full replay at every version
+    for _ in range(tx.CHECKPOINT_INTERVAL):
+        tx.delete_where_dv(spark, table, f"k = {_}")
+    assert tx._checkpoint_versions(table)
+    for v in tx._versions(table):
+        assert tx._replay_dvs(table, v) == tx._replay_dvs(
+            table, v, use_checkpoint=False
+        )
+
+
+def test_tx_copy_on_write_delete_respects_existing_vectors(spark, tmp_path):
+    """delete_where (copy-on-write) on a table carrying DVs must not
+    resurrect vectored rows when it rewrites their file."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    tx.delete_where_dv(spark, table, "k = 3")
+    v, n = tx.delete_where(spark, table, "k >= 15")
+    assert n == 5
+    got = {r.k for r in tx.snapshot(spark, table, v).collect()}
+    assert got == set(range(15)) - {3}
+    # vectors only ever reference live files; any vector on a file the
+    # rewrite removed was materialized (dropped), any survivor's
+    # vector still hides its rows (k=3 stayed deleted above)
+    live = set(tx.live_files(table, v))
+    assert set(tx._replay_dvs(table, v)) <= live
