@@ -1138,25 +1138,46 @@ def change_feed(
     return inserts.unionByName(deletes)
 
 
-def append(spark: SparkSession, table: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    max_attempts: int = 5,
+) -> int:
     """Blind INSERT INTO — an append-only commit: new files added,
     nothing removed, existing files untouched. The cheapest write the
     protocol supports (no snapshot read, no join), and the commit
-    shape a streaming source can tail incrementally. Retries on
-    version-claim conflicts are safe to re-run via merge_idempotent's
-    txn protocol if exactly-once matters; plain append is
-    at-least-once under blind retry, like Delta's INSERT."""
+    shape a streaming source can tail incrementally.
+
+    Appends never LOGICALLY conflict with other writers (they read no
+    snapshot), so a lost version claim retries by RE-COMMITTING the
+    same already-written files at the next version — no recompute, no
+    rewrite. This is Delta's conflict matrix in miniature: append vs
+    anything commutes; only the version number is contended. Use
+    merge_idempotent's txn protocol on top if the CALLER may redeliver
+    the same batch (that is a different failure mode than the version
+    race handled here)."""
     read_v = _versions(table)[-1]
     _, stats = _replay(table, read_v)
     stat_cols = sorted({c for s in stats.values() for c in s})
-    next_v = read_v + 1
-    new_files, new_stats = _write_data(df, table, next_v, stat_cols)
-    try:
-        _commit(table, next_v, add=new_files, remove=[], stats=new_stats)
-    except RuntimeError:
-        _discard_uncommitted(table, new_files)
-        raise
-    return next_v
+    new_files, new_stats = _write_data(df, table, read_v + 1, stat_cols)
+    last: RuntimeError | None = None
+    for _ in range(max_attempts):
+        next_v = _versions(table)[-1] + 1
+        try:
+            _commit(
+                table, next_v, add=new_files, remove=[], stats=new_stats
+            )
+            return next_v
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                _discard_uncommitted(table, new_files)
+                raise
+            last = e  # another writer took the version: re-aim, no rewrite
+    _discard_uncommitted(table, new_files)
+    raise RuntimeError(
+        f"append lost {max_attempts} version races on {table}"
+    ) from last
 
 
 def delete_where_dv(
@@ -1210,3 +1231,74 @@ def delete_where_dv(
     next_v = read_v + 1
     _commit(table, next_v, add=[], remove=[], dv=dv)
     return next_v, n_deleted
+
+
+ZORDER_RESOLUTION_BITS = 8  # per-dimension bucket resolution (256)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    target_files: int | None = None,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (c1, c2) — rewrite the live set in
+    Morton-curve order over two columns, so each output file covers a
+    TIGHT range of BOTH dimensions and the per-file min/max stats
+    recorded in the commit prune scans/merges/deletes on either one.
+    Single-key clustering (compact + sort) gives locality on one
+    column; the interleaved curve is what buys two.
+
+    Dimension values are linearly bucketed into 2^8 cells between the
+    column's observed min/max (one tiny scalar aggregate) — the
+    range-id normalization Delta's OPTIMIZE uses, minus its skew
+    handling; heavily skewed dimensions would want quantile buckets,
+    the same one-line swap (``ntile`` over a sample). Ordinary commit
+    semantics: old versions stay readable until vacuum; deletion
+    vectors are materialized by the rewrite.
+
+    Returns the new version."""
+    if len(cols) != 2:
+        raise ValueError("optimize_zorder takes exactly two columns")
+    read_v = _versions(table)[-1]
+    rels, _ = _replay(table, read_v)
+    cur = snapshot(spark, table, read_v)
+    bounds = cur.agg(
+        *[f(c).alias(f"{n}_{c}") for c in cols
+          for n, f in (("lo", F.min), ("hi", F.max))]
+    ).collect()[0]
+
+    def bucket(c: str) -> "F.Column":
+        lo = F.lit(bounds[f"lo_{c}"]).cast("double")
+        hi = F.lit(bounds[f"hi_{c}"]).cast("double")
+        cells = F.lit((1 << ZORDER_RESOLUTION_BITS) - 1)
+        frac = (F.col(c).cast("double") - lo) / F.nullif(hi - lo, F.lit(0.0))
+        return F.least(
+            cells, F.floor(F.coalesce(frac, F.lit(0.0)) * (cells + 1))
+        ).cast("bigint")
+
+    a, b = bucket(cols[0]), bucket(cols[1])
+    z = F.lit(0)
+    for i in range(ZORDER_RESOLUTION_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    n_files = target_files or max(1, len(rels))
+    clustered = (
+        cur.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    next_v = read_v + 1
+    new_files, stats = _write_data(clustered, table, next_v, cols)
+    try:
+        _commit(table, next_v, add=new_files, remove=rels, stats=stats)
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v

@@ -968,3 +968,114 @@ def test_tx_copy_on_write_delete_respects_existing_vectors(spark, tmp_path):
     # vector still hides its rows (k=3 stayed deleted above)
     live = set(tx.live_files(table, v))
     assert set(tx._replay_dvs(table, v)) <= live
+
+
+def test_tx_append_retries_version_race_without_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Appends never logically conflict: when another writer claims
+    the version mid-append, the SAME already-written files re-commit
+    at the next version — no recompute, no new data files."""
+    import glob
+    import os
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+
+    real_commit = tx._commit
+    fired = {"done": False}
+
+    def racing_commit(table_, version, add, remove, stats=None, **kw):
+        if not fired["done"] and add and not remove:
+            fired["done"] = True
+            # interleaved writer wins the version first
+            monkeypatch.setattr(tx, "_commit", real_commit)
+            tx.append(
+                spark, table,
+                spark.createDataFrame([(2, 2.0)], "k bigint, v double"),
+            )
+            monkeypatch.setattr(tx, "_commit", racing_commit)
+        return real_commit(table_, version, add, remove, stats=stats, **kw)
+
+    monkeypatch.setattr(tx, "_commit", racing_commit)
+    v = tx.append(
+        spark, table,
+        spark.createDataFrame([(3, 3.0)], "k bigint, v double"),
+    )
+    monkeypatch.setattr(tx, "_commit", real_commit)
+    assert v == 2, "loser re-aimed at the next version"
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {1, 2, 3}, "both appends landed, nothing lost"
+    # every data file on disk is referenced by the log (no leaks)
+    live = {
+        os.path.join(table, r) for r in tx.live_files(table)
+    }
+    on_disk = set(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+    assert on_disk == live
+
+
+def test_tx_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER: after clustering on (k, d), per-file logged
+    stats cover tight ranges of BOTH columns, so a selective predicate
+    on either dimension prunes most files — which a single-column sort
+    cannot give for the second column."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    n, files = 4096, 8
+    # two independent dimensions: k counts up, d strides so a k-sort
+    # scatters d and vice versa
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % n).alias("d"),
+        (F.col("id") * 1.0).alias("v"),
+    ).repartition(files)
+    tx.create_table(spark, table, df, stats_cols=["k", "d"])
+
+    v = tx.optimize_zorder(spark, table, ["k", "d"], target_files=files)
+    _, stats = tx._replay(table, v)
+    assert len(stats) == files
+
+    def files_hit(col, lo, hi):
+        return sum(
+            1
+            for s in stats.values()
+            if col in s and s[col][1] >= lo and s[col][0] <= hi
+        )
+
+    span = n // 8  # a 1/8th-range predicate on either dimension
+    hits_k = files_hit("k", 0, span - 1)
+    hits_d = files_hit("d", 0, span - 1)
+    # baseline: the same data single-column sorted on k — perfect for
+    # k (1 file) but the second dimension scatters over EVERY file
+    t_sorted = str(tmp_path / "sorted")
+    tx.create_table(
+        spark, t_sorted,
+        df.repartitionByRange(files, "k").sortWithinPartitions("k"),
+        stats_cols=["k", "d"],
+    )
+    _, sorted_stats = tx._replay(t_sorted)
+    hits_d_sorted = sum(
+        1
+        for s in sorted_stats.values()
+        if "d" in s and s["d"][1] >= 0 and s["d"][0] <= span - 1
+    )
+    assert hits_d_sorted == files, "k-sort gives d no locality"
+    # the curve prunes on BOTH: each dimension skips files, and the
+    # second dimension strictly beats the single-sort layout
+    assert hits_k < files, f"k-range hits {hits_k}/{files} files"
+    assert hits_d < files, f"d-range hits {hits_d}/{files} files"
+    assert hits_k + hits_d <= files + files // 2, (
+        f"joint pruning too weak: {hits_k}+{hits_d} of 2x{files}"
+    )
+    # table content unchanged by the rewrite
+    assert tx.snapshot(spark, table).count() == n
+    assert {r.k for r in tx.snapshot(spark, table).collect()} == set(
+        range(n)
+    )
