@@ -901,8 +901,34 @@ def clone_table(src: str, dst: str) -> None:
     _commit(dst, 0, add=abs_files, remove=[], stats=abs_stats)
 
 
+
+def _prune_candidates(
+    rels: list[str],
+    stats: dict[str, dict[str, list]],
+    key_range: tuple[str, int, int] | None,
+) -> list[str]:
+    """Files that MAY contain rows in ``key_range=(col, lo, hi)``,
+    from the commit log's per-file min/max alone (no file I/O). Files
+    without logged stats for the column stay candidates. The caller
+    asserts its predicate implies the range — same contract as a
+    partition-pruning hint; the subsequent per-row filter still
+    decides exactly."""
+    if key_range is None:
+        return list(rels)
+    col, lo, hi = key_range
+    out = []
+    for rel in rels:
+        st = stats.get(rel, {}).get(col)
+        if st is None or (st[1] >= lo and st[0] <= hi):
+            out.append(rel)
+    return out
+
+
 def delete_where(
-    spark: SparkSession, table: str, condition: str
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    key_range: tuple[str, int, int] | None = None,
 ) -> tuple[int, int]:
     """Row-level DELETE (Delta's ``DELETE FROM t WHERE ...``), copy-on-
     write at file granularity: a find phase locates the live files
@@ -922,11 +948,14 @@ def delete_where(
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
+    candidates = _prune_candidates(rels, stats, key_range)
+    if not candidates:
+        return read_v, 0
     abs_to_rel = {
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
     cond = F.expr(condition)
-    df = _read_live(spark, table, rels, dvs, with_file=True)
+    df = _read_live(spark, table, candidates, dvs, with_file=True)
     per_file = (
         df.filter(cond)
         .groupBy("__file")
@@ -1028,6 +1057,7 @@ def update_where(
     table: str,
     condition: str,
     assignments: dict[str, str],
+    key_range: tuple[str, int, int] | None = None,
 ) -> tuple[int, int]:
     """Row-level UPDATE (Delta's ``UPDATE t SET ... WHERE ...``),
     copy-on-write at file granularity like :func:`delete_where`: the
@@ -1041,11 +1071,14 @@ def update_where(
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
+    candidates = _prune_candidates(rels, stats, key_range)
+    if not candidates:
+        return read_v, 0
     abs_to_rel = {
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
     cond = F.expr(condition)
-    df = _read_live(spark, table, rels, dvs, with_file=True)
+    df = _read_live(spark, table, candidates, dvs, with_file=True)
     per_file = (
         df.filter(cond)
         .groupBy("__file")
@@ -1181,7 +1214,10 @@ def append(
 
 
 def delete_where_dv(
-    spark: SparkSession, table: str, condition: str
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    key_range: tuple[str, int, int] | None = None,
 ) -> tuple[int, int]:
     """Row-level DELETE, MERGE-ON-READ: instead of rewriting files
     (:func:`delete_where`'s copy-on-write), record the matching rows'
@@ -1203,15 +1239,18 @@ def delete_where_dv(
 
     NULL predicate rows are KEPT (SQL DELETE semantics)."""
     read_v = _versions(table)[-1]
-    rels, _ = _replay(table, read_v)
+    rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
+    candidates = _prune_candidates(rels, stats, key_range)
+    if not candidates:
+        return read_v, 0
     cond = F.expr(condition)
     abs_to_rel = {
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
     # the DV-applied read cannot re-match already-deleted rows
     df = _read_live(
-        spark, table, rels, dvs, with_file=True, with_pos=True
+        spark, table, candidates, dvs, with_file=True, with_pos=True
     )
     hits = (
         df.filter(cond)

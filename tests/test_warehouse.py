@@ -1079,3 +1079,41 @@ def test_tx_optimize_zorder_tightens_both_dimensions(spark, tmp_path):
     assert {r.k for r in tx.snapshot(spark, table).collect()} == set(
         range(n)
     )
+
+
+def test_tx_row_ops_key_range_prunes_find_phase(spark, tmp_path):
+    """key_range hints: the find phase considers only files whose
+    logged min/max intersect the range — same result, and a range
+    outside every file touches nothing at all."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(4, "k")
+    tx.create_table(spark, table, df, stats_cols=["k"])
+    rels, stats = tx._replay(table)
+    assert len(rels) == 4 and all("k" in s for s in stats.values())
+    # a range covering one file's span keeps 1 candidate
+    assert len(tx._prune_candidates(rels, stats, ("k", 0, 50))) == 1
+    # out-of-range ops are free no-ops (no scan, no commit)
+    v0 = tx._versions(table)[-1]
+    assert tx.delete_where(
+        spark, table, "k > 9000", key_range=("k", 9001, 9999)
+    ) == (v0, 0)
+    assert tx.delete_where_dv(
+        spark, table, "k > 9000", key_range=("k", 9001, 9999)
+    ) == (v0, 0)
+    assert tx.update_where(
+        spark, table, "k > 9000", {"v": "0.0"},
+        key_range=("k", 9001, 9999),
+    ) == (v0, 0)
+    # pruned delete equals the unpruned result
+    v, n = tx.delete_where(
+        spark, table, "k BETWEEN 10 AND 20", key_range=("k", 10, 20)
+    )
+    assert n == 11
+    got = {r.k for r in tx.snapshot(spark, table, v).collect()}
+    assert got == set(range(400)) - set(range(10, 21))
