@@ -1476,3 +1476,19 @@ SELECT o_orderpriority, COUNT(*) AS n_orders,
 FROM orders WHERE o_orderkey % 5 = 0
 GROUP BY 1
 """
+
+
+TX_ZORDER_PRUNED_DELETE = """
+WITH b AS (
+  SELECT MIN(o_custkey) AS lo,
+         MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 8 AS hi
+  FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price,
+       MIN(o_custkey) AS min_cust
+FROM orders, b
+WHERE o_custkey NOT BETWEEN b.lo AND b.hi
+GROUP BY 1
+"""

@@ -1559,3 +1559,62 @@ def tx_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type") == "delete"
     )
     return remaining.unionByName(roll(feed, "dv_deleted"))
+
+
+TX_ZORDER_PATH = "/tmp/bhps_tx_orders_zorder"
+ZD_EPOCH = "1992-01-01"
+
+
+def tx_zorder_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/A4+: OPTIMIZE ZORDER + stats-pruned row-level delete — the
+    maintenance pipeline a curated 100 TB table actually runs: cluster
+    on (custkey, order-day) with the Morton curve, then delete one
+    customer-key band with a ``key_range`` hint. The find phase
+    consults only the commit log's per-file min/max; the in-plan
+    assertion proves the clustered layout let the delete skip files
+    (candidates < live files) — the whole point of Z-ordering.
+
+    Result: per-priority rollup of the surviving table, which must
+    equal orders minus the deleted key band.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        (F.datediff(F.col("o_orderdate"), F.lit(ZD_EPOCH))).alias("day"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, TX_ZORDER_PATH, base, stats_cols=["o_custkey"])
+    tx.optimize_zorder(
+        spark, TX_ZORDER_PATH, ["o_custkey", "day"], target_files=8
+    )
+
+    rels, stats = tx._replay(TX_ZORDER_PATH)
+    # delete the lowest 1/8th of the key range — scales with the
+    # fixture instead of hard-coding a band (one scalar aggregate)
+    b = base.agg(
+        F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx")
+    ).collect()[0]
+    lo = int(b.mn) if b.mn is not None else 0
+    hi = lo + (int(b.mx) - lo) // 8 if b.mx is not None else 0
+    candidates = tx._prune_candidates(rels, stats, ("o_custkey", lo, hi))
+    fully_stated = all("o_custkey" in stats.get(r, {}) for r in rels)
+    if fully_stated and len(rels) > 1:  # vacuous on empty/tiny inputs
+        assert len(candidates) < len(rels), (
+            "z-ordered layout must let the keyed delete skip files"
+        )
+    tx.delete_where(
+        spark,
+        TX_ZORDER_PATH,
+        f"o_custkey BETWEEN {lo} AND {hi}",
+        key_range=("o_custkey", lo, hi),
+    )
+    return tx.snapshot(spark, TX_ZORDER_PATH).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price", "total_price", "decimal(14,2)"),
+        F.min("o_custkey").alias("min_cust"),
+    )

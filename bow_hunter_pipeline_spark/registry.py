@@ -988,6 +988,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_dv_delete,
         oracles_f.TX_DV_DELETE,
     ),
+    # E2+/A4+: Z-order clustering + stats-pruned keyed delete (the
+    # in-plan assertion proves files were skipped via log stats)
+    "e2_tx_zorder_pruned_delete": (
+        pipeline.tx_zorder_pruned_delete,
+        oracles_f.TX_ZORDER_PRUNED_DELETE,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
