@@ -1374,6 +1374,19 @@ _DRIVER_ROTATION = [
 ]
 
 
+# Queries registered AFTER the round-6 prefix froze — no driver row
+# yet; they MUST lead the round-7 rotation prefix. The prefix test
+# pins that nothing else falls outside the checked set.
+PENDING_DRIVER_QUEUE = [
+    "h6_greedy_packing",
+    "e2_tx_delete_restore",
+    "e2_tx_update_change_feed",
+    "h4_streaming_tx_source",
+    "e2_tx_dv_delete",
+    "e2_tx_zorder_pruned_delete",
+]
+
+
 def _ordered_names() -> list[str]:
     rotated = [n for n in _DRIVER_ROTATION if n in _REGISTRY]
     rest = [n for n in _REGISTRY if n not in set(rotated)]
