@@ -213,3 +213,92 @@ def test_tx_model_based_history_and_checkpoints(
         assert tx._replay(table, v) == tx._replay(
             table, v, use_checkpoint=False
         ), f"checkpoint replay diverged at v{v}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(
+                ["merge", "append", "cow_delete", "dv_delete",
+                 "update", "compact", "restore"]
+            ),
+            st.lists(
+                st.integers(min_value=0, max_value=60),
+                min_size=0,
+                max_size=5,
+                unique=True,
+            ),
+        ),
+        min_size=4,
+        max_size=12,
+    ),
+)
+def test_tx_model_based_row_ops_and_restore(spark, tmp_path_factory, ops):
+    """Model-based property over the ROUND-6 op set: arbitrary
+    sequences of merge / append / copy-on-write delete / deletion-
+    vector delete / update / compact / restore applied to the table
+    AND to a dict model; the snapshot must equal the model after
+    EVERY op, restore must reproduce the recorded model of the target
+    version exactly, and the DV-aware checkpoint replay must equal
+    the full replay at every version."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    root = tmp_path_factory.mktemp("txmodel2")
+    table = str(root / "t")
+    model = {k: float(k) for k in range(12)}
+    base = spark.createDataFrame(
+        sorted(model.items()), "k bigint, v double"
+    )
+    tx.create_table(spark, table, base, stats_cols=["k"])
+    model_at = {0: dict(model)}
+
+    step = 0
+    for op, keys in ops:
+        step += 1
+        if op == "compact":
+            tx.compact(spark, table)
+        elif op == "restore":
+            target = sorted(model_at)[keys[0] % len(model_at)] if keys else 0
+            tx.restore(spark, table, target)
+            model = dict(model_at[target])
+        elif op == "append":
+            rows = [(1000 * step + i, float(step)) for i in keys]
+            if rows:
+                tx.append(
+                    spark,
+                    table,
+                    spark.createDataFrame(rows, "k bigint, v double"),
+                )
+                model.update({k: v for k, v in rows})
+        elif op == "merge":
+            rows = [(k, float(100 * step + k)) for k in sorted(keys)]
+            upd = spark.createDataFrame(rows, "k bigint, v double")
+            tx.merge(spark, table, upd, ["k"], ["v"])
+            model.update({k: v for k, v in rows})
+        elif op == "cow_delete":
+            ks = ", ".join(str(k) for k in keys) or "-1"
+            tx.delete_where(spark, table, f"k IN ({ks})")
+            for k in keys:
+                model.pop(k, None)
+        elif op == "dv_delete":
+            ks = ", ".join(str(k) for k in keys) or "-1"
+            tx.delete_where_dv(spark, table, f"k IN ({ks})")
+            for k in keys:
+                model.pop(k, None)
+        elif op == "update":
+            ks = ", ".join(str(k) for k in keys) or "-1"
+            tx.update_where(
+                spark, table, f"k IN ({ks})", {"v": "v + 0.5"}
+            )
+            for k in keys:
+                if k in model:
+                    model[k] += 0.5
+        got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
+        assert got == model, f"diverged after step {step} ({op})"
+        model_at[tx._versions(table)[-1]] = dict(model)
+
+    for v in tx._versions(table):
+        assert tx._replay_dvs(table, v) == tx._replay_dvs(
+            table, v, use_checkpoint=False
+        ), f"DV checkpoint replay diverged at v{v}"
