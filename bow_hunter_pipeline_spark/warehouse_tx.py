@@ -198,6 +198,7 @@ def _commit(
     stats: dict[str, dict[str, list]] | None = None,
     txn: tuple[str, int] | None = None,
     dv: dict[str, list[int]] | None = None,
+    op: str | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
@@ -231,6 +232,8 @@ def _commit(
         entry["txn"] = [txn[0], txn[1]]
     if dv is not None:
         entry["dv"] = {r: sorted(ids) for r, ids in dv.items()}
+    if op is not None:
+        entry["op"] = op
     with open(tmp, "w") as f:
         json.dump(entry, f)
     try:
@@ -377,7 +380,7 @@ def create_table(
     shutil.rmtree(table, ignore_errors=True)
     os.makedirs(table)
     files, stats = _write_data(df, table, 0, stats_cols)
-    _commit(table, 0, add=files, remove=[], stats=stats)
+    _commit(table, 0, add=files, remove=[], stats=stats, op="CREATE")
 
 
 def _replay(
@@ -583,6 +586,7 @@ def merge(
         _commit(
             table, next_v, add=new_files,
             remove=live_files(table, read_v), stats=stats, txn=txn,
+            op="MERGE",
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
@@ -640,7 +644,10 @@ def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
     next_v = read_v + 1
     new_files, new_stats = _write_data(current, table, next_v, stat_cols)
     try:
-        _commit(table, next_v, add=new_files, remove=rels, stats=new_stats)
+        _commit(
+            table, next_v, add=new_files, remove=rels,
+            stats=new_stats, op="OPTIMIZE",
+        )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
         raise
@@ -758,7 +765,10 @@ def merge_pruned(
     next_v = read_v + 1
     new_files, stats = _write_data(merged, table, next_v, keys)
     try:
-        _commit(table, next_v, add=new_files, remove=rewrite, stats=stats)
+        _commit(
+            table, next_v, add=new_files, remove=rewrite, stats=stats,
+            op="MERGE_PRUNED",
+        )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
         raise
@@ -898,7 +908,7 @@ def clone_table(src: str, dst: str) -> None:
     abs_stats = {
         os.path.join(src_abs, k): v for k, v in stats.items()
     }
-    _commit(dst, 0, add=abs_files, remove=[], stats=abs_stats)
+    _commit(dst, 0, add=abs_files, remove=[], stats=abs_stats, op="CLONE")
 
 
 
@@ -977,7 +987,7 @@ def delete_where(
     try:
         _commit(
             table, next_v, add=new_files, remove=hit_rels,
-            stats={**carry, **new_stats},
+            stats={**carry, **new_stats}, op="DELETE",
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
@@ -1026,7 +1036,7 @@ def restore(spark: SparkSession, table: str, version: int) -> int:
     _commit(
         table, next_v, add=add, remove=remove,
         stats={r: target_stats[r] for r in add if r in target_stats},
-        dv=dv or None,
+        dv=dv or None, op="RESTORE",
     )
     return next_v
 
@@ -1043,8 +1053,10 @@ def history(table: str) -> list[dict]:
         out.append(
             {
                 "version": v,
+                "op": entry.get("op"),
                 "n_added": len(entry["add"]),
                 "n_removed": len(entry["remove"]),
+                "n_dv_files": len(entry.get("dv", {})),
                 "txn_app": (entry.get("txn") or [None, None])[0],
                 "txn_version": (entry.get("txn") or [None, None])[1],
             }
@@ -1107,7 +1119,7 @@ def update_where(
     try:
         _commit(
             table, next_v, add=new_files, remove=hit_rels,
-            stats={**carry, **new_stats},
+            stats={**carry, **new_stats}, op="UPDATE",
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
@@ -1199,7 +1211,8 @@ def append(
         next_v = _versions(table)[-1] + 1
         try:
             _commit(
-                table, next_v, add=new_files, remove=[], stats=new_stats
+                table, next_v, add=new_files, remove=[],
+                stats=new_stats, op="APPEND",
             )
             return next_v
         except RuntimeError as e:
@@ -1268,7 +1281,7 @@ def delete_where_dv(
         n_deleted += len(new_ids)
         dv[rel] = sorted(set(dvs.get(rel, [])) | set(new_ids))
     next_v = read_v + 1
-    _commit(table, next_v, add=[], remove=[], dv=dv)
+    _commit(table, next_v, add=[], remove=[], dv=dv, op="DELETE_DV")
     return next_v, n_deleted
 
 
@@ -1336,7 +1349,10 @@ def optimize_zorder(
     next_v = read_v + 1
     new_files, stats = _write_data(clustered, table, next_v, cols)
     try:
-        _commit(table, next_v, add=new_files, remove=rels, stats=stats)
+        _commit(
+            table, next_v, add=new_files, remove=rels, stats=stats,
+            op="OPTIMIZE_ZORDER",
+        )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
         raise
