@@ -80,6 +80,13 @@ class VersionVacuumedError(Exception):
     a raw path-not-found from the scan."""
 
 
+class SchemaEnforcementError(Exception):
+    """Write-time schema enforcement (Delta's core contract): the
+    incoming frame has a column the table lacks, or a type that
+    differs from the table's. Pass ``evolve_schema=True`` (additive
+    evolution) or migrate explicitly."""
+
+
 class TxnAlreadyApplied(Exception):
     """In-commit transaction validation: the (app_id, txn_version)
     this merge carries is already committed AT THE PINNED READ
@@ -199,6 +206,7 @@ def _commit(
     txn: tuple[str, int] | None = None,
     dv: dict[str, list[int]] | None = None,
     op: str | None = None,
+    schema_json: str | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
@@ -234,6 +242,8 @@ def _commit(
         entry["dv"] = {r: sorted(ids) for r, ids in dv.items()}
     if op is not None:
         entry["op"] = op
+    if schema_json is not None:
+        entry["schema"] = schema_json
     with open(tmp, "w") as f:
         json.dump(entry, f)
     try:
@@ -265,6 +275,7 @@ def _write_checkpoint(table: str, version: int) -> None:
     live, stats = _replay(table, version)
     txns = _replay_txns(table, version)
     dvs = _replay_dvs(table, version, use_checkpoint=False)
+    schema = table_schema(table, version)
     tmp = _checkpoint_path(table, version) + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(
@@ -274,6 +285,7 @@ def _write_checkpoint(table: str, version: int) -> None:
                 "stats": stats,
                 "txns": txns,
                 "dvs": dvs,
+                "schema": schema.json() if schema is not None else None,
             },
             f,
         )
@@ -368,6 +380,38 @@ def _replay_dvs(
     return dvs
 
 
+def table_schema(table: str, version: int | None = None):
+    """The table's logged schema AS OF ``version`` (StructType), or
+    None for pre-schema-protocol tables (their snapshot falls back to
+    parquet inference). The LAST schema action at or below the
+    version wins — schema changes are commits like any other, so time
+    travel below an evolution sees the OLD schema."""
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"no commits at {table}")
+    upto = versions[-1] if version is None else version
+    schema_json = None
+    start = 0
+    ckpts = [c for c in _checkpoint_versions(table) if c <= upto]
+    if ckpts:
+        with open(_checkpoint_path(table, ckpts[-1])) as f:
+            snap = json.load(f)
+        schema_json = snap.get("schema")
+        start = snap["version"] + 1
+    for v in versions:
+        if v < start:
+            continue
+        if v > upto:
+            break
+        with open(_log_path(table, v)) as f:
+            entry = json.load(f)
+        if "schema" in entry:
+            schema_json = entry["schema"]
+    if schema_json is None:
+        return None
+    return T.StructType.fromJson(json.loads(schema_json))
+
+
 def create_table(
     spark: SparkSession,
     table: str,
@@ -380,7 +424,10 @@ def create_table(
     shutil.rmtree(table, ignore_errors=True)
     os.makedirs(table)
     files, stats = _write_data(df, table, 0, stats_cols)
-    _commit(table, 0, add=files, remove=[], stats=stats, op="CREATE")
+    _commit(
+        table, 0, add=files, remove=[], stats=stats, op="CREATE",
+        schema_json=df.schema.json(),
+    )
 
 
 def _replay(
@@ -454,7 +501,10 @@ def snapshot(
             f"{table} references {len(gone)} vacuumed data file(s) "
             f"(e.g. {gone[0]}); re-read at or above the retention window"
         )
-    return _read_live(spark, table, rels, _replay_dvs(table, version))
+    return _read_live(
+        spark, table, rels, _replay_dvs(table, version),
+        schema=table_schema(table, version),
+    )
 
 
 def _norm_file_path() -> "F.Column":
@@ -471,6 +521,7 @@ def _read_live(
     *,
     with_file: bool = False,
     with_pos: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Scan ``rels`` applying deletion vectors (merge-on-read): rows
     whose (file, row_index) appear in a DV are anti-joined away using
@@ -479,7 +530,8 @@ def _read_live(
     relative to data; production engines use roaring bitmaps, same
     join shape). ``with_file`` keeps the normalized file path as
     ``__file`` for callers that need file attribution."""
-    df = spark.read.parquet(*[os.path.join(table, r) for r in rels])
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*[os.path.join(table, r) for r in rels])
     live_dvs = {r: ids for r, ids in dvs.items() if r in set(rels) and ids}
     if not live_dvs and not (with_file or with_pos):
         return df
@@ -575,8 +627,11 @@ def merge(
                 f"version {read_v} of {table}"
             )
     current = snapshot(spark, table, read_v)
+    schema_json = None
     if evolve_schema:
         current, updates = _align_schemas(current, updates)
+        if table_schema(table, read_v) is not None:
+            schema_json = current.schema.json()
     merged = upsert(
         current, updates, keys, update_cols, guard_cols=guard_cols
     )
@@ -586,7 +641,7 @@ def merge(
         _commit(
             table, next_v, add=new_files,
             remove=live_files(table, read_v), stats=stats, txn=txn,
-            op="MERGE",
+            op="MERGE", schema_json=schema_json,
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
@@ -757,7 +812,8 @@ def merge_pruned(
 
     if rewrite:
         touched = _read_live(
-            spark, table, rewrite, _replay_dvs(table, read_v)
+            spark, table, rewrite, _replay_dvs(table, read_v),
+            schema=table_schema(table, read_v),
         )
     else:
         touched = snapshot(spark, table, read_v).limit(0)
@@ -965,7 +1021,10 @@ def delete_where(
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
     cond = F.expr(condition)
-    df = _read_live(spark, table, candidates, dvs, with_file=True)
+    sch = table_schema(table, read_v)
+    df = _read_live(
+        spark, table, candidates, dvs, with_file=True, schema=sch
+    )
     per_file = (
         df.filter(cond)
         .groupBy("__file")
@@ -978,7 +1037,7 @@ def delete_where(
     n_deleted = sum(r["n"] for r in per_file)
 
     stat_cols = sorted({c for s in stats.values() for c in s})
-    keep = _read_live(spark, table, hit_rels, dvs).filter(
+    keep = _read_live(spark, table, hit_rels, dvs, schema=sch).filter(
         ~F.coalesce(cond.cast("boolean"), F.lit(False))
     )
     next_v = read_v + 1
@@ -1090,7 +1149,10 @@ def update_where(
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
     cond = F.expr(condition)
-    df = _read_live(spark, table, candidates, dvs, with_file=True)
+    sch = table_schema(table, read_v)
+    df = _read_live(
+        spark, table, candidates, dvs, with_file=True, schema=sch
+    )
     per_file = (
         df.filter(cond)
         .groupBy("__file")
@@ -1102,7 +1164,7 @@ def update_where(
     hit_rels = [abs_to_rel[r["__file"]] for r in per_file]
     n_updated = sum(r["n"] for r in per_file)
 
-    hit = _read_live(spark, table, hit_rels, dvs)
+    hit = _read_live(spark, table, hit_rels, dvs, schema=sch)
     is_hit = F.coalesce(cond.cast("boolean"), F.lit(False))
     rewritten = hit.select(
         *[
@@ -1188,6 +1250,7 @@ def append(
     table: str,
     df: DataFrame,
     max_attempts: int = 5,
+    evolve_schema: bool = False,
 ) -> int:
     """Blind INSERT INTO — an append-only commit: new files added,
     nothing removed, existing files untouched. The cheapest write the
@@ -1201,8 +1264,43 @@ def append(
     anything commutes; only the version number is contended. Use
     merge_idempotent's txn protocol on top if the CALLER may redeliver
     the same batch (that is a different failure mode than the version
-    race handled here)."""
+    race handled here).
+
+    SCHEMA ENFORCEMENT (Delta's write-time contract): against the
+    table's logged schema, a type mismatch always raises; an extra
+    column raises unless ``evolve_schema=True``, which appends it to
+    the table schema IN THE COMMIT — old files read NULL for it via
+    the logged-schema scan, no rewrite. Missing columns land as typed
+    NULLs."""
     read_v = _versions(table)[-1]
+    target = table_schema(table, read_v)
+    schema_json = None
+    if target is not None:
+        tf = {f.name: f.dataType for f in target.fields}
+        mismatch = [
+            f.name
+            for f in df.schema.fields
+            if f.name in tf and f.dataType != tf[f.name]
+        ]
+        if mismatch:
+            raise SchemaEnforcementError(
+                f"type mismatch on {mismatch} vs table schema of {table}"
+            )
+        extra = [f for f in df.schema.fields if f.name not in tf]
+        if extra and not evolve_schema:
+            raise SchemaEnforcementError(
+                f"columns {[f.name for f in extra]} not in table schema "
+                f"of {table}; pass evolve_schema=True for additive "
+                "evolution"
+            )
+        new_schema = target
+        if extra:
+            new_schema = T.StructType(list(target.fields) + list(extra))
+            schema_json = new_schema.json()
+        for f in new_schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        df = df.select(*[f.name for f in new_schema.fields])
     _, stats = _replay(table, read_v)
     stat_cols = sorted({c for s in stats.values() for c in s})
     new_files, new_stats = _write_data(df, table, read_v + 1, stat_cols)
@@ -1212,7 +1310,7 @@ def append(
         try:
             _commit(
                 table, next_v, add=new_files, remove=[],
-                stats=new_stats, op="APPEND",
+                stats=new_stats, op="APPEND", schema_json=schema_json,
             )
             return next_v
         except RuntimeError as e:
@@ -1263,7 +1361,8 @@ def delete_where_dv(
     }
     # the DV-applied read cannot re-match already-deleted rows
     df = _read_live(
-        spark, table, candidates, dvs, with_file=True, with_pos=True
+        spark, table, candidates, dvs, with_file=True, with_pos=True,
+        schema=table_schema(table, read_v),
     )
     hits = (
         df.filter(cond)

@@ -1117,3 +1117,63 @@ def test_tx_row_ops_key_range_prunes_find_phase(spark, tmp_path):
     assert n == 11
     got = {r.k for r in tx.snapshot(spark, table, v).collect()}
     assert got == set(range(400)) - set(range(10, 21))
+
+
+def test_tx_schema_enforcement_and_append_evolution(spark, tmp_path):
+    """Write-time schema contract: a type-mismatched append always
+    raises; an extra column raises unless evolve_schema=True, which
+    records the new schema IN THE COMMIT — old files read NULL for it
+    with no rewrite, and time travel below the evolution still sees
+    the old schema."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table,
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+    )
+    # type mismatch: always rejected
+    with _pytest.raises(tx.SchemaEnforcementError, match="type mismatch"):
+        tx.append(
+            spark, table,
+            spark.createDataFrame([(2, "oops")], "k bigint, v string"),
+        )
+    # extra column: rejected without the evolution flag
+    with _pytest.raises(tx.SchemaEnforcementError, match="evolve_schema"):
+        tx.append(
+            spark, table,
+            spark.createDataFrame(
+                [(2, 2.0, "x")], "k bigint, v double, tag string"
+            ),
+        )
+    # additive evolution: schema action in the commit, no rewrite
+    files_before = set(tx.live_files(table))
+    v = tx.append(
+        spark, table,
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "k bigint, v double, tag string"
+        ),
+        evolve_schema=True,
+    )
+    assert files_before < set(tx.live_files(table, v)), "pure append"
+    got = {r.k: (r.v, r.tag) for r in tx.snapshot(spark, table).collect()}
+    assert got == {1: (1.0, None), 2: (2.0, "x")}
+    # missing columns in later appends land as typed NULLs
+    tx.append(
+        spark, table, spark.createDataFrame([(3, 3.0)], "k bigint, v double")
+    )
+    got = {r.k: r.tag for r in tx.snapshot(spark, table).collect()}
+    assert got == {1: None, 2: "x", 3: None}
+    # time travel below the evolution: old 2-column schema
+    assert tx.snapshot(spark, table, 0).columns == ["k", "v"]
+    assert [f.name for f in tx.table_schema(table).fields] == [
+        "k", "v", "tag"
+    ]
+    # row-level ops on the mixed-schema file set see the full schema
+    v_del, n = tx.delete_where(spark, table, "tag IS NOT NULL")
+    assert n == 1
+    assert {r.k for r in tx.snapshot(spark, table).collect()} == {1, 3}
