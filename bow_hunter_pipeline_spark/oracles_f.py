@@ -1492,3 +1492,16 @@ FROM orders, b
 WHERE o_custkey NOT BETWEEN b.lo AND b.hi
 GROUP BY 1
 """
+
+
+TX_APPEND_EVOLUTION = """
+SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+                      AND o_orderdate < TIMESTAMP '1996-01-01'
+                     THEN o_orderpriority END, '<none>') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price,
+       MIN(o_orderkey) AS min_key
+FROM orders
+GROUP BY 1
+"""

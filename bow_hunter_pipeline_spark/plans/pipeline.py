@@ -1618,3 +1618,53 @@ def tx_zorder_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("price", "total_price", "decimal(14,2)"),
         F.min("o_custkey").alias("min_cust"),
     )
+
+
+TX_APPEND_EVO_PATH = "/tmp/bhps_tx_orders_append_evo"
+
+
+def tx_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/A6: schema-enforced APPEND with additive evolution — the
+    feed-upgrade arc: the table starts (key, price) on pre-1995
+    orders; the 1995+ generation arrives with a NEW priority column
+    and lands via ``evolve_schema=True`` (schema action in the
+    commit, zero rewrites — old rows read NULL through the logged-
+    schema scan); a final legacy batch without the column appends as
+    typed NULLs. The rollup groups by the evolved column with a
+    has-priority flag so every evolution rule lands in the checked
+    values.
+
+    Scale: evolution cost is one schema string in one commit — a
+    100 TB table gains a column for free; only readers change.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    ts95 = F.lit("1995-01-01").cast("timestamp_ntz")
+    ts96 = F.lit("1996-01-01").cast("timestamp_ntz")
+    base = orders.filter(F.col("o_orderdate") < ts95).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, TX_APPEND_EVO_PATH, base)
+    gen2 = orders.filter(
+        (F.col("o_orderdate") >= ts95) & (F.col("o_orderdate") < ts96)
+    ).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    tx.append(spark, TX_APPEND_EVO_PATH, gen2, evolve_schema=True)
+    legacy = orders.filter(F.col("o_orderdate") >= ts96).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.append(spark, TX_APPEND_EVO_PATH, legacy)
+    final = tx.snapshot(spark, TX_APPEND_EVO_PATH)
+    return final.groupBy(
+        F.coalesce(F.col("priority"), F.lit("<none>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("price", "total_price", "decimal(14,2)"),
+        F.min("o_orderkey").alias("min_key"),
+    )

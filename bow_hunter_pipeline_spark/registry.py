@@ -994,6 +994,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_zorder_pruned_delete,
         oracles_f.TX_ZORDER_PRUNED_DELETE,
     ),
+    # E2+/A6: schema-enforced append + additive evolution in the log
+    "e2_tx_append_evolution": (
+        pipeline.tx_append_evolution,
+        oracles_f.TX_APPEND_EVOLUTION,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1384,6 +1389,7 @@ PENDING_DRIVER_QUEUE = [
     "h4_streaming_tx_source",
     "e2_tx_dv_delete",
     "e2_tx_zorder_pruned_delete",
+    "e2_tx_append_evolution",
 ]
 
 
