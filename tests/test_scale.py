@@ -260,3 +260,53 @@ def test_zstd_writes_smaller_files_than_snappy(spark, tmp_path):
     assert z < s, (z, s)
     back = spark.read.parquet(str(tmp_path / "z"))
     assert back.count() == li.count()
+
+
+def test_dv_snapshot_applies_vectors_as_broadcast_anti_join(spark, tmp_path):
+    """Deletion-vector reads must stay a BROADCAST anti-join (the
+    vector side is tiny metadata) — a sort-merge anti-join here would
+    shuffle the whole table to apply a kilobyte of positions."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    tx.delete_where_dv(spark, table, "k % 100 = 0")
+    plan = tx.snapshot(spark, table)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
+
+
+def test_change_feed_scans_only_differing_files(spark, tmp_path):
+    """The CDF between two versions must list ONLY the files the
+    versions do not share — churn-proportional, not table-
+    proportional. Asserted on the plan's file index."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(4, "k")
+    tx.create_table(spark, table, df, stats_cols=["k"])
+    v0_files = set(tx.live_files(table))
+    # pruned merge touches one file's key range only
+    up = spark.createDataFrame([(10, -1.0)], "k bigint, v double")
+    v1, n_rw, n_carry = tx.merge_pruned(spark, table, up, ["k"], ["v"])
+    assert n_rw == 1 and n_carry == 3
+    feed = tx.change_feed(spark, table, 0, v1)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    carried = v0_files & set(tx.live_files(table, v1))
+    assert len(carried) == 3
+    for rel in carried:
+        assert rel.split("/")[-1] not in plan, (
+            f"carried file {rel} appears in the CDF scan"
+        )
+    # and the feed content is exactly the one changed row's pair
+    rows = {(r._change_type, r.k, r.v) for r in feed.collect()}
+    assert ("delete", 10, 10.0) in rows and ("insert", 10, -1.0) in rows
