@@ -58,6 +58,28 @@ for name, fn in qs.items():
         if name not in oracles:
             print(f"{name}: rows-only, {len(s_rows)} rows")
             continue
+        # ARROW-LEVEL TYPE AUDIT first: the external driver's value
+        # hash is type-sensitive where repr() comparison is not —
+        # DuckDB SUM(int) widens to HUGEINT / window sums to
+        # DECIMAL(38,0), which hash-diverge from Spark's BIGINT even
+        # when every Python value is equal (the round-5 red rows).
+        at = con.execute(oracles[name]).fetch_arrow_table()
+        s_types = dict(sdf.dtypes)
+        type_issues = []
+        for f in at.schema:
+            tn = str(f.type).lower()
+            if "int128" in tn or "hugeint" in tn:
+                type_issues.append(f"{f.name}: oracle HUGEINT — add CAST")
+            elif "decimal" in tn and "decimal" not in s_types.get(
+                f.name, ""
+            ):
+                type_issues.append(
+                    f"{f.name}: oracle {f.type} vs spark "
+                    f"{s_types.get(f.name)}"
+                )
+        if type_issues:
+            fails.append((name, f"oracle type audit: {type_issues}"))
+            continue
         rel = con.execute(oracles[name])
         o_cols = [d[0] for d in rel.description]
         o_rows = rel.fetchall()
