@@ -302,3 +302,46 @@ def test_tx_model_based_row_ops_and_restore(spark, tmp_path_factory, ops):
         assert tx._replay_dvs(table, v) == tx._replay_dvs(
             table, v, use_checkpoint=False
         ), f"DV checkpoint replay diverged at v{v}"
+
+
+@settings(**_SETTINGS)
+@given(
+    old_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: r[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_upsert_guard_cols_matches_model(spark, old_rows, new_rows):
+    """Guarded upsert law, over arbitrary key/guard combinations: a
+    matched row takes the update iff the update's guard is STRICTLY
+    greater; unmatched updates insert; everything else is untouched."""
+    from bow_hunter_pipeline_spark.operators.upsert import upsert
+
+    schema = "k bigint, g bigint, v bigint"
+    old = [(k, g, 100 + k) for k, g in old_rows]
+    new = [(k, g, 200 + k) for k, g in new_rows]
+    e = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+    u = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+    got = {
+        r.k: (r.g, r.v)
+        for r in upsert(e, u, ["k"], ["g", "v"], guard_cols=["g"]).collect()
+    }
+    model = {k: (g, v) for k, g, v in old}
+    for k, g, v in new:
+        if k not in model or g > model[k][0]:
+            model[k] = (g, v)
+    assert got == model
