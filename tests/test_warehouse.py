@@ -1177,3 +1177,35 @@ def test_tx_schema_enforcement_and_append_evolution(spark, tmp_path):
     v_del, n = tx.delete_where(spark, table, "tag IS NOT NULL")
     assert n == 1
     assert {r.k for r in tx.snapshot(spark, table).collect()} == {1, 3}
+
+
+def test_tx_history_reports_operations(spark, tmp_path):
+    """DESCRIBE HISTORY carries the operation per commit — the audit
+    trail a table owner reads before trusting a restore."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    tx.append(spark, table, spark.createDataFrame([(10, 1.0)], "k bigint, v double"))
+    tx.merge(
+        spark, table,
+        spark.createDataFrame([(1, -1.0)], "k bigint, v double"),
+        ["k"], ["v"],
+    )
+    tx.delete_where_dv(spark, table, "k = 2")
+    tx.delete_where(spark, table, "k = 3")
+    tx.update_where(spark, table, "k = 4", {"v": "0.0"})
+    tx.compact(spark, table)
+    tx.restore(spark, table, 0)
+    ops = [h["op"] for h in tx.history(table)]
+    assert ops == [
+        "CREATE", "APPEND", "MERGE", "DELETE_DV", "DELETE",
+        "UPDATE", "OPTIMIZE", "RESTORE",
+    ]
+    dv_row = tx.history(table)[3]
+    assert dv_row["n_dv_files"] == 1 and dv_row["n_added"] == 0
