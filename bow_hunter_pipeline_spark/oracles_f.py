@@ -1505,3 +1505,16 @@ SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
 FROM orders
 GROUP BY 1
 """
+
+
+SQL_VARIABLES_INTERFACE = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+"""

@@ -1276,3 +1276,61 @@ def ntile_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("bal").cast("double").alias("hi_bal"),
         F.sum("bal").cast("decimal(18,2)").cast("double").alias("sum_bal"),
     )
+
+
+SQLVAR_CUTOFF = "1996-01-01"
+SQLVAR_MIN_N = 5
+
+_SQLVAR_BODY = """
+    SELECT o_orderpriority,
+           year(o_orderdate) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4)
+                AS DOUBLE) AS total_price
+    FROM bhps_sqlvar_orders
+    WHERE o_orderdate >= :cutoff
+    GROUP BY ALL
+    HAVING COUNT(*) >= :min_n
+    ORDER BY ALL
+"""
+
+
+def sql_variables_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: the MODERN SQL scripting surface in one query — Spark 4
+    session variables (``DECLARE`` / ``SET VAR``), ``EXECUTE
+    IMMEDIATE`` running query text held in a variable with ``USING``
+    parameter binding, a parameterized ``spark.sql(..., args=...)``
+    named-marker call, and ``GROUP BY ALL`` / ``ORDER BY ALL``
+    resolution. The reference drives its engine with SQL text and
+    shell-injected parameters (``load_duckdb_data.py:23-43``); this
+    is that workflow on first-class parameter features instead of
+    string formatting — injection-safe by construction.
+
+    The two mechanisms must agree bit-for-bit; the parameterized
+    frame is returned.
+    """
+    import datetime
+
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bhps_sqlvar_orders"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE bhps_cutoff TIMESTAMP")
+    spark.sql(f"SET VAR bhps_cutoff = TIMESTAMP '{SQLVAR_CUTOFF}'")
+    spark.sql("DECLARE OR REPLACE VARIABLE bhps_q STRING")
+    spark.sql("SET VAR bhps_q = :body", args={"body": _SQLVAR_BODY})
+    via_vars = spark.sql(
+        "EXECUTE IMMEDIATE bhps_q "
+        f"USING (bhps_cutoff AS cutoff, {SQLVAR_MIN_N} AS min_n)"
+    )
+    via_params = spark.sql(
+        _SQLVAR_BODY,
+        args={
+            "cutoff": datetime.datetime.fromisoformat(SQLVAR_CUTOFF),
+            "min_n": SQLVAR_MIN_N,
+        },
+    )
+    assert via_vars.schema == via_params.schema
+    assert [tuple(r) for r in via_vars.collect()] == [
+        tuple(r) for r in via_params.collect()
+    ]
+    return via_params

@@ -999,6 +999,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_append_evolution,
         oracles_f.TX_APPEND_EVOLUTION,
     ),
+    # F: Spark 4 SQL scripting — session variables, EXECUTE IMMEDIATE
+    # with USING binding, parameterized sql(args=...), GROUP BY ALL
+    "f_sql_variables": (
+        relational.sql_variables_interface,
+        oracles_f.SQL_VARIABLES_INTERFACE,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1390,6 +1396,7 @@ PENDING_DRIVER_QUEUE = [
     "e2_tx_dv_delete",
     "e2_tx_zorder_pruned_delete",
     "e2_tx_append_evolution",
+    "f_sql_variables",
 ]
 
 
