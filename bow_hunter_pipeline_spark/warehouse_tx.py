@@ -1091,11 +1091,21 @@ def restore(spark: SparkSession, table: str, version: int) -> int:
         for r in sorted(target)
         if target_dvs.get(r, []) != current_dvs.get(r, [])
     }
+    # the SCHEMA restores with the snapshot (Delta: RESTORE is data +
+    # metadata): if the target version's schema differs from the
+    # current one, re-publish it as this commit's schema action
+    t_schema = table_schema(table, version)
+    c_schema = table_schema(table, read_v)
+    schema_json = (
+        t_schema.json()
+        if t_schema is not None and t_schema != c_schema
+        else None
+    )
     next_v = read_v + 1
     _commit(
         table, next_v, add=add, remove=remove,
         stats={r: target_stats[r] for r in add if r in target_stats},
-        dv=dv or None, op="RESTORE",
+        dv=dv or None, op="RESTORE", schema_json=schema_json,
     )
     return next_v
 

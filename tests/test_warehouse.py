@@ -1209,3 +1209,27 @@ def test_tx_history_reports_operations(spark, tmp_path):
     ]
     dv_row = tx.history(table)[3]
     assert dv_row["n_dv_files"] == 1 and dv_row["n_added"] == 0
+
+
+def test_tx_restore_rolls_back_schema_too(spark, tmp_path):
+    """RESTORE is data + metadata: restoring below a schema evolution
+    must bring back the OLD schema (Delta semantics), and rolling
+    forward again must re-surface the evolved column."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+    v_evo = tx.append(
+        spark, table,
+        spark.createDataFrame([(2, 2.0, "x")], "k bigint, v double, tag string"),
+        evolve_schema=True,
+    )
+    tx.restore(spark, table, 0)
+    assert tx.snapshot(spark, table).columns == ["k", "v"]
+    assert [f.name for f in tx.table_schema(table).fields] == ["k", "v"]
+    tx.restore(spark, table, v_evo)
+    assert tx.snapshot(spark, table).columns == ["k", "v", "tag"]
+    got = {r.k: r.tag for r in tx.snapshot(spark, table).collect()}
+    assert got == {1: None, 2: "x"}
