@@ -964,7 +964,20 @@ def clone_table(src: str, dst: str) -> None:
     abs_stats = {
         os.path.join(src_abs, k): v for k, v in stats.items()
     }
-    _commit(dst, 0, add=abs_files, remove=[], stats=abs_stats, op="CLONE")
+    # the clone must carry the source's CURRENT deletion vectors
+    # (else rows the source deleted merge-on-read would resurrect in
+    # the clone) and its logged schema (else a mixed-schema source
+    # reads inconsistently through parquet inference)
+    src_dvs = _replay_dvs(src)
+    abs_dvs = {
+        os.path.join(src_abs, k): v for k, v in src_dvs.items()
+    }
+    src_schema = table_schema(src)
+    _commit(
+        dst, 0, add=abs_files, remove=[], stats=abs_stats,
+        dv=abs_dvs or None, op="CLONE",
+        schema_json=src_schema.json() if src_schema is not None else None,
+    )
 
 
 

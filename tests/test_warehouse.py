@@ -1233,3 +1233,30 @@ def test_tx_restore_rolls_back_schema_too(spark, tmp_path):
     assert tx.snapshot(spark, table).columns == ["k", "v", "tag"]
     got = {r.k: r.tag for r in tx.snapshot(spark, table).collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_tx_clone_carries_deletion_vectors_and_schema(spark, tmp_path):
+    """A shallow clone of a source with live deletion vectors and an
+    evolved schema must see exactly the source's current state — not
+    resurrect vectored rows, not lose the evolved column."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tx.create_table(
+        spark, src,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k bigint, v double"
+        ),
+    )
+    tx.append(
+        spark, src,
+        spark.createDataFrame([(10, 1.0, "x")], "k bigint, v double, tag string"),
+        evolve_schema=True,
+    )
+    tx.delete_where_dv(spark, src, "k IN (2, 4)")
+    tx.clone_table(src, dst)
+    got = {r.k: r.tag for r in tx.snapshot(spark, dst).collect()}
+    assert set(got) == set(range(10)) - {2, 4} | {10}
+    assert got[10] == "x" and got[0] is None
+    assert tx.snapshot(spark, dst).columns == ["k", "v", "tag"]
