@@ -1243,12 +1243,20 @@ def change_feed(
     only_from = sorted((from_rels - to_rels) | dv_changed)
     only_to = sorted((to_rels - from_rels) | dv_changed)
 
+    # one COMMON schema for both sides (the newer version's, falling
+    # back to the older): across a schema evolution the pre-image
+    # rows project with NULL for the added columns, keeping the
+    # exceptAll diff well-typed
+    sch = table_schema(table, v_to)
+    if sch is None:
+        sch = table_schema(table, v_from)
+
     def read(
         rels: list[str], dvs: dict[str, list[int]]
     ) -> DataFrame | None:
         if not rels:
             return None
-        return _read_live(spark, table, rels, dvs)
+        return _read_live(spark, table, rels, dvs, schema=sch)
 
     old, new = read(only_from, from_dvs), read(only_to, to_dvs)
     if old is None and new is None:

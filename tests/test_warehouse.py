@@ -1260,3 +1260,24 @@ def test_tx_clone_carries_deletion_vectors_and_schema(spark, tmp_path):
     assert set(got) == set(range(10)) - {2, 4} | {10}
     assert got[10] == "x" and got[0] is None
     assert tx.snapshot(spark, dst).columns == ["k", "v", "tag"]
+
+
+def test_tx_change_feed_across_schema_evolution(spark, tmp_path):
+    """CDF spanning an append-evolution: both sides diff under the
+    newer schema — the appended rows arrive as inserts with the new
+    column, and nothing else appears (old files are unchanged)."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+    v = tx.append(
+        spark, table,
+        spark.createDataFrame([(2, 2.0, "x")], "k bigint, v double, tag string"),
+        evolve_schema=True,
+    )
+    feed = tx.change_feed(spark, table, 0, v).collect()
+    assert {(r._change_type, r.k, r.tag) for r in feed} == {
+        ("insert", 2, "x")
+    }
