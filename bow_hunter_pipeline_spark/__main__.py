@@ -38,11 +38,61 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
         if cmd == "run":
             s.add_argument("--limit", type=int, default=20)
+
+    # table-maintenance commands over the commit-log table (the
+    # delta-cli workflow: inspect history, reclaim space, recluster,
+    # roll back) — each takes the table path
+    p_tx = sub.add_parser("tx", help="commit-log table maintenance")
+    tx_sub = p_tx.add_subparsers(dest="tx_cmd", required=True)
+    t_hist = tx_sub.add_parser("history", help="DESCRIBE HISTORY")
+    t_hist.add_argument("table")
+    t_vac = tx_sub.add_parser("vacuum", help="delete unreferenced files")
+    t_vac.add_argument("table")
+    t_vac.add_argument("--keep-versions", type=int, default=1)
+    t_opt = tx_sub.add_parser("optimize", help="compact the live set")
+    t_opt.add_argument("table")
+    t_opt.add_argument("--target-files", type=int, default=1)
+    t_opt.add_argument(
+        "--zorder-by", default=None,
+        help="comma-separated column pair for Morton clustering",
+    )
+    t_res = tx_sub.add_parser("restore", help="roll back to a version")
+    t_res.add_argument("table")
+    t_res.add_argument("version", type=int)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "tx":
+        from bow_hunter_pipeline_spark import warehouse_tx as tx
+        from bow_hunter_pipeline_spark.session import get_spark
+
+        if args.tx_cmd == "history":
+            for h in tx.history(args.table):
+                print(h)
+            return 0
+        spark = get_spark()
+        if args.tx_cmd == "vacuum":
+            n = tx.vacuum(spark, args.table, keep_versions=args.keep_versions)
+            print(f"vacuumed {n} file(s)")
+        elif args.tx_cmd == "optimize":
+            if args.zorder_by:
+                cols = [c.strip() for c in args.zorder_by.split(",")]
+                v = tx.optimize_zorder(
+                    spark, args.table, cols, target_files=args.target_files
+                )
+                print(f"z-ordered on {cols} as version {v}")
+            else:
+                v = tx.compact(
+                    spark, args.table, target_files=args.target_files
+                )
+                print(f"compacted as version {v}")
+        elif args.tx_cmd == "restore":
+            v = tx.restore(spark, args.table, args.version)
+            print(f"restored to version {args.version} as version {v}")
+        return 0
 
     from bow_hunter_pipeline_spark import registry
 

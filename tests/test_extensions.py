@@ -681,3 +681,36 @@ def test_greedy_packing_invariants(spark):
     for r in packs:
         packed_total[r.source] = packed_total.get(r.source, 0) + r.pack_tokens
     assert packed_total == total
+
+
+def test_cli_tx_maintenance_commands(spark, tmp_path, capsys):
+    """The tx CLI: history / optimize / restore / vacuum drive the
+    commit-log table end to end from the command surface."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.__main__ import main
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartition(4)
+    tx.create_table(spark, table, df)
+    tx.merge(
+        spark, table,
+        spark.createDataFrame([(1, -1.0)], "k bigint, v double"),
+        ["k"], ["v"],
+    )
+
+    assert main(["tx", "history", table]) == 0
+    out = capsys.readouterr().out
+    assert "'op': 'CREATE'" in out and "'op': 'MERGE'" in out
+
+    assert main(["tx", "optimize", table, "--target-files", "1"]) == 0
+    assert len(tx.live_files(table)) == 1
+    assert main(["tx", "restore", table, "0"]) == 0
+    assert {r.v for r in tx.snapshot(spark, table).collect()} == {
+        float(i) for i in range(50)
+    }
+    assert main(["tx", "vacuum", table, "--keep-versions", "1"]) == 0
+    capsys.readouterr()
