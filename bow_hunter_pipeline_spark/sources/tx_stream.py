@@ -42,10 +42,18 @@ _ARROW_TO_DDL = {
 
 
 def _table_schema_ddl(table: str) -> str:
-    """DDL schema string derived from the newest live data file."""
-    import pyarrow.parquet as pq
-
+    """DDL schema string: the table's LOGGED schema when present
+    (consistent across append-evolution — files missing a later
+    column yield NULL for it), else derived from the newest live
+    data file."""
     from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    logged = tx.table_schema(table)
+    if logged is not None:
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in logged.fields
+        )
+    import pyarrow.parquet as pq
 
     rels = tx.live_files(table)
     if not rels:
@@ -83,7 +91,7 @@ def register_tx_stream(spark: SparkSession) -> None:
         )
 
     def commit_added_rows(
-        table: str, version: int, n_cols: int
+        table: str, version: int, col_names: list[str]
     ) -> list[tuple]:
         # returns a LIST: the harness copy.copy()s the batch iterator
         # for replay caching, which a generator cannot survive
@@ -102,15 +110,20 @@ def register_tx_stream(spark: SparkSession) -> None:
         rows: list[tuple] = []
         for rel in entry["add"]:
             t = pq.read_table(os.path.join(table, rel))
-            rows.extend(
-                zip(*[t.column(i).to_pylist() for i in range(n_cols)])
-            )
+            have = set(t.schema.names)
+            cols = [
+                t.column(name).to_pylist()
+                if name in have
+                else [None] * t.num_rows
+                for name in col_names
+            ]
+            rows.extend(zip(*cols))
         return rows
 
     class TxStreamReader(SimpleDataSourceStreamReader):
-        def __init__(self, table: str, n_cols: int):
+        def __init__(self, table: str, col_names: list[str]):
             self._table = table
-            self._n_cols = n_cols
+            self._cols = col_names
 
         def initialOffset(self):
             return {"version": -1}
@@ -123,7 +136,7 @@ def register_tx_stream(spark: SparkSession) -> None:
                 return iter([]), start
             v = nxt[0]  # one commit per micro-batch
             return (
-                iter(commit_added_rows(self._table, v, self._n_cols)),
+                iter(commit_added_rows(self._table, v, self._cols)),
                 {"version": v},
             )
 
@@ -132,7 +145,7 @@ def register_tx_stream(spark: SparkSession) -> None:
             for v in versions(self._table):
                 if start["version"] < v <= end["version"]:
                     out.extend(
-                        commit_added_rows(self._table, v, self._n_cols)
+                        commit_added_rows(self._table, v, self._cols)
                     )
             return iter(out)
 
@@ -145,8 +158,9 @@ def register_tx_stream(spark: SparkSession) -> None:
             return _table_schema_ddl(self.options["table"])
 
         def simpleStreamReader(self, schema):
-            n_cols = len(schema.fields)
-            return TxStreamReader(self.options["table"], n_cols)
+            return TxStreamReader(
+                self.options["table"], [f.name for f in schema.fields]
+            )
 
     spark.dataSource.register(TxStreamSource)
 

@@ -534,3 +534,44 @@ def test_tx_stream_source_rejects_rewriting_commits(spark, tmp_path):
         q.awaitTermination(30)
         raise AssertionError("stream should have failed on the merge commit")
     assert "insert-only" in str(e.value)
+
+
+def test_tx_stream_source_uses_logged_schema_across_evolution(
+    spark, tmp_path
+):
+    """Streaming from a table whose later appends evolved the schema:
+    the source declares the LOGGED schema, so pre-evolution files
+    stream with NULL for the added column instead of erroring."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import read_tx_stream
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+    tx.append(
+        spark, table,
+        spark.createDataFrame([(2, 2.0, "x")], "k bigint, v double, tag string"),
+        evolve_schema=True,
+    )
+    stream = read_tx_stream(spark, table)
+    assert stream.columns == ["k", "v", "tag"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tx_stream_evo")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("tx_stream_evo").count() < 2:
+            time.sleep(0.2)
+        rows = {(r.k, r.tag) for r in spark.table("tx_stream_evo").collect()}
+    finally:
+        q.stop()
+    assert rows == {(1, None), (2, "x")}
