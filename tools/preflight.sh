@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round preflight: every gate the external driver applies, locally.
+# Usage: bash tools/preflight.sh [--sf01]
+set -u
+cd /root/repo
+fail=0
+echo "== driver prefix (first:50) =="
+python tools/verify_driver.py first:50 2>/dev/null | tail -2 || fail=1
+echo "== full registry vs oracles (sf0.01) =="
+python tools/verify_driver.py 2>/dev/null | tail -2 || fail=1
+echo "== bench (sf0.1) =="
+python bench.py 2>/dev/null | tail -1 || fail=1
+echo "== pytest =="
+python -m pytest tests/ -q 2>&1 | tail -1 || fail=1
+if [ "${1:-}" = "--sf01" ]; then
+  echo "== sf0.1 oracle sweep (~18 min) =="
+  BHPS_ORACLE_SF_DIR=/root/testdata/sf0.1 \
+    python -m pytest tests/test_registry_oracle.py -q 2>&1 | tail -1 || fail=1
+fi
+exit $fail
