@@ -1281,3 +1281,47 @@ def test_tx_change_feed_across_schema_evolution(spark, tmp_path):
     assert {(r._change_type, r.k, r.tag) for r in feed} == {
         ("insert", 2, "x")
     }
+
+
+def test_tx_concurrent_appends_all_land(spark, tmp_path):
+    """Append never logically conflicts: N threads appending
+    concurrently must all land (distinct versions, zero losses, no
+    leaked files) — the version-race retry re-aims without rewriting."""
+    import glob
+    import os
+    import threading
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(0, 0.0)], "k bigint, v double")
+    )
+    n_writers, errors = 6, []
+
+    def write(i: int) -> None:
+        try:
+            tx.append(
+                spark, table,
+                spark.createDataFrame(
+                    [(100 + i, float(i))], "k bigint, v double"
+                ),
+                max_attempts=2 * n_writers,
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=write, args=(i,)) for i in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert tx._versions(table)[-1] == n_writers
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {0} | {100 + i for i in range(n_writers)}
+    live = {os.path.join(table, r) for r in tx.live_files(table)}
+    on_disk = set(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
+    assert on_disk == live, "no leaked or lost files under contention"
