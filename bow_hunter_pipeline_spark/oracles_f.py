@@ -1518,3 +1518,19 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1, 2
 HAVING COUNT(*) >= 5
 """
+
+
+CDC_APPLY_CHANGES = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_keys,
+       CAST(round(SUM(CAST(CASE WHEN o_orderkey % 3 = 0
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                           AS DOUBLE)
+                 ELSE CAST(o_totalprice AS DOUBLE) END
+            AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_updated
+FROM orders
+WHERE o_orderkey % 5 <> 0
+GROUP BY 1
+"""

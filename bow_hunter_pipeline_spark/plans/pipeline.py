@@ -1668,3 +1668,53 @@ def tx_append_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("price", "total_price", "decimal(14,2)"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: APPLY CHANGES INTO (the DLT/debezium materialization): an
+    op-coded CDC feed — I(nsert)/U(pdate)/D(elete) rows with per-key
+    sequence numbers — collapses to final table state: the highest-
+    sequence op per key wins, and a winning D removes the key
+    entirely. One window (shuffle on the key) + one filter; the
+    dedupe-then-apply shape every CDC consumer runs.
+
+    The feed is derived deterministically from orders: every key gets
+    an insert (seq 1); every 3rd key an update (seq 2, exact decimal
+    price bump); every 5th key a delete (seq 3) — so keys divisible
+    by 15 exercise insert→update→delete chains.
+
+    Scale: the window is ROWS-framed per key (skew-free on a PK); at
+    100 TB the same plan runs per micro-batch with the table merge
+    done by merge_idempotent (h4_streaming_tx_merge) — this query
+    checks the collapse logic itself against the oracle.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("double")
+    inserts = orders.select(
+        k.alias("key"), F.lit("I").alias("op"), F.lit(1).alias("seq"),
+        price.alias("price"), F.col("o_orderpriority").alias("priority"),
+    )
+    updates = orders.filter(k % 3 == 0).select(
+        k.alias("key"), F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        (money("o_totalprice") + F.lit(1000)).cast("double").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    deletes = orders.filter(k % 5 == 0).select(
+        k.alias("key"), F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("priority"),
+    )
+    feed = inserts.unionByName(updates).unionByName(deletes)
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    latest = (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    state = latest.filter(F.col("op") != "D")
+    return state.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        dsum("price", "total_price", "decimal(18,6)"),
+        F.sum((F.col("op") == "U").cast("bigint")).alias("n_updated"),
+    )

@@ -1005,6 +1005,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.sql_variables_interface,
         oracles_f.SQL_VARIABLES_INTERFACE,
     ),
+    # E2+: APPLY CHANGES INTO — op-coded CDC feed collapsed to state
+    "e2_cdc_apply_changes": (
+        pipeline.cdc_apply_changes,
+        oracles_f.CDC_APPLY_CHANGES,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1397,6 +1402,7 @@ PENDING_DRIVER_QUEUE = [
     "e2_tx_zorder_pruned_delete",
     "e2_tx_append_evolution",
     "f_sql_variables",
+    "e2_cdc_apply_changes",
 ]
 
 
