@@ -1534,3 +1534,18 @@ FROM orders
 WHERE o_orderkey % 5 <> 0
 GROUP BY 1
 """
+
+
+STREAMING_CDF_APPLY = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_keys,
+       CAST(round(SUM(CAST(CASE WHEN o_orderkey % 3 = 0
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                           AS DOUBLE)
+                 ELSE CAST(o_totalprice AS DOUBLE) END
+            AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price,
+       MIN(o_orderkey) AS min_key
+FROM orders
+WHERE o_orderkey % 5 <> 0
+GROUP BY 1
+"""

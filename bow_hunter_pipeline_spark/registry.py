@@ -1010,6 +1010,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.cdc_apply_changes,
         oracles_f.CDC_APPLY_CHANGES,
     ),
+    # H4 × E2+: the complete CDC loop — CDF-mode stream out of the
+    # table, APPLY CHANGES collapse downstream, equals the snapshot
+    "h4_streaming_cdf_apply": (
+        structured.streaming_cdf_apply,
+        oracles_f.STREAMING_CDF_APPLY,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1403,6 +1409,7 @@ PENDING_DRIVER_QUEUE = [
     "e2_tx_append_evolution",
     "f_sql_variables",
     "e2_cdc_apply_changes",
+    "h4_streaming_cdf_apply",
 ]
 
 

@@ -172,3 +172,172 @@ def read_tx_stream(spark: SparkSession, table: str) -> DataFrame:
         .option("table", table)
         .load()
     )
+
+
+TX_CDF_STREAM_FORMAT = "bhps_tx_cdf_stream"
+
+
+def register_tx_cdf_stream(spark: SparkSession) -> None:
+    """CDF-MODE streaming source: tails the commit log emitting ROW-
+    LEVEL CHANGES per commit — ``_change_type`` insert/delete images
+    (an update is its delete+insert pair) plus ``_commit_version``.
+    Unlike the insert-only source, rewriting commits are WELCOME: a
+    commit's changes are the multiset diff of its removed-file rows
+    vs its added-file rows (carried rows cancel), and a deletion-
+    vector commit emits exactly the newly-vectored row images, read
+    by position. This is the Delta CDF readStream shape — the feed
+    that drives a downstream APPLY CHANGES consumer.
+
+    Scale: per micro-batch the reader touches only the files ONE
+    commit added/removed (or only the DV'd positions) — churn-
+    proportional, like the batch change_feed."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    log_dir_name = "_log"
+
+    def versions(table: str) -> list[int]:
+        d = os.path.join(table, log_dir_name)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(d)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
+        )
+
+    def file_rows(table: str, rel: str, col_names: list[str], idxs=None):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(table, rel))
+        if idxs is not None:
+            t = t.take(idxs)
+        have = set(t.schema.names)
+        cols = [
+            t.column(n).to_pylist() if n in have else [None] * t.num_rows
+            for n in col_names
+        ]
+        return list(zip(*cols))
+
+    def prior_dvs(table: str, version: int) -> dict[str, list[int]]:
+        dvs: dict[str, list[int]] = {}
+        for v in versions(table):
+            if v >= version:
+                break
+            with open(
+                os.path.join(table, log_dir_name, f"{v:08d}.json")
+            ) as f:
+                entry = json.load(f)
+            for rel in entry["remove"]:
+                dvs.pop(rel, None)
+            for rel, ids in entry.get("dv", {}).items():
+                if ids:
+                    dvs[rel] = [int(i) for i in ids]
+                else:
+                    dvs.pop(rel, None)
+        return dvs
+
+    def commit_changes(
+        table: str, version: int, col_names: list[str]
+    ) -> list[tuple]:
+        from collections import Counter
+
+        with open(
+            os.path.join(table, log_dir_name, f"{version:08d}.json")
+        ) as f:
+            entry = json.load(f)
+        out: list[tuple] = []
+        if entry.get("dv"):
+            # the vector REPLACES the prior one: newly-vectored
+            # positions are row deletes; positions a restore CLEARED
+            # come back as inserts
+            before = prior_dvs(table, version)
+            for rel, ids in entry["dv"].items():
+                if rel in entry["remove"]:
+                    continue
+                new, old = set(ids), set(before.get(rel, []))
+                newly, cleared = sorted(new - old), sorted(old - new)
+                if newly:
+                    for r in file_rows(table, rel, col_names, newly):
+                        out.append(r + ("delete", version))
+                if cleared:
+                    for r in file_rows(table, rel, col_names, cleared):
+                        out.append(r + ("insert", version))
+        if entry["add"] or entry["remove"]:
+            added: Counter = Counter()
+            for rel in entry["add"]:
+                for r in file_rows(table, rel, col_names):
+                    added[r] += 1
+            removed: Counter = Counter()
+            # rows the OLD files held but were already vectored out do
+            # not exist logically — exclude them from the pre-image
+            before = prior_dvs(table, version)
+            for rel in entry["remove"]:
+                dv = set(before.get(rel, []))
+                if dv:
+                    import pyarrow.parquet as pq
+
+                    t = pq.read_table(os.path.join(table, rel))
+                    keep = [i for i in range(t.num_rows) if i not in dv]
+                    rows = file_rows(table, rel, col_names, keep)
+                else:
+                    rows = file_rows(table, rel, col_names)
+                for r in rows:
+                    removed[r] += 1
+            for r, n in (added - removed).items():
+                out.extend([r + ("insert", version)] * n)
+            for r, n in (removed - added).items():
+                out.extend([r + ("delete", version)] * n)
+        return out
+
+    class TxCdfStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, table: str, col_names: list[str]):
+            self._table = table
+            self._cols = col_names
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def read(self, start):
+            done = start["version"]
+            nxt = [v for v in versions(self._table) if v > done]
+            if not nxt:
+                return iter([]), start
+            v = nxt[0]
+            return (
+                iter(commit_changes(self._table, v, self._cols)),
+                {"version": v},
+            )
+
+        def readBetweenOffsets(self, start, end):
+            out: list[tuple] = []
+            for v in versions(self._table):
+                if start["version"] < v <= end["version"]:
+                    out.extend(commit_changes(self._table, v, self._cols))
+            return iter(out)
+
+    class TxCdfStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return TX_CDF_STREAM_FORMAT
+
+        def schema(self) -> str:
+            base = _table_schema_ddl(self.options["table"])
+            return base + ", _change_type string, _commit_version bigint"
+
+        def simpleStreamReader(self, schema):
+            data_cols = [f.name for f in schema.fields][:-2]
+            return TxCdfStreamReader(self.options["table"], data_cols)
+
+    spark.dataSource.register(TxCdfStreamSource)
+
+
+def read_tx_cdf_stream(spark: SparkSession, table: str) -> DataFrame:
+    register_tx_cdf_stream(spark)
+    return (
+        spark.readStream.format(TX_CDF_STREAM_FORMAT)
+        .option("table", table)
+        .load()
+    )

@@ -782,3 +782,91 @@ def streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+TX_CDF_TABLE = "/tmp/bhps_tx_cdf_orders"
+
+
+def streaming_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × E2+: the COMPLETE CDC loop — changes stream OUT of the
+    transactional table (CDF-mode source: row images per commit, one
+    commit per micro-batch) and an APPLY CHANGES consumer collapses
+    them downstream: per key, the highest commit version wins and the
+    insert image beats the delete image of the same commit (an update
+    is that pair). The collapsed state must equal the table's final
+    snapshot — which the oracle recomputes from orders directly.
+
+    Upstream history exercised: create (all rows), a full-rewrite
+    MERGE (price bump on every 3rd key — the Counter diff must cancel
+    every carried row), and a deletion-vector delete (every 5th key —
+    changes with NO file change).
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum, money
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        read_tx_cdf_stream,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, TX_CDF_TABLE, base)
+    bumped = base.filter(F.col("key") % 3 == 0).withColumn(
+        "price", (money("price") + F.lit(1000)).cast("double")
+    )
+    tx.merge(spark, TX_CDF_TABLE, bumped, ["key"], ["price"])
+    tx.delete_where_dv(spark, TX_CDF_TABLE, "key % 5 = 0")
+
+    n0 = base.count()
+    n_upd = base.filter(F.col("key") % 3 == 0).count()
+    n_del = base.filter(F.col("key") % 5 == 0).count()
+    expected = n0 + 2 * n_upd + n_del
+
+    import time
+
+    name = "bhps_stream_cdf_apply"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        read_tx_cdf_stream(spark, TX_CDF_TABLE)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = 0
+        while time.time() < deadline:
+            got = spark.table(name).count()
+            if got == expected:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(f"cdf stream drained {got}/{expected}")
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    events = spark.table(name)
+    w = Window.partitionBy("key").orderBy(
+        F.col("_commit_version").desc(),
+        (F.col("_change_type") == "insert").desc(),
+    )
+    state = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("_change_type") == "insert")
+    )
+    return state.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        dsum("price", "total_price", "decimal(18,6)"),
+        F.min("key").alias("min_key"),
+    )

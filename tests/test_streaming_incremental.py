@@ -575,3 +575,65 @@ def test_tx_stream_source_uses_logged_schema_across_evolution(
     finally:
         q.stop()
     assert rows == {(1, None), (2, "x")}
+
+
+def test_tx_cdf_stream_matches_batch_change_feed(spark, tmp_path):
+    """CDF streaming: per commit, the streamed change events equal the
+    batch change_feed(v-1, v) — across create, append, a rewriting
+    merge, and a deletion-vector delete."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        read_tx_cdf_stream,
+    )
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "k bigint, v double"
+        ),
+    )
+    tx.append(
+        spark, table, spark.createDataFrame([(8, 8.0)], "k bigint, v double")
+    )
+    tx.merge(
+        spark, table,
+        spark.createDataFrame([(1, -1.0)], "k bigint, v double"),
+        ["k"], ["v"],
+    )
+    tx.delete_where_dv(spark, table, "k = 2")
+
+    q = (
+        read_tx_cdf_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName("tx_cdf_unit")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        # expected: 8 creates + 1 append + (merge: 1 del + 1 ins) + 1 dv del
+        while time.time() < deadline and spark.table("tx_cdf_unit").count() < 12:
+            time.sleep(0.2)
+        streamed = {
+            (r._commit_version, r._change_type, r.k, r.v)
+            for r in spark.table("tx_cdf_unit").collect()
+        }
+    finally:
+        q.stop()
+
+    expected = set()
+    for v in tx._versions(table):
+        if v == 0:
+            rows = tx.snapshot(spark, table, 0).collect()
+            expected |= {(0, "insert", r.k, r.v) for r in rows}
+        else:
+            for r in tx.change_feed(spark, table, v - 1, v).collect():
+                expected.add((v, r._change_type, r.k, r.v))
+    assert streamed == expected
+    assert len(streamed) == 12
