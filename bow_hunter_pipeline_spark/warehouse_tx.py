@@ -709,12 +709,21 @@ def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
     return next_v
 
 
-def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
+def vacuum(
+    spark: SparkSession,
+    table: str,
+    keep_versions: int = 1,
+    dry_run: bool = False,
+) -> int:
     """VACUUM: delete data files unreachable from the retained version
     window (the newest ``keep_versions`` commits). Time travel below
     the window raises :class:`VersionVacuumedError` — exactly Delta's
     retention trade. The log entries stay (history metadata is cheap);
-    only data files go. Returns the number of files deleted."""
+    only data files go. Returns the number of files deleted.
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) counts the
+    files the delete WOULD remove and touches nothing — the
+    look-before-you-leap a 100 TB table owner runs first."""
     versions = _versions(table)
     retained = versions[-keep_versions:]
     keep: set[str] = set()
@@ -732,7 +741,8 @@ def vacuum(spark: SparkSession, table: str, keep_versions: int = 1) -> int:
         for f in os.listdir(subdir):
             rel = os.path.join(_DATA_DIR, sub, f)
             if f.endswith(".parquet") and rel not in keep:
-                os.remove(os.path.join(table, rel))
+                if not dry_run:
+                    os.remove(os.path.join(table, rel))
                 deleted += 1
     return deleted
 

@@ -1325,3 +1325,22 @@ def test_tx_concurrent_appends_all_land(spark, tmp_path):
     live = {os.path.join(table, r) for r in tx.live_files(table)}
     on_disk = set(glob.glob(os.path.join(table, "data", "*", "*.parquet")))
     assert on_disk == live, "no leaked or lost files under contention"
+
+
+def test_tx_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+    tx.merge(
+        spark, table,
+        spark.createDataFrame([(1, 2.0)], "k bigint, v double"),
+        ["k"], ["v"],
+    )
+    would = tx.vacuum(spark, table, keep_versions=1, dry_run=True)
+    assert would > 0
+    # nothing deleted: v0 still readable, and the real run matches
+    assert tx.snapshot(spark, table, 0).count() == 1
+    assert tx.vacuum(spark, table, keep_versions=1) == would
