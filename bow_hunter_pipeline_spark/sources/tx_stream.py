@@ -222,6 +222,10 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
         return list(zip(*cols))
 
     def prior_dvs(table: str, version: int) -> dict[str, list[int]]:
+        # O(version) log-JSON reads per call; a long-lived production
+        # stream would seed this from warehouse_tx's checkpoints the
+        # same way _replay_dvs does (metadata cost, not data cost —
+        # the data read stays churn-proportional either way)
         dvs: dict[str, list[int]] = {}
         for v in versions(table):
             if v >= version:
