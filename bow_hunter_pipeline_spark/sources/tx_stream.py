@@ -211,9 +211,11 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
     def file_rows(table: str, rel: str, col_names: list[str], idxs=None):
         import pyarrow.parquet as pq
 
+        if idxs is not None and not idxs:
+            return []
         t = pq.read_table(os.path.join(table, rel))
         if idxs is not None:
-            t = t.take(idxs)
+            t = t.take(list(idxs))
         have = set(t.schema.names)
         cols = [
             t.column(n).to_pylist() if n in have else [None] * t.num_rows
@@ -256,10 +258,14 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
         if entry.get("dv"):
             # the vector REPLACES the prior one: newly-vectored
             # positions are row deletes; positions a restore CLEARED
-            # come back as inserts
+            # come back as inserts. Only vectors on files that were
+            # ALREADY live count here — a vector published for a file
+            # this same commit adds (restore re-adding a DV'd file)
+            # is part of the file's add image instead, and one on a
+            # removed file is subsumed by the remove diff.
             before = prior_dvs(table, version)
             for rel, ids in entry["dv"].items():
-                if rel in entry["remove"]:
+                if rel in entry["remove"] or rel in entry["add"]:
                     continue
                 new, old = set(ids), set(before.get(rel, []))
                 newly, cleared = sorted(new - old), sorted(old - new)
@@ -271,8 +277,18 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
                         out.append(r + ("insert", version))
         if entry["add"] or entry["remove"]:
             added: Counter = Counter()
+            own_dv = entry.get("dv", {})
             for rel in entry["add"]:
-                for r in file_rows(table, rel, col_names):
+                dv = set(own_dv.get(rel, []))
+                if dv:
+                    import pyarrow.parquet as pq
+
+                    t = pq.read_table(os.path.join(table, rel))
+                    keep = [i for i in range(t.num_rows) if i not in dv]
+                    rows = file_rows(table, rel, col_names, keep)
+                else:
+                    rows = file_rows(table, rel, col_names)
+                for r in rows:
                     added[r] += 1
             removed: Counter = Counter()
             # rows the OLD files held but were already vectored out do

@@ -637,3 +637,65 @@ def test_tx_cdf_stream_matches_batch_change_feed(spark, tmp_path):
                 expected.add((v, r._change_type, r.k, r.v))
     assert streamed == expected
     assert len(streamed) == 12
+
+
+def test_tx_cdf_stream_restore_with_vectors_matches_batch(spark, tmp_path):
+    """The sharpest CDF edge: a RESTORE that re-adds a file while
+    republishing its deletion vector in the same commit. The streamed
+    changes for that commit must equal the batch change_feed — the
+    vectored rows must NOT resurrect in the stream."""
+    import time
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        read_tx_cdf_stream,
+    )
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "k bigint, v double"
+        ),
+    )
+    v_dv, _ = tx.delete_where_dv(spark, table, "k = 2")          # v1
+    tx.merge(                                                     # v2
+        spark, table,
+        spark.createDataFrame([(5, -5.0)], "k bigint, v double"),
+        ["k"], ["v"],
+    )
+    v_r = tx.restore(spark, table, v_dv)                          # v3
+
+    q = (
+        read_tx_cdf_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName("tx_cdf_restore")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        # stop once the restore commit's events have arrived
+        while time.time() < deadline:
+            vs = {
+                r._commit_version
+                for r in spark.table("tx_cdf_restore").collect()
+            }
+            if v_r in vs:
+                time.sleep(0.5)
+                break
+            time.sleep(0.2)
+        streamed = {
+            (r._change_type, r.k, r.v)
+            for r in spark.table("tx_cdf_restore").collect()
+            if r._commit_version == v_r
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r._change_type, r.k, r.v)
+        for r in tx.change_feed(spark, table, v_r - 1, v_r).collect()
+    }
+    assert streamed == batch
+    assert ("insert", 2, 2.0) not in streamed, "vectored row resurrected"
