@@ -1344,3 +1344,40 @@ def test_tx_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     # nothing deleted: v0 still readable, and the real run matches
     assert tx.snapshot(spark, table, 0).count() == 1
     assert tx.vacuum(spark, table, keep_versions=1) == would
+
+
+def test_tx_vacuum_breaks_cdf_stream_with_clear_error(spark, tmp_path):
+    """Streaming CDF from a range whose pre-images were vacuumed must
+    fail loudly (retention contract, as in Delta), never emit a
+    partial diff."""
+    import pyspark.errors
+    import pytest as _pytest
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        read_tx_cdf_stream,
+    )
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table,
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+    )
+    tx.merge(
+        spark, table,
+        spark.createDataFrame([(1, -1.0)], "k bigint, v double"),
+        ["k"], ["v"],
+    )
+    tx.vacuum(spark, table, keep_versions=1)  # v0 pre-images gone
+
+    q = (
+        read_tx_cdf_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName("tx_cdf_vacuumed")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    with _pytest.raises(pyspark.errors.StreamingQueryException):
+        q.awaitTermination(30)
+        raise AssertionError("stream should fail on vacuumed pre-images")
