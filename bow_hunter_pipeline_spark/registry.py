@@ -1016,6 +1016,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_cdf_apply,
         oracles_f.STREAMING_CDF_APPLY,
     ),
+    # H4 × E2+: APPLY CHANGES as a stateful streaming operator —
+    # per-key state across the three CDF batches; same oracle as the
+    # batch collapse (any cross-batch state loss breaks the hash)
+    "h4_streaming_cdc_stateful": (
+        structured.streaming_cdc_stateful_apply,
+        oracles_f.STREAMING_CDF_APPLY,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1410,6 +1417,7 @@ PENDING_DRIVER_QUEUE = [
     "f_sql_variables",
     "e2_cdc_apply_changes",
     "h4_streaming_cdf_apply",
+    "h4_streaming_cdc_stateful",
 ]
 
 

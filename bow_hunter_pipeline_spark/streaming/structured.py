@@ -870,3 +870,153 @@ def streaming_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("price", "total_price", "decimal(18,6)"),
         F.min("key").alias("min_key"),
     )
+
+
+_CDC_STATE = T.StructType(
+    [
+        T.StructField("best_version", T.LongType()),
+        T.StructField("present", T.BooleanType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("priority", T.StringType()),
+    ]
+)
+
+_CDC_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("state_version", T.LongType()),
+        T.StructField("present", T.BooleanType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("priority", T.StringType()),
+    ]
+)
+
+
+def streaming_cdc_stateful_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H4 × E2+: APPLY CHANGES as a TRUE STATEFUL STREAMING operator —
+    the CDF stream feeds ``applyInPandasWithState`` keyed on the row
+    key; per-key state is (highest commit version seen, presence,
+    row image), updated across micro-batches with the CDC collapse
+    rule (highest version wins; the insert image beats the delete
+    image of the same version). Upstream: the same create → price-
+    bump merge → DV-delete history as :func:`streaming_cdf_apply`,
+    arriving as three separate batches, so state genuinely carries
+    across batch boundaries.
+
+    The final emission per key is selected post-drain (update-mode
+    memory sink keeps every emission) and the rollup must equal the
+    oracle computed directly from orders.
+
+    Scale: state is one row per LIVE key (deletes mark absent and
+    could be timed out); the shuffle is on the key — the same
+    partitioning every CDC materializer pays.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum, money
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        read_tx_cdf_stream,
+    )
+
+    table = "/tmp/bhps_tx_cdc_stateful"
+    orders = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        k.alias("key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, table, base)
+    bumped = base.filter(F.col("key") % 3 == 0).withColumn(
+        "price", (money("price") + F.lit(1000)).cast("double")
+    )
+    tx.merge(spark, table, bumped, ["key"], ["price"])
+    tx.delete_where_dv(spark, table, "key % 5 = 0")
+
+    def apply_cdc(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        if state.exists:
+            best_v, present, price, priority = state.get
+        else:
+            best_v, present, price, priority = -1, False, None, None
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                v = int(r["_commit_version"])
+                is_ins = r["_change_type"] == "insert"
+                # collapse rule as a rank compare: higher version
+                # wins; the insert image beats the delete image of
+                # the same version (an update is that pair)
+                if (v, 1 if is_ins else 0) > (
+                    best_v, 1 if present else 0
+                ):
+                    best_v = v
+                    present = is_ins
+                    price = float(r["price"]) if is_ins else None
+                    priority = r["priority"] if is_ins else None
+        state.update((best_v, present, price, priority))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([key_val], dtype="int64"),
+                "state_version": pd.Series([best_v], dtype="int64"),
+                "present": pd.Series([present], dtype="bool"),
+                "price": pd.Series([price], dtype="object"),
+                "priority": pd.Series([priority], dtype="object"),
+            }
+        )
+
+    stream = read_tx_cdf_stream(spark, table)
+    out = stream.groupBy("key").applyInPandasWithState(
+        apply_cdc,
+        outputStructType=_CDC_OUT,
+        stateStructType=_CDC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    import time
+
+    name = "bhps_stream_cdc_stateful"
+    if any(t.name == name for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(name)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    n_del = base.filter(F.col("key") % 5 == 0).count()
+    dv_version = tx._versions(table)[-1]
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = (
+                spark.table(name)
+                .filter(F.col("state_version") == dv_version)
+                .count()
+            )
+            if done >= n_del:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("cdc stateful stream did not drain")
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    emissions = spark.table(name)
+    w = Window.partitionBy("key").orderBy(F.col("state_version").desc())
+    final = (
+        emissions.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & F.col("present"))
+    )
+    return final.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        dsum("price", "total_price", "decimal(18,6)"),
+        F.min("key").alias("min_key"),
+    )
