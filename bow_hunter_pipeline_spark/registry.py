@@ -1343,70 +1343,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-6 prefix: the final never-driver-checked tail (45),
-    # the 3 round-5 hash-mismatch fixes re-queued for green rows
-    # (their oracles summed integers uncast — DuckDB HUGEINT — now
-    # CAST AS BIGINT), and the 2 new round-6 queries. After this
-    # rotation every registry query has at least one driver row.
-    "h6_context_chunking",
-    "h1_kmeans_convergence_audit",
-    "h3_rake_keywords",
-    "e5_incremental_join_maintenance",
-    "h4_session_concurrency",
-    "h2_hybrid_rrf",
-    "g4_seasonality_index",
-    "f_equi_depth_histogram",
-    "h3_langid_confusion",
-    "h5_bloom_membership",
-    "e2_scd2_point_in_time",
-    "h4_ab_test_guardrail",
-    "a4_dynamic_partition_backfill",
-    "h2_matryoshka_recall",
-    "h6_token_budget_curriculum",
-    "a4_dpp_pruned_join",
-    "e2_tx_schema_evolution",
-    "a4_zstd_roundtrip",
-    "h1_lsh_param_sweep",
-    "f_asof_forward_recovery",
-    "h4_error_streaks",
-    "h3_vocab_coverage_curve",
-    "h2_filtered_vector_search",
-    "e3_referential_integrity",
-    "h3_source_divergence",
-    "f_multiset_ops",
-    "g1_gini_concentration",
-    "h5_kmv_distinct_sketch",
-    "h2_ivf_nprobe_topk",
-    "h5_countmin_heavy_hitters",
-    "e2_tx_constraint_quarantine",
-    "h4_attribution_first_last",
-    "h5_sample_estimate_audit",
-    "h6_leakage_safe_split",
-    "h3_inverted_index_search",
-    "f_ntile_customer_tiers",
-    "h4_streaming_tx_merge",
-    "g4_seasonal_naive_forecast",
-    "h2_int8_search_audit",
-    "e5_retractable_rollup",
-    "a5_json_corrupt_records",
-    "h2_binary_hamming_search",
-    "f_interval_range_frame",
-    "e2_tx_shallow_clone",
-    "h1_method_agreement",
-    # round-5 red rows, oracle-fixed this round — re-checked here
-    "f_q12_late_shipment",
-    "a5_text_roundtrip",
-    "h4_retention_cohorts",
-    # new round-6 queries (guarded CDC merge, TPC-H Q19)
-    "e2_tx_guarded_merge",
-    "f_q19_discounted_parts",
-]
-
-
-# Queries registered AFTER the round-6 prefix froze — no driver row
-# yet; they MUST lead the round-7 rotation prefix. The prefix test
-# pins that nothing else falls outside the checked set.
-PENDING_DRIVER_QUEUE = [
+    # --- round-7 prefix. Slots 1-11: the round-6 additions that were
+    # registered after the r06 prefix froze (the former
+    # PENDING_DRIVER_QUEUE) — their FIRST driver rows. Slots 12-50: a
+    # representative cross-family re-check sample biased to the OLDEST
+    # driver proofs (r02/r03 vintage) to catch silent drift; every
+    # family from SURVEY §2 has at least one slot, and the bench
+    # headliners are all re-proven.
     "h6_greedy_packing",
     "e2_tx_delete_restore",
     "e2_tx_update_change_feed",
@@ -1418,6 +1361,55 @@ PENDING_DRIVER_QUEUE = [
     "e2_cdc_apply_changes",
     "h4_streaming_cdf_apply",
     "h4_streaming_cdc_stateful",
+    # --- representative re-checks (oldest rows first-ish) ---
+    "ep3_flagship_pipeline",
+    "b3_d1_d2_population_explode",
+    "c1_c8_normalize_harvest",
+    "c2_parse_long",
+    "e2_orders_upsert",
+    "e1_stage_full_refresh",
+    "e2_scd2_history",
+    "e3_duplicate_keys",
+    "a2_a3_pdf_ingest",
+    "a5_glob_scan",
+    "a4_partition_roundtrip",
+    "a8_sql_ddl_roundtrip",
+    "f_window_functions",
+    "f_grouping_sets_orders",
+    "f_asof_join_error_context",
+    "f_range_join_value_bands",
+    "g1_pricing_summary",
+    "g2_revenue_by_nation",
+    "g3_top_k_per_group",
+    "g4_yearly_trend",
+    "h1_minhash_lsh_pairs",
+    "h1_exact_dup_groups",
+    "h1_simhash_near_dup",
+    "h2_cosine_topk",
+    "h2_ivf_topk",
+    "h2_pq_topk",
+    "h3_doc_stats",
+    "h3_bpe_token_count",
+    "h3_tfidf_top_terms",
+    "h4_sessionize",
+    "h4_streaming_upsert",
+    "h4_stream_stream_join",
+    "h5_exact_distinct_quantiles",
+    "h6_dedup_apply",
+    "h6_sequence_packing",
+    "h6_stratified_sample",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "udf_grouped_map_arrow",
+]
+
+
+# Queries registered AFTER the round-7 prefix froze — no driver row
+# yet; they MUST lead the round-8 rotation prefix. The prefix test
+# pins that nothing else falls outside the checked set. (Emptied at
+# the start of round 7: all 11 round-6 additions moved into the
+# prefix above.)
+PENDING_DRIVER_QUEUE = [
 ]
 
 

@@ -228,12 +228,14 @@ def test_driver_rotation_prefix_is_stable():
     assert rotation == names[: len(rotation)]
     missing = [n for n in registry._DRIVER_ROTATION if n not in registry._REGISTRY]
     assert not missing, f"rotation names not in registry: {missing}"
-    # rotation goal: every prefix slot goes to a query with NO GREEN
-    # driver row in any prior CORRECTNESS file — the rotation's whole
-    # point. A red row (r05's three oracle-type mismatches) does NOT
-    # retire a query: it must be re-queued until it proves green.
+    # Rounds 1-6 proved every pre-r06 registry query green; the r07
+    # rotation goal is (a) FIRST driver rows for every query with no
+    # green row through r06 — they must lead the prefix — and (b) the
+    # remaining slots spent on representative re-checks of the OLDEST
+    # proofs (r02/r03 vintage) to catch drift. A red row never retires
+    # a query: it must be re-queued until it proves green.
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06"):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:
@@ -253,19 +255,36 @@ def test_driver_rotation_prefix_is_stable():
                     and (row.get("spark_rows") or 0) > 0
                 )
             }
-    already = [n for n in names[:50] if n in checked]
-    assert not already, f"prefix wastes slots on driver-proven rows: {already}"
-    # the round-6 additions and re-queued red rows must make the prefix
+    unproven = [n for n in names if n not in checked]
+    # every unproven query sits in the driver-checked prefix or is
+    # declared in the queue for the NEXT rotation (queries added after
+    # this round's prefix froze)
+    stray = [
+        n
+        for n in unproven
+        if names.index(n) >= 50 and n not in registry.PENDING_DRIVER_QUEUE
+    ]
+    assert not stray, f"unproven queries outside prefix and queue: {stray}"
+    # the 11 round-6 additions (first-ever driver rows) must lead
     for must_lead in (
-        "e2_tx_guarded_merge",
-        "f_q19_discounted_parts",
-        "f_q12_late_shipment",
-        "a5_text_roundtrip",
-        "h4_retention_cohorts",
-        "h4_streaming_tx_merge",
-        "h1_method_agreement",
+        "h6_greedy_packing",
+        "e2_tx_delete_restore",
+        "e2_tx_update_change_feed",
+        "h4_streaming_tx_source",
+        "e2_tx_dv_delete",
+        "e2_tx_zorder_pruned_delete",
+        "e2_tx_append_evolution",
+        "f_sql_variables",
+        "e2_cdc_apply_changes",
+        "h4_streaming_cdf_apply",
+        "h4_streaming_cdc_stateful",
     ):
-        assert names.index(must_lead) < 50
+        assert names.index(must_lead) < 11
+    # re-check slots must themselves be proven rows (no wasted slots
+    # on queries the driver can't compare)
+    rechecks = [n for n in names[11:50]]
+    unproven_rechecks = [n for n in rechecks if n not in checked]
+    assert not unproven_rechecks, unproven_rechecks
 
 
 EMPTY_FIXTURES = "/tmp/bhps_empty_fixtures_t"
@@ -554,17 +573,18 @@ def test_kmv_merge_equals_scratch_and_bounds_error(spark):
 
 
 def test_rotation_finishes_registry_this_round():
-    """Round 6 is the last rotation round: every registry query with
-    no GREEN driver row through round 5 must sit within the first 50
-    export positions (the driver-checked prefix), so this round's
-    CORRECTNESS file completes coverage of the whole registry."""
+    """Every registry query with no GREEN driver row through the
+    latest landed CORRECTNESS file must sit within the first 50
+    export positions (the driver-checked prefix) OR be declared in
+    PENDING_DRIVER_QUEUE for the next rotation — coverage of the
+    registry stays complete as new queries are added."""
     import json
     import os
 
     from bow_hunter_pipeline_spark import registry
 
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06"):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:
@@ -588,9 +608,9 @@ def test_rotation_finishes_registry_this_round():
     stragglers = [
         n for i, n in enumerate(names) if n not in checked and i >= 50
     ]
-    # queries registered after the round-6 prefix froze are expected
+    # queries registered after the current prefix froze are expected
     # stragglers — but ONLY those, and they must be declared in the
-    # round-7 queue so the next rotation cannot forget them
+    # next-round queue so the next rotation cannot forget them
     assert set(stragglers) <= set(registry.PENDING_DRIVER_QUEUE), (
         f"undeclared unproven queries beyond the prefix: "
         f"{set(stragglers) - set(registry.PENDING_DRIVER_QUEUE)}"
