@@ -107,6 +107,16 @@ def register_tx_stream(spark: SparkSession) -> None:
                 f"of {table} removes {len(entry['remove'])} file(s); "
                 "use warehouse_tx.change_feed for updates/deletes"
             )
+        if entry.get("dv"):
+            # a merge-on-read DELETE commits no add/remove but attaches
+            # deletion vectors — still a change commit; silently
+            # advancing past it would drop the deletions downstream
+            raise ValueError(
+                f"tx stream source is insert-only but version {version} "
+                f"of {table} attaches deletion vectors to "
+                f"{len(entry['dv'])} file(s); "
+                "use the tx_cdf stream source for change commits"
+            )
         rows: list[tuple] = []
         for rel in entry["add"]:
             t = pq.read_table(os.path.join(table, rel))

@@ -1345,13 +1345,50 @@ def append(
     _, stats = _replay(table, read_v)
     stat_cols = sorted({c for s in stats.values() for c in s})
     new_files, new_stats = _write_data(df, table, read_v + 1, stat_cols)
+
+    def _schema_action_at(v: int) -> str | None:
+        """Recompute the evolve-append's schema action against the
+        logged schema at version ``v``. The retry loop calls this on
+        every lost version race: a CONCURRENT commit may itself have
+        evolved the schema between our read and the winning attempt,
+        and re-committing the schema_json computed at read_v would
+        publish a LATER schema action lacking the concurrent column —
+        silently dropping its data from every logged-schema read. A
+        concurrent same-name/different-type column is a true conflict
+        and raises (files are discarded by the caller)."""
+        cur = table_schema(table, v)
+        if cur is None:
+            return schema_json
+        cf = {f.name: f.dataType for f in cur.fields}
+        clash = [
+            f.name
+            for f in df.schema.fields
+            if f.name in cf and f.dataType != cf[f.name]
+        ]
+        if clash:
+            raise SchemaEnforcementError(
+                f"concurrent schema evolution of {table} conflicts on "
+                f"{clash} (type mismatch vs this append's files)"
+            )
+        extra2 = [f for f in df.schema.fields if f.name not in cf]
+        if not extra2:
+            return None  # current schema already covers our columns
+        return T.StructType(list(cur.fields) + list(extra2)).json()
+
     last: RuntimeError | None = None
     for _ in range(max_attempts):
         next_v = _versions(table)[-1] + 1
+        commit_schema = schema_json
+        if next_v - 1 > read_v and schema_json is not None:
+            try:
+                commit_schema = _schema_action_at(next_v - 1)
+            except SchemaEnforcementError:
+                _discard_uncommitted(table, new_files)
+                raise
         try:
             _commit(
                 table, next_v, add=new_files, remove=[],
-                stats=new_stats, op="APPEND", schema_json=schema_json,
+                stats=new_stats, op="APPEND", schema_json=commit_schema,
             )
             return next_v
         except RuntimeError as e:
@@ -1441,33 +1478,59 @@ def optimize_zorder(
     Single-key clustering (compact + sort) gives locality on one
     column; the interleaved curve is what buys two.
 
-    Dimension values are linearly bucketed into 2^8 cells between the
-    column's observed min/max (one tiny scalar aggregate) — the
-    range-id normalization Delta's OPTIMIZE uses, minus its skew
-    handling; heavily skewed dimensions would want quantile buckets,
-    the same one-line swap (``ntile`` over a sample). Ordinary commit
-    semantics: old versions stay readable until vacuum; deletion
-    vectors are materialized by the rewrite.
+    Dimension values are QUANTILE-bucketed into 2^8 cells: cut points
+    come from one ``approxQuantile`` pass (a tiny sketch aggregate,
+    cuts broadcast back as literals), so each cell holds ~equal row
+    mass even under heavy skew — Delta's OPTIMIZE range-id
+    normalization WITH the skew handling. Linear min/max bucketing
+    collapses a skewed dimension (one hot value + a long tail) into a
+    single effective cell, and every file then spans the full hot
+    range: zero pruning. Ordinary commit semantics: old versions stay
+    readable until vacuum; deletion vectors are materialized by the
+    rewrite. Per-file stats are recorded for the Z-order columns AND
+    every previously-stats-tracked column (e.g. the merge key from
+    create_table), so existing key-range pruning keeps working after
+    the rewrite.
 
     Returns the new version."""
     if len(cols) != 2:
         raise ValueError("optimize_zorder takes exactly two columns")
     read_v = _versions(table)[-1]
-    rels, _ = _replay(table, read_v)
+    rels, prior_stats = _replay(table, read_v)
     cur = snapshot(spark, table, read_v)
-    bounds = cur.agg(
-        *[f(c).alias(f"{n}_{c}") for c in cols
-          for n, f in (("lo", F.min), ("hi", F.max))]
-    ).collect()[0]
+    cells_n = (1 << ZORDER_RESOLUTION_BITS) - 1
+    qs = [i / (cells_n + 1) for i in range(1, cells_n + 1)]
+    casted = cur.select(
+        *[F.col(c).cast("double").alias(f"__q_{i}") for i, c in enumerate(cols)]
+    )
+    cuts = {
+        c: sorted(set(pts))
+        for c, pts in zip(
+            cols,
+            casted.stat.approxQuantile(
+                [f"__q_{i}" for i in range(len(cols))], qs, 0.01
+            ),
+        )
+    }
 
     def bucket(c: str) -> "F.Column":
-        lo = F.lit(bounds[f"lo_{c}"]).cast("double")
-        hi = F.lit(bounds[f"hi_{c}"]).cast("double")
-        cells = F.lit((1 << ZORDER_RESOLUTION_BITS) - 1)
-        frac = (F.col(c).cast("double") - lo) / F.nullif(hi - lo, F.lit(0.0))
-        return F.least(
-            cells, F.floor(F.coalesce(frac, F.lit(0.0)) * (cells + 1))
-        ).cast("bigint")
+        # bucket = #cuts <= value, RESCALED over the full cell range.
+        # Duplicate cuts (skew ties) dedupe above, which can leave far
+        # fewer unique cuts than cells (e.g. a 16-distinct-value
+        # dimension); without the rescale those buckets occupy only
+        # the curve's LOW bits and contribute nothing to file
+        # boundaries. Cut arrays are <=255-element literals —
+        # evaluated columnar, no shuffle, no per-row Python.
+        pts = cuts[c]
+        if not pts:
+            return F.lit(0).cast("bigint")
+        arr = F.array(*[F.lit(float(p)) for p in pts])
+        val = F.col(c).cast("double")
+        n_le = F.coalesce(
+            F.size(F.filter(arr, lambda x: x <= val)), F.lit(0)
+        )
+        scaled = F.floor(n_le * F.lit(cells_n) / F.lit(len(pts)))
+        return F.least(F.lit(cells_n), scaled).cast("bigint")
 
     a, b = bucket(cols[0]), bucket(cols[1])
     z = F.lit(0)
@@ -1487,7 +1550,10 @@ def optimize_zorder(
         .drop("__z")
     )
     next_v = read_v + 1
-    new_files, stats = _write_data(clustered, table, next_v, cols)
+    stat_cols = sorted(
+        set(cols) | {c for s in prior_stats.values() for c in s}
+    )
+    new_files, stats = _write_data(clustered, table, next_v, stat_cols)
     try:
         _commit(
             table, next_v, add=new_files, remove=rels, stats=stats,

@@ -699,3 +699,41 @@ def test_tx_cdf_stream_restore_with_vectors_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert ("insert", 2, 2.0) not in streamed, "vectored row resurrected"
+
+
+def test_tx_stream_source_rejects_dv_only_commit(spark, tmp_path):
+    """Insert-only contract, merge-on-read edition: a DELETE_DV commit
+    carries no add/remove — only deletion vectors — but it is still a
+    CHANGE commit. The source must fail the stream rather than advance
+    past it as an empty micro-batch and silently drop the deletions
+    downstream."""
+    import pyspark.errors
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import read_tx_stream
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    v, n = tx.delete_where_dv(spark, table, "k < 3")
+    assert n == 3 and v == 1  # dv-only commit in the tailed range
+
+    q = (
+        read_tx_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName("tx_stream_reject_dv")
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    with _pytest.raises(pyspark.errors.StreamingQueryException) as e:
+        q.awaitTermination(30)
+        raise AssertionError("stream should have failed on the DV commit")
+    assert "insert-only" in str(e.value)
+    assert "deletion vector" in str(e.value)

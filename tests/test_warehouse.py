@@ -1381,3 +1381,169 @@ def test_tx_vacuum_breaks_cdf_stream_with_clear_error(spark, tmp_path):
     with _pytest.raises(pyspark.errors.StreamingQueryException):
         q.awaitTermination(30)
         raise AssertionError("stream should fail on vacuumed pre-images")
+
+
+def test_tx_zorder_skewed_dimension_prunes_via_quantile_buckets(
+    spark, tmp_path
+):
+    """Skew-proof Z-order: with one hot range (99%+ of d mass packed
+    into 0..15) plus far outliers (~1e9), LINEAR min/max bucketing
+    collapses the whole hot range into a single cell — every file then
+    spans it and a sub-range predicate prunes nothing. Quantile cut
+    points (approxQuantile over the data) split cells by ROW MASS, so
+    the hot range spreads over many cells and a narrow predicate on it
+    skips most files."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    n, files = 4096, 8
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(
+            F.col("id") % 512 == 0, F.lit(1_000_000_000) + F.col("id")
+        ).otherwise(F.col("id") % 16).alias("d"),
+        (F.col("id") * 1.0).alias("v"),
+    ).repartition(files)
+    tx.create_table(spark, table, df, stats_cols=["k", "d"])
+    v = tx.optimize_zorder(spark, table, ["k", "d"], target_files=files)
+    _, stats = tx._replay(table, v)
+    assert len(stats) == files
+
+    def files_hit(col, lo, hi):
+        return sum(
+            1
+            for s in stats.values()
+            if col in s and s[col][1] >= lo and s[col][0] <= hi
+        )
+
+    # a 2-of-16 slice of the hot range: under linear bucketing every
+    # file contains cell 0 (the whole hot range) and hits = files
+    hits_hot_slice = files_hit("d", 0, 1)
+    assert hits_hot_slice <= files // 2, (
+        f"skewed dimension not pruned: hot-slice predicate hits "
+        f"{hits_hot_slice}/{files} files (linear-bucket collapse)"
+    )
+    # content unchanged by the rewrite
+    assert tx.snapshot(spark, table).count() == n
+    assert {r.k for r in tx.snapshot(spark, table).collect()} == set(
+        range(n)
+    )
+
+
+def test_tx_zorder_preserves_prior_stat_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER must not narrow the stats surface: a table
+    created with stats_cols=['k'] (the merge key) keeps per-file k
+    stats after a Z-order rewrite on (a, b), so merge_pruned/key_range
+    pruning on k still skips files."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(1024).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("a"),
+        ((F.col("id") * 37) % 1024).alias("b"),
+    ).repartition(4)
+    tx.create_table(spark, table, df, stats_cols=["k"])
+    v = tx.optimize_zorder(spark, table, ["a", "b"], target_files=4)
+    _, stats = tx._replay(table, v)
+    for rel, s in stats.items():
+        assert set(s) == {"a", "b", "k"}, (
+            f"{rel}: zorder rewrite dropped stat columns, got {set(s)}"
+        )
+
+
+def test_tx_append_evolution_race_remerges_concurrent_schema(
+    spark, tmp_path, monkeypatch
+):
+    """Evolve-append losing a version race to ANOTHER evolve-append
+    must re-merge the concurrent schema before re-committing: its
+    stale schema_json (computed at read time) lacks the concurrently
+    added column, and publishing it as a LATER schema action would
+    silently drop that column from every logged-schema read."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+
+    real_commit = tx._commit
+    fired = {"done": False}
+
+    def racing_commit(table_, version, add, remove, stats=None, **kw):
+        if not fired["done"] and kw.get("op") == "APPEND":
+            fired["done"] = True
+            monkeypatch.setattr(tx, "_commit", real_commit)
+            # interleaved writer wins the version AND evolves: adds y
+            tx.append(
+                spark, table,
+                spark.createDataFrame(
+                    [(2, 2.0, "why")], "k bigint, v double, y string"
+                ),
+                evolve_schema=True,
+            )
+            monkeypatch.setattr(tx, "_commit", racing_commit)
+        return real_commit(table_, version, add, remove, stats=stats, **kw)
+
+    monkeypatch.setattr(tx, "_commit", racing_commit)
+    # our evolve-append adds x; it loses the race to the y-append
+    v = tx.append(
+        spark, table,
+        spark.createDataFrame(
+            [(3, 3.0, 9)], "k bigint, v double, x bigint"
+        ),
+        evolve_schema=True,
+    )
+    monkeypatch.setattr(tx, "_commit", real_commit)
+    final = tx.table_schema(table, v)
+    names = [f.name for f in final.fields]
+    assert set(names) == {"k", "v", "x", "y"}, (
+        f"retry published a stale schema: {names}"
+    )
+    got = {
+        (r.k, r.y, r.x)
+        for r in tx.snapshot(spark, table)
+        .select("k", "y", "x")
+        .collect()
+    }
+    assert got == {(1, None, None), (2, "why", None), (3, None, 9)}, (
+        "concurrent column's data lost after the losing retry"
+    )
+
+
+def test_tx_vacuum_never_races_a_retained_reader(spark, tmp_path):
+    """Vacuum-vs-reader contract: a snapshot DataFrame constructed at
+    a RETAINED version keeps every file through a concurrent vacuum
+    (retention math deletes only below the window), and a read BELOW
+    the window raises VersionVacuumedError eagerly at snapshot
+    construction — never as a mid-scan FileNotFound."""
+    import pytest as _pytest
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.createDataFrame([(1, 1.0)], "k bigint, v double")
+    )
+    tx.merge(
+        spark, table,
+        spark.createDataFrame([(1, -1.0), (2, 2.0)], "k bigint, v double"),
+        ["k"], ["v"],
+    )  # v1 rewrites v0's file
+    tx.append(
+        spark, table, spark.createDataFrame([(3, 3.0)], "k bigint, v double")
+    )  # v2
+    # reader pins v1 (inside the keep_versions=2 window) BEFORE vacuum
+    pinned = tx.snapshot(spark, table, 1)
+    tx.vacuum(spark, table, keep_versions=2)
+    got = {(r.k, r.v) for r in pinned.collect()}
+    assert got == {(1, -1.0), (2, 2.0)}, "retained reader lost files"
+    # below the window: eager error at construction, no DataFrame
+    with _pytest.raises(tx.VersionVacuumedError):
+        tx.snapshot(spark, table, 0)
