@@ -233,12 +233,34 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
         ]
         return list(zip(*cols))
 
-    def prior_dvs(table: str, version: int) -> dict[str, list[int]]:
+    def as_ids(table: str, key: str, val) -> list[int]:
+        """Resolve one DV log value to row positions: inline int
+        lists pass through; an executor-written blob ref ``{"f", "n",
+        "k"}`` is a parquet dir of (k, idx) rows — read it filtered
+        to this file's stored key. Driver-side pyarrow is fine HERE
+        because this reader is the Simple (driver-fed) shape; the
+        partitioned reader ships the ref to executors instead."""
+        if not isinstance(val, dict):
+            return [int(i) for i in val]
+        import pyarrow.dataset as ds
+
+        d = val["f"]
+        if not os.path.isabs(d):
+            d = os.path.join(table, d)
+        tbl = ds.dataset(d, format="parquet").to_table(
+            columns=["k", "idx"],
+            filter=ds.field("k") == val.get("k", key),
+        )
+        return [int(i) for i in tbl.column("idx").to_pylist()]
+
+    def prior_dvs(table: str, version: int) -> dict:
         # O(version) log-JSON reads per call; a long-lived production
         # stream would seed this from warehouse_tx's checkpoints the
         # same way _replay_dvs does (metadata cost, not data cost —
-        # the data read stays churn-proportional either way)
-        dvs: dict[str, list[int]] = {}
+        # the data read stays churn-proportional either way). Values
+        # stay RAW (inline list or blob ref) — resolved only when a
+        # commit actually touches the file.
+        dvs: dict = {}
         for v in versions(table):
             if v >= version:
                 break
@@ -250,7 +272,7 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
                 dvs.pop(rel, None)
             for rel, ids in entry.get("dv", {}).items():
                 if ids:
-                    dvs[rel] = [int(i) for i in ids]
+                    dvs[rel] = ids
                 else:
                     dvs.pop(rel, None)
         return dvs
@@ -277,7 +299,8 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
             for rel, ids in entry["dv"].items():
                 if rel in entry["remove"] or rel in entry["add"]:
                     continue
-                new, old = set(ids), set(before.get(rel, []))
+                new = set(as_ids(table, rel, ids))
+                old = set(as_ids(table, rel, before.get(rel, [])))
                 newly, cleared = sorted(new - old), sorted(old - new)
                 if newly:
                     for r in file_rows(table, rel, col_names, newly):
@@ -289,7 +312,7 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
             added: Counter = Counter()
             own_dv = entry.get("dv", {})
             for rel in entry["add"]:
-                dv = set(own_dv.get(rel, []))
+                dv = set(as_ids(table, rel, own_dv.get(rel, [])))
                 if dv:
                     import pyarrow.parquet as pq
 
@@ -305,7 +328,7 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
             # not exist logically — exclude them from the pre-image
             before = prior_dvs(table, version)
             for rel in entry["remove"]:
-                dv = set(before.get(rel, []))
+                dv = set(as_ids(table, rel, before.get(rel, [])))
                 if dv:
                     import pyarrow.parquet as pq
 

@@ -60,6 +60,23 @@ from bow_hunter_pipeline_spark.operators.upsert import upsert
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_DV_DIR = "_dv"
+
+# Deletion-vector representation thresholds. A DELETE_DV commit whose
+# FULL vector set (new matches + replaced priors) holds at most
+# DV_INLINE_MAX positions inlines them as JSON int lists in the log —
+# the common GDPR-few-rows case, self-contained and human-readable.
+# Above that, positions are written EXECUTOR-SIDE as a parquet blob
+# dataset under _dv/ (sorted per file, so parquet delta/RLE encoding
+# compresses them — the same role as Delta's roaring bitmaps) and the
+# commit records only {path, cardinality}: the driver never holds
+# O(deleted rows) of anything. Readers broadcast the vector side of
+# the anti-join only while the total cardinality (known from log
+# metadata alone) stays under DV_BROADCAST_MAX; past that the join is
+# left unhinted for AQE to plan — a 10^8-position broadcast would OOM
+# executors just as surely as the driver.
+DV_INLINE_MAX = 10_000
+DV_BROADCAST_MAX = 5_000_000
 
 # Write a log checkpoint every N commits (Delta paper §3.2's answer to
 # unbounded log replay): the checkpoint materializes the live-file set
@@ -239,7 +256,18 @@ def _commit(
     if txn is not None:
         entry["txn"] = [txn[0], txn[1]]
     if dv is not None:
-        entry["dv"] = {r: sorted(ids) for r, ids in dv.items()}
+        # list/set → inline positions; dict → executor-written blob
+        # ref {"f": parquet dir, "n": cardinality, "k": key stored in
+        # the blob's rows (differs from the log key after a clone
+        # re-keys data files to absolute paths)}
+        entry["dv"] = {
+            r: (
+                {"f": v["f"], "n": int(v["n"]), "k": v.get("k", r)}
+                if isinstance(v, dict)
+                else sorted(int(i) for i in v)
+            )
+            for r, v in dv.items()
+        }
     if op is not None:
         entry["op"] = op
     if schema_json is not None:
@@ -341,27 +369,31 @@ def _replay_dvs(
     version: int | None = None,
     *,
     use_checkpoint: bool = True,
-) -> dict[str, list[int]]:
-    """Deletion-vector state at ``version``: per live file, the row
-    indexes readers must skip. Replay rules: a file's dv entry
-    replaces earlier ones; removing a file drops its vector; empty
-    vectors are dropped (a cleared file reads plainly again).
-    Checkpoint-seeded like :func:`_replay`."""
+) -> dict[str, list[int] | dict]:
+    """Deletion-vector state at ``version``: per live file, either
+    the inline row indexes readers must skip (small vectors) or a
+    blob ref ``{"f": parquet dir, "n": cardinality, "k": blob row
+    key}`` for executor-written vectors. Replay rules: a file's dv
+    entry replaces earlier ones; removing a file drops its vector;
+    empty vectors are dropped (a cleared file reads plainly again).
+    Checkpoint-seeded like :func:`_replay`. Replay itself touches
+    only log metadata — O(files) refs, never O(positions)."""
+
+    def _parse(v):
+        return v if isinstance(v, dict) else [int(i) for i in v]
+
     versions = _versions(table)
     if not versions:
         raise FileNotFoundError(f"no commits at {table}")
     upto = versions[-1] if version is None else version
-    dvs: dict[str, list[int]] = {}
+    dvs: dict[str, list[int] | dict] = {}
     start = 0
     if use_checkpoint:
         ckpts = [c for c in _checkpoint_versions(table) if c <= upto]
         if ckpts:
             with open(_checkpoint_path(table, ckpts[-1])) as f:
                 snap = json.load(f)
-            dvs = {
-                k: [int(i) for i in v]
-                for k, v in snap.get("dvs", {}).items()
-            }
+            dvs = {k: _parse(v) for k, v in snap.get("dvs", {}).items()}
             start = snap["version"] + 1
     for v in versions:
         if v < start:
@@ -374,10 +406,82 @@ def _replay_dvs(
             dvs.pop(rel, None)
         for rel, ids in entry.get("dv", {}).items():
             if ids:
-                dvs[rel] = [int(i) for i in ids]
+                dvs[rel] = _parse(ids)
             else:
                 dvs.pop(rel, None)
     return dvs
+
+
+def _dv_total(dvs: dict[str, list[int] | dict]) -> int:
+    """Total position cardinality of a DV mapping, from metadata
+    alone (inline lengths + blob-ref counts — no blob I/O)."""
+    return sum(
+        int(ref["n"]) if isinstance(ref, dict) else len(ref)
+        for ref in dvs.values()
+    )
+
+
+def _dv_blob_dir(ref_f: str, table: str) -> str:
+    """A blob ref's parquet directory, resolved against the table
+    root (clone-published refs are already absolute)."""
+    return ref_f if os.path.isabs(ref_f) else os.path.join(table, ref_f)
+
+
+def _dv_rows(
+    spark: SparkSession, table: str, dvs: dict[str, list[int] | dict]
+) -> DataFrame:
+    """The ``(__dv_key, __dv_idx)`` rows of a DV mapping, built
+    WITHOUT materializing positions on the driver: inline vectors
+    (bounded by the DV_INLINE_MAX write invariant) become a local
+    DataFrame; blob vectors are parquet scans of their
+    executor-written position files. A blob dir written by one commit
+    can serve several files, and a LATER commit may have replaced
+    some file's vector in a newer blob — so blob rows are filtered to
+    the CURRENT (key → blob dir) mapping via a broadcast of O(files)
+    metadata."""
+    inline = {k: ref for k, ref in dvs.items() if isinstance(ref, list)}
+    blobs = {k: ref for k, ref in dvs.items() if isinstance(ref, dict)}
+    parts: list[DataFrame] = []
+    schema_ddl = "__dv_key string, __dv_idx bigint"
+    if inline:
+        pairs = [(k, int(i)) for k, ids in inline.items() for i in ids]
+        parts.append(spark.createDataFrame(pairs, schema_ddl))
+    if blobs:
+        dirs = sorted(
+            {_dv_blob_dir(ref["f"], table) for ref in blobs.values()}
+        )
+        cur = spark.createDataFrame(
+            [
+                (
+                    k,
+                    ref.get("k", k),
+                    os.path.basename(
+                        os.path.abspath(_dv_blob_dir(ref["f"], table))
+                    ),
+                )
+                for k, ref in blobs.items()
+            ],
+            "__dv_key string, __blob_k string, __blob_dir string",
+        )
+        bdf = spark.read.schema("k string, idx bigint").parquet(
+            *dirs
+        ).withColumn(
+            "__src_dir",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+        )
+        parts.append(
+            bdf.join(
+                F.broadcast(cur),
+                (bdf["k"] == cur["__blob_k"])
+                & (bdf["__src_dir"] == cur["__blob_dir"]),
+            ).select(
+                F.col("__dv_key"), F.col("idx").alias("__dv_idx")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def table_schema(table: str, version: int | None = None):
@@ -493,7 +597,15 @@ def snapshot(
     calls, the same metadata the scan is about to open anyway.
     """
     rels = live_files(table, version)
+    dvs = _replay_dvs(table, version)
     paths = [os.path.join(table, p) for p in rels]
+    # DV blob dirs are part of the snapshot too: a vacuumed blob would
+    # otherwise surface as a raw path-not-found mid-plan
+    paths += [
+        _dv_blob_dir(ref["f"], table)
+        for r, ref in dvs.items()
+        if r in set(rels) and isinstance(ref, dict)
+    ]
     gone = [p for p in paths if not os.path.exists(p)]
     if gone:
         raise VersionVacuumedError(
@@ -502,7 +614,7 @@ def snapshot(
             f"(e.g. {gone[0]}); re-read at or above the retention window"
         )
     return _read_live(
-        spark, table, rels, _replay_dvs(table, version),
+        spark, table, rels, dvs,
         schema=table_schema(table, version),
     )
 
@@ -517,7 +629,7 @@ def _read_live(
     spark: SparkSession,
     table: str,
     rels: list[str],
-    dvs: dict[str, list[int]],
+    dvs: dict[str, list[int] | dict],
     *,
     with_file: bool = False,
     with_pos: bool = False,
@@ -526,13 +638,17 @@ def _read_live(
     """Scan ``rels`` applying deletion vectors (merge-on-read): rows
     whose (file, row_index) appear in a DV are anti-joined away using
     the scan's own ``_metadata`` row position — no data rewrite ever
-    happened for them. The DV side broadcasts (vectors are small
-    relative to data; production engines use roaring bitmaps, same
-    join shape). ``with_file`` keeps the normalized file path as
-    ``__file`` for callers that need file attribution."""
+    happened for them. Inline vectors and executor-written blob refs
+    both flow through :func:`_dv_rows`, so the driver never holds
+    O(positions). The DV side broadcasts while its total cardinality
+    (log metadata) stays under DV_BROADCAST_MAX; larger vector sets
+    leave the join strategy to AQE (production engines use roaring
+    bitmaps pushed into the scan, same join shape). ``with_file``
+    keeps the normalized file path as ``__file`` for callers that
+    need file attribution."""
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(*[os.path.join(table, r) for r in rels])
-    live_dvs = {r: ids for r, ids in dvs.items() if r in set(rels) and ids}
+    live_dvs = {r: ref for r, ref in dvs.items() if r in set(rels) and ref}
     if not live_dvs and not (with_file or with_pos):
         return df
     cols = df.columns
@@ -540,16 +656,22 @@ def _read_live(
         "__idx", F.col("_metadata.row_index")
     )
     if live_dvs:
-        pairs = [
-            (os.path.abspath(os.path.join(table, r)), int(i))
-            for r, ids in live_dvs.items()
-            for i in ids
-        ]
-        dv_df = spark.createDataFrame(
-            pairs, "__dv_file string, __dv_idx bigint"
+        key_map = spark.createDataFrame(
+            [
+                (k, os.path.abspath(os.path.join(table, k)))
+                for k in live_dvs
+            ],
+            "__dv_key string, __dv_file string",
         )
+        dv_df = (
+            _dv_rows(spark, table, live_dvs)
+            .join(F.broadcast(key_map), "__dv_key")
+            .select("__dv_file", "__dv_idx")
+        )
+        if _dv_total(live_dvs) <= DV_BROADCAST_MAX:
+            dv_df = F.broadcast(dv_df)
         df = df.join(
-            F.broadcast(dv_df),
+            dv_df,
             (df["__file"] == dv_df["__dv_file"])
             & (df["__idx"] == dv_df["__dv_idx"]),
             "left_anti",
@@ -727,22 +849,37 @@ def vacuum(
     versions = _versions(table)
     retained = versions[-keep_versions:]
     keep: set[str] = set()
+    keep_dv_dirs: set[str] = set()
     for v in retained:
         keep |= set(live_files(table, v))
+        # blob-backed deletion vectors reachable from the window pin
+        # their _dv/ dirs too (clone-owned ABSOLUTE refs point into
+        # the source table — not ours to track or delete)
+        for ref in _replay_dvs(table, v).values():
+            if isinstance(ref, dict) and not os.path.isabs(ref["f"]):
+                keep_dv_dirs.add(os.path.normpath(ref["f"]))
     deleted = 0
     data_root = os.path.join(table, _DATA_DIR)
-    if not os.path.isdir(data_root):
-        # A fresh shallow clone owns no data files until its first
-        # write — every live file is an absolute reference into the
-        # source table, which vacuum must never walk.
-        return 0
-    for sub in sorted(os.listdir(data_root)):
-        subdir = os.path.join(data_root, sub)
-        for f in os.listdir(subdir):
-            rel = os.path.join(_DATA_DIR, sub, f)
-            if f.endswith(".parquet") and rel not in keep:
+    if os.path.isdir(data_root):
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for f in os.listdir(subdir):
+                rel = os.path.join(_DATA_DIR, sub, f)
+                if f.endswith(".parquet") and rel not in keep:
+                    if not dry_run:
+                        os.remove(os.path.join(table, rel))
+                    deleted += 1
+    # unreachable DV blob dirs go with the same retention window; a
+    # whole dir counts as ONE deleted object (it is one log-level ref)
+    dv_root = os.path.join(table, _DV_DIR)
+    if os.path.isdir(dv_root):
+        for sub in sorted(os.listdir(dv_root)):
+            rel = os.path.normpath(os.path.join(_DV_DIR, sub))
+            if rel not in keep_dv_dirs:
                 if not dry_run:
-                    os.remove(os.path.join(table, rel))
+                    shutil.rmtree(
+                        os.path.join(table, rel), ignore_errors=True
+                    )
                 deleted += 1
     return deleted
 
@@ -979,8 +1116,23 @@ def clone_table(src: str, dst: str) -> None:
     # the clone) and its logged schema (else a mixed-schema source
     # reads inconsistently through parquet inference)
     src_dvs = _replay_dvs(src)
+    # blob refs re-key data files to absolute paths but must keep the
+    # blob's STORED row key ("k", the source-relative path) and point
+    # "f" at the source's blob dir absolutely — the clone never owns
+    # the blob file, same as it never owns data files
     abs_dvs = {
-        os.path.join(src_abs, k): v for k, v in src_dvs.items()
+        os.path.join(src_abs, k): (
+            {
+                "f": os.path.join(src_abs, v["f"])
+                if not os.path.isabs(v["f"])
+                else v["f"],
+                "n": v["n"],
+                "k": v.get("k", k),
+            }
+            if isinstance(v, dict)
+            else v
+        )
+        for k, v in src_dvs.items()
     }
     src_schema = table_schema(src)
     _commit(
@@ -1090,9 +1242,16 @@ def restore(spark: SparkSession, table: str, version: int) -> int:
     reads)."""
     read_v = _versions(table)[-1]
     target_rels, target_stats = _replay(table, version)
+    target_dvs = _replay_dvs(table, version)
     gone = [
         r for r in target_rels
         if not os.path.exists(os.path.join(table, r))
+    ] + [
+        ref["f"]
+        for r, ref in target_dvs.items()
+        if r in set(target_rels)
+        and isinstance(ref, dict)
+        and not os.path.exists(_dv_blob_dir(ref["f"], table))
     ]
     if gone:
         raise VersionVacuumedError(
@@ -1107,7 +1266,6 @@ def restore(spark: SparkSession, table: str, version: int) -> int:
     # version's vector for every target file whose current vector
     # differs (an empty vector clears — rows come back without any
     # data movement)
-    target_dvs = _replay_dvs(table, version)
     current_dvs = _replay_dvs(table, read_v)
     dv = {
         r: target_dvs.get(r, [])
@@ -1426,6 +1584,15 @@ def delete_where_dv(
     delta. Returns ``(new_version, n_newly_deleted)``; no matches
     commits nothing.
 
+    SCALE: the find phase never collects positions. Matched (file,
+    row_index) pairs stay a DataFrame; the driver sees only O(touched
+    files) per-file counts. If the full vector set fits DV_INLINE_MAX
+    the (bounded) positions inline into the commit JSON; otherwise
+    they are written executor-side as a sorted parquet blob under
+    ``_dv/`` and the commit records ``{path, cardinality}`` per file
+    — a predicate matching 10^8 rows moves zero position data
+    through the driver.
+
     NULL predicate rows are KEPT (SQL DELETE semantics)."""
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
@@ -1434,31 +1601,81 @@ def delete_where_dv(
     if not candidates:
         return read_v, 0
     cond = F.expr(condition)
-    abs_to_rel = {
-        os.path.abspath(os.path.join(table, r)): r for r in rels
-    }
     # the DV-applied read cannot re-match already-deleted rows
     df = _read_live(
         spark, table, candidates, dvs, with_file=True, with_pos=True,
         schema=table_schema(table, read_v),
     )
-    hits = (
-        df.filter(cond)
-        .groupBy("__file")
-        .agg(F.collect_list("__idx").alias("idxs"))
-        .collect()
+    rel_map = spark.createDataFrame(
+        [(os.path.abspath(os.path.join(table, r)), r) for r in candidates],
+        "__abs string, k string",
     )
-    if not hits:
+    matches = (
+        df.filter(cond)
+        .select("__file", F.col("__idx").alias("idx"))
+        .join(F.broadcast(rel_map), F.col("__file") == F.col("__abs"))
+        .select("k", "idx")
+    )
+    counts = {
+        row["k"]: int(row["n"])
+        for row in matches.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # O(touched files), same as MERGE's find phase
+    }
+    if not counts:
         return read_v, 0
-    dv: dict[str, list[int]] = {}
-    n_deleted = 0
-    for row in hits:
-        rel = abs_to_rel[row["__file"]]
-        new_ids = [int(i) for i in row["idxs"]]
-        n_deleted += len(new_ids)
-        dv[rel] = sorted(set(dvs.get(rel, [])) | set(new_ids))
+    n_deleted = sum(counts.values())
+    touched_prior = {r: dvs[r] for r in counts if dvs.get(r)}
+    full_counts = dict(counts)
+    for r, ref in touched_prior.items():
+        full_counts[r] += (
+            int(ref["n"]) if isinstance(ref, dict) else len(ref)
+        )
+    total_full = sum(full_counts.values())
     next_v = read_v + 1
-    _commit(table, next_v, add=[], remove=[], dv=dv, op="DELETE_DV")
+    blob_abs = None
+    if total_full <= DV_INLINE_MAX:
+        # bounded: at most DV_INLINE_MAX rows cross to the driver
+        new_ids: dict[str, set[int]] = {r: set() for r in counts}
+        for row in matches.collect():
+            new_ids[row["k"]].add(int(row["idx"]))
+        if touched_prior:
+            for row in _dv_rows(spark, table, touched_prior).collect():
+                new_ids.setdefault(row["__dv_key"], set()).add(
+                    int(row["__dv_idx"])
+                )
+        dv: dict[str, list[int] | dict] = {
+            r: sorted(ids) for r, ids in new_ids.items()
+        }
+    else:
+        full = matches
+        if touched_prior:
+            full = full.unionByName(
+                _dv_rows(spark, table, touched_prior).select(
+                    F.col("__dv_key").alias("k"),
+                    F.col("__dv_idx").alias("idx"),
+                )
+            )
+        blob_rel = os.path.join(
+            _DV_DIR, f"{next_v:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        blob_abs = os.path.join(table, blob_rel)
+        (
+            full.repartition(max(1, total_full // 8_000_000), "k")
+            .sortWithinPartitions("k", "idx")
+            .write.mode("error")
+            .parquet(blob_abs)
+        )
+        dv = {
+            r: {"f": blob_rel, "n": int(n), "k": r}
+            for r, n in full_counts.items()
+        }
+    try:
+        _commit(table, next_v, add=[], remove=[], dv=dv, op="DELETE_DV")
+    except RuntimeError:
+        if blob_abs is not None:
+            shutil.rmtree(blob_abs, ignore_errors=True)
+        raise
     return next_v, n_deleted
 
 

@@ -1547,3 +1547,138 @@ def test_tx_vacuum_never_races_a_retained_reader(spark, tmp_path):
     # below the window: eager error at construction, no DataFrame
     with _pytest.raises(tx.VersionVacuumedError):
         tx.snapshot(spark, table, 0)
+
+
+def test_tx_dv_blob_path_end_to_end(spark, tmp_path, monkeypatch):
+    """Executor-written DV blobs (the at-scale representation): with
+    DV_INLINE_MAX forced to 0 every delete_where_dv writes its
+    positions as a sorted parquet blob under _dv/ and the commit log
+    holds only {path, cardinality} — O(files) driver metadata, never
+    O(deleted rows). The whole protocol must keep working through
+    blob refs: merge-on-read reads, vector union across deletes,
+    time travel, restore, batch change feed, clone, and vacuum of
+    unreachable blob dirs."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    monkeypatch.setattr(tx, "DV_INLINE_MAX", 0)
+    table = str(tmp_path / "t")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(3, "k")
+    tx.create_table(spark, table, df)
+    files_v0 = set(tx.live_files(table))
+
+    v1, n1 = tx.delete_where_dv(spark, table, "k % 10 = 0")
+    assert n1 == 6
+    assert set(tx.live_files(table, v1)) == files_v0, "no rewrite"
+    # the commit holds blob REFS, not positions
+    with open(_os.path.join(table, "_log", f"{v1:08d}.json")) as f:
+        entry = _json.load(f)
+    refs = list(entry["dv"].values())
+    assert refs and all(
+        isinstance(r, dict) and set(r) >= {"f", "n"} for r in refs
+    ), "positions leaked inline into the log"
+    assert _os.path.isdir(_os.path.join(table, "_dv"))
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {k for k in range(60) if k % 10 != 0}
+    assert tx.snapshot(spark, table, 0).count() == 60
+
+    # second delete unions prior BLOB vectors with new matches
+    v2, n2 = tx.delete_where_dv(spark, table, "k % 5 = 0")
+    assert n2 == 6  # 5,15,...,55 — %10 rows already vectored out
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {k for k in range(60) if k % 5 != 0}
+
+    # batch change feed across the blob-DV commit: pure row deletes
+    feed = tx.change_feed(spark, table, v1, v2)
+    rows = {(r.k, r._change_type) for r in feed.collect()}
+    assert rows == {(k, "delete") for k in (5, 15, 25, 35, 45, 55)}
+
+    # restore below both deletes clears the vectors
+    v3 = tx.restore(spark, table, 0)
+    assert tx.snapshot(spark, table).count() == 60
+
+    # restore back ONTO a blob-DV version re-publishes its refs
+    v4 = tx.restore(spark, table, v2)
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {k for k in range(60) if k % 5 != 0}
+
+    # clone carries blob refs absolutely (no blob copy)
+    dst = str(tmp_path / "c")
+    tx.clone_table(table, dst)
+    got = {r.k for r in tx.snapshot(spark, dst).collect()}
+    assert got == {k for k in range(60) if k % 5 != 0}
+    assert not _os.path.isdir(_os.path.join(dst, "_dv"))
+
+    # vacuum keeps reachable blob dirs; full-history retention first
+    assert tx.vacuum(spark, table, keep_versions=100, dry_run=True) == 0
+    # retain only the latest version: v1's and v2's blobs stay
+    # reachable (v4 = restore to v2 re-published both refs)
+    tx.vacuum(spark, table, keep_versions=1)
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == {k for k in range(60) if k % 5 != 0}
+
+    # drop the vectors via copy-on-write delete of everything left,
+    # then vacuum: the now-unreachable blob dirs are collected
+    tx.delete_where(spark, table, "k >= 0")
+    assert tx.snapshot(spark, table).count() == 0
+    tx.vacuum(spark, table, keep_versions=1)
+    dv_root = _os.path.join(table, "_dv")
+    assert (not _os.path.isdir(dv_root)) or _os.listdir(dv_root) == []
+
+    # a vacuumed blob dir makes pinned reads fail EAGERLY
+    with _pytest.raises(tx.VersionVacuumedError):
+        tx.snapshot(spark, table, v2)
+
+
+def test_tx_dv_blob_streams_through_cdf_source(spark, tmp_path, monkeypatch):
+    """The CDF streaming source resolves blob-backed vectors: a
+    DELETE_DV commit whose positions live in a _dv/ parquet blob
+    streams the same per-row deletes an inline commit would."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        read_tx_cdf_stream,
+    )
+
+    monkeypatch.setattr(tx, "DV_INLINE_MAX", 0)
+    table = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    tx.delete_where_dv(spark, table, "k < 4")
+
+    q = (
+        read_tx_cdf_stream(spark, table)
+        .writeStream.format("memory")
+        .queryName("txcdf_blob_sink")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM txcdf_blob_sink"
+            ).collect()
+            dels = {
+                int(r.k)
+                for r in rows
+                if r._change_type == "delete"
+            }
+            if dels == {0, 1, 2, 3}:
+                break
+            _time.sleep(1)
+        assert dels == {0, 1, 2, 3}
+    finally:
+        q.stop()
