@@ -45,6 +45,9 @@ HEADLINE = [
     # round 6: order-aware CDC merge through the commit-log table
     # (create + guarded MERGE + snapshot rollup)
     "e2_tx_guarded_merge",
+    # round 7: the token-explode fanout shuffle (split → explode →
+    # bigram groupBy) — the 100 TB text-pipeline cost center
+    "h3_bigram_counts",
 ]
 
 
