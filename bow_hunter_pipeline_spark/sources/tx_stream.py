@@ -4,19 +4,24 @@ table", from scratch on the Python DataSource API.
 The commit log IS a changelog: each version's ``add`` list names the
 files that appeared at that version. The stream reader checkpoints a
 VERSION as its offset and emits, per micro-batch, the rows of the
-files added by the next commit — incremental, replayable (offsets →
+files the covered commits added — incremental, replayable (offsets →
 file lists → bytes are all immutable), and exactly-once under the
 checkpoint like any Structured Streaming source.
 
 Insert-only discipline (Delta's default streaming contract): a commit
-that REMOVES files (merge/delete/compact) is not representable as an
-append stream — the reader raises, pointing at ``change_feed`` for
-the CDC shape instead of silently re-emitting rewritten rows.
+that REMOVES files (merge/delete/compact) or attaches deletion
+vectors is not representable as an append stream — the reader raises,
+pointing at ``change_feed`` / the CDF source for the CDC shape
+instead of silently re-emitting rewritten rows.
 
-Scale: a micro-batch reads only the files one commit added; the log
-itself is O(1) JSON per poll. The Python-side parquet read mirrors
-the existing feed connector's by-value closures (workers never import
-this package).
+Scale: both sources are PARTITION-BASED ``DataSourceStreamReader``\\ s
+(not the driver-fed Simple shape): the driver touches only log JSON —
+O(files) metadata per micro-batch — and plans one ``InputPartition``
+per changed file, so the parquet bytes are read EXECUTOR-SIDE, one
+task per file, the same fan-out as the batch scan. Classes and
+helpers live inside the register functions so cloudpickle ships them
+by value (workers never import this package — same constraint as the
+feed connector, ``python_feed.py``).
 """
 
 from __future__ import annotations
@@ -70,12 +75,13 @@ def _table_schema_ddl(table: str) -> str:
     return ", ".join(cols)
 
 
-def register_tx_stream(spark: SparkSession) -> None:
+def register_tx_stream(spark: SparkSession):
     """Register the format; the table path arrives via
     ``.option("table", path)``. Idempotent per session."""
     from pyspark.sql.datasource import (
         DataSource,
-        SimpleDataSourceStreamReader,
+        DataSourceStreamReader,
+        InputPartition,
     )
 
     log_dir_name = "_log"
@@ -90,74 +96,97 @@ def register_tx_stream(spark: SparkSession) -> None:
             if f.endswith(".json") and f.split(".")[0].isdigit()
         )
 
-    def commit_added_rows(
-        table: str, version: int, col_names: list[str]
-    ) -> list[tuple]:
-        # returns a LIST: the harness copy.copy()s the batch iterator
-        # for replay caching, which a generator cannot survive
-        import pyarrow.parquet as pq
-
+    def log_entry(table: str, version: int) -> dict:
         with open(
             os.path.join(table, log_dir_name, f"{version:08d}.json")
         ) as f:
-            entry = json.load(f)
-        if entry["remove"]:
-            raise ValueError(
-                f"tx stream source is insert-only but version {version} "
-                f"of {table} removes {len(entry['remove'])} file(s); "
-                "use warehouse_tx.change_feed for updates/deletes"
-            )
-        if entry.get("dv"):
-            # a merge-on-read DELETE commits no add/remove but attaches
-            # deletion vectors — still a change commit; silently
-            # advancing past it would drop the deletions downstream
-            raise ValueError(
-                f"tx stream source is insert-only but version {version} "
-                f"of {table} attaches deletion vectors to "
-                f"{len(entry['dv'])} file(s); "
-                "use the tx_cdf stream source for change commits"
-            )
-        rows: list[tuple] = []
-        for rel in entry["add"]:
-            t = pq.read_table(os.path.join(table, rel))
-            have = set(t.schema.names)
-            cols = [
-                t.column(name).to_pylist()
-                if name in have
-                else [None] * t.num_rows
-                for name in col_names
-            ]
-            rows.extend(zip(*cols))
-        return rows
+            return json.load(f)
 
-    class TxStreamReader(SimpleDataSourceStreamReader):
+    def file_tuples(table: str, rel: str, col_names: list[str]):
+        # EXECUTOR-side: one task reads one added file
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(table, rel))
+        have = set(t.schema.names)
+        cols = [
+            t.column(n).to_pylist() if n in have else [None] * t.num_rows
+            for n in col_names
+        ]
+        return zip(*cols)
+
+    class TxStreamReader(DataSourceStreamReader):
+        """Partition-based insert-only reader: ``partitions`` plans
+        one InputPartition per file the covered commits added (log
+        metadata only); ``read`` runs on executors.
+
+        Pacing: one commit per micro-batch while tailing (commit =
+        the natural retry/attribution unit), tracked driver-side in
+        ``_pos``. The engine calls ``latestOffset`` before the reader
+        can know any checkpoint position (it precedes even
+        ``initialOffset`` on a fresh query), so the FIRST planned
+        batch — fresh start or restart alike — is a catch-up batch to
+        the newest version (Delta's default process-all-available);
+        ``partitions`` then syncs ``_pos`` from the engine's
+        authoritative offsets and subsequent commits arrive one per
+        micro-batch."""
+
         def __init__(self, table: str, col_names: list[str]):
             self._table = table
             self._cols = col_names
+            self._pos: int | None = None
 
         def initialOffset(self):
+            self._pos = -1
             return {"version": -1}
 
-        def read(self, start):
-            done = start["version"]
+        def latestOffset(self):
             avail = versions(self._table)
-            nxt = [v for v in avail if v > done]
-            if not nxt:
-                return iter([]), start
-            v = nxt[0]  # one commit per micro-batch
-            return (
-                iter(commit_added_rows(self._table, v, self._cols)),
-                {"version": v},
+            if not avail:
+                return {"version": self._pos if self._pos is not None else -1}
+            if self._pos is None:
+                return {"version": avail[-1]}
+            nxt = [v for v in avail if v > self._pos]
+            return {"version": nxt[0] if nxt else self._pos}
+
+        def partitions(self, start, end):
+            self._pos = max(
+                self._pos if self._pos is not None else -1,
+                start["version"],
+                end["version"],
+            )
+            parts = []
+            for v in versions(self._table):
+                if not (start["version"] < v <= end["version"]):
+                    continue
+                entry = log_entry(self._table, v)
+                if entry["remove"]:
+                    raise ValueError(
+                        f"tx stream source is insert-only but version {v} "
+                        f"of {self._table} removes "
+                        f"{len(entry['remove'])} file(s); "
+                        "use warehouse_tx.change_feed for updates/deletes"
+                    )
+                if entry.get("dv"):
+                    # a merge-on-read DELETE commits no add/remove but
+                    # attaches deletion vectors — still a change
+                    # commit; silently advancing past it would drop
+                    # the deletions downstream
+                    raise ValueError(
+                        f"tx stream source is insert-only but version {v} "
+                        f"of {self._table} attaches deletion vectors to "
+                        f"{len(entry['dv'])} file(s); "
+                        "use the tx_cdf stream source for change commits"
+                    )
+                parts.extend(InputPartition(rel) for rel in entry["add"])
+            return parts
+
+        def read(self, partition):
+            yield from file_tuples(
+                self._table, partition.value, self._cols
             )
 
-        def readBetweenOffsets(self, start, end):
-            out: list[tuple] = []
-            for v in versions(self._table):
-                if start["version"] < v <= end["version"]:
-                    out.extend(
-                        commit_added_rows(self._table, v, self._cols)
-                    )
-            return iter(out)
+        def commit(self, end):
+            pass
 
     class TxStreamSource(DataSource):
         @classmethod
@@ -167,12 +196,14 @@ def register_tx_stream(spark: SparkSession) -> None:
         def schema(self) -> str:
             return _table_schema_ddl(self.options["table"])
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return TxStreamReader(
                 self.options["table"], [f.name for f in schema.fields]
             )
 
     spark.dataSource.register(TxStreamSource)
+    # returned for white-box tests (partition-plan assertions)
+    return TxStreamSource
 
 
 def read_tx_stream(spark: SparkSession, table: str) -> DataFrame:
@@ -187,7 +218,7 @@ def read_tx_stream(spark: SparkSession, table: str) -> DataFrame:
 TX_CDF_STREAM_FORMAT = "bhps_tx_cdf_stream"
 
 
-def register_tx_cdf_stream(spark: SparkSession) -> None:
+def register_tx_cdf_stream(spark: SparkSession):
     """CDF-MODE streaming source: tails the commit log emitting ROW-
     LEVEL CHANGES per commit — ``_change_type`` insert/delete images
     (an update is its delete+insert pair) plus ``_commit_version``.
@@ -198,12 +229,30 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
     by position. This is the Delta CDF readStream shape — the feed
     that drives a downstream APPLY CHANGES consumer.
 
-    Scale: per micro-batch the reader touches only the files ONE
-    commit added/removed (or only the DV'd positions) — churn-
-    proportional, like the batch change_feed."""
+    Scale: partition-based reader. The driver plans from log JSON
+    alone — O(files) metadata, never row data — and every parquet
+    byte is read EXECUTOR-SIDE:
+
+    - append-only commit → one partition per added file (minus its
+      own vector, for a restore re-adding a DV'd file);
+    - remove-only commit → one partition per removed file (minus the
+      prior vector — already-deleted rows have no pre-image);
+    - DV delta on an untouched file → one partition per file; blob
+      refs (``{"f","n","k"}``) resolve on the executor via a filtered
+      scan of the ``_dv/`` parquet blob;
+    - REWRITING commit (add+remove) → one partition per commit: the
+      multiset cancellation needs every touched row of that commit in
+      one place, so it runs as a single executor task, O(commit churn
+      bytes) off the driver. At scale writers avoid this shape by
+      design — merge-on-read DV deletes (per-file parallel here) are
+      the churn path, and production Delta sidesteps it entirely by
+      having WRITERS emit change files at commit time (the batch
+      ``change_feed`` computes the same diff distributedly when the
+      engine is available)."""
     from pyspark.sql.datasource import (
         DataSource,
-        SimpleDataSourceStreamReader,
+        DataSourceStreamReader,
+        InputPartition,
     )
 
     log_dir_name = "_log"
@@ -218,7 +267,14 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
             if f.endswith(".json") and f.split(".")[0].isdigit()
         )
 
+    def log_entry(table: str, version: int) -> dict:
+        with open(
+            os.path.join(table, log_dir_name, f"{version:08d}.json")
+        ) as f:
+            return json.load(f)
+
     def file_rows(table: str, rel: str, col_names: list[str], idxs=None):
+        # EXECUTOR-side parquet read (positions optional)
         import pyarrow.parquet as pq
 
         if idxs is not None and not idxs:
@@ -233,15 +289,13 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
         ]
         return list(zip(*cols))
 
-    def as_ids(table: str, key: str, val) -> list[int]:
-        """Resolve one DV log value to row positions: inline int
-        lists pass through; an executor-written blob ref ``{"f", "n",
-        "k"}`` is a parquet dir of (k, idx) rows — read it filtered
-        to this file's stored key. Driver-side pyarrow is fine HERE
-        because this reader is the Simple (driver-fed) shape; the
-        partitioned reader ships the ref to executors instead."""
+    def as_ids(table: str, key: str, val) -> set[int]:
+        """Resolve one DV log value to row positions — EXECUTOR-side:
+        inline int lists pass through; a blob ref ``{"f", "n", "k"}``
+        is a parquet dir of (k, idx) rows, scanned filtered to this
+        file's stored key."""
         if not isinstance(val, dict):
-            return [int(i) for i in val]
+            return {int(i) for i in val}
         import pyarrow.dataset as ds
 
         d = val["f"]
@@ -251,23 +305,19 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
             columns=["k", "idx"],
             filter=ds.field("k") == val.get("k", key),
         )
-        return [int(i) for i in tbl.column("idx").to_pylist()]
+        return {int(i) for i in tbl.column("idx").to_pylist()}
 
     def prior_dvs(table: str, version: int) -> dict:
-        # O(version) log-JSON reads per call; a long-lived production
-        # stream would seed this from warehouse_tx's checkpoints the
-        # same way _replay_dvs does (metadata cost, not data cost —
-        # the data read stays churn-proportional either way). Values
-        # stay RAW (inline list or blob ref) — resolved only when a
-        # commit actually touches the file.
+        # DRIVER-side but metadata-only: O(version) log-JSON reads per
+        # call; a long-lived production stream would seed this from
+        # warehouse_tx's checkpoints the same way _replay_dvs does.
+        # Values stay RAW (inline list or blob ref) — resolved only on
+        # the executor that handles the touched file.
         dvs: dict = {}
         for v in versions(table):
             if v >= version:
                 break
-            with open(
-                os.path.join(table, log_dir_name, f"{v:08d}.json")
-            ) as f:
-                entry = json.load(f)
+            entry = log_entry(table, v)
             for rel in entry["remove"]:
                 dvs.pop(rel, None)
             for rel, ids in entry.get("dv", {}).items():
@@ -277,99 +327,173 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
                     dvs.pop(rel, None)
         return dvs
 
-    def commit_changes(
-        table: str, version: int, col_names: list[str]
+    def read_minus_dv(
+        table: str, rel: str, col_names: list[str], dv_ref
     ) -> list[tuple]:
+        dv = as_ids(table, rel, dv_ref) if dv_ref else set()
+        if not dv:
+            return file_rows(table, rel, col_names)
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(os.path.join(table, rel)).num_rows
+        keep = [i for i in range(n) if i not in dv]
+        return file_rows(table, rel, col_names, keep)
+
+    def diff_changes(table: str, part: dict, col_names: list[str]):
+        """The rewriting-commit multiset diff — one executor task per
+        commit (see the class docstring for why this shape cannot be
+        per-file)."""
         from collections import Counter
 
-        with open(
-            os.path.join(table, log_dir_name, f"{version:08d}.json")
-        ) as f:
-            entry = json.load(f)
-        out: list[tuple] = []
-        if entry.get("dv"):
-            # the vector REPLACES the prior one: newly-vectored
-            # positions are row deletes; positions a restore CLEARED
-            # come back as inserts. Only vectors on files that were
-            # ALREADY live count here — a vector published for a file
-            # this same commit adds (restore re-adding a DV'd file)
-            # is part of the file's add image instead, and one on a
-            # removed file is subsumed by the remove diff.
-            before = prior_dvs(table, version)
-            for rel, ids in entry["dv"].items():
-                if rel in entry["remove"] or rel in entry["add"]:
-                    continue
-                new = set(as_ids(table, rel, ids))
-                old = set(as_ids(table, rel, before.get(rel, [])))
-                newly, cleared = sorted(new - old), sorted(old - new)
-                if newly:
-                    for r in file_rows(table, rel, col_names, newly):
-                        out.append(r + ("delete", version))
-                if cleared:
-                    for r in file_rows(table, rel, col_names, cleared):
-                        out.append(r + ("insert", version))
-        if entry["add"] or entry["remove"]:
-            added: Counter = Counter()
-            own_dv = entry.get("dv", {})
-            for rel in entry["add"]:
-                dv = set(as_ids(table, rel, own_dv.get(rel, [])))
-                if dv:
-                    import pyarrow.parquet as pq
+        added: Counter = Counter()
+        for rel in part["add"]:
+            for r in read_minus_dv(
+                table, rel, col_names, part["own_dv"].get(rel)
+            ):
+                added[r] += 1
+        removed: Counter = Counter()
+        for rel in part["remove"]:
+            for r in read_minus_dv(
+                table, rel, col_names, part["prior_dv"].get(rel)
+            ):
+                removed[r] += 1
+        v = part["version"]
+        for r, n in (added - removed).items():
+            for _ in range(n):
+                yield r + ("insert", v)
+        for r, n in (removed - added).items():
+            for _ in range(n):
+                yield r + ("delete", v)
 
-                    t = pq.read_table(os.path.join(table, rel))
-                    keep = [i for i in range(t.num_rows) if i not in dv]
-                    rows = file_rows(table, rel, col_names, keep)
-                else:
-                    rows = file_rows(table, rel, col_names)
-                for r in rows:
-                    added[r] += 1
-            removed: Counter = Counter()
-            # rows the OLD files held but were already vectored out do
-            # not exist logically — exclude them from the pre-image
-            before = prior_dvs(table, version)
-            for rel in entry["remove"]:
-                dv = set(as_ids(table, rel, before.get(rel, [])))
-                if dv:
-                    import pyarrow.parquet as pq
+    class TxCdfStreamReader(DataSourceStreamReader):
+        """Same pacing discipline as ``TxStreamReader``: a catch-up
+        first batch, then one commit per micro-batch while tailing."""
 
-                    t = pq.read_table(os.path.join(table, rel))
-                    keep = [i for i in range(t.num_rows) if i not in dv]
-                    rows = file_rows(table, rel, col_names, keep)
-                else:
-                    rows = file_rows(table, rel, col_names)
-                for r in rows:
-                    removed[r] += 1
-            for r, n in (added - removed).items():
-                out.extend([r + ("insert", version)] * n)
-            for r, n in (removed - added).items():
-                out.extend([r + ("delete", version)] * n)
-        return out
-
-    class TxCdfStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, table: str, col_names: list[str]):
             self._table = table
             self._cols = col_names
+            self._pos: int | None = None
 
         def initialOffset(self):
+            self._pos = -1
             return {"version": -1}
 
-        def read(self, start):
-            done = start["version"]
-            nxt = [v for v in versions(self._table) if v > done]
-            if not nxt:
-                return iter([]), start
-            v = nxt[0]
-            return (
-                iter(commit_changes(self._table, v, self._cols)),
-                {"version": v},
-            )
+        def latestOffset(self):
+            avail = versions(self._table)
+            if not avail:
+                return {"version": self._pos if self._pos is not None else -1}
+            if self._pos is None:
+                return {"version": avail[-1]}
+            nxt = [v for v in avail if v > self._pos]
+            return {"version": nxt[0] if nxt else self._pos}
 
-        def readBetweenOffsets(self, start, end):
-            out: list[tuple] = []
+        def partitions(self, start, end):
+            self._pos = max(
+                self._pos if self._pos is not None else -1,
+                start["version"],
+                end["version"],
+            )
+            parts: list[InputPartition] = []
             for v in versions(self._table):
-                if start["version"] < v <= end["version"]:
-                    out.extend(commit_changes(self._table, v, self._cols))
-            return iter(out)
+                if not (start["version"] < v <= end["version"]):
+                    continue
+                entry = log_entry(self._table, v)
+                own_dv = entry.get("dv", {})
+                touched = set(entry["add"]) | set(entry["remove"])
+                before = (
+                    prior_dvs(self._table, v)
+                    if (own_dv or entry["remove"])
+                    else {}
+                )
+                # vector deltas on files this commit does NOT touch:
+                # newly-vectored positions are row deletes, cleared
+                # ones (a restore) come back as inserts. A vector on
+                # an added file is part of the add image; one on a
+                # removed file is subsumed by the remove diff.
+                for rel, ids in own_dv.items():
+                    if rel in touched:
+                        continue
+                    parts.append(
+                        InputPartition(
+                            {
+                                "kind": "dv_delta",
+                                "rel": rel,
+                                "new": ids,
+                                "old": before.get(rel, []),
+                                "version": v,
+                            }
+                        )
+                    )
+                if entry["add"] and entry["remove"]:
+                    parts.append(
+                        InputPartition(
+                            {
+                                "kind": "diff",
+                                "add": list(entry["add"]),
+                                "remove": list(entry["remove"]),
+                                "own_dv": {
+                                    r: own_dv[r]
+                                    for r in entry["add"]
+                                    if own_dv.get(r)
+                                },
+                                "prior_dv": {
+                                    r: before[r]
+                                    for r in entry["remove"]
+                                    if before.get(r)
+                                },
+                                "version": v,
+                            }
+                        )
+                    )
+                elif entry["add"]:
+                    parts.extend(
+                        InputPartition(
+                            {
+                                "kind": "add",
+                                "rel": rel,
+                                "dv": own_dv.get(rel, []),
+                                "version": v,
+                            }
+                        )
+                        for rel in entry["add"]
+                    )
+                elif entry["remove"]:
+                    parts.extend(
+                        InputPartition(
+                            {
+                                "kind": "remove",
+                                "rel": rel,
+                                "dv": before.get(rel, []),
+                                "version": v,
+                            }
+                        )
+                        for rel in entry["remove"]
+                    )
+            return parts
+
+        def read(self, partition):
+            p = partition.value
+            table, cols, v = self._table, self._cols, p["version"]
+            if p["kind"] == "dv_delta":
+                new = as_ids(table, p["rel"], p["new"])
+                old = as_ids(table, p["rel"], p["old"])
+                for r in file_rows(table, p["rel"], cols, sorted(new - old)):
+                    yield r + ("delete", v)
+                for r in file_rows(table, p["rel"], cols, sorted(old - new)):
+                    yield r + ("insert", v)
+            elif p["kind"] == "add":
+                for r in read_minus_dv(table, p["rel"], cols, p["dv"]):
+                    yield r + ("insert", v)
+            elif p["kind"] == "remove":
+                # rows the old file held but were already vectored out
+                # do not exist logically — no pre-image for them
+                for r in read_minus_dv(table, p["rel"], cols, p["dv"]):
+                    yield r + ("delete", v)
+            else:
+                yield from diff_changes(table, p, cols)
+
+        def commit(self, end):
+            pass
 
     class TxCdfStreamSource(DataSource):
         @classmethod
@@ -380,11 +504,13 @@ def register_tx_cdf_stream(spark: SparkSession) -> None:
             base = _table_schema_ddl(self.options["table"])
             return base + ", _change_type string, _commit_version bigint"
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             data_cols = [f.name for f in schema.fields][:-2]
             return TxCdfStreamReader(self.options["table"], data_cols)
 
     spark.dataSource.register(TxCdfStreamSource)
+    # returned for white-box tests (partition-plan assertions)
+    return TxCdfStreamSource
 
 
 def read_tx_cdf_stream(spark: SparkSession, table: str) -> DataFrame:

@@ -714,8 +714,9 @@ TX_STREAM_TABLE = "/tmp/bhps_tx_stream_orders"
 def streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 × E2+: STREAM FROM the transactional table — the from-scratch
     'streaming Delta source' (sources/tx_stream.py): the commit log is
-    tailed one commit per micro-batch, so a create + two appends
-    arrive as three incremental batches through a real readStream.
+    tailed with partition-per-file executor-side reads (catch-up
+    first batch, then one commit per micro-batch), so a create + two
+    appends arrive incrementally through a real readStream.
 
     The rollup (complete mode) must equal the batch aggregate over the
     three slices' union — i.e. over ALL orders — proving no loss and
@@ -749,8 +750,8 @@ def streaming_tx_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Python stream sources don't support availableNow (Spark falls
     # back to ONE batch) — drain with a short processingTime trigger
-    # and poll to the known finite total, one commit per micro-batch
-    # (same discipline as a1_python_stream_datasource).
+    # and poll to the known finite total (same discipline as
+    # a1_python_stream_datasource).
     import time
 
     name = "bhps_stream_tx_source"
@@ -902,8 +903,10 @@ def streaming_cdc_stateful_apply(
     rule (highest version wins; the insert image beats the delete
     image of the same version). Upstream: the same create → price-
     bump merge → DV-delete history as :func:`streaming_cdf_apply`,
-    arriving as three separate batches, so state genuinely carries
-    across batch boundaries.
+    but the merge and the DV delete are committed WHILE the stream
+    runs — each is drained before the next lands — so the three
+    change sets provably arrive as separate micro-batches and state
+    genuinely carries across batch boundaries.
 
     The final emission per key is selected post-drain (update-mode
     memory sink keeps every emission) and the rollup must equal the
@@ -932,8 +935,6 @@ def streaming_cdc_stateful_apply(
     bumped = base.filter(F.col("key") % 3 == 0).withColumn(
         "price", (money("price") + F.lit(1000)).cast("double")
     )
-    tx.merge(spark, table, bumped, ["key"], ["price"])
-    tx.delete_where_dv(spark, table, "key % 5 = 0")
 
     def apply_cdc(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -989,21 +990,34 @@ def streaming_cdc_stateful_apply(
         .trigger(processingTime="100 milliseconds")
         .start()
     )
+    n0 = base.count()
+    n_upd = base.filter(F.col("key") % 3 == 0).count()
     n_del = base.filter(F.col("key") % 5 == 0).count()
-    dv_version = tx._versions(table)[-1]
-    try:
+
+    def drain_until(version: int, want: int) -> None:
         deadline = time.time() + 120
         while time.time() < deadline:
             done = (
                 spark.table(name)
-                .filter(F.col("state_version") == dv_version)
+                .filter(F.col("state_version") == version)
                 .count()
             )
-            if done >= n_del:
-                break
+            if done >= want:
+                return
             time.sleep(0.2)
-        else:
-            raise TimeoutError("cdc stateful stream did not drain")
+        raise TimeoutError(
+            f"cdc stateful stream: {done}/{want} at version {version}"
+        )
+
+    try:
+        # commit each change only after the previous one's batch has
+        # fully emitted: the three change sets land as separate
+        # micro-batches, so per-key state carries across batches
+        drain_until(tx._versions(table)[-1], n0)
+        merge_v = tx.merge(spark, table, bumped, ["key"], ["price"])
+        drain_until(merge_v, n_upd)
+        dv_version, _ = tx.delete_where_dv(spark, table, "key % 5 = 0")
+        drain_until(dv_version, n_del)
     finally:
         q.stop()
 

@@ -457,9 +457,14 @@ def test_streaming_tx_merge_multi_batch_exactly_once(spark, tmp_path):
 
 
 def test_tx_stream_source_delivers_per_commit_batches(spark, tmp_path):
-    """The commit-log stream source: three append commits arrive as
-    three distinct micro-batches (offset advances one version per
-    trigger), and the drained rows equal the table exactly."""
+    """The commit-log stream source: commits landing while the stream
+    runs arrive as distinct micro-batches (offset advances one
+    version per trigger once tailing), and the drained rows equal the
+    table exactly. The create commit — already present when the query
+    starts — arrives as the catch-up batch (a reader can't know the
+    checkpoint position before the engine plans its first batch, so
+    pre-existing history is served process-all-available, Delta's
+    default)."""
     import time
 
     from pyspark.sql import functions as F
@@ -472,8 +477,6 @@ def test_tx_stream_source_delivers_per_commit_batches(spark, tmp_path):
         F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
     )
     tx.create_table(spark, table, mk(0, 10))
-    tx.append(spark, table, mk(10, 25))
-    tx.append(spark, table, mk(25, 30))
 
     name = "tx_stream_unit"
     q = (
@@ -486,6 +489,12 @@ def test_tx_stream_source_delivers_per_commit_batches(spark, tmp_path):
     )
     try:
         deadline = time.time() + 60
+        # let the catch-up batch land before the live appends, so the
+        # per-commit pacing of the tail is observable
+        while time.time() < deadline and spark.table(name).count() < 10:
+            time.sleep(0.2)
+        tx.append(spark, table, mk(10, 25))
+        tx.append(spark, table, mk(25, 30))
         while time.time() < deadline and spark.table(name).count() < 30:
             time.sleep(0.2)
         rows = {(r.k, r.v) for r in spark.table(name).collect()}
@@ -497,8 +506,9 @@ def test_tx_stream_source_delivers_per_commit_batches(spark, tmp_path):
     finally:
         q.stop()
     assert rows == {(i, float(i)) for i in range(30)}
-    # one commit per micro-batch: the three commits' row counts arrive
-    # as separate batches (10, 15, 5), never coalesced
+    # one commit per micro-batch while tailing: the two live appends'
+    # row counts arrive as separate batches after the catch-up batch,
+    # never coalesced
     assert batches == [10, 15, 5]
 
 
@@ -737,3 +747,75 @@ def test_tx_stream_source_rejects_dv_only_commit(spark, tmp_path):
         raise AssertionError("stream should have failed on the DV commit")
     assert "insert-only" in str(e.value)
     assert "deletion vector" in str(e.value)
+
+
+def test_tx_stream_readers_plan_partition_per_file(spark, tmp_path):
+    """SCALE mechanism (white-box): both tx sources are PARTITION-
+    BASED DataSourceStreamReaders — the driver plans from log JSON
+    alone and parquet bytes are read by the per-partition ``read``
+    that Spark ships to executors. Asserted: reader type (not the
+    driver-fed Simple shape), one InputPartition per added file, one
+    per DV-delta file, a single diff partition for a rewriting
+    commit, and that per-partition reads reproduce the data exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        DataSourceStreamReader,
+        SimpleDataSourceStreamReader,
+    )
+    from pyspark.sql.types import StructType
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        register_tx_cdf_stream,
+        register_tx_stream,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(4, "k")
+    tx.create_table(spark, table, df)
+    n_files_v0 = len(tx.live_files(table, 0))
+    assert n_files_v0 >= 2
+
+    src_cls = register_tx_stream(spark)
+    src = src_cls(options={"table": table})
+    reader = src.streamReader(StructType.fromDDL(src.schema()))
+    assert isinstance(reader, DataSourceStreamReader)
+    assert not isinstance(reader, SimpleDataSourceStreamReader)
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert len(parts) == n_files_v0  # one task per added file
+    got = sorted(r for p in parts for r in reader.read(p))
+    assert got == [(i, float(i)) for i in range(40)]
+
+    # CDF reader: append → per-file add; DV delete → per-file delta;
+    # rewriting merge → ONE diff partition for the commit
+    upd = spark.range(0, 40, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    v_merge = tx.merge(spark, table, upd, ["k"], ["v"])  # rewrite
+    v_dv, _ = tx.delete_where_dv(spark, table, "k % 5 = 1")
+    cdf_cls = register_tx_cdf_stream(spark)
+    cdf = cdf_cls(options={"table": table})
+    creader = cdf.streamReader(StructType.fromDDL(cdf.schema()))
+    assert not isinstance(creader, SimpleDataSourceStreamReader)
+
+    add_parts = creader.partitions({"version": -1}, {"version": 0})
+    assert len(add_parts) == n_files_v0
+    assert {p.value["kind"] for p in add_parts} == {"add"}
+
+    diff_parts = creader.partitions(
+        {"version": v_merge - 1}, {"version": v_merge}
+    )
+    assert [p.value["kind"] for p in diff_parts] == ["diff"]
+
+    dv_parts = creader.partitions({"version": v_dv - 1}, {"version": v_dv})
+    assert {p.value["kind"] for p in dv_parts} == {"dv_delta"}
+    dv_rows = sorted(
+        r for p in dv_parts for r in creader.read(p)
+    )
+    assert dv_rows == [
+        (k, 10.0 * k if k % 2 == 0 else 1.0 * k, "delete", v_dv)
+        for k in range(40)
+        if k % 5 == 1
+    ]
