@@ -1549,3 +1549,24 @@ FROM orders
 WHERE o_orderkey % 5 <> 0
 GROUP BY 1
 """
+
+
+# Final CDC state by MAX SEQUENCE (not arrival order): keys div 5 are
+# deleted at seq 2 UNLESS seq-3 updated (keys div 15), whose late
+# stale delete must be rejected and counted — one rejection per such
+# key. Prices follow the CDF-apply exactness discipline.
+STREAMING_CDC_LATE_ARRIVALS = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_keys,
+       CAST(round(SUM(CAST(CASE WHEN o_orderkey % 3 = 0
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                           AS DOUBLE)
+                 ELSE CAST(o_totalprice AS DOUBLE) END
+            AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price,
+       CAST(SUM(CASE WHEN o_orderkey % 15 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stale,
+       MIN(o_orderkey) AS min_key
+FROM orders
+WHERE o_orderkey % 5 <> 0 OR o_orderkey % 15 = 0
+GROUP BY 1
+"""

@@ -1023,6 +1023,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_cdc_stateful_apply,
         oracles_f.STREAMING_CDF_APPLY,
     ),
+    # H4 × E2+: APPLY CHANGES under OUT-OF-ORDER delivery — a late
+    # micro-batch carries lower sequences than state already applied;
+    # the sequence guard must reject (and count) the stale images
+    "h4_streaming_cdc_late_arrivals": (
+        structured.streaming_cdc_late_arrivals,
+        oracles_f.STREAMING_CDC_LATE_ARRIVALS,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1410,6 +1417,7 @@ _DRIVER_ROTATION = [
 # the start of round 7: all 11 round-6 additions moved into the
 # prefix above.)
 PENDING_DRIVER_QUEUE = [
+    "h4_streaming_cdc_late_arrivals",
 ]
 
 

@@ -1034,3 +1034,189 @@ def streaming_cdc_stateful_apply(
         dsum("price", "total_price", "decimal(18,6)"),
         F.min("key").alias("min_key"),
     )
+
+
+_LATE_STATE = T.StructType(
+    [
+        T.StructField("best_seq", T.IntegerType()),
+        T.StructField("present", T.BooleanType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("n_stale", T.IntegerType()),
+    ]
+)
+
+_LATE_OUT = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("best_seq", T.IntegerType()),
+        T.StructField("present", T.BooleanType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("priority", T.StringType()),
+        T.StructField("n_stale", T.IntegerType()),
+    ]
+)
+
+
+def cdc_late_feed_batches(spark: SparkSession, sf_dir: str):
+    """The out-of-order CDC feed derived from orders: per key a seq-1
+    insert; for every 3rd key a seq-3 update (+1000); for every 5th
+    key a seq-2 DELETE — delivered in batch order (seq 1, 3, 2), so
+    the delete batch arrives LATE: for keys divisible by 15 it carries
+    a lower sequence than the state has already applied and must be
+    rejected, not applied in arrival order."""
+    from bow_hunter_pipeline_spark.functions.exact import money
+    from bow_hunter_pipeline_spark.io.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    b1 = base.select(
+        "key",
+        F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+        "price",
+        "priority",
+    )
+    b2 = base.filter(F.col("key") % 3 == 0).select(
+        "key",
+        F.lit(3).alias("seq"),
+        F.lit("upsert").alias("op"),
+        (money("price") + F.lit(1000)).cast("double").alias("price"),
+        "priority",
+    )
+    b3 = base.filter(F.col("key") % 5 == 0).select(
+        "key",
+        F.lit(2).alias("seq"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        "priority",
+    )
+    return [b1, b2, b3]
+
+
+CDC_LATE_SCHEMA = "key bigint, seq int, op string, price double, priority string"
+
+
+def apply_cdc_guarded(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """APPLY CHANGES fold with a SEQUENCE GUARD: an image applies only
+    if its sequence exceeds the state's high-water mark; anything at
+    or below it is a stale redelivery/out-of-order arrival and is
+    counted, not applied — the ``guard_cols`` rule of the batch merge
+    (operators/upsert.py) enforced at the stateful-operator level,
+    across micro-batches."""
+    (key_val,) = key
+    if state.exists:
+        best_seq, present, price, priority, n_stale = state.get
+    else:
+        best_seq, present, price, priority, n_stale = -1, False, None, None, 0
+    rows = []
+    for pdf in batches:
+        rows.extend(
+            (int(s), str(o), None if pd.isna(p) else float(p), str(pri))
+            for s, o, p, pri in zip(
+                pdf["seq"], pdf["op"], pdf["price"], pdf["priority"]
+            )
+        )
+    rows.sort()  # in-batch sequence order (one event per key per batch here)
+    for seq, op, pr, pri in rows:
+        if seq > best_seq:
+            best_seq = seq
+            present = op == "upsert"
+            price = pr if present else None
+            priority = pri if present else None
+        else:
+            n_stale += 1
+    state.update((best_seq, present, price, priority, n_stale))
+    yield pd.DataFrame(
+        {
+            "key": pd.Series([key_val], dtype="int64"),
+            "best_seq": pd.Series([best_seq], dtype="int32"),
+            "present": pd.Series([present], dtype="bool"),
+            "price": pd.Series([price], dtype="object"),
+            "priority": pd.Series([priority], dtype="object"),
+            "n_stale": pd.Series([n_stale], dtype="int32"),
+        }
+    )
+
+
+def streaming_cdc_late_arrivals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H4 × E2+: APPLY CHANGES under OUT-OF-ORDER DELIVERY — the
+    late-batch scenario the commit log can never produce (its versions
+    are monotonic) but any real CDC transport can: micro-batch 3
+    carries SEQ-2 delete images after batch 2 already applied SEQ-3
+    updates. For keys divisible by 15 the delete is STALE — per-key
+    state (``applyInPandasWithState``) must reject it by sequence
+    guard, keep the seq-3 image, and count the rejection; applying
+    changes in arrival order would delete those keys and break the
+    oracle, which computes final state from orders by MAX sequence.
+
+    Delivery is deterministic: three parquet files with staged mtimes
+    under ``maxFilesPerTrigger=1`` + ``availableNow`` — one file per
+    micro-batch, in mtime order, through the checkpointed file source.
+
+    Scale: state is one row per key; the shuffle is on the key; the
+    guard is O(1) per event. Same posture as the in-order stateful
+    CDC query — this twin adds the disorder-tolerance proof.
+    """
+    import glob
+    import os
+    import shutil
+
+    feed_dir = "/tmp/bhps_cdc_late_feed"
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    os.makedirs(feed_dir)
+    for i, b in enumerate(cdc_late_feed_batches(spark, sf_dir)):
+        staging = os.path.join(feed_dir, f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed_dir, f"batch{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        # staged mtimes pin the file-source batch order (the source
+        # processes oldest-first under maxFilesPerTrigger)
+        t = 1_700_000_000 + i * 100
+        os.utime(dest, (t, t))
+
+    ev = (
+        spark.readStream.schema(CDC_LATE_SCHEMA)
+        .option("pathGlobFilter", "batch*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    out = ev.groupBy("key").applyInPandasWithState(
+        apply_cdc_guarded,
+        outputStructType=_LATE_OUT,
+        stateStructType=_LATE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "bhps_stream_cdc_late"
+    run_to_memory(out, name, "update")
+
+    from pyspark.sql import Window
+
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    emissions = spark.table(name)
+    w = Window.partitionBy("key").orderBy(
+        F.col("best_seq").desc(), F.col("n_stale").desc()
+    )
+    final = (
+        emissions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("present"))
+    )
+    return final.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        dsum("price", "total_price", "decimal(18,6)"),
+        F.sum("n_stale").cast("bigint").alias("n_stale"),
+        F.min("key").alias("min_key"),
+    )

@@ -819,3 +819,88 @@ def test_tx_stream_readers_plan_partition_per_file(spark, tmp_path):
         for k in range(40)
         if k % 5 == 1
     ]
+
+
+def test_cdc_sequence_guard_rejects_stale_cross_batch(spark, tmp_path):
+    """Cross-batch staleness: batch 1 advances key state to seq 5;
+    batch 2 (a separate micro-batch through the checkpointed file
+    source) redelivers seq 3 — the guard must keep the seq-5 image
+    and count exactly one rejection, while a genuinely newer seq 7 in
+    the same late batch still applies. A guard that compared within
+    batches only (or lost state across the boundary) fails this."""
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from bow_hunter_pipeline_spark.streaming.structured import (
+        _LATE_OUT,
+        _LATE_STATE,
+        CDC_LATE_SCHEMA,
+        apply_cdc_guarded,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    staging = tmp_path / "staging"
+
+    # batch 1: k=1 → seq 5 upsert; k=2 → seq 2 upsert
+    b1 = spark.createDataFrame(
+        [(1, 5, "upsert", 50.0, "A"), (2, 2, "upsert", 20.0, "B")],
+        CDC_LATE_SCHEMA,
+    )
+    # batch 2 (late): k=1 seq 3 delete (STALE), k=2 seq 7 delete (fresh)
+    b2 = spark.createDataFrame(
+        [(1, 3, "delete", None, "A"), (2, 7, "delete", None, "B")],
+        CDC_LATE_SCHEMA,
+    )
+    for i, b in enumerate([b1, b2]):
+        _land_file(b, staging, feed / f"batch{i}.parquet")
+        t = 1_700_000_000 + i * 100
+        import os as _os
+
+        _os.utime(feed / f"batch{i}.parquet", (t, t))
+
+    ev = (
+        spark.readStream.schema(CDC_LATE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    out = ev.groupBy("key").applyInPandasWithState(
+        apply_cdc_guarded,
+        outputStructType=_LATE_OUT,
+        stateStructType=_LATE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "cdc_guard_unit"
+    spark.catalog.dropTempView(name)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ems = spark.table(name)
+    assert ems.count() == 4  # 2 keys × 2 batches: state spanned both
+    last = {
+        r.key: (r.best_seq, r.present, r.price, r.n_stale)
+        for r in ems.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(
+                    F.col("best_seq").desc(), F.col("n_stale").desc()
+                )
+            ),
+        )
+        .filter("__rn = 1")
+        .collect()
+    }
+    # k=1: stale delete rejected — still present at seq 5, 1 rejection
+    assert last[1] == (5, True, 50.0, 1)
+    # k=2: newer delete applied — absent at seq 7, no rejections
+    assert last[2] == (7, False, None, 0)
+    shutil.rmtree(str(feed))
