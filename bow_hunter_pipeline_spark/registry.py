@@ -1030,6 +1030,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_cdc_late_arrivals,
         oracles_f.STREAMING_CDC_LATE_ARRIVALS,
     ),
+    # H4 × E2+: CDF over WRITER-SIDE change files — the merge commits
+    # its change images at write time (_cdc/) and the stream reads
+    # them partition-per-file; same oracle as the read-time-diff twin
+    "h4_streaming_cdf_change_files": (
+        structured.streaming_cdf_change_files,
+        oracles_f.STREAMING_CDF_APPLY,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1418,6 +1425,7 @@ _DRIVER_ROTATION = [
 # prefix above.)
 PENDING_DRIVER_QUEUE = [
     "h4_streaming_cdc_late_arrivals",
+    "h4_streaming_cdf_change_files",
 ]
 
 

@@ -424,7 +424,25 @@ def register_tx_cdf_stream(spark: SparkSession):
                             }
                         )
                     )
-                if entry["add"] and entry["remove"]:
+                if entry.get("cdc"):
+                    # writer-side change files (warehouse_tx._write_cdc):
+                    # the commit's diff is already materialized — one
+                    # partition per change file, no re-derivation
+                    cdir = os.path.join(self._table, entry["cdc"]["f"])
+                    parts.extend(
+                        InputPartition(
+                            {
+                                "kind": "cdc",
+                                "file": os.path.join(
+                                    entry["cdc"]["f"], f
+                                ),
+                                "version": v,
+                            }
+                        )
+                        for f in sorted(os.listdir(cdir))
+                        if f.endswith(".parquet")
+                    )
+                elif entry["add"] and entry["remove"]:
                     parts.append(
                         InputPartition(
                             {
@@ -481,6 +499,13 @@ def register_tx_cdf_stream(spark: SparkSession):
                     yield r + ("delete", v)
                 for r in file_rows(table, p["rel"], cols, sorted(old - new)):
                     yield r + ("insert", v)
+            elif p["kind"] == "cdc":
+                # change file: data columns + _change_type, written by
+                # the committing writer — read verbatim, tag version
+                for r in file_rows(
+                    table, p["file"], cols + ["_change_type"]
+                ):
+                    yield r + (v,)
             elif p["kind"] == "add":
                 for r in read_minus_dv(table, p["rel"], cols, p["dv"]):
                     yield r + ("insert", v)

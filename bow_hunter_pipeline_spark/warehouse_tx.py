@@ -61,6 +61,14 @@ from bow_hunter_pipeline_spark.operators.upsert import upsert
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _DV_DIR = "_dv"
+# Writer-side CHANGE FILES (Delta's _change_data / cdc- actions): a
+# rewriting commit can record its row-level change images at WRITE
+# time — computed distributedly by the engine that just computed the
+# rewrite anyway — so CDF consumers read them per-file-parallel
+# instead of re-deriving the diff (the streaming source's rewriting-
+# commit fallback is a single diff task per commit; see
+# sources/tx_stream.py). Commit entry: {"cdc": {"f": dir, "n": rows}}.
+_CDC_DIR = "_cdc"
 
 # Deletion-vector representation thresholds. A DELETE_DV commit whose
 # FULL vector set (new matches + replaced priors) holds at most
@@ -224,6 +232,7 @@ def _commit(
     dv: dict[str, list[int]] | None = None,
     op: str | None = None,
     schema_json: str | None = None,
+    cdc: dict | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
@@ -272,6 +281,8 @@ def _commit(
         entry["op"] = op
     if schema_json is not None:
         entry["schema"] = schema_json
+    if cdc is not None:
+        entry["cdc"] = {"f": cdc["f"], "n": int(cdc["n"])}
     with open(tmp, "w") as f:
         json.dump(entry, f)
     try:
@@ -410,6 +421,45 @@ def _replay_dvs(
             else:
                 dvs.pop(rel, None)
     return dvs
+
+
+def _write_cdc(
+    table: str, version: int, changes: DataFrame
+) -> dict | None:
+    """Write a commit's change images (data columns +
+    ``_change_type``) as a parquet dir under ``_cdc/`` — executor-
+    side, partition-parallel, exactly like a data write. Returns the
+    commit ref ``{"f": rel dir, "n": row count}`` (count from parquet
+    footers — O(files) driver metadata), or None for an empty change
+    set (a no-op rewrite needs no change files)."""
+    import pyarrow.parquet as pq
+
+    rel = os.path.join(_CDC_DIR, f"{version:08d}-{uuid.uuid4().hex[:8]}")
+    path = os.path.join(table, rel)
+    changes.write.mode("error").parquet(path)
+    n = sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    if n == 0:
+        shutil.rmtree(path, ignore_errors=True)
+        return None
+    return {"f": rel, "n": int(n)}
+
+
+def _diff_changes(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Row-image diff as change images: rows only in ``new`` are
+    inserts, rows only in ``old`` are deletes; carried rows cancel
+    (multiset). The same semantics :func:`change_feed` derives at
+    read time — writer and reader agree by construction."""
+    return (
+        new.exceptAll(old)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        )
+    )
 
 
 def _dv_total(dvs: dict[str, list[int] | dict]) -> int:
@@ -716,6 +766,7 @@ def merge(
     evolve_schema: bool = False,
     txn: tuple[str, int] | None = None,
     guard_cols: list[str] | None = None,
+    write_cdc: bool = False,
 ) -> int:
     """Transactional MERGE: deterministic upsert of ``updates`` into
     the current snapshot, committed as the next version. Returns the
@@ -723,6 +774,16 @@ def merge(
     the updates batch are added to the table (additive evolution —
     the full rewrite makes every live file carry the evolved schema,
     so readers never need mergeSchema).
+
+    ``write_cdc=True`` records the commit's row-level change images
+    as writer-side CHANGE FILES (Delta's ``_change_data``): the diff
+    of the new snapshot against the old — computed distributedly here,
+    where the engine holds both frames anyway — lands under ``_cdc/``
+    and CDF consumers read it per-file-parallel instead of
+    re-deriving the multiset diff per commit (proportional extra cost
+    on a rewrite that scans both states regardless; guards and
+    schema evolution compose, since the diff runs on the final
+    frames).
 
     OCC correctness: the version read is PINNED first and the commit
     targets exactly ``read_v + 1`` — a competing commit that lands
@@ -758,15 +819,24 @@ def merge(
         current, updates, keys, update_cols, guard_cols=guard_cols
     )
     next_v = read_v + 1
+    cdc = (
+        _write_cdc(table, next_v, _diff_changes(current, merged))
+        if write_cdc
+        else None
+    )
     new_files, stats = _write_data(merged, table, next_v, keys)
     try:
         _commit(
             table, next_v, add=new_files,
             remove=live_files(table, read_v), stats=stats, txn=txn,
-            op="MERGE", schema_json=schema_json,
+            op="MERGE", schema_json=schema_json, cdc=cdc,
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
+        if cdc is not None:
+            shutil.rmtree(
+                os.path.join(table, cdc["f"]), ignore_errors=True
+            )
         raise
     return next_v
 
@@ -879,6 +949,21 @@ def vacuum(
                 if not dry_run:
                     shutil.rmtree(
                         os.path.join(table, rel), ignore_errors=True
+                    )
+                deleted += 1
+    # change files expire with the retention window too: CDF reads of
+    # commits at or above the oldest retained version stay servable;
+    # older change history goes with its time-travel snapshots (each
+    # dir is one log-level ref — one deleted object)
+    cdc_root = os.path.join(table, _CDC_DIR)
+    if os.path.isdir(cdc_root):
+        oldest_kept = retained[0]
+        for sub in sorted(os.listdir(cdc_root)):
+            ver = int(sub.split("-", 1)[0])
+            if ver < oldest_kept:
+                if not dry_run:
+                    shutil.rmtree(
+                        os.path.join(cdc_root, sub), ignore_errors=True
                     )
                 deleted += 1
     return deleted
@@ -1170,6 +1255,7 @@ def delete_where(
     table: str,
     condition: str,
     key_range: tuple[str, int, int] | None = None,
+    write_cdc: bool = False,
 ) -> tuple[int, int]:
     """Row-level DELETE (Delta's ``DELETE FROM t WHERE ...``), copy-on-
     write at file granularity: a find phase locates the live files
@@ -1212,19 +1298,35 @@ def delete_where(
     n_deleted = sum(r["n"] for r in per_file)
 
     stat_cols = sorted({c for s in stats.values() for c in s})
-    keep = _read_live(spark, table, hit_rels, dvs, schema=sch).filter(
-        ~F.coalesce(cond.cast("boolean"), F.lit(False))
-    )
+    hit = _read_live(spark, table, hit_rels, dvs, schema=sch)
+    is_hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+    keep = hit.filter(~is_hit)
     next_v = read_v + 1
+    # change files: the deleted rows ARE the change set — no diff
+    # needed, the find phase's predicate names them directly
+    cdc = (
+        _write_cdc(
+            table, next_v,
+            hit.filter(is_hit).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+        )
+        if write_cdc
+        else None
+    )
     new_files, new_stats = _write_data(keep, table, next_v, stat_cols)
     carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
     try:
         _commit(
             table, next_v, add=new_files, remove=hit_rels,
-            stats={**carry, **new_stats}, op="DELETE",
+            stats={**carry, **new_stats}, op="DELETE", cdc=cdc,
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
+        if cdc is not None:
+            shutil.rmtree(
+                os.path.join(table, cdc["f"]), ignore_errors=True
+            )
         raise
     return next_v, n_deleted
 
@@ -1320,6 +1422,7 @@ def update_where(
     condition: str,
     assignments: dict[str, str],
     key_range: tuple[str, int, int] | None = None,
+    write_cdc: bool = False,
 ) -> tuple[int, int]:
     """Row-level UPDATE (Delta's ``UPDATE t SET ... WHERE ...``),
     copy-on-write at file granularity like :func:`delete_where`: the
@@ -1367,15 +1470,27 @@ def update_where(
     )
     stat_cols = sorted({c for s in stats.values() for c in s})
     next_v = read_v + 1
+    # change files via the same multiset diff the reader derives —
+    # no-op assignments (new value == old) cancel, matching the
+    # read-time CDF exactly
+    cdc = (
+        _write_cdc(table, next_v, _diff_changes(hit, rewritten))
+        if write_cdc
+        else None
+    )
     new_files, new_stats = _write_data(rewritten, table, next_v, stat_cols)
     carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
     try:
         _commit(
             table, next_v, add=new_files, remove=hit_rels,
-            stats={**carry, **new_stats}, op="UPDATE",
+            stats={**carry, **new_stats}, op="UPDATE", cdc=cdc,
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
+        if cdc is not None:
+            shutil.rmtree(
+                os.path.join(table, cdc["f"]), ignore_errors=True
+            )
         raise
     return next_v, n_updated
 

@@ -1682,3 +1682,92 @@ def test_tx_dv_blob_streams_through_cdf_source(spark, tmp_path, monkeypatch):
         assert dels == {0, 1, 2, 3}
     finally:
         q.stop()
+
+
+def test_tx_writer_side_change_files(spark, tmp_path):
+    """Writer-side CDC change files (Delta's _change_data): rewriting
+    commits record their row-level change images at write time; the
+    CDF stream source plans one partition per change file instead of
+    re-deriving the diff; empty change sets write nothing; vacuum
+    expires change dirs with the retention window."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        register_tx_cdf_stream,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(3, "k")
+    tx.create_table(spark, table, df)
+
+    def entry(v):
+        with open(_os.path.join(table, "_log", f"{v:08d}.json")) as f:
+            return _json.load(f)
+
+    # UPDATE with change files: n = delete+insert pair per changed row
+    v1, n1 = tx.update_where(
+        spark, table, "k % 10 = 0", {"v": "v + 100"}, write_cdc=True
+    )
+    assert n1 == 3
+    ref = entry(v1)["cdc"]
+    assert ref["n"] == 6 and _os.path.isdir(_os.path.join(table, ref["f"]))
+
+    # MERGE with change files: 2 updated keys + 1 new key -> 2*2+1
+    upd = spark.createDataFrame(
+        [(0, 999.0), (15, 999.0), (1000, 999.0)], "k bigint, v double"
+    )
+    v2 = tx.merge(spark, table, upd, ["k"], ["v"], write_cdc=True)
+    assert entry(v2)["cdc"]["n"] == 5
+
+    # DELETE with change files: pure delete images, no diff needed
+    v3, n3 = tx.delete_where(spark, table, "k >= 25 AND k < 30",
+                             write_cdc=True)
+    assert n3 == 5 and entry(v3)["cdc"]["n"] == 5
+
+    # a no-op rewrite writes NO change files and leaves no dir behind
+    v4, n4 = tx.update_where(
+        spark, table, "k % 7 = 1", {"v": "v"}, write_cdc=True
+    )
+    assert n4 > 0 and "cdc" not in entry(v4)
+    assert len(_os.listdir(_os.path.join(table, "_cdc"))) == 3
+
+    # white-box: the CDF reader plans per-change-file partitions for
+    # cdc commits (never the single diff partition)
+    cls = register_tx_cdf_stream(spark)
+    src = cls(options={"table": table})
+    reader = src.streamReader(StructType.fromDDL(src.schema()))
+    for v in (v1, v2, v3):
+        parts = reader.partitions({"version": v - 1}, {"version": v})
+        assert {p.value["kind"] for p in parts} == {"cdc"}, v
+    # the no-op commit (no cdc entry, add+remove) falls back to diff
+    parts4 = reader.partitions({"version": v4 - 1}, {"version": v4})
+    assert [p.value["kind"] for p in parts4] == ["diff"]
+    assert sorted(r for p in parts4 for r in reader.read(p)) == []
+
+    # per-partition reads reproduce the change images exactly
+    got1 = sorted(r for p in reader.partitions(
+        {"version": v1 - 1}, {"version": v1}
+    ) for r in reader.read(p))
+    assert got1 == sorted(
+        [(k, 1.0 * k, "delete", v1) for k in (0, 10, 20)]
+        + [(k, 1.0 * k + 100, "insert", v1) for k in (0, 10, 20)]
+    )
+    got3 = sorted(r for p in reader.partitions(
+        {"version": v3 - 1}, {"version": v3}
+    ) for r in reader.read(p))
+    assert got3 == [(k, 1.0 * k, "delete", v3) for k in range(25, 30)]
+
+    # vacuum to the latest version only: all change dirs (< v4+1 but
+    # >= oldest retained? retained=[v4]; v1..v3 < v4 -> expired)
+    n_gone = tx.vacuum(spark, table, keep_versions=1)
+    assert not _os.path.isdir(_os.path.join(table, "_cdc")) or (
+        _os.listdir(_os.path.join(table, "_cdc")) == []
+    )
+    assert n_gone >= 3
