@@ -2689,3 +2689,97 @@ SELECT source, pack_id, COUNT(*) AS n_docs,
        MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
 FROM rec GROUP BY 1, 2
 """
+
+
+from bow_hunter_pipeline_spark.plans.simsearch import (  # noqa: E402
+    CASCADE_C,
+)
+
+# Two-stage cascade REPLAYED, not approximated: stage 1's int8-cosine
+# ranking (exact integer dot/norms, scales cancel) picks top-C per
+# probe; stage 2 re-ranks exactly those by the float cosine fold.
+ANN_CASCADE_TOPK = f"""
+WITH sc AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) / 127e0 AS scale
+  FROM embeddings
+),
+qq AS (
+  SELECT s.vec_id,
+         list_transform(e.embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INT)) AS q
+  FROM sc s JOIN embeddings e ON s.vec_id = e.vec_id
+  WHERE s.scale <> 0e0
+),
+qn AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q,
+              x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS nrm
+  FROM qq
+),
+stage1 AS (
+  SELECT q_id, c_id FROM (
+    SELECT p.vec_id AS q_id, c.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+             CAST(list_sum(list_transform(generate_series(1, {DIM}),
+                  i -> CAST(p.q[i] AS BIGINT) * CAST(c.q[i] AS BIGINT)))
+               AS DOUBLE)
+             / sqrt(CAST(p.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) DESC,
+             c.vec_id) AS rn
+    FROM qn p JOIN qn c ON p.vec_id <> c.vec_id
+    WHERE p.vec_id < {N_QUERIES}
+  ) WHERE rn <= {CASCADE_C}
+),
+pairs AS (
+  SELECT s.q_id, s.c_id, qv.embedding AS qe, cv.embedding AS ce
+  FROM stage1 s
+  JOIN embeddings qv ON qv.vec_id = s.q_id
+  JOIN embeddings cv ON cv.vec_id = s.c_id
+),
+scored AS (
+  SELECT q_id, c_id, {_COSINE} AS cosine FROM pairs
+)
+SELECT q_id, c_id, cosine, rnk FROM (
+  SELECT *, CAST(RANK() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, c_id) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+# Self-trained unigram LM: per-token surprise ln(N/c) rounded to 6
+# places, summed as DECIMAL (order-free exact); flags = docs whose
+# mean NLL exceeds 1.25x the corpus token-weighted mean.
+UNIGRAM_LM_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(str_split(text, ' ')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT COUNT(*) AS n_total FROM toks),
+term AS (
+  SELECT t.doc_id, t.source,
+         CAST(round(ln(CAST((SELECT n_total FROM tot) AS DOUBLE)
+                       / CAST(v.c AS DOUBLE)), 6)
+              AS DECIMAL(20,6)) AS s
+  FROM toks t JOIN vocab v USING (token)
+),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_toks, SUM(s) AS nll
+  FROM term GROUP BY doc_id, source
+),
+corpus AS (
+  SELECT CAST(SUM(nll) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE) AS gmean
+  FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(nll AS DOUBLE) / CAST(n_toks AS DOUBLE)
+                      > 1.25e0 * (SELECT gmean FROM corpus)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+       CAST(round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE),
+                  4) AS DOUBLE) AS mean_nll
+FROM per_doc GROUP BY source
+"""

@@ -1330,3 +1330,90 @@ def binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+CASCADE_C = 50  # stage-1 candidate budget per probe
+
+
+def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: TWO-STAGE RETRIEVAL CASCADE — the production serving path
+    (FAISS/ScaNN "refine"): stage 1 ranks EVERY candidate by a cheap
+    compressed-domain score (int8 cosine: exact integer dot over
+    quantized vectors — the per-vector scales cancel in the cosine,
+    so no float rescale at all) and keeps the top ``CASCADE_C`` per
+    probe; stage 2 re-reads ONLY those survivors' float vectors and
+    re-ranks them by exact cosine for the final top-k.
+
+    Scale: stage 1 scans the 4×-smaller int8 lake (probes broadcast,
+    one narrow projection, one q_id rank exchange); stage 2 is a
+    broadcast join of O(probes × C) winner ids back to the float
+    table — the full-precision vectors are touched for ~C rows per
+    probe, never corpus-wide. The cascade's answer differs from
+    brute force exactly when the true top-k falls outside the
+    compressed top-C (``int8_search_audit`` measures that margin);
+    the oracle replays the cascade itself, so the hash pins BOTH
+    stages bit-for-bit.
+
+    Exactness: integer dot and integer norms are exact bigint sums;
+    the int8 cosine is one double divide of exact quantities; the
+    refine cosine is the order-pinned double fold shared with
+    ``cosine_topk``.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    scale = F.when(scale != 0, scale)
+    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    inorm = F.aggregate(
+        F.transform("q", lambda x: x.cast("bigint") * x.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    qt = (
+        emb.select("vec_id", scale.alias("scale"), q.alias("q"))
+        .filter(F.col("scale").isNotNull())
+        .withColumn("nrm", inorm)
+        .drop("scale")
+    )
+    probes = qt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("pq"),
+        F.col("nrm").alias("pn"),
+    )
+    cands = qt.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("q").alias("cq"),
+        F.col("nrm").alias("cn"),
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            "pq", "cq", lambda a, b: a.cast("bigint") * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    i8cos = idot.cast("double") / F.sqrt(
+        F.col("pn").cast("double") * F.col("cn").cast("double")
+    )
+    w1 = Window.partitionBy("q_id").orderBy(i8cos.desc(), F.col("c_id"))
+    winners = (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= CASCADE_C)
+        .select("q_id", "c_id")
+    )
+    # stage 2: float vectors for survivors only — winner ids broadcast
+    # against the float table, exact cosine, final top-k
+    qv = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce")
+    )
+    pairs = (
+        cv.join(F.broadcast(winners), "c_id")
+        .join(F.broadcast(qv), "q_id")
+    )
+    return _topk(_scored_pairs(pairs))

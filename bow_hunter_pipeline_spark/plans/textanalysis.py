@@ -603,3 +603,82 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IDX_TOP_DOCS)
         .select("doc_id", "total_tf", "rnk")
     )
+
+
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: UNIGRAM-LM QUALITY FILTER (CCNet's shape, self-trained):
+    fit a unigram language model on the corpus itself (token counts /
+    total), score every document by its mean negative log-likelihood
+    (the perplexity proxy), and flag documents whose mean NLL exceeds
+    1.25× the corpus-level mean — the "surprisingly improbable text"
+    gate a pretraining pipeline runs between heuristic cleaning and
+    dedup. Output: per source, doc counts, flagged counts, and the
+    source's token-weighted mean NLL.
+
+    Exactness discipline: each token's surprise ln(N/c) is one double
+    divide + libm ln, rounded to 6 places and summed as DECIMAL —
+    order-free exact sums, so per-doc and corpus means replay
+    bit-for-bit in the oracle (the established dsum pattern; raw
+    float log-sums would be partition-order-dependent).
+
+    Scale: one shuffle on token (vocab build), one token-keyed join
+    back (AQE handles head-word skew), one shuffle per doc, one per
+    source. The vocabulary is sublinear in corpus size; nothing here
+    is corpus².
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_toks()).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    term = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.log(
+                    F.col("n_total").cast("double")
+                    / F.col("c").cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("s"),
+        )
+    )
+    per_doc = term.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum("s").alias("nll"),
+    )
+    glob = per_doc.agg(
+        (
+            F.sum("nll").cast("double")
+            / F.sum("n_toks").cast("double")
+        ).alias("gmean")
+    )
+    doc_mean = F.col("nll").cast("double") / F.col("n_toks").cast("double")
+    return (
+        per_doc.crossJoin(F.broadcast(glob))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    doc_mean > F.lit(1.25) * F.col("gmean"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("n_toks").cast("bigint").alias("total_toks"),
+            F.round(
+                F.sum("nll").cast("double")
+                / F.sum("n_toks").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("mean_nll"),
+        )
+    )

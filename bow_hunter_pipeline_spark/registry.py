@@ -1082,6 +1082,26 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.bucketed_lsh_pairs,
         oracles_h.MINHASH_LSH_PAIRS,
     ),
+    # H1 incremental: LSH index MAINTENANCE — batches hash only their
+    # own docs and join against the accumulated bucket store; the
+    # union of per-batch candidates equals the one-shot self-join
+    "h1_incremental_lsh_index": (
+        dedup.incremental_lsh_index,
+        oracles_h.MINHASH_LSH_PAIRS,
+    ),
+    # H2: two-stage retrieval cascade — int8-cosine coarse top-C,
+    # exact-cosine refine of only the survivors (the FAISS/ScaNN
+    # serving shape); the oracle replays both stages
+    "h2_ann_cascade_topk": (
+        simsearch.ann_cascade_topk,
+        oracles_h.ANN_CASCADE_TOPK,
+    ),
+    # H3: self-trained unigram-LM perplexity-proxy quality gate
+    # (CCNet's filter shape) — decimal-exact log-sum discipline
+    "h3_unigram_lm_quality": (
+        textanalysis.unigram_lm_quality,
+        oracles_h.UNIGRAM_LM_QUALITY,
+    ),
     # H4: exact-integer 2-sigma outlier gate per event type
     "h4_anomaly_outliers": (
         events.anomaly_outliers,
@@ -1426,6 +1446,9 @@ _DRIVER_ROTATION = [
 PENDING_DRIVER_QUEUE = [
     "h4_streaming_cdc_late_arrivals",
     "h4_streaming_cdf_change_files",
+    "h1_incremental_lsh_index",
+    "h2_ann_cascade_topk",
+    "h3_unigram_lm_quality",
 ]
 
 
