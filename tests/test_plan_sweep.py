@@ -58,6 +58,8 @@ ALLOW: dict[str, set[str]] = {
         "h3_vocab_coverage_curve",  # 3-row K-list broadcast, rank<=K theta
         "h5_hll_error_bound",  # 1-row merged-estimate × 1-row global exact
         "h3_source_divergence",  # vocab-sized corpus table + 1-row total
+        "h2_ann_cascade_topk",  # stage-1 = the same bounded probe broadcast
+        "h3_unigram_lm_quality",  # 1-row corpus-total + 1-row corpus-mean
     },
     # All-pairs semantics by design, bounded by blocking/banding
     # upstream (LSH buckets, band keys) or quadratic-in-small-n.
