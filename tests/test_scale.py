@@ -310,3 +310,31 @@ def test_change_feed_scans_only_differing_files(spark, tmp_path):
     # and the feed content is exactly the one changed row's pair
     rows = {(r._change_type, r.k, r.v) for r in feed.collect()}
     assert ("delete", 10, 10.0) in rows and ("insert", 10, -1.0) in rows
+
+
+def test_dv_blob_read_sources_positions_from_parquet_scan(
+    spark, tmp_path, monkeypatch
+):
+    """At-scale deletion vectors: with blob-backed refs the anti-join's
+    vector side must be fed by a parquet SCAN of the executor-written
+    _dv blob (positions never materialize on the driver); the only
+    LocalTableScans in the plan are O(files) metadata maps."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    monkeypatch.setattr(tx, "DV_INLINE_MAX", 0)
+    table = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    tx.delete_where_dv(spark, table, "k % 100 = 0")
+    plan = (
+        tx.snapshot(spark, table)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan, plan[:800]
+    assert "_dv" in plan, "DV positions not sourced from the blob scan"
