@@ -1379,10 +1379,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ROTATION = [
     # --- round-7 prefix. Slots 1-11: the round-6 additions that were
     # registered after the r06 prefix froze (the former
-    # PENDING_DRIVER_QUEUE) — their FIRST driver rows. Slots 12-50: a
+    # PENDING_DRIVER_QUEUE) — their FIRST driver rows. Five round-7
+    # additions (incremental LSH, ANN cascade, unigram-LM quality,
+    # late-arrival CDC, writer-side change files) take re-check slots
+    # from over-represented families for THEIR first rows. The rest: a
     # representative cross-family re-check sample biased to the OLDEST
     # driver proofs (r02/r03 vintage) to catch silent drift; every
-    # family from SURVEY §2 has at least one slot, and the bench
+    # family from SURVEY §2 keeps at least one slot, and the bench
     # headliners are all re-proven.
     "h6_greedy_packing",
     "e2_tx_delete_restore",
@@ -1411,23 +1414,23 @@ _DRIVER_ROTATION = [
     "f_window_functions",
     "f_grouping_sets_orders",
     "f_asof_join_error_context",
-    "f_range_join_value_bands",
+    "h4_streaming_cdf_change_files",
     "g1_pricing_summary",
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
     "g4_yearly_trend",
     "h1_minhash_lsh_pairs",
     "h1_exact_dup_groups",
-    "h1_simhash_near_dup",
+    "h1_incremental_lsh_index",
     "h2_cosine_topk",
     "h2_ivf_topk",
-    "h2_pq_topk",
+    "h2_ann_cascade_topk",
     "h3_doc_stats",
     "h3_bpe_token_count",
-    "h3_tfidf_top_terms",
+    "h3_unigram_lm_quality",
     "h4_sessionize",
     "h4_streaming_upsert",
-    "h4_stream_stream_join",
+    "h4_streaming_cdc_late_arrivals",
     "h5_exact_distinct_quantiles",
     "h6_dedup_apply",
     "h6_sequence_packing",
@@ -1444,11 +1447,17 @@ _DRIVER_ROTATION = [
 # the start of round 7: all 11 round-6 additions moved into the
 # prefix above.)
 PENDING_DRIVER_QUEUE = [
-    "h4_streaming_cdc_late_arrivals",
-    "h4_streaming_cdf_change_files",
+]
+
+# Round-7 additions given first-proof slots INSIDE the r07 prefix's
+# re-check band (each pre-verified green with tools/verify_driver.py
+# and tools/audit_oracle_types.py before taking a slot).
+R07_NEW_IN_PREFIX = [
     "h1_incremental_lsh_index",
     "h2_ann_cascade_topk",
     "h3_unigram_lm_quality",
+    "h4_streaming_cdc_late_arrivals",
+    "h4_streaming_cdf_change_files",
 ]
 
 

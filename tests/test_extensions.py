@@ -280,10 +280,14 @@ def test_driver_rotation_prefix_is_stable():
         "h4_streaming_cdc_stateful",
     ):
         assert names.index(must_lead) < 11
-    # re-check slots must themselves be proven rows (no wasted slots
-    # on queries the driver can't compare)
+    # re-check slots must be proven rows OR this round's declared
+    # first-proof additions (pre-verified locally before taking a
+    # slot) — no wasted slots on queries the driver can't compare
     rechecks = [n for n in names[11:50]]
-    unproven_rechecks = [n for n in rechecks if n not in checked]
+    unproven_rechecks = [
+        n for n in rechecks
+        if n not in checked and n not in registry.R07_NEW_IN_PREFIX
+    ]
     assert not unproven_rechecks, unproven_rechecks
 
 
