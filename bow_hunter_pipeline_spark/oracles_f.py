@@ -1570,3 +1570,45 @@ FROM orders
 WHERE o_orderkey % 5 <> 0 OR o_orderkey % 15 = 0
 GROUP BY 1
 """
+
+
+# PIVOT replayed as conditional aggregation (what Spark's pinned-value
+# pivot compiles to); column order mirrors the pivot output exactly.
+PIVOT_PRIORITY_MATRIX = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT_n",
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            FILTER (WHERE o_orderpriority = '1-URGENT'), 4) AS DOUBLE)
+         AS "1-URGENT_rev",
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH_n",
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            FILTER (WHERE o_orderpriority = '2-HIGH'), 4) AS DOUBLE)
+         AS "2-HIGH_rev",
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM_n",
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            FILTER (WHERE o_orderpriority = '3-MEDIUM'), 4) AS DOUBLE)
+         AS "3-MEDIUM_rev",
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+         AS "4-NOT SPECIFIED_n",
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 4) AS DOUBLE)
+         AS "4-NOT SPECIFIED_rev",
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW_n",
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+            FILTER (WHERE o_orderpriority = '5-LOW'), 4) AS DOUBLE)
+         AS "5-LOW_rev"
+FROM orders GROUP BY 1
+"""
+
+
+LATERAL_TOPN_PER_CUSTOMER = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) o
+"""

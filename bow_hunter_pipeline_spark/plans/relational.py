@@ -1334,3 +1334,68 @@ def sql_variables_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         tuple(r) for r in via_params.collect()
     ]
     return via_params
+
+
+ORDER_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def pivot_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: relational PIVOT — order year × priority cross-tab with two
+    measures per cell (count, exact-decimal revenue). The pivot
+    column's values are PINNED (``pivot(col, values)``): Spark then
+    plans a single-pass conditional aggregation — one shuffle on the
+    year, no distinct-values pre-scan, the same plan hand-written
+    FILTER aggregates get — which is why the DuckDB oracle written as
+    conditional aggregation must agree column-for-column.
+
+    Scale: one map-side-combined shuffle on ~year-cardinality keys;
+    the unpivoted twin (`f_unpivot_metrics`) walks the other way.
+    """
+    from bow_hunter_pipeline_spark.functions.exact import to_double
+
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "order_year", F.year("o_orderdate").cast("int")
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", ORDER_PRIORITIES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            to_double(
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 4
+                )
+            ).alias("rev"),
+        )
+    )
+
+
+LATERAL_TOP_N = 3
+
+
+def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: correlated LATERAL subquery — each customer's top-3 orders
+    by price, written as the per-row dependent subquery users
+    actually type. Catalyst DECORRELATES it: the physical plan is a
+    WindowGroupLimit (map-side partial top-k, then final per key)
+    feeding one hash join — no nested-loop per-customer execution
+    anywhere, which is the difference between O(rows) and
+    O(customers × orders) at 100 TB. Plan-asserted in
+    tests/test_plan_shapes.py.
+    """
+    for t in ("customer", "orders"):
+        read_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(f"""
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT {LATERAL_TOP_N}
+        ) o
+    """)

@@ -1102,6 +1102,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.unigram_lm_quality,
         oracles_h.UNIGRAM_LM_QUALITY,
     ),
+    # F: relational PIVOT (pinned values -> one-pass conditional agg)
+    "f_pivot_priority_matrix": (
+        relational.pivot_priority_matrix,
+        oracles_f.PIVOT_PRIORITY_MATRIX,
+    ),
+    # F: correlated LATERAL subquery, decorrelated to WindowGroupLimit
+    "f_lateral_topn_per_customer": (
+        relational.lateral_topn_per_customer,
+        oracles_f.LATERAL_TOPN_PER_CUSTOMER,
+    ),
     # H4: exact-integer 2-sigma outlier gate per event type
     "h4_anomaly_outliers": (
         events.anomaly_outliers,
@@ -1447,6 +1457,8 @@ _DRIVER_ROTATION = [
 # the start of round 7: all 11 round-6 additions moved into the
 # prefix above.)
 PENDING_DRIVER_QUEUE = [
+    "f_pivot_priority_matrix",
+    "f_lateral_topn_per_customer",
 ]
 
 # Round-7 additions given first-proof slots INSIDE the r07 prefix's

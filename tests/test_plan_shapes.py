@@ -557,3 +557,26 @@ def test_greedy_packing_single_python_stage(spark):
     assert tree.count("FlatMapGroupsInPandas") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL subquery must plan as a decorrelated
+    WindowGroupLimit (map-side partial top-k per customer) feeding a
+    hash/merge join — never a per-customer nested loop."""
+    from bow_hunter_pipeline_spark.plans import relational
+
+    plan = _plan(relational.lateral_topn_per_customer(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_plans_single_pass_conditional_agg(spark):
+    """Pinned-value pivot: one aggregate pass, no distinct-values
+    pre-scan (exactly two scans would betray the two-phase pivot)."""
+    from bow_hunter_pipeline_spark.plans import relational
+
+    plan = _plan(relational.pivot_priority_matrix(spark, SF_SMOKE))
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
