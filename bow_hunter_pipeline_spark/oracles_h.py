@@ -2783,3 +2783,66 @@ SELECT source,
                   4) AS DOUBLE) AS mean_nll
 FROM per_doc GROUP BY source
 """
+
+
+# Mergeable histogram quantiles: the ALL group is recomputed FROM
+# SCRATCH here while Spark produces it by merging per-priority bin
+# vectors — hash equality proves closure under union. Every
+# interpolation op mirrors the Spark sequence exactly.
+HISTOGRAM_QUANTILE_SKETCH = """
+WITH vals AS (
+  SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+  UNION ALL
+  SELECT 'ALL', CAST(o_totalprice AS DOUBLE) FROM orders
+),
+rng AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders
+),
+bins AS (
+  SELECT grp,
+         LEAST(127, CAST(FLOOR((v - lo) / ((hi - lo) / 128e0)) AS INT))
+           AS idx,
+         COUNT(*) AS cnt
+  FROM vals, rng GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, idx, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY idx) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY idx) - cnt AS cumb
+  FROM bins
+),
+n AS (SELECT grp, SUM(cnt) AS n_rows FROM bins GROUP BY 1),
+qs AS (SELECT * FROM (VALUES (0.25e0), (0.5e0), (0.75e0), (0.95e0)) t(q)),
+hit AS (
+  SELECT c.grp, q.q, n.n_rows, c.idx, c.cnt, c.cumb,
+         q.q * CAST(n.n_rows AS DOUBLE) AS target
+  FROM cum c JOIN n ON c.grp = n.grp CROSS JOIN qs q
+  WHERE CAST(c.cum AS DOUBLE) >= q.q * CAST(n.n_rows AS DOUBLE)
+    AND CAST(c.cumb AS DOUBLE) < q.q * CAST(n.n_rows AS DOUBLE)
+),
+est AS (
+  SELECT grp, q, n_rows,
+         lo + (CAST(idx AS DOUBLE)
+               + (target - CAST(cumb AS DOUBLE)) / CAST(cnt AS DOUBLE))
+              * ((hi - lo) / 128e0) AS est_q
+  FROM hit, rng
+),
+ranked AS (
+  SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn
+  FROM vals
+),
+exact AS (
+  SELECT e.grp, e.q, r.v AS exact_q
+  FROM (SELECT grp, q,
+               CAST(CEIL(q * CAST(n_rows AS DOUBLE)) AS BIGINT) AS rn
+        FROM est) e
+  JOIN ranked r ON r.grp = e.grp AND r.rn = e.rn
+)
+SELECT e.grp, e.q, CAST(e.n_rows AS BIGINT) AS n_rows, e.est_q,
+       x.exact_q,
+       CAST(round(abs(e.est_q - x.exact_q), 4) AS DOUBLE) AS abs_err
+FROM est e JOIN exact x ON e.grp = x.grp AND e.q = x.q
+"""

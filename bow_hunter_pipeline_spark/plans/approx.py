@@ -409,3 +409,102 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+HIST_BINS = 128
+HIST_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: MERGEABLE QUANTILE SKETCH — fixed equi-width histograms
+    (t-digest's operational role, in its simplest closed-under-union
+    form): per order priority, bin counts over a shared global
+    [lo, hi] range; quantiles estimated by linear interpolation
+    inside the crossing bin. The ALL row is produced by MERGING the
+    per-priority bin vectors (a count add — never rescanning data),
+    and the oracle recomputes ALL from scratch, so the hash PROVES
+    the merge, exactly like the KMV row. Each estimate is audited
+    against the exact type-1 quantile (value at rank ceil(q·n)).
+
+    Exactness: bin counts are integers; lo/hi/width and every
+    interpolation step are the same pinned IEEE op sequence in both
+    engines, so estimates replay bit-for-bit — no error-envelope
+    indirection.
+
+    Scale: sketch state is ≤ BINS longs per group (map-side
+    combinable); the merge is a #groups×BINS add; only the AUDIT
+    side sorts real data, and production samples that audit.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    rng = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    binned = (
+        vals.crossJoin(F.broadcast(rng))
+        .select(
+            "grp",
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+            ).alias("idx"),
+        )
+    )
+    per = binned.groupBy("grp", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = (
+        per.groupBy("idx")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("ALL").alias("grp"), "idx", "cnt")
+    )
+    bins = per.unionByName(merged)
+    wc = Window.partitionBy("grp").orderBy("idx")
+    cum = bins.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "cumb", F.col("cum") - F.col("cnt")
+    )
+    n = bins.groupBy("grp").agg(F.sum("cnt").alias("n_rows"))
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    target = F.col("q") * F.col("n_rows").cast("double")
+    hit = (
+        cum.join(n, "grp")
+        .crossJoin(F.broadcast(qs))
+        .withColumn("target", target)
+        .filter(
+            (F.col("cum").cast("double") >= F.col("target"))
+            & (F.col("cumb").cast("double") < F.col("target"))
+        )
+    )
+    est = F.col("lo") + (
+        F.col("idx").cast("double")
+        + (F.col("target") - F.col("cumb").cast("double"))
+        / F.col("cnt").cast("double")
+    ) * width
+    est_rows = hit.crossJoin(F.broadcast(rng)).select(
+        "grp", "q", "n_rows", est.alias("est_q")
+    )
+    # exact audit: value at rank ceil(q*n) per group (type-1 quantile)
+    allv = vals.unionByName(
+        vals.select(F.lit("ALL").alias("grp"), "v")
+    )
+    wr = Window.partitionBy("grp").orderBy("v")
+    ranked = allv.withColumn("rn", F.row_number().over(wr))
+    exact = (
+        est_rows.select(
+            "grp",
+            "q",
+            F.ceil(F.col("q") * F.col("n_rows").cast("double")).alias("rn"),
+        )
+        .join(ranked, ["grp", "rn"])
+        .select("grp", "q", F.col("v").alias("exact_q"))
+    )
+    return est_rows.join(exact, ["grp", "q"]).select(
+        "grp",
+        "q",
+        "n_rows",
+        "est_q",
+        "exact_q",
+        F.round(F.abs(F.col("est_q") - F.col("exact_q")), 4).alias(
+            "abs_err"
+        ),
+    )

@@ -1112,6 +1112,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.lateral_topn_per_customer,
         oracles_f.LATERAL_TOPN_PER_CUSTOMER,
     ),
+    # H5: mergeable equi-width histogram quantiles (t-digest's role);
+    # the ALL row merges per-group bin vectors, oracle recomputes it
+    "h5_histogram_quantile_sketch": (
+        approx.histogram_quantile_sketch,
+        oracles_h.HISTOGRAM_QUANTILE_SKETCH,
+    ),
     # H4: exact-integer 2-sigma outlier gate per event type
     "h4_anomaly_outliers": (
         events.anomaly_outliers,
@@ -1459,6 +1465,7 @@ _DRIVER_ROTATION = [
 PENDING_DRIVER_QUEUE = [
     "f_pivot_priority_matrix",
     "f_lateral_topn_per_customer",
+    "h5_histogram_quantile_sketch",
 ]
 
 # Round-7 additions given first-proof slots INSIDE the r07 prefix's
