@@ -1428,7 +1428,7 @@ _DRIVER_ROTATION = [
     "a4_partition_roundtrip",
     "a8_sql_ddl_roundtrip",
     "f_window_functions",
-    "f_grouping_sets_orders",
+    "f_pivot_priority_matrix",
     "f_asof_join_error_context",
     "h4_streaming_cdf_change_files",
     "g1_pricing_summary",
@@ -1447,9 +1447,9 @@ _DRIVER_ROTATION = [
     "h4_sessionize",
     "h4_streaming_upsert",
     "h4_streaming_cdc_late_arrivals",
-    "h5_exact_distinct_quantiles",
+    "h5_histogram_quantile_sketch",
     "h6_dedup_apply",
-    "h6_sequence_packing",
+    "f_lateral_topn_per_customer",
     "h6_stratified_sample",
     "mm_decode_meta",
     "mm_frame_sample",
@@ -1463,15 +1463,15 @@ _DRIVER_ROTATION = [
 # the start of round 7: all 11 round-6 additions moved into the
 # prefix above.)
 PENDING_DRIVER_QUEUE = [
-    "f_pivot_priority_matrix",
-    "f_lateral_topn_per_customer",
-    "h5_histogram_quantile_sketch",
 ]
 
 # Round-7 additions given first-proof slots INSIDE the r07 prefix's
 # re-check band (each pre-verified green with tools/verify_driver.py
 # and tools/audit_oracle_types.py before taking a slot).
 R07_NEW_IN_PREFIX = [
+    "f_pivot_priority_matrix",
+    "f_lateral_topn_per_customer",
+    "h5_histogram_quantile_sketch",
     "h1_incremental_lsh_index",
     "h2_ann_cascade_topk",
     "h3_unigram_lm_quality",

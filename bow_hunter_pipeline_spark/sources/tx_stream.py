@@ -308,13 +308,31 @@ def register_tx_cdf_stream(spark: SparkSession):
         return {int(i) for i in tbl.column("idx").to_pylist()}
 
     def prior_dvs(table: str, version: int) -> dict:
-        # DRIVER-side but metadata-only: O(version) log-JSON reads per
-        # call; a long-lived production stream would seed this from
-        # warehouse_tx's checkpoints the same way _replay_dvs does.
-        # Values stay RAW (inline list or blob ref) — resolved only on
-        # the executor that handles the touched file.
+        # DRIVER-side but metadata-only, CHECKPOINT-SEEDED like
+        # warehouse_tx._replay_dvs: start from the newest checkpoint
+        # at or below version-1, replay only the commits after it —
+        # O(interval) log JSON per call, not O(history), so a
+        # long-lived stream's planning cost stays flat. Values stay
+        # RAW (inline list or blob ref) — resolved only on the
+        # executor that handles the touched file.
         dvs: dict = {}
+        start = 0
+        d = os.path.join(table, log_dir_name)
+        ckpts = sorted(
+            int(f[len("checkpoint-"):].split(".")[0])
+            for f in (os.listdir(d) if os.path.isdir(d) else [])
+            if f.startswith("checkpoint-") and f.endswith(".json")
+        )
+        seed = [c for c in ckpts if c <= version - 1]
+        if seed:
+            with open(
+                os.path.join(d, f"checkpoint-{seed[-1]:08d}.json")
+            ) as f:
+                dvs = dict(json.load(f).get("dvs", {}))
+            start = seed[-1] + 1
         for v in versions(table):
+            if v < start:
+                continue
             if v >= version:
                 break
             entry = log_entry(table, v)

@@ -904,3 +904,46 @@ def test_cdc_sequence_guard_rejects_stale_cross_batch(spark, tmp_path):
     # k=2: newer delete applied — absent at seq 7, no rejections
     assert last[2] == (7, False, None, 0)
     shutil.rmtree(str(feed))
+
+
+def test_cdf_source_prior_dvs_seed_from_checkpoint(spark, tmp_path):
+    """The CDF source's prior-vector state is CHECKPOINT-SEEDED
+    (O(interval) log reads per micro-batch, not O(history)): across a
+    history long enough to cross a warehouse checkpoint, a second DV
+    delete must stream ONLY its newly-vectored rows — a wrong seed
+    would re-emit (or lose) the pre-checkpoint vector's rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        register_tx_cdf_stream,
+    )
+
+    table = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    tx.create_table(spark, table, mk(0, 20))
+    for i in range(10):  # cross CHECKPOINT_INTERVAL
+        tx.append(spark, table, mk(20 + i, 21 + i))
+    import os as _os
+
+    assert _os.path.exists(
+        _os.path.join(table, "_log", "checkpoint-00000010.json")
+    )
+    v1, n1 = tx.delete_where_dv(spark, table, "k < 3")
+    assert (v1, n1) == (11, 3)
+    v2, n2 = tx.delete_where_dv(spark, table, "k < 5")
+    assert (v2, n2) == (12, 2)
+
+    cls = register_tx_cdf_stream(spark)
+    src = cls(options={"table": table})
+    reader = src.streamReader(StructType.fromDDL(src.schema()))
+    rows = sorted(
+        r
+        for p in reader.partitions({"version": v1}, {"version": v2})
+        for r in reader.read(p)
+    )
+    # only the newly vectored rows (3, 4) — nothing re-emitted
+    assert rows == [(3, 3.0, "delete", v2), (4, 4.0, "delete", v2)]
