@@ -1771,3 +1771,58 @@ def test_tx_writer_side_change_files(spark, tmp_path):
         _os.listdir(_os.path.join(table, "_cdc")) == []
     )
     assert n_gone >= 3
+
+
+def test_tx_compact_binpack_rewrites_only_small_files(spark, tmp_path):
+    """Size-based OPTIMIZE: only files under the min-size threshold
+    are packed and rewritten; right-sized files carry over untouched
+    (churn proportional to small-file debt). DV-aware: a vectored row
+    in a packed file stays deleted and its vector drops with the
+    rewrite; time travel still resolves the fragmented layout."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).coalesce(1)
+    tx.create_table(spark, table, big)
+    for i in range(4):  # four tiny appends = small-file debt
+        tx.append(
+            spark,
+            table,
+            spark.range(20000 + i * 10, 20010 + i * 10).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+            ).coalesce(1),
+        )
+    # vector a row inside one of the small files
+    v_dv, n_dv = tx.delete_where_dv(spark, table, "k = 20005")
+    assert n_dv == 1
+    files_before = tx.live_files(table)
+    import os as _os
+
+    sizes = {
+        r: _os.path.getsize(_os.path.join(table, r))
+        for r in files_before
+    }
+    big_rel = max(sizes, key=sizes.get)
+
+    v, n_rw, n_carry = tx.compact_binpack(
+        spark, table, target_bytes=1 << 20, min_file_bytes=64 << 10
+    )
+    assert n_rw == 4 and n_carry == 1
+    after = tx.live_files(table, v)
+    assert big_rel in after, "right-sized file must carry over"
+    assert len(after) < len(files_before)
+    # content identical minus the vectored row, vector gone from log
+    got = {r.k for r in tx.snapshot(spark, table).collect()}
+    assert got == set(range(20040)) - {20005}
+    assert tx._replay_dvs(table, v) == {}
+    # time travel still sees the fragmented pre-compaction layout
+    assert set(tx.live_files(table, v_dv)) == set(files_before)
+    # a second pass finds nothing left to pack: no-op
+    v2, n2, _ = tx.compact_binpack(
+        spark, table, target_bytes=1 << 20, min_file_bytes=64 << 10
+    )
+    assert (v2, n2) == (v, 0)
