@@ -1417,3 +1417,91 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qv), "q_id")
     )
     return _topk(_scored_pairs(pairs))
+
+
+def ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: the IVF index MAINTAINED AT REST — vectors arrive in three
+    batches, each assigned to its nearest fixed centroid (the same
+    broadcast cross-score + argmax as ``ivf_topk``) and APPENDED to a
+    parquet store ``partitionBy(cell_id)``; a search then reads the
+    store with the probe cells as a partition filter, so the scan
+    touches only the probed cells' DIRECTORIES — nprobe=1 IVF as
+    literal partition pruning, the layout a 100 TB vector lake
+    actually serves from (plan-asserted in test_plan_shapes). Index
+    maintenance is embarrassingly incremental: arrivals cost K dot
+    products per vector plus a partitioned append — the corpus is
+    never re-assigned, the H2 twin of ``h1_incremental_lsh_index``.
+
+    Same oracle as ``ivf_topk``: the at-rest store must answer
+    exactly like the in-memory assignment (parquet float-array
+    roundtrip is exact).
+    """
+    import os
+    import shutil
+
+    work = "/tmp/bhps_ivf_store"
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "cells")
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+    )
+
+    def assign(batch: DataFrame) -> DataFrame:
+        scored = batch.crossJoin(F.broadcast(cent)).withColumn(
+            "acos",
+            dot_fold("embedding", "cvec")
+            / (
+                F.sqrt(norm2_fold("embedding"))
+                * F.sqrt(norm2_fold("cvec"))
+            ),
+        )
+        aw = Window.partitionBy("vec_id").orderBy(
+            F.col("acos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("arn", F.row_number().over(aw))
+            .filter(F.col("arn") == 1)
+            .select(
+                "vec_id", "embedding", F.col("cent_id").alias("cell_id")
+            )
+        )
+
+    for i in range(3):  # incremental arrivals
+        assign(emb.filter(F.col("vec_id") % 3 == i)).write.partitionBy(
+            "cell_id"
+        ).mode("append").parquet(store)
+
+    probes = assign(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    # bounded driver collect: N_QUERIES probes -> <= K cell ids
+    cells = sorted(
+        r.q_cell for r in probes.select("q_cell").distinct().collect()
+    )
+    idx = spark.read.parquet(store).filter(F.col("cell_id").isin(cells))
+    pairs = (
+        F.broadcast(probes)
+        .join(idx, F.col("q_cell") == F.col("cell_id"))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "qe",
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("ce"),
+            "cell_id",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("c_id")
+    )
+    return (
+        _scored_pairs(pairs)
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "c_id", "cell_id", "cosine", "rnk")
+    )

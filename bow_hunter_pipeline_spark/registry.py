@@ -1118,6 +1118,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         approx.histogram_quantile_sketch,
         oracles_h.HISTOGRAM_QUANTILE_SKETCH,
     ),
+    # H2 at rest: IVF store partitionBy(cell) with incremental
+    # appends; search reads only probed cells' directories (partition
+    # pruning); same oracle as the in-memory ivf_topk
+    "h2_ivf_index_at_rest": (
+        simsearch.ivf_index_at_rest,
+        oracles_h.IVF_TOPK,
+    ),
     # H4: exact-integer 2-sigma outlier gate per event type
     "h4_anomaly_outliers": (
         events.anomaly_outliers,
@@ -1463,6 +1470,7 @@ _DRIVER_ROTATION = [
 # the start of round 7: all 11 round-6 additions moved into the
 # prefix above.)
 PENDING_DRIVER_QUEUE = [
+    "h2_ivf_index_at_rest",
 ]
 
 # Round-7 additions given first-proof slots INSIDE the r07 prefix's

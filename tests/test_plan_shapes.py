@@ -580,3 +580,15 @@ def test_pivot_plans_single_pass_conditional_agg(spark):
     tree = plan.split("\n\n", 1)[0]
     assert tree.count("Scan parquet") == 1
     assert "HashAggregate" in plan
+
+
+def test_ivf_at_rest_search_prunes_cell_partitions(spark):
+    """The at-rest IVF search must hit the store with the probe cells
+    as PARTITION filters — the scan lists only the probed cells'
+    directories, never the whole index."""
+    from bow_hunter_pipeline_spark.plans import simsearch
+
+    plan = _plan(simsearch.ivf_index_at_rest(spark, SF_SMOKE))
+    store_scan = plan.split("bhps_ivf_store", 1)[0]
+    pf = store_scan.rsplit("PartitionFilters:", 1)[-1]
+    assert "cell_id" in pf, plan[:1200]

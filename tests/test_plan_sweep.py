@@ -61,6 +61,7 @@ ALLOW: dict[str, set[str]] = {
         "h2_ann_cascade_topk",  # stage-1 = the same bounded probe broadcast
         "h3_unigram_lm_quality",  # 1-row corpus-total + 1-row corpus-mean
         "h5_histogram_quantile_sketch",  # 1-row range + 4-row q-list broadcasts
+        "h2_ivf_index_at_rest",  # same K-centroid broadcast assignment
     },
     # All-pairs semantics by design, bounded by blocking/banding
     # upstream (LSH buckets, band keys) or quadratic-in-small-n.
