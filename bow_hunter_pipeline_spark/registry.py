@@ -1446,7 +1446,7 @@ _DRIVER_ROTATION = [
     "h1_exact_dup_groups",
     "h1_incremental_lsh_index",
     "h2_cosine_topk",
-    "h2_ivf_topk",
+    "h2_ivf_index_at_rest",
     "h2_ann_cascade_topk",
     "h3_doc_stats",
     "h3_bpe_token_count",
@@ -1470,13 +1470,13 @@ _DRIVER_ROTATION = [
 # the start of round 7: all 11 round-6 additions moved into the
 # prefix above.)
 PENDING_DRIVER_QUEUE = [
-    "h2_ivf_index_at_rest",
 ]
 
 # Round-7 additions given first-proof slots INSIDE the r07 prefix's
 # re-check band (each pre-verified green with tools/verify_driver.py
 # and tools/audit_oracle_types.py before taking a slot).
 R07_NEW_IN_PREFIX = [
+    "h2_ivf_index_at_rest",
     "f_pivot_priority_matrix",
     "f_lateral_topn_per_customer",
     "h5_histogram_quantile_sketch",
