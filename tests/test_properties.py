@@ -221,7 +221,7 @@ def test_tx_model_based_history_and_checkpoints(
         st.tuples(
             st.sampled_from(
                 ["merge", "append", "cow_delete", "dv_delete",
-                 "update", "compact", "restore"]
+                 "update", "compact", "binpack", "restore"]
             ),
             st.lists(
                 st.integers(min_value=0, max_value=60),
@@ -237,7 +237,8 @@ def test_tx_model_based_history_and_checkpoints(
 def test_tx_model_based_row_ops_and_restore(spark, tmp_path_factory, ops):
     """Model-based property over the ROUND-6 op set: arbitrary
     sequences of merge / append / copy-on-write delete / deletion-
-    vector delete / update / compact / restore applied to the table
+    vector delete / update / compact / size-binpack / restore
+    (rewriting ops randomly writing CDC change files) applied to the table
     AND to a dict model; the snapshot must equal the model after
     EVERY op, restore must reproduce the recorded model of the target
     version exactly, and the DV-aware checkpoint replay must equal
@@ -256,8 +257,14 @@ def test_tx_model_based_row_ops_and_restore(spark, tmp_path_factory, ops):
     step = 0
     for op, keys in ops:
         step += 1
+        cdc = step % 2 == 0  # alternate writer-side change files
         if op == "compact":
             tx.compact(spark, table)
+        elif op == "binpack":
+            tx.compact_binpack(
+                spark, table, target_bytes=1 << 20,
+                min_file_bytes=64 << 10,
+            )
         elif op == "restore":
             target = sorted(model_at)[keys[0] % len(model_at)] if keys else 0
             tx.restore(spark, table, target)
@@ -274,11 +281,11 @@ def test_tx_model_based_row_ops_and_restore(spark, tmp_path_factory, ops):
         elif op == "merge":
             rows = [(k, float(100 * step + k)) for k in sorted(keys)]
             upd = spark.createDataFrame(rows, "k bigint, v double")
-            tx.merge(spark, table, upd, ["k"], ["v"])
+            tx.merge(spark, table, upd, ["k"], ["v"], write_cdc=cdc)
             model.update({k: v for k, v in rows})
         elif op == "cow_delete":
             ks = ", ".join(str(k) for k in keys) or "-1"
-            tx.delete_where(spark, table, f"k IN ({ks})")
+            tx.delete_where(spark, table, f"k IN ({ks})", write_cdc=cdc)
             for k in keys:
                 model.pop(k, None)
         elif op == "dv_delete":
@@ -289,7 +296,8 @@ def test_tx_model_based_row_ops_and_restore(spark, tmp_path_factory, ops):
         elif op == "update":
             ks = ", ".join(str(k) for k in keys) or "-1"
             tx.update_where(
-                spark, table, f"k IN ({ks})", {"v": "v + 0.5"}
+                spark, table, f"k IN ({ks})", {"v": "v + 0.5"},
+                write_cdc=cdc,
             )
             for k in keys:
                 if k in model:
