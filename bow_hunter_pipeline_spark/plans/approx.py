@@ -440,15 +440,35 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").cast("double").alias("v"),
     )
+    return _histogram_quantiles(vals)
+
+
+def _histogram_quantiles(vals: DataFrame) -> DataFrame:
+    """The sketch core over a ``(grp, v)`` frame — split out so the
+    error-bound property (|est − exact| ≤ bin width, because the
+    crossing bin and the rank-ceil(q·n) element's bin coincide by the
+    cumulative-count inequalities) can be hypothesis-tested on
+    arbitrary data."""
+    spark = vals.sparkSession
     rng = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
     binned = (
         vals.crossJoin(F.broadcast(rng))
         .select(
             "grp",
+            # try_divide: a degenerate all-equal input has width 0 —
+            # every row lands in bin 0 and the interpolation term
+            # multiplies back by width 0, so estimates are EXACT (lo);
+            # the fixture never hits this, so the oracle's plain
+            # division stays bit-identical where it runs
             F.least(
                 F.lit(HIST_BINS - 1),
-                F.floor((F.col("v") - F.col("lo")) / width).cast("int"),
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(F.col("v") - F.col("lo"), width)
+                    ),
+                    F.lit(0),
+                ).cast("int"),
             ).alias("idx"),
         )
     )

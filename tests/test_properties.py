@@ -353,3 +353,45 @@ def test_upsert_guard_cols_matches_model(spark, old_rows, new_rows):
         if k not in model or g > model[k][0]:
             model[k] = (g, v)
     assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=60,
+    ),
+)
+def test_histogram_quantile_error_bounded_by_bin_width(spark, data):
+    """Sketch error law on arbitrary data: the interpolated estimate
+    and the exact rank-ceil(q·n) element sit in the SAME bin (the
+    cumulative-count inequalities force it), so |est − exact| can
+    never exceed one bin width. Degenerate all-equal inputs give
+    width 0 and exact answers."""
+    from bow_hunter_pipeline_spark.plans.approx import (
+        HIST_BINS,
+        _histogram_quantiles,
+    )
+
+    vals = spark.createDataFrame(data, "grp string, v double")
+    lo = min(v for _, v in data)
+    hi = max(v for _, v in data)
+    width = (hi - lo) / HIST_BINS
+    rows = _histogram_quantiles(vals).collect()
+    assert rows, "sketch produced no quantile rows"
+    groups = {g for g, _ in data}
+    qs_seen = {(r.grp, r.q) for r in rows}
+    assert {g for g, _ in qs_seen} == groups | {"ALL"}
+    for r in rows:
+        assert abs(r.est_q - r.exact_q) <= width + 1e-9 * max(
+            1.0, abs(hi), abs(lo)
+        ), (r, width)
