@@ -1612,3 +1612,19 @@ LATERAL (
   LIMIT 3
 ) o
 """
+
+
+# The IVM state after create -> bump-merge -> DV delete must equal the
+# from-scratch rollup of the surviving rows with bumped prices.
+STREAMING_CDF_IVM = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(CASE WHEN o_orderkey % 3 = 0
+                 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+                           AS DOUBLE)
+                 ELSE CAST(o_totalprice AS DOUBLE) END
+            AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderkey % 5 <> 0
+GROUP BY 1
+"""

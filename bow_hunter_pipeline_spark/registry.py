@@ -1037,6 +1037,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_cdf_change_files,
         oracles_f.STREAMING_CDF_APPLY,
     ),
+    # H4 x E5: incremental view maintenance off the CDF stream — the
+    # rollup is maintained by signed change deltas, never rescanning
+    "h4_streaming_cdf_ivm": (
+        structured.streaming_cdf_ivm,
+        oracles_f.STREAMING_CDF_IVM,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1452,7 +1458,7 @@ _DRIVER_ROTATION = [
     "h3_bpe_token_count",
     "h3_unigram_lm_quality",
     "h4_sessionize",
-    "h4_streaming_upsert",
+    "h4_streaming_cdf_ivm",
     "h4_streaming_cdc_late_arrivals",
     "h5_histogram_quantile_sketch",
     "h6_dedup_apply",
@@ -1476,6 +1482,7 @@ PENDING_DRIVER_QUEUE = [
 # re-check band (each pre-verified green with tools/verify_driver.py
 # and tools/audit_oracle_types.py before taking a slot).
 R07_NEW_IN_PREFIX = [
+    "h4_streaming_cdf_ivm",
     "h2_ivf_index_at_rest",
     "f_pivot_priority_matrix",
     "f_lateral_topn_per_customer",

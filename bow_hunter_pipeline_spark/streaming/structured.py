@@ -1316,3 +1316,136 @@ def streaming_cdf_change_files(
         dsum("price", "total_price", "decimal(18,6)"),
         F.min("key").alias("min_key"),
     )
+
+
+def streaming_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × E5: INCREMENTAL VIEW MAINTENANCE fed by the CDF stream —
+    the DLT materialized-view loop closed over our own lakehouse: a
+    per-priority rollup (row count, exact-decimal revenue) is
+    maintained by APPLYING CHANGE DELTAS, never rescanning the table.
+    Each micro-batch folds its change images into signed partials
+    (+1/insert, −1/delete; an update's pair cancels to its net
+    effect) and MERGES them into a tiny state store keyed by
+    priority; after create → price-bump merge → DV delete, the
+    maintained state must equal the oracle's from-scratch rollup of
+    the final table — any missed or double-applied delta breaks the
+    exact-decimal hash.
+
+    Scale: per batch the work is one partial aggregate over the
+    batch's changes plus a merge into #groups rows of state. The
+    table is NEVER re-aggregated — maintenance cost tracks churn,
+    the only posture that works when the base table is 100 TB.
+    """
+    import os
+    import shutil
+    import time
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import money, to_double
+    from bow_hunter_pipeline_spark.io.readers import read_table
+
+    table = "/tmp/bhps_tx_cdf_ivm"
+    state_dir = "/tmp/bhps_tx_cdf_ivm_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, table, base)
+    bumped = base.filter(F.col("key") % 3 == 0).withColumn(
+        "price", (money("price") + F.lit(1000)).cast("double")
+    )
+    tx.merge(spark, table, bumped, ["key"], ["price"], write_cdc=True)
+    dv_v, _ = tx.delete_where_dv(spark, table, "key % 5 = 0")
+
+    cur = os.path.join(state_dir, "cur")
+
+    def apply_deltas(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        partial = batch_df.groupBy("priority").agg(
+            F.sum(sign).alias("d_rows"),
+            F.sum(
+                sign.cast("decimal(18,6)")
+                * F.col("price").cast("decimal(18,6)")
+            ).alias("d_rev"),
+        )
+        if os.path.isdir(cur):
+            prev = sess.read.parquet(cur)
+            merged = (
+                prev.unionByName(
+                    partial.select(
+                        "priority",
+                        F.col("d_rows").alias("n_rows"),
+                        F.col("d_rev").cast("decimal(28,6)").alias("rev"),
+                    )
+                )
+                .groupBy("priority")
+                .agg(
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                    F.sum("rev").cast("decimal(28,6)").alias("rev"),
+                )
+            )
+        else:
+            merged = partial.select(
+                "priority",
+                F.col("d_rows").cast("bigint").alias("n_rows"),
+                F.col("d_rev").cast("decimal(28,6)").alias("rev"),
+            )
+        nxt = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        old = (
+            os.path.realpath(cur)
+            if os.path.islink(cur) or os.path.isdir(cur)
+            else None
+        )
+        tmp_link = cur + ".tmp"
+        if os.path.lexists(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(nxt, tmp_link)
+        os.replace(tmp_link, cur)  # atomic state swap
+        if old and old != nxt:
+            shutil.rmtree(old, ignore_errors=True)
+
+    from bow_hunter_pipeline_spark.sources.tx_stream import (
+        read_tx_cdf_stream,
+    )
+
+    q = (
+        read_tx_cdf_stream(spark, table)
+        .writeStream.foreachBatch(apply_deltas)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "ckpt")
+        )
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    expect_rows = (
+        base.filter(F.col("key") % 5 != 0).count()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.isdir(cur):
+                got = (
+                    spark.read.parquet(cur)
+                    .agg(F.sum("n_rows").alias("n"))
+                    .collect()[0]["n"]
+                )
+                if got == expect_rows:
+                    break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("IVM state did not converge")
+    finally:
+        q.stop()
+
+    state = spark.read.parquet(cur)
+    return state.select(
+        "priority",
+        "n_rows",
+        to_double(F.round(F.col("rev"), 4)).alias("total_price"),
+    )
