@@ -1483,7 +1483,16 @@ def ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = sorted(
         r.q_cell for r in probes.select("q_cell").distinct().collect()
     )
-    idx = spark.read.parquet(store).filter(F.col("cell_id").isin(cells))
+    # explicit schema: zero-row arrivals leave a footer-less store
+    # (nothing to infer from), and it types the cell_id partition
+    # column as bigint rather than trusting directory-name inference
+    idx = (
+        spark.read.schema(
+            "vec_id bigint, embedding array<float>, cell_id bigint"
+        )
+        .parquet(store)
+        .filter(F.col("cell_id").isin(cells))
+    )
     pairs = (
         F.broadcast(probes)
         .join(idx, F.col("q_cell") == F.col("cell_id"))
