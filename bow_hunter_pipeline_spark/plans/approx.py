@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.io.readers import read_table
+from bow_hunter_pipeline_spark.plans.topk import ranked_top_k
 
 
 def exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,13 +314,14 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part_rows = estimate(per_kth, per_exact)
 
-    # merge: k smallest of the union of the per-priority k-min lists
-    gw = Window.orderBy("h")
+    # merge: k smallest of the union of the per-priority k-min lists —
+    # a distributed orderBy().limit() heap (input is ≤ K·groups rows by
+    # construction; the limit keeps even that off a single task)
     merged_kth = (
         kmin.select("h")
         .distinct()
-        .withColumn("rn", F.row_number().over(gw))
-        .filter(F.col("rn") <= KMV_K)
+        .orderBy("h")
+        .limit(KMV_K)
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.max("h").cast("double").alias("u_k"),
@@ -385,12 +387,14 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row", "cell")
         .agg(F.sum("exact_cnt").alias("cnt"))
     )
-    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("token"))
-    cands = (
-        exact.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= CMS_TOP)
-        .withColumn("rnk", F.col("rnk").cast("int"))
-    )
+    # distributed top-k heap cut, never a global rank window over the
+    # vocabulary-sized frame (plans.topk)
+    cands = ranked_top_k(
+        exact,
+        [F.col("exact_cnt").desc(), F.col("token")],
+        CMS_TOP,
+        method="row_number",
+    ).withColumn("rnk", F.col("rnk").cast("int"))
     probe = cands.select(
         "token",
         "exact_cnt",

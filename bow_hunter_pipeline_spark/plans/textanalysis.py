@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from bow_hunter_pipeline_spark.functions.exact import to_double
 from bow_hunter_pipeline_spark.functions.text import hash64
 from bow_hunter_pipeline_spark.io.readers import read_table
+from bow_hunter_pipeline_spark.plans.topk import ranked_top_k
 
 # Tiny function-word list for quality/language scoring (the corpus is
 # synthetic; the operator shape is what matters).
@@ -50,17 +51,19 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def token_top_k(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
-    """Corpus token frequency top-k: explode → count → rank. The
-    classic two-shuffle plan (token partial counts combine map-side;
-    the rank window runs over the tiny aggregated frame)."""
+    """Corpus token frequency top-k: explode → count → distributed
+    top-k cut. Token partial counts combine map-side; the cut is
+    TakeOrderedAndProject (per-partition heaps), never a global rank
+    window over the vocabulary — at corpus scale the vocabulary is
+    O(10^9+) distinct tokens and a single-task sort would be the
+    bottleneck (see plans.topk)."""
     docs = read_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(_toks()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy().orderBy(F.col("n").desc(), F.col("token"))
-    return counts.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") <= k)
+    return ranked_top_k(counts, [F.col("n").desc(), F.col("token")], k)
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,10 +267,8 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
-        counts.withColumn("rnk", F.rank().over(w))
-        .filter(F.col("rnk") <= BIGRAM_TOP_K)
+    return ranked_top_k(
+        counts, [F.col("n").desc(), F.col("bigram")], BIGRAM_TOP_K
     )
 
 
@@ -467,10 +468,12 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; coverage is one division of exact bigint masses
     per row.
 
-    Shape: one token-count aggregate, one rank window over the
-    vocabulary-sized frame, then a 3-row rollup via a literal K table
-    (range join on rank <= K against 3 values — the tiny side is the
-    K list, broadcast).
+    Shape: one token-count aggregate, a distributed top-max(K) cut
+    (TakeOrderedAndProject heaps — never a global rank window over the
+    vocabulary, see plans.topk), the corpus mass as a 1-row broadcast
+    scalar, then a 3-row rollup via a literal K table (range join on
+    rank <= K against 3 values — the tiny side is the K list,
+    broadcast).
     """
     docs = read_table(spark, sf_dir, "documents")
     counts = (
@@ -478,11 +481,13 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wr = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    wall = Window.partitionBy()
-    ranked = counts.withColumn("rnk", F.row_number().over(wr)).withColumn(
-        "total", F.sum("cnt").over(wall)
-    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    ranked = ranked_top_k(
+        counts,
+        [F.col("cnt").desc(), F.col("token")],
+        max(COVERAGE_KS),
+        method="row_number",
+    ).crossJoin(F.broadcast(total))
     ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k int")
     return (
         ranked.join(F.broadcast(ks), F.col("rnk") <= F.col("k"))
@@ -565,9 +570,10 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching touches ONLY the queried posting lists (at rest the
     postings table is bucketed by token, making that a pruned read —
     the inverted-index property itself); the intersection shuffles at
-    matched-posting size, never corpus size. The term-selection
-    window runs over the vocabulary — production keeps term stats as
-    a tiny dimension table instead.
+    matched-posting size, never corpus size. Both top-k cuts (query
+    terms out of the vocabulary, ranked matches out of the hit list)
+    are distributed TakeOrderedAndProject heaps, never a global rank
+    window over an unbounded frame (plans.topk).
     """
     docs = read_table(spark, sf_dir, "documents")
     tf = (
@@ -582,10 +588,9 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").alias("cnt"))
         .filter(~F.col("token").isin(*STOPWORDS))
     )
-    vw = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     qterms = (
-        vocab.withColumn("trn", F.row_number().over(vw))
-        .filter(F.col("trn") <= IDX_QUERY_TERMS)
+        vocab.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(IDX_QUERY_TERMS)
         .select("token")
     )
     hits = (
@@ -597,11 +602,14 @@ def inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_terms") == IDX_QUERY_TERMS)
     )
-    rw = Window.orderBy(F.col("total_tf").desc(), F.col("doc_id"))
-    return (
-        hits.withColumn("rnk", F.row_number().over(rw).cast("int"))
-        .filter(F.col("rnk") <= IDX_TOP_DOCS)
-        .select("doc_id", "total_tf", "rnk")
+    ranked = ranked_top_k(
+        hits,
+        [F.col("total_tf").desc(), F.col("doc_id")],
+        IDX_TOP_DOCS,
+        method="row_number",
+    )
+    return ranked.select(
+        "doc_id", "total_tf", F.col("rnk").cast("int").alias("rnk")
     )
 
 

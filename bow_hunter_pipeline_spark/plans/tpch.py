@@ -162,10 +162,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue —
     the revenue "view" reused twice (once aggregated to its max, once
-    joined back). Expressed with a window max over the aggregate
-    instead of a self-join: one shuffle for the groupBy, then a
-    single-column global max via an unpartitioned window over the
-    already-tiny aggregate (|suppliers| rows, not |lineitem|).
+    joined back). The global max is a 1-row scalar aggregate joined
+    back as a broadcast — one shuffle for the groupBy, then a
+    map-side compare; the supplier-grain frame never moves to a
+    single task (suppliers scale with the data, so an unpartitioned
+    window max here would be the same single-partition sort the
+    plans.topk module exists to avoid).
 
     Equality on revenue is safe: both sides are the same exact
     decimal-rounded double.
@@ -177,10 +179,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     revenue = money("l_extendedprice") * one_minus("l_discount")
     per_supp = li.groupBy("l_suppkey").agg(dsum_expr(revenue, "total_revenue"))
-    w = Window.partitionBy()
-    best = per_supp.withColumn(
-        "max_revenue", F.max("total_revenue").over(w)
-    ).filter(F.col("total_revenue") == F.col("max_revenue"))
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    best = per_supp.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
     return best.join(
         supplier, F.col("l_suppkey") == F.col("s_suppkey")
     ).select(

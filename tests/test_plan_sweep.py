@@ -72,6 +72,58 @@ ALLOW: dict[str, set[str]] = {
 
 _STREAMING = {n for n in registry.queries() if n.startswith("h4_streaming")}
 
+# Queries allowed to carry an UNPARTITIONED window over an input NOT
+# bounded by a limit. Everything here windows a frame whose size is
+# fixed by a KEY DOMAIN (nations, sources, priorities), not by data
+# volume — at 100 TB the single-partition stage still touches dozens
+# of rows — or documents the global sort as a deliberate non-goal.
+# Unbounded-domain rank windows (vocabularies, doc sets) must use
+# plans.topk.ranked_top_k instead (orderBy().limit() heaps), whose
+# GlobalLimit-bounded window this check recognises as safe.
+ALLOW_GLOBAL_WINDOW: dict[str, str] = {
+    "ep3_flagship_pipeline": "nation-grain aggregate (≤28 rows at any sf)",
+    "g3_market_share_window": "nation-grain revenue share (25 rows)",
+    "h6_mixture_weights": "source-grain weights (docstring: dozens of rows)",
+    "h6_token_budget_curriculum": "source-grain greedy cumsum (~20 rows)",
+    "f_equi_depth_histogram": "documented non-goal; at-scale path is h5",
+    "f_paginated_top_orders": "pagination demo; keyset twin is the scale path",
+    "f_window_functions": "showcase incl. global-frame functions by design",
+    "h4_lateness_audit": "docstring: batch replay over a bounded slice",
+    "f_window_distribution": "distribution functions need the full frame",
+    "g4_seasonality_index": "priority×month grain (≤60 rows)",
+}
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Unpartitioned logical Window nodes whose subtree carries no
+    GlobalLimit — i.e. frames that would move unbounded data to a
+    single task. Limit-bounded windows (the plans.topk shape) pass."""
+
+    def children(node):
+        ch = node.children()
+        return [ch.apply(i) for i in range(ch.size())]
+
+    def has_limit(node) -> bool:
+        if node.getClass().getSimpleName() == "GlobalLimit":
+            return True
+        return any(has_limit(c) for c in children(node))
+
+    bad: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if (
+            name == "Window"
+            and node.partitionSpec().isEmpty()
+            and not has_limit(node)
+        ):
+            bad.append(node.simpleString(100))
+        for c in children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
 
 @pytest.mark.parametrize("name", sorted(registry.queries()))
 def test_no_scale_antipatterns(spark, name):
@@ -86,3 +138,10 @@ def test_no_scale_antipatterns(spark, name):
         if name in allowed:
             continue
         assert pattern not in plan, f"{name}: {pattern} in physical plan"
+    if name not in ALLOW_GLOBAL_WINDOW:
+        offenders = _unbounded_global_windows(df)
+        assert not offenders, (
+            f"{name}: unpartitioned window over unbounded input "
+            f"(single-task sort at scale) — use plans.topk.ranked_top_k "
+            f"or add a justified ALLOW_GLOBAL_WINDOW entry: {offenders}"
+        )
