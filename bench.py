@@ -80,12 +80,14 @@ def main() -> None:
         if name in qs:
             qs[name](spark, sf_dir).count()
 
-    # Two measured passes, best-of per query: this host runs under
-    # variable external load (±25% between identical passes), and the
+    # Multiple measured passes, best-of per query: this host runs
+    # under variable external load (±25% between identical passes; the
+    # r07 bench read +19% uniformly on untouched code), and the
     # minimum is the standard noise-robust point estimate for a
     # deterministic workload.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(passes):
         for name in HEADLINE:
             if name not in qs:
                 continue

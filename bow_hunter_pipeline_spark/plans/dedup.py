@@ -953,12 +953,22 @@ def incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the store is ~0.1% of corpus bytes.
 
     Delivery is deterministic: three staged-mtime parquet files under
-    ``maxFilesPerTrigger=1`` + ``availableNow`` through foreachBatch
-    (exactly-once via the checkpoint, like the upsert sink).
+    ``maxFilesPerTrigger=1`` + ``availableNow`` through foreachBatch.
+    EXACTLY-ONCE: both index writes (the bucket store and the pair
+    ledger) are transactional-log appends carrying
+    ``txn=(app_id, batch_id)`` (:func:`warehouse_tx.append_idempotent`
+    — the mechanism the streaming tx sink proves) — a batch replayed
+    after a crash between the two writes, or redelivered by a zombie
+    driver, is recognized in-commit and skipped, so the store can
+    never double-hold a signature nor the ledger a pair. Plain
+    ``mode("append")`` parquet here would double-append on replay
+    (at-least-once), the gap this closes.
     """
     import glob
     import os
     import shutil
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
 
     work = "/tmp/bhps_incr_lsh"
     shutil.rmtree(work, ignore_errors=True)
@@ -980,6 +990,15 @@ def incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = 1_700_000_000 + i * 100
         os.utime(dest, (t, t))
 
+    # Empty tx tables up front so EVERY batch (including 0) is one
+    # idempotent append — no create/append asymmetry on replay.
+    empty_sig = _minhash_buckets(docs.limit(0))
+    tx.create_table(spark, store, empty_sig)
+    tx.create_table(
+        spark, pairs,
+        spark.createDataFrame([], "doc_a bigint, doc_b bigint"),
+    )
+
     def update_index(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         new = _minhash_buckets(batch_df).localCheckpoint()
@@ -992,17 +1011,26 @@ def incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        if os.path.isdir(store):
-            old = sess.read.parquet(store)
-            cross = new.alias("n").join(
-                old.alias("o"), F.col("n.band_key") == F.col("o.band_key")
-            ).select(
-                F.least("n.doc_id", "o.doc_id").alias("doc_a"),
-                F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
-            )
-            cand = cand.unionByName(cross)
-        cand.distinct().write.mode("append").parquet(pairs)
-        new.write.mode("append").parquet(store)
+        old = tx.snapshot(sess, store)
+        cross = new.alias("n").join(
+            old.alias("o"), F.col("n.band_key") == F.col("o.band_key")
+        ).select(
+            F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+        )
+        cand = cand.unionByName(cross)
+        # pairs first, store second: a crash between them replays the
+        # batch — the pairs txn skips, the store txn applies; a full
+        # redelivery skips both. Store-first would make the replayed
+        # pairs join see the batch's own signatures as "old" (dup
+        # pairs are distinct-folded, but the txn skip makes the
+        # ordering question moot entirely).
+        tx.append_idempotent(
+            sess, pairs, cand.distinct(), txn=("lsh_pairs", batch_id)
+        )
+        tx.append_idempotent(
+            sess, store, new, txn=("lsh_store", batch_id)
+        )
 
     stream = spark.readStream.schema(docs.schema).option(
         "maxFilesPerTrigger", 1
@@ -1014,4 +1042,4 @@ def incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(pairs).select("doc_a", "doc_b").distinct()
+    return tx.snapshot(spark, pairs).select("doc_a", "doc_b").distinct()

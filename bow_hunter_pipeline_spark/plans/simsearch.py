@@ -1405,8 +1405,12 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
     )
     # stage 2: float vectors for survivors only — winner ids broadcast
-    # against the float table, exact cosine, final top-k
-    qv = emb.select(
+    # against the float table, exact cosine, final top-k. The q-side
+    # broadcast is PRE-FILTERED to the probe set (winners' q_id can
+    # only reference probes, so results are unchanged): broadcasting
+    # the whole float table here would quietly reintroduce the
+    # corpus-wide memory cost the cascade exists to avoid.
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
     cv = emb.select(
@@ -1419,62 +1423,119 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(_scored_pairs(pairs))
 
 
-def ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H2: the IVF index MAINTAINED AT REST — vectors arrive in three
-    batches, each assigned to its nearest fixed centroid (the same
-    broadcast cross-score + argmax as ``ivf_topk``) and APPENDED to a
-    parquet store ``partitionBy(cell_id)``; a search then reads the
-    store with the probe cells as a partition filter, so the scan
-    touches only the probed cells' DIRECTORIES — nprobe=1 IVF as
-    literal partition pruning, the layout a 100 TB vector lake
-    actually serves from (plan-asserted in test_plan_shapes). Index
-    maintenance is embarrassingly incremental: arrivals cost K dot
-    products per vector plus a partitioned append — the corpus is
-    never re-assigned, the H2 twin of ``h1_incremental_lsh_index``.
-
-    Same oracle as ``ivf_topk``: the at-rest store must answer
-    exactly like the in-memory assignment (parquet float-array
-    roundtrip is exact).
-    """
-    import os
-    import shutil
-
-    work = "/tmp/bhps_ivf_store"
-    shutil.rmtree(work, ignore_errors=True)
-    store = os.path.join(work, "cells")
-
-    emb = read_table(spark, sf_dir, "embeddings")
+def _ivf_cell_assign(emb: DataFrame, batch: DataFrame) -> DataFrame:
+    """Nearest-fixed-centroid assignment (the broadcast cross-score +
+    argmax ``ivf_topk`` uses), shared by the at-rest store build and
+    its probe side."""
     cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cvec"),
     )
+    scored = batch.crossJoin(F.broadcast(cent)).withColumn(
+        "acos",
+        dot_fold("embedding", "cvec")
+        / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("acos").desc(), F.col("cent_id")
+    )
+    return (
+        scored.withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
+    )
 
-    def assign(batch: DataFrame) -> DataFrame:
-        scored = batch.crossJoin(F.broadcast(cent)).withColumn(
-            "acos",
-            dot_fold("embedding", "cvec")
-            / (
-                F.sqrt(norm2_fold("embedding"))
-                * F.sqrt(norm2_fold("cvec"))
-            ),
-        )
-        aw = Window.partitionBy("vec_id").orderBy(
-            F.col("acos").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("arn", F.row_number().over(aw))
-            .filter(F.col("arn") == 1)
-            .select(
-                "vec_id", "embedding", F.col("cent_id").alias("cell_id")
-            )
-        )
 
+def _ivf_store_build(
+    spark: SparkSession, sf_dir: str, store: str
+) -> DataFrame:
+    """Build the ``partitionBy(cell_id)`` vector store from three
+    incremental arrival batches; returns the embeddings frame."""
+    emb = read_table(spark, sf_dir, "embeddings")
     for i in range(3):  # incremental arrivals
-        assign(emb.filter(F.col("vec_id") % 3 == i)).write.partitionBy(
-            "cell_id"
-        ).mode("append").parquet(store)
+        _ivf_cell_assign(
+            emb, emb.filter(F.col("vec_id") % 3 == i)
+        ).write.partitionBy("cell_id").mode("append").parquet(store)
+    return emb
 
-    probes = assign(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+
+def compact_cell_store(
+    spark: SparkSession,
+    store: str,
+    target_bytes: int = 128 << 20,
+    min_file_bytes: int | None = None,
+) -> tuple[int, int]:
+    """Per-cell small-file BIN PACKING over a hive-partitioned vector
+    store — the maintenance loop that pays off the small-file debt
+    incremental appends accrue (one file per cell per arrival batch;
+    after N daily arrivals a probe opens N footers per cell instead
+    of 1). Mirrors :func:`warehouse_tx.compact_binpack`'s semantics
+    on the partition-directory layout: within each cell, only files
+    below ``min_file_bytes`` (default ``target_bytes // 2``) are
+    eligible; they are packed into ``ceil(small_bytes/target)``
+    output files written INSIDE the same cell directory, so the
+    ``partitionBy(cell_id)`` layout — and with it the probe-time
+    partition pruning — is preserved by construction.
+
+    Swap discipline: packed files land under unique names before the
+    originals are unlinked (never-missing-data ordering); a reader
+    racing the swap may double-read a row. Single-writer maintenance
+    windows are assumed here — the tx-table twin
+    (``warehouse_tx.compact_binpack``) shows the commit-atomic
+    version of the same operation, which is what a production lake
+    runs this under.
+
+    Returns ``(n_rewritten, n_carried)`` summed over cells.
+    """
+    import glob
+    import os
+    import uuid
+
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    n_rewritten = n_carried = 0
+    for cell_dir in sorted(glob.glob(os.path.join(store, "cell_id=*"))):
+        files = sorted(glob.glob(os.path.join(cell_dir, "*.parquet")))
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = [f for f in files if sizes[f] < min_file_bytes]
+        if len(small) < 2:
+            n_carried += len(files)
+            continue
+        n_bins = max(1, -(-sum(sizes[f] for f in small) // target_bytes))
+        packed = (
+            spark.read.schema("vec_id bigint, embedding array<float>")
+            .parquet(*small)
+            .coalesce(n_bins)
+        )
+        tmp = os.path.join(cell_dir, f"_packing-{uuid.uuid4().hex[:8]}")
+        packed.write.parquet(tmp)
+        for i, part in enumerate(
+            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            os.replace(
+                part,
+                os.path.join(
+                    cell_dir, f"packed-{uuid.uuid4().hex[:8]}-{i}.parquet"
+                ),
+            )
+        for f in small:
+            os.unlink(f)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        n_rewritten += len(small)
+        n_carried += len(files) - len(small)
+    return n_rewritten, n_carried
+
+
+def _ivf_store_search(
+    spark: SparkSession, emb: DataFrame, store: str
+) -> DataFrame:
+    """Probe the at-rest store: assign probes to cells, then read ONLY
+    the probed cells' directories via a partition filter."""
+    probes = _ivf_cell_assign(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
         F.col("cell_id").alias("q_cell"),
@@ -1514,3 +1575,60 @@ def ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "c_id", "cell_id", "cosine", "rnk")
     )
+
+
+def ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: the IVF index MAINTAINED AT REST — vectors arrive in three
+    batches, each assigned to its nearest fixed centroid (the same
+    broadcast cross-score + argmax as ``ivf_topk``) and APPENDED to a
+    parquet store ``partitionBy(cell_id)``; a search then reads the
+    store with the probe cells as a partition filter, so the scan
+    touches only the probed cells' DIRECTORIES — nprobe=1 IVF as
+    literal partition pruning, the layout a 100 TB vector lake
+    actually serves from (plan-asserted in test_plan_shapes). Index
+    maintenance is embarrassingly incremental: arrivals cost K dot
+    products per vector plus a partitioned append — the corpus is
+    never re-assigned, the H2 twin of ``h1_incremental_lsh_index``.
+
+    Same oracle as ``ivf_topk``: the at-rest store must answer
+    exactly like the in-memory assignment (parquet float-array
+    roundtrip is exact).
+    """
+    import os
+    import shutil
+
+    work = "/tmp/bhps_ivf_store"
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "cells")
+    emb = _ivf_store_build(spark, sf_dir, store)
+    return _ivf_store_search(spark, emb, store)
+
+
+def ivf_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: the COMPLETE at-rest IVF serving loop — build (incremental
+    arrivals), COMPACT (per-cell small-file binpack,
+    :func:`compact_cell_store`), then search. Each arrival batch left
+    one small file per cell; after compaction every cell holds a
+    single packed file, so a probe opens ONE footer per probed cell —
+    the file-count debt is the difference between an index that
+    degrades linearly with ingest age and one that serves at constant
+    cost. Partition pruning must hold identically on the packed
+    layout (same ``cell_id=`` directories; plan-asserted in
+    test_plan_shapes), and the search answers must be bit-identical
+    to the uncompacted store's — same oracle as ``ivf_topk``.
+    """
+    import glob
+    import os
+    import shutil
+
+    work = "/tmp/bhps_ivf_store_c"
+    shutil.rmtree(work, ignore_errors=True)
+    store = os.path.join(work, "cells")
+    emb = _ivf_store_build(spark, sf_dir, store)
+    compact_cell_store(spark, store)
+    # post-pack invariant: one packed file per cell (all arrivals were
+    # small at fixture scale), or the cell carried right-sized files
+    for cell_dir in glob.glob(os.path.join(store, "cell_id=*")):
+        n = len(glob.glob(os.path.join(cell_dir, "*.parquet")))
+        assert n == 1, f"{cell_dir}: {n} files after binpack"
+    return _ivf_store_search(spark, emb, store)

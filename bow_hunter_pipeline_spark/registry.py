@@ -1131,6 +1131,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ivf_index_at_rest,
         oracles_h.IVF_TOPK,
     ),
+    # H2 at rest, full serving loop: build (incremental arrivals) →
+    # per-cell small-file BINPACK compaction → partition-pruned
+    # search; answers bit-identical to the uncompacted store
+    "h2_ivf_compacted_search": (
+        simsearch.ivf_compacted_search,
+        oracles_h.IVF_TOPK,
+    ),
     # H4: exact-integer 2-sigma outlier gate per event type
     "h4_anomaly_outliers": (
         events.anomaly_outliers,

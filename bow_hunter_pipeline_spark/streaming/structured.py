@@ -801,6 +801,14 @@ def streaming_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE (price bump on every 3rd key — the Counter diff must cancel
     every carried row), and a deletion-vector delete (every 5th key —
     changes with NO file change).
+
+    The table declares ``properties={"cdc": True}``, so the rewriting
+    merge commits WRITER-SIDE change files by default and the CDF
+    source plans per-file ``cdc`` partitions for it — never the
+    single-task read-time diff fallback (partition-asserted in
+    test_streaming_incremental). This is the streamed-table contract:
+    a table a CDC pipeline tails declares the property at creation
+    instead of relying on every writer remembering ``write_cdc``.
     """
     from bow_hunter_pipeline_spark import warehouse_tx as tx
     from bow_hunter_pipeline_spark.functions.exact import dsum, money
@@ -816,10 +824,13 @@ def streaming_cdf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.col("o_totalprice").cast("double").alias("price"),
     )
-    tx.create_table(spark, TX_CDF_TABLE, base)
+    tx.create_table(
+        spark, TX_CDF_TABLE, base, properties={"cdc": True}
+    )
     bumped = base.filter(F.col("key") % 3 == 0).withColumn(
         "price", (money("price") + F.lit(1000)).cast("double")
     )
+    # no write_cdc here: the table property supplies the default
     tx.merge(spark, TX_CDF_TABLE, bumped, ["key"], ["price"])
     tx.delete_where_dv(spark, TX_CDF_TABLE, "key % 5 = 0")
 
@@ -931,7 +942,7 @@ def streaming_cdc_stateful_apply(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_totalprice").cast("double").alias("price"),
     )
-    tx.create_table(spark, table, base)
+    tx.create_table(spark, table, base, properties={"cdc": True})
     bumped = base.filter(F.col("key") % 3 == 0).withColumn(
         "price", (money("price") + F.lit(1000)).cast("double")
     )
@@ -1318,52 +1329,37 @@ def streaming_cdf_change_files(
     )
 
 
-def streaming_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H4 × E5: INCREMENTAL VIEW MAINTENANCE fed by the CDF stream —
-    the DLT materialized-view loop closed over our own lakehouse: a
-    per-priority rollup (row count, exact-decimal revenue) is
-    maintained by APPLYING CHANGE DELTAS, never rescanning the table.
-    Each micro-batch folds its change images into signed partials
-    (+1/insert, −1/delete; an update's pair cancels to its net
-    effect) and MERGES them into a tiny state store keyed by
-    priority; after create → price-bump merge → DV delete, the
-    maintained state must equal the oracle's from-scratch rollup of
-    the final table — any missed or double-applied delta breaks the
-    exact-decimal hash.
+def _ivm_applied_batch(cur: str) -> int:
+    """Batch id the state at ``cur`` reflects (-1 before any batch).
+    The state swap is an atomic symlink replace onto a ``v{batch_id}``
+    directory, so the link target's name IS the durable last-applied
+    marker — no separate marker file to fall out of sync."""
+    import os
 
-    Scale: per batch the work is one partial aggregate over the
-    batch's changes plus a merge into #groups rows of state. The
-    table is NEVER re-aggregated — maintenance cost tracks churn,
-    the only posture that works when the base table is 100 TB.
-    """
+    if not os.path.isdir(cur):
+        return -1
+    tgt = os.path.basename(os.path.realpath(cur))
+    return int(tgt[1:]) if tgt.startswith("v") else -1
+
+
+def _ivm_delta_folder(state_dir: str):
+    """The IVM foreachBatch function over ``state_dir`` — module-level
+    so the replay-idempotence contract is unit-testable."""
     import os
     import shutil
-    import time
-
-    from bow_hunter_pipeline_spark import warehouse_tx as tx
-    from bow_hunter_pipeline_spark.functions.exact import money, to_double
-    from bow_hunter_pipeline_spark.io.readers import read_table
-
-    table = "/tmp/bhps_tx_cdf_ivm"
-    state_dir = "/tmp/bhps_tx_cdf_ivm_state"
-    shutil.rmtree(state_dir, ignore_errors=True)
-
-    orders = read_table(spark, sf_dir, "orders")
-    base = orders.select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_totalprice").cast("double").alias("price"),
-    )
-    tx.create_table(spark, table, base)
-    bumped = base.filter(F.col("key") % 3 == 0).withColumn(
-        "price", (money("price") + F.lit(1000)).cast("double")
-    )
-    tx.merge(spark, table, bumped, ["key"], ["price"], write_cdc=True)
-    dv_v, _ = tx.delete_where_dv(spark, table, "key % 5 = 0")
 
     cur = os.path.join(state_dir, "cur")
 
     def apply_deltas(batch_df: DataFrame, batch_id: int) -> None:
+        # REPLAY GUARD: foreachBatch is at-least-once — after a crash
+        # between the state swap and the streaming checkpoint commit,
+        # the same batch is redelivered, and folding its signed deltas
+        # into the ALREADY-swapped state would double-apply them
+        # (silently corrupting the rollup). The state's own link
+        # target records the last folded batch; at-or-below it, the
+        # redelivery is a no-op.
+        if batch_id <= _ivm_applied_batch(cur):
+            return
         sess = batch_df.sparkSession
         sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
         partial = batch_df.groupBy("priority").agg(
@@ -1409,6 +1405,61 @@ def streaming_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(tmp_link, cur)  # atomic state swap
         if old and old != nxt:
             shutil.rmtree(old, ignore_errors=True)
+
+    return apply_deltas
+
+
+def streaming_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × E5: INCREMENTAL VIEW MAINTENANCE fed by the CDF stream —
+    the DLT materialized-view loop closed over our own lakehouse: a
+    per-priority rollup (row count, exact-decimal revenue) is
+    maintained by APPLYING CHANGE DELTAS, never rescanning the table.
+    Each micro-batch folds its change images into signed partials
+    (+1/insert, −1/delete; an update's pair cancels to its net
+    effect) and MERGES them into a tiny state store keyed by
+    priority; after create → price-bump merge → DV delete, the
+    maintained state must equal the oracle's from-scratch rollup of
+    the final table — any missed or double-applied delta breaks the
+    exact-decimal hash.
+
+    Replay-idempotent: the state swap records the folded batch id in
+    the link target, and :func:`_ivm_delta_folder`'s guard makes a
+    redelivered batch a no-op — without it, a crash between the swap
+    and the checkpoint commit would fold the same deltas twice on
+    restart (unit-proven in test_streaming_incremental).
+
+    Scale: per batch the work is one partial aggregate over the
+    batch's changes plus a merge into #groups rows of state. The
+    table is NEVER re-aggregated — maintenance cost tracks churn,
+    the only posture that works when the base table is 100 TB.
+    """
+    import os
+    import shutil
+    import time
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import money, to_double
+    from bow_hunter_pipeline_spark.io.readers import read_table
+
+    table = "/tmp/bhps_tx_cdf_ivm"
+    state_dir = "/tmp/bhps_tx_cdf_ivm_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    tx.create_table(spark, table, base)
+    bumped = base.filter(F.col("key") % 3 == 0).withColumn(
+        "price", (money("price") + F.lit(1000)).cast("double")
+    )
+    tx.merge(spark, table, bumped, ["key"], ["price"], write_cdc=True)
+    dv_v, _ = tx.delete_where_dv(spark, table, "key % 5 = 0")
+
+    cur = os.path.join(state_dir, "cur")
+    apply_deltas = _ivm_delta_folder(state_dir)
 
     from bow_hunter_pipeline_spark.sources.tx_stream import (
         read_tx_cdf_stream,

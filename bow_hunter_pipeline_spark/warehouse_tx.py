@@ -233,6 +233,7 @@ def _commit(
     op: str | None = None,
     schema_json: str | None = None,
     cdc: dict | None = None,
+    props: dict | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
@@ -283,6 +284,8 @@ def _commit(
         entry["schema"] = schema_json
     if cdc is not None:
         entry["cdc"] = {"f": cdc["f"], "n": int(cdc["n"])}
+    if props:
+        entry["props"] = dict(props)
     with open(tmp, "w") as f:
         json.dump(entry, f)
     try:
@@ -448,6 +451,29 @@ def _write_cdc(
     return {"f": rel, "n": int(n)}
 
 
+def _write_data_or_discard_cdc(
+    df: DataFrame,
+    table: str,
+    version: int,
+    stat_cols: list[str] | None,
+    cdc: dict | None,
+) -> tuple[list[str], dict[str, dict[str, list]]]:
+    """:func:`_write_data` with change-dir hygiene: the ``_cdc`` dir
+    is written BEFORE the data files, so if the data write (or its
+    stats step) fails with anything — not just the commit-race
+    RuntimeError the callers already handle — the uncommitted change
+    dir must go too, or it lingers unreferenced until version-based
+    vacuum expiry."""
+    try:
+        return _write_data(df, table, version, stat_cols)
+    except BaseException:
+        if cdc is not None:
+            shutil.rmtree(
+                os.path.join(table, cdc["f"]), ignore_errors=True
+            )
+        raise
+
+
 def _diff_changes(old: DataFrame, new: DataFrame) -> DataFrame:
     """Row-image diff as change images: rows only in ``new`` are
     inserts, rows only in ``old`` are deletes; carried rows cancel
@@ -571,17 +597,37 @@ def create_table(
     table: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    properties: dict | None = None,
 ) -> None:
     """Create (or replace) the table as commit version 0. Declaring
     ``stats_cols`` (the future merge keys) records per-file min/max in
-    the commit so later ``merge_pruned`` calls never open a footer."""
+    the commit so later ``merge_pruned`` calls never open a footer.
+
+    ``properties`` land in the version-0 commit (Delta's
+    TBLPROPERTIES): ``{"cdc": True}`` opts every rewriting commit
+    (merge/delete_where/update_where) into writer-side change files
+    by default, so a CDF stream over the table always plans per-file
+    ``cdc`` partitions instead of the read-time diff fallback — the
+    property a table created BY a streaming pipeline should declare."""
     shutil.rmtree(table, ignore_errors=True)
     os.makedirs(table)
     files, stats = _write_data(df, table, 0, stats_cols)
     _commit(
         table, 0, add=files, remove=[], stats=stats, op="CREATE",
-        schema_json=df.schema.json(),
+        schema_json=df.schema.json(), props=properties,
     )
+
+
+def table_properties(table: str) -> dict:
+    """Properties declared at table creation (the version-0 commit).
+    Immutable by design here — a property that changes mid-history
+    (e.g. cdc off→on) would make CDF serveability version-dependent;
+    declare at create time instead."""
+    versions = _versions(table)
+    if not versions:
+        return {}
+    with open(_log_path(table, versions[0])) as f:
+        return json.load(f).get("props", {})
 
 
 def _replay(
@@ -766,7 +812,7 @@ def merge(
     evolve_schema: bool = False,
     txn: tuple[str, int] | None = None,
     guard_cols: list[str] | None = None,
-    write_cdc: bool = False,
+    write_cdc: bool | None = None,
 ) -> int:
     """Transactional MERGE: deterministic upsert of ``updates`` into
     the current snapshot, committed as the next version. Returns the
@@ -783,7 +829,10 @@ def merge(
     re-deriving the multiset diff per commit (proportional extra cost
     on a rewrite that scans both states regardless; guards and
     schema evolution compose, since the diff runs on the final
-    frames).
+    frames). The default (``None``) consults the table's ``cdc``
+    property (:func:`table_properties`), so a table created with
+    ``properties={"cdc": True}`` gets change files on EVERY rewrite
+    without per-call opt-ins — the streamed-table contract.
 
     OCC correctness: the version read is PINNED first and the commit
     targets exactly ``read_v + 1`` — a competing commit that lands
@@ -801,6 +850,8 @@ def merge(
     the pin (the old merge_idempotent shape) admits the zombie-driver
     double-apply: check-B / commit-A / merge-B(pins post-A, no
     conflict)."""
+    if write_cdc is None:
+        write_cdc = bool(table_properties(table).get("cdc", False))
     read_v = _versions(table)[-1]
     if txn is not None:
         app_id, txn_version = txn
@@ -824,7 +875,9 @@ def merge(
         if write_cdc
         else None
     )
-    new_files, stats = _write_data(merged, table, next_v, keys)
+    new_files, stats = _write_data_or_discard_cdc(
+        merged, table, next_v, keys, cdc
+    )
     try:
         _commit(
             table, next_v, add=new_files,
@@ -1001,10 +1054,17 @@ def vacuum(
                         os.path.join(table, rel), ignore_errors=True
                     )
                 deleted += 1
-    # change files expire with the retention window too: CDF reads of
-    # commits at or above the oldest retained version stay servable;
-    # older change history goes with its time-travel snapshots (each
-    # dir is one log-level ref — one deleted object)
+    # change files expire with the retention window too. Serveability
+    # caveat: only a retained commit's WRITER-SIDE change files are
+    # guaranteed servable — its dv_delta and remove partitions need
+    # PRE-images (prior DV blobs / removed data files) that may be
+    # reachable only from versions below the window and were collected
+    # above. That is Delta's trade too: CDF below/straddling the
+    # retention boundary raises (VersionVacuumedError here), and a
+    # table whose full CDF history must stay servable declares
+    # cdc=True so every rewrite materializes its images at commit
+    # time. Older change history goes with its time-travel snapshots
+    # (each dir is one log-level ref — one deleted object).
     cdc_root = os.path.join(table, _CDC_DIR)
     if os.path.isdir(cdc_root):
         oldest_kept = retained[0]
@@ -1305,7 +1365,7 @@ def delete_where(
     table: str,
     condition: str,
     key_range: tuple[str, int, int] | None = None,
-    write_cdc: bool = False,
+    write_cdc: bool | None = None,
 ) -> tuple[int, int]:
     """Row-level DELETE (Delta's ``DELETE FROM t WHERE ...``), copy-on-
     write at file granularity: a find phase locates the live files
@@ -1321,7 +1381,12 @@ def delete_where(
 
     NULL semantics are SQL DELETE's: rows where the predicate is NULL
     are KEPT (only predicate-TRUE rows are deleted).
+
+    ``write_cdc=None`` (default) consults the table's ``cdc``
+    property, like :func:`merge`.
     """
+    if write_cdc is None:
+        write_cdc = bool(table_properties(table).get("cdc", False))
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
@@ -1364,7 +1429,9 @@ def delete_where(
         if write_cdc
         else None
     )
-    new_files, new_stats = _write_data(keep, table, next_v, stat_cols)
+    new_files, new_stats = _write_data_or_discard_cdc(
+        keep, table, next_v, stat_cols, cdc
+    )
     carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
     try:
         _commit(
@@ -1472,7 +1539,7 @@ def update_where(
     condition: str,
     assignments: dict[str, str],
     key_range: tuple[str, int, int] | None = None,
-    write_cdc: bool = False,
+    write_cdc: bool | None = None,
 ) -> tuple[int, int]:
     """Row-level UPDATE (Delta's ``UPDATE t SET ... WHERE ...``),
     copy-on-write at file granularity like :func:`delete_where`: the
@@ -1482,7 +1549,11 @@ def update_where(
     same file are carried through unchanged). Returns
     ``(new_version, n_updated)``; a no-match update commits nothing.
 
-    NULL predicate rows are NOT updated (SQL UPDATE semantics)."""
+    NULL predicate rows are NOT updated (SQL UPDATE semantics).
+    ``write_cdc=None`` (default) consults the table's ``cdc``
+    property, like :func:`merge`."""
+    if write_cdc is None:
+        write_cdc = bool(table_properties(table).get("cdc", False))
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
@@ -1528,7 +1599,9 @@ def update_where(
         if write_cdc
         else None
     )
-    new_files, new_stats = _write_data(rewritten, table, next_v, stat_cols)
+    new_files, new_stats = _write_data_or_discard_cdc(
+        rewritten, table, next_v, stat_cols, cdc
+    )
     carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
     try:
         _commit(
@@ -1615,6 +1688,7 @@ def append(
     df: DataFrame,
     max_attempts: int = 5,
     evolve_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Blind INSERT INTO — an append-only commit: new files added,
     nothing removed, existing files untouched. The cheapest write the
@@ -1625,10 +1699,14 @@ def append(
     snapshot), so a lost version claim retries by RE-COMMITTING the
     same already-written files at the next version — no recompute, no
     rewrite. This is Delta's conflict matrix in miniature: append vs
-    anything commutes; only the version number is contended. Use
-    merge_idempotent's txn protocol on top if the CALLER may redeliver
-    the same batch (that is a different failure mode than the version
-    race handled here).
+    anything commutes; only the version number is contended.
+    ``txn=(app_id, txn_version)`` adds the exactly-once handshake for
+    callers that may REDELIVER the same batch (a different failure
+    mode than the version race): the check runs in-loop against the
+    version the commit serializes with, so a redelivered batch raises
+    :class:`TxnAlreadyApplied` instead of double-appending —
+    :func:`append_idempotent` wraps this as a (version, applied)
+    return.
 
     SCHEMA ENFORCEMENT (Delta's write-time contract): against the
     table's logged schema, a type mismatch always raises; an extra
@@ -1701,6 +1779,19 @@ def append(
     last: RuntimeError | None = None
     for _ in range(max_attempts):
         next_v = _versions(table)[-1] + 1
+        # In-loop txn validation against the version this commit will
+        # serialize with: if a concurrent delivery of the same
+        # (app_id, txn_version) lands between this check and the
+        # os.link, our claim fails with a version conflict → retry →
+        # re-check sees it → skip. Mirrors merge's in-commit check.
+        if txn is not None and txn[1] <= _replay_txns(
+            table, next_v - 1
+        ).get(txn[0], -1):
+            _discard_uncommitted(table, new_files)
+            raise TxnAlreadyApplied(
+                f"txn ({txn[0]}, {txn[1]}) already committed at "
+                f"version <= {next_v - 1} of {table}"
+            )
         commit_schema = schema_json
         if next_v - 1 > read_v and schema_json is not None:
             try:
@@ -1712,6 +1803,7 @@ def append(
             _commit(
                 table, next_v, add=new_files, remove=[],
                 stats=new_stats, op="APPEND", schema_json=commit_schema,
+                txn=txn,
             )
             return next_v
         except RuntimeError as e:
@@ -1723,6 +1815,34 @@ def append(
     raise RuntimeError(
         f"append lost {max_attempts} version races on {table}"
     ) from last
+
+
+def append_idempotent(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    txn: tuple[str, int],
+    max_attempts: int = 5,
+    evolve_schema: bool = False,
+) -> tuple[int, bool]:
+    """Exactly-once APPEND for at-least-once delivery — the blind-
+    insert twin of :func:`merge_idempotent`: a redelivered
+    (app_id, txn_version) batch is recognized and SKIPPED instead of
+    double-appended. The fast path skips even the data write; the
+    race-safe path is the in-loop check inside :func:`append`.
+
+    Returns ``(current_version, applied)``."""
+    if last_txn_version(table, txn[0]) >= txn[1]:
+        return _versions(table)[-1], False
+    try:
+        return (
+            append(
+                spark, table, df, max_attempts, evolve_schema, txn=txn
+            ),
+            True,
+        )
+    except TxnAlreadyApplied:
+        return _versions(table)[-1], False
 
 
 def delete_where_dv(

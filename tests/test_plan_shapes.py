@@ -592,3 +592,17 @@ def test_ivf_at_rest_search_prunes_cell_partitions(spark):
     store_scan = plan.split("bhps_ivf_store", 1)[0]
     pf = store_scan.rsplit("PartitionFilters:", 1)[-1]
     assert "cell_id" in pf, plan[:1200]
+
+
+def test_ivf_compacted_store_still_prunes_cell_partitions(spark):
+    """Pruning must survive compaction: after the per-cell binpack
+    (which the plan function itself asserts leaves ONE file per
+    cell), the search scan still carries the probe cells as
+    PartitionFilters — compaction pays off the footer-count debt
+    without costing the index its partition layout."""
+    from bow_hunter_pipeline_spark.plans import simsearch
+
+    plan = _plan(simsearch.ivf_compacted_search(spark, SF_SMOKE))
+    store_scan = plan.split("bhps_ivf_store_c", 1)[0]
+    pf = store_scan.rsplit("PartitionFilters:", 1)[-1]
+    assert "cell_id" in pf, plan[:1200]

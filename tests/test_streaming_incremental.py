@@ -456,6 +456,109 @@ def test_streaming_tx_merge_multi_batch_exactly_once(spark, tmp_path):
     } == got
 
 
+def test_incremental_lsh_index_redelivery_is_noop(spark):
+    """The incremental LSH index's two writes (signature store, pair
+    ledger) are txn-stamped tx-log appends: re-delivering any batch's
+    writes with the same (app_id, batch_id) — the crash-replay /
+    zombie-driver scenario — must change neither table, even with a
+    poison frame. This is the exactly-once rigor the streaming tx
+    sink proves, applied to the index-maintenance loop (plain
+    mode('append') parquet would double-append here)."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.plans import dedup
+    from tests.conftest import SF_SMOKE
+
+    result = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_lsh_index(spark, SF_SMOKE).collect()
+    }
+    store, pairs = "/tmp/bhps_incr_lsh/store", "/tmp/bhps_incr_lsh/pairs"
+    sv, pv = tx._versions(store)[-1], tx._versions(pairs)[-1]
+    assert sv == 3 and pv == 3  # create + one append per batch
+    n_store = tx.snapshot(spark, store).count()
+    poison_sig = spark.createDataFrame(
+        [(999_999, "poison")], "doc_id bigint, band_key string"
+    )
+    poison_pair = spark.createDataFrame(
+        [(999_998, 999_999)], "doc_a bigint, doc_b bigint"
+    )
+    for bid in range(3):
+        v, applied = tx.append_idempotent(
+            spark, store, poison_sig, txn=("lsh_store", bid)
+        )
+        assert not applied and v == sv
+        v, applied = tx.append_idempotent(
+            spark, pairs, poison_pair, txn=("lsh_pairs", bid)
+        )
+        assert not applied and v == pv
+    assert tx.snapshot(spark, store).count() == n_store
+    assert {
+        (r.doc_a, r.doc_b)
+        for r in tx.snapshot(spark, pairs).select(
+            "doc_a", "doc_b"
+        ).distinct().collect()
+    } == result
+    # a genuinely NEW batch id still applies
+    v, applied = tx.append_idempotent(
+        spark, store, poison_sig, txn=("lsh_store", 3)
+    )
+    assert applied and v == sv + 1
+
+
+def test_ivm_delta_folding_is_replay_idempotent(spark, tmp_path):
+    """The IVM state folder under at-least-once foreachBatch delivery:
+    a batch redelivered after the state swap (crash between swap and
+    streaming-checkpoint commit) must be a NO-OP — without the guard,
+    its signed deltas fold into the already-updated state a second
+    time and the rollup silently corrupts (ADVICE r07). The last
+    folded batch id rides the state symlink's target name, so the
+    guard needs no separate marker to keep in sync."""
+    import os
+
+    from bow_hunter_pipeline_spark.streaming.structured import (
+        _ivm_applied_batch,
+        _ivm_delta_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    cur = os.path.join(state_dir, "cur")
+    fold = _ivm_delta_folder(state_dir)
+
+    def snap():
+        return {
+            (r.priority, r.n_rows, float(r.rev))
+            for r in spark.read.parquet(cur).collect()
+        }
+
+    schema = "priority string, price double, _change_type string"
+    b0 = spark.createDataFrame(
+        [("HIGH", 10.0, "insert"), ("LOW", 5.0, "insert")], schema
+    )
+    fold(b0, 0)
+    assert _ivm_applied_batch(cur) == 0
+    s0 = snap()
+    assert s0 == {("HIGH", 1, 10.0), ("LOW", 1, 5.0)}
+
+    fold(b0, 0)  # redelivered batch: state must not move
+    assert snap() == s0 and _ivm_applied_batch(cur) == 0
+
+    b1 = spark.createDataFrame(
+        [("HIGH", 10.0, "delete"), ("HIGH", 12.0, "insert")], schema
+    )
+    fold(b1, 1)
+    s1 = snap()
+    assert s1 == {("HIGH", 1, 12.0), ("LOW", 1, 5.0)}
+    fold(b1, 1)  # replay of the latest batch
+    assert snap() == s1
+    fold(b0, 0)  # zombie replay of an OLDER batch
+    assert snap() == s1 and _ivm_applied_batch(cur) == 1
+
+    b2 = spark.createDataFrame([("LOW", 5.0, "delete")], schema)
+    fold(b2, 2)  # a genuinely new batch still applies
+    assert snap() == {("HIGH", 1, 12.0), ("LOW", 0, 0.0)}
+
+
 def test_tx_stream_source_delivers_per_commit_batches(spark, tmp_path):
     """The commit-log stream source: commits landing while the stream
     runs arrive as distinct micro-batches (offset advances one

@@ -578,6 +578,73 @@ def test_tx_idempotent_merge_and_txn_checkpoint_replay(spark, tmp_path):
     assert len(state) == n + 1
 
 
+def test_cdc_table_property_defaults_rewrites_to_change_files(
+    spark, tmp_path
+):
+    """A table created with ``properties={"cdc": True}`` gets
+    writer-side change files on EVERY rewriting commit without a
+    per-call opt-in — merge, update_where, delete_where — so the CDF
+    stream planner (sources/tx_stream.py) takes its per-file ``cdc``
+    branch for those commits; the single-task ``diff`` fallback is
+    unreachable for them because ``entry['cdc']`` is checked BEFORE
+    the add∧remove shape. An explicit ``write_cdc=False`` still wins
+    (call-site override), and a property-less table keeps the old
+    default (no change files)."""
+    import json
+    import os
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    def entry(table, v):
+        with open(tx._log_path(table, v)) as f:
+            return json.load(f)
+
+    table = str(tmp_path / "cdc_t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, v double"
+    )
+    tx.create_table(spark, table, base, properties={"cdc": True})
+    assert tx.table_properties(table) == {"cdc": True}
+
+    upd = spark.createDataFrame([(3, 33.0)], "k bigint, v double")
+    v1 = tx.merge(spark, table, upd, ["k"], ["v"])
+    e1 = entry(table, v1)
+    # a rewriting commit (add ∧ remove) — exactly the shape that would
+    # otherwise fall to the diff partition — carries change files
+    assert e1["add"] and e1["remove"]
+    assert "cdc" in e1 and e1["cdc"]["n"] == 2  # delete+insert images
+
+    v2, n_upd = tx.update_where(spark, table, "k = 5", {"v": "v + 1"})
+    assert n_upd == 1 and "cdc" in entry(table, v2)
+
+    v3, n_del = tx.delete_where(spark, table, "k = 7")
+    assert n_del == 1 and "cdc" in entry(table, v3)
+
+    # the change images match the read-time diff exactly
+    cf = spark.read.parquet(
+        *[os.path.join(table, entry(table, v1)["cdc"]["f"])]
+    )
+    got = {
+        (r.k, r.v, r._change_type) for r in cf.collect()
+    }
+    assert got == {(3, 3.0, "delete"), (3, 33.0, "insert")}
+
+    # call-site override beats the property
+    v4 = tx.merge(
+        spark, table,
+        spark.createDataFrame([(4, 44.0)], "k bigint, v double"),
+        ["k"], ["v"], write_cdc=False,
+    )
+    assert "cdc" not in entry(table, v4)
+
+    # property-less table: unchanged default
+    plain = str(tmp_path / "plain_t")
+    tx.create_table(spark, plain, base)
+    assert tx.table_properties(plain) == {}
+    v5 = tx.merge(spark, plain, upd, ["k"], ["v"])
+    assert "cdc" not in entry(plain, v5)
+
+
 def test_tx_shallow_clone_is_zero_copy_and_isolated(spark, tmp_path):
     """Shallow clone: version 0 of the clone copies NO data (its data/
     directory doesn't exist yet), reads resolve to the source's files,
