@@ -527,6 +527,23 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10 OFFSET 10
 """
 
+# keyset twin: the boundary row (10th of the total order) is the
+# continuation token; page 2 is everything strictly after it
+KEYSET_PAGINATED_ORDERS = """
+WITH b AS (
+  SELECT o_totalprice AS b_price, o_orderkey AS b_key
+  FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 1 OFFSET 9
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders, b
+WHERE o_totalprice < b_price
+   OR (o_totalprice = b_price AND o_orderkey > b_key)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
 POSEXPLODE_LEADING_TOKENS = """
 WITH t AS (
   SELECT doc_id, str_split(text, ' ')[1:3] AS l FROM documents

@@ -2318,6 +2318,62 @@ SELECT 'ALL' AS o_orderpriority, gexact.exact_customers,
 FROM gkth CROSS JOIN gexact
 """
 
+# KMV set operations: union by sketch merge, intersection by the
+# Jaccard fraction of the merged sketch present in both inputs —
+# deterministic md5 hashes, so estimates replay bit-for-bit. The
+# est_intersection is (k_matches/n_kept) * est_union with the SAME
+# single-IEEE-op order as the engine.
+KMV_SET_OPS = f"""
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+),
+sa AS (
+  SELECT {_KMV_HASH} AS h FROM a ORDER BY h LIMIT {KMV_K}
+),
+sb AS (
+  SELECT {_KMV_HASH} AS h FROM b ORDER BY h LIMIT {KMV_K}
+),
+merged AS (
+  SELECT COALESCE(sa.h, sb.h) AS h,
+         CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+  ORDER BY h LIMIT {KMV_K}
+),
+st AS (
+  SELECT COUNT(*) AS n_kept, CAST(MAX(h) AS DOUBLE) AS u_k,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_matches
+  FROM merged
+),
+ex AS (
+  SELECT
+    CAST(SUM(CASE WHEN a.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS exact_a,
+    CAST(SUM(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS exact_b,
+    COUNT(*) AS exact_union,
+    CAST(SUM(CASE WHEN a.o_custkey IS NOT NULL
+                   AND b.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS exact_intersection
+  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+),
+base AS (
+  SELECT exact_a, exact_b, exact_union, exact_intersection, k_matches,
+         n_kept,
+         CASE WHEN n_kept < {KMV_K} THEN CAST(exact_union AS DOUBLE)
+              ELSE {KMV_K - 1}e0 / (u_k / {_TWO60}) END AS est_union
+  FROM st CROSS JOIN ex
+)
+SELECT exact_a, exact_b, exact_union, exact_intersection, k_matches,
+       est_union,
+       (CAST(k_matches AS DOUBLE) / CAST(n_kept AS DOUBLE)) * est_union
+         AS est_intersection
+FROM base
+"""
+
 IVF_NPROBE_TOPK = f"""
 WITH {_IVF_ASSIGNED_CTES},
 probe_cells AS (

@@ -336,6 +336,106 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part_rows.unionByName(merged_row)
 
 
+KMV_YEAR_A = 1994
+KMV_YEAR_B = 1995
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5: KMV SET OPERATIONS — the theta-sketch story (Beyer et al.,
+    SIGMOD 2007; Apache DataSketches' theta family): from two KMV
+    sketches (customers ordering in 1994 vs 1995), estimate the
+    UNION (merge the sketches: k smallest of both, (k−1)/u_k) and
+    the INTERSECTION (ρ·est_union, with ρ the fraction of the merged
+    sketch's values present in BOTH input sketches) — distinct-count
+    algebra over sketches, never re-touching the data. This is how a
+    warehouse answers "how many users did A and B share?" when A and
+    B each hold 10^9 distinct keys: k bigints per set, one k-row
+    merge.
+
+    Like the other KMV rows, the sketch is a deterministic function
+    of the data (md5-derived 60-bit hashes), so every estimate —
+    including the intersection's ρ numerator, kept as an exact
+    integer column — hash-matches the oracle bit-for-bit. When the
+    merged sketch holds everything (n_kept < k), the union estimate
+    is exact and ρ·union collapses to the exact intersection, so the
+    degenerate case is exact by construction.
+
+    Scale: each sketch build is one distinct + one k-heap
+    (orderBy().limit(k) — TakeOrderedAndProject, no global sort; the
+    membership flags ride a hash full-outer join of two k-ish sets);
+    the exact audit columns are the expensive part and exist only to
+    judge the sketch.
+    """
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def keys(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return df.select(
+            hash64(
+                F.concat(F.lit("kmv|"), F.col("o_custkey").cast("string"))
+            ).alias("h")
+        ).orderBy("h").limit(KMV_K)
+
+    a, b = keys(KMV_YEAR_A), keys(KMV_YEAR_B)
+    sa = sketch(a).withColumn("in_a", F.lit(1))
+    sb = sketch(b).withColumn("in_b", F.lit(1))
+    merged = (
+        sa.join(sb, "h", "full_outer")
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    st = merged.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").cast("double").alias("u_k"),
+        F.sum(
+            F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0))
+        ).cast("bigint").alias("k_matches"),
+    )
+    exact = (
+        a.withColumn("ea", F.lit(1))
+        .join(b.withColumn("eb", F.lit(1)), "o_custkey", "full_outer")
+        .agg(
+            F.sum(F.coalesce("ea", F.lit(0))).cast("bigint").alias(
+                "exact_a"
+            ),
+            F.sum(F.coalesce("eb", F.lit(0))).cast("bigint").alias(
+                "exact_b"
+            ),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(
+                F.coalesce("ea", F.lit(0)) * F.coalesce("eb", F.lit(0))
+            ).cast("bigint").alias("exact_intersection"),
+        )
+    )
+    two60 = F.lit(float(1 << 60))
+    est_union = F.when(
+        F.col("n_kept") < KMV_K, F.col("exact_union").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) / (F.col("u_k") / two60)
+    )
+    est_inter = (
+        F.col("k_matches").cast("double")
+        / F.col("n_kept").cast("double")
+    ) * est_union
+    return st.crossJoin(F.broadcast(exact)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        "k_matches",
+        est_union.alias("est_union"),
+        est_inter.alias("est_intersection"),
+    )
+
+
 CMS_D = 4  # hash rows
 CMS_W = 256  # counters per row
 CMS_TOP = 20  # audited heavy hitters

@@ -915,6 +915,48 @@ def paginated_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def keyset_paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: KEYSET (seek) pagination — the same second page as
+    ``paginated_top_orders``, fetched the way a production API pages
+    at scale: the previous page's LAST row is the continuation token,
+    and the next page is ``WHERE (value, key) sorts after the token
+    ORDER BY ... LIMIT k``. Every step is a distributed
+    TakeOrderedAndProject heap plus a broadcast boundary filter —
+    page cost is O(page), independent of page DEPTH, where
+    OFFSET-based paging fetches offset+limit rows per partition and
+    the millionth page costs a million rows per partition.
+
+    The boundary row is derived in-plan (the PAGE_OFFSET-th row of
+    the total order) so the query is self-contained; a real API
+    carries it in the page token instead. Equality on o_totalprice is
+    exact (decimal column), so the strict-after predicate
+    ``price < b  OR  (price = b AND key > k)`` is engine-portable.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    ordered = orders.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    boundary = (
+        ordered.offset(PAGE_OFFSET - 1)
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("b_price"),
+            F.col("o_orderkey").alias("b_key"),
+        )
+    )
+    after = (F.col("o_totalprice") < F.col("b_price")) | (
+        (F.col("o_totalprice") == F.col("b_price"))
+        & (F.col("o_orderkey") > F.col("b_key"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(boundary))
+        .filter(after)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(PAGE_SIZE)
+    )
+
+
 def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F: Pearson correlation per group from exact co-moment sums —
     built-in corr() accumulates in double (order-dependent, not

@@ -628,6 +628,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.paginated_top_orders,
         oracles_f.PAGINATED_TOP_ORDERS,
     ),
+    # F: keyset (seek) pagination — same page, O(page) at any depth
+    "f_keyset_pagination": (
+        relational.keyset_paginated_orders,
+        oracles_f.KEYSET_PAGINATED_ORDERS,
+    ),
     "d2_posexplode_tokens": (
         textanalysis.posexplode_leading_tokens,
         oracles_f.POSEXPLODE_LEADING_TOKENS,
@@ -1321,6 +1326,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         approx.countmin_heavy_hitters,
         oracles_h.COUNTMIN_HEAVY_HITTERS,
     ),
+    # H5: KMV/theta-sketch SET OPERATIONS — union by sketch merge,
+    # intersection by the merged sketch's Jaccard fraction
+    "h5_kmv_set_ops": (approx.kmv_set_ops, oracles_h.KMV_SET_OPS),
     # E2+: CHECK-constraint merge with quarantine (DLT expectations)
     "e2_tx_constraint_quarantine": (
         pipeline.tx_constraint_quarantine,
@@ -1413,92 +1421,88 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-7 prefix. Slots 1-11: the round-6 additions that were
-    # registered after the r06 prefix froze (the former
-    # PENDING_DRIVER_QUEUE) — their FIRST driver rows. Five round-7
-    # additions (incremental LSH, ANN cascade, unigram-LM quality,
-    # late-arrival CDC, writer-side change files) take re-check slots
-    # from over-represented families for THEIR first rows. The rest: a
-    # representative cross-family re-check sample biased to the OLDEST
-    # driver proofs (r02/r03 vintage) to catch silent drift; every
-    # family from SURVEY §2 keeps at least one slot, and the bench
-    # headliners are all re-proven.
-    "h6_greedy_packing",
-    "e2_tx_delete_restore",
-    "e2_tx_update_change_feed",
-    "h4_streaming_tx_source",
-    "e2_tx_dv_delete",
-    "e2_tx_zorder_pruned_delete",
-    "e2_tx_append_evolution",
-    "f_sql_variables",
-    "e2_cdc_apply_changes",
+    # --- round-8 prefix. The registry entered this round FULLY
+    # driver-proven (258/258 through r07), so the prefix is: the
+    # round-8 ADDITIONS first (their first driver rows), then every
+    # query whose PLAN CHANGED this round (the global-window top-k
+    # rewrite and the warehouse/streaming exactly-once work — a
+    # changed plan invalidates its old proof), then the bench
+    # headliners, then re-checks biased to the OLDEST surviving
+    # proofs (r03/r04 vintage) to catch silent drift.
+    # --- new in r08 (pre-verified with tools/verify_driver.py AND
+    # tools/audit_oracle_types.py before taking a slot) ---
+    "h2_ivf_compacted_search",
+    "f_keyset_pagination",
+    "h5_kmv_set_ops",
+    # --- plans rewritten in r08: distributed top-k cuts ---
+    "h3_token_top_k",
+    "h3_bigram_counts",
+    "h3_vocab_coverage_curve",
+    "h3_inverted_index_search",
+    "h5_countmin_heavy_hitters",
+    "h5_kmv_distinct_sketch",
+    "f_q15_top_supplier",
+    # --- touched by r08 exactly-once / CDC-property / cascade work ---
+    "h1_incremental_lsh_index",
+    "h2_ann_cascade_topk",
+    "h2_ivf_index_at_rest",
     "h4_streaming_cdf_apply",
     "h4_streaming_cdc_stateful",
-    # --- representative re-checks (oldest rows first-ish) ---
-    "ep3_flagship_pipeline",
-    "b3_d1_d2_population_explode",
-    "c1_c8_normalize_harvest",
-    "c2_parse_long",
-    "e2_orders_upsert",
-    "e1_stage_full_refresh",
-    "e2_scd2_history",
-    "e3_duplicate_keys",
-    "a2_a3_pdf_ingest",
-    "a5_glob_scan",
-    "a4_partition_roundtrip",
-    "a8_sql_ddl_roundtrip",
-    "f_window_functions",
-    "f_pivot_priority_matrix",
-    "f_asof_join_error_context",
+    "h4_streaming_cdf_ivm",
     "h4_streaming_cdf_change_files",
+    "h4_streaming_cdc_late_arrivals",
+    # --- bench headliners (all re-proven every round) ---
     "g1_pricing_summary",
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
     "g4_yearly_trend",
+    "b3_d1_d2_population_explode",
+    "e2_orders_upsert",
     "h1_minhash_lsh_pairs",
-    "h1_exact_dup_groups",
-    "h1_incremental_lsh_index",
-    "h2_cosine_topk",
-    "h2_ivf_index_at_rest",
-    "h2_ann_cascade_topk",
-    "h3_doc_stats",
-    "h3_bpe_token_count",
-    "h3_unigram_lm_quality",
     "h4_sessionize",
-    "h4_streaming_cdf_ivm",
-    "h4_streaming_cdc_late_arrivals",
-    "h5_histogram_quantile_sketch",
-    "h6_dedup_apply",
+    "h6_curation_pipeline",
+    "f_q9_product_profit",
+    "e2_tx_merge_timetravel",
+    "h4_attribution_first_last",
+    "e2_tx_guarded_merge",
+    # --- oldest surviving proofs (r03/r04 vintage) ---
+    "c2_parse_long",
+    "c3_parse_unit",
+    "c6_year_from_path",
+    "a7_pending_work",
+    "g5_weather_correlation",
+    "g5_nearest_sensor_join",
+    "h1_semdedup_kmeans",
+    "h2_ivf_pq_topk",
+    "h6_tokenizer_vocab",
+    # --- warehouse_tx paths changed this round: tx re-checks ---
+    "e2_tx_delete_restore",
+    "e2_tx_update_change_feed",
+    "e2_tx_dv_delete",
+    "e2_tx_append_evolution",
+    "e2_cdc_apply_changes",
+    "h4_streaming_tx_source",
+    # --- cross-family representatives ---
+    "ep3_flagship_pipeline",
+    "f_window_functions",
+    "h6_greedy_packing",
     "f_lateral_topn_per_customer",
-    "h6_stratified_sample",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "udf_grouped_map_arrow",
 ]
 
 
-# Queries registered AFTER the round-7 prefix froze — no driver row
-# yet; they MUST lead the round-8 rotation prefix. The prefix test
-# pins that nothing else falls outside the checked set. (Emptied at
-# the start of round 7: all 11 round-6 additions moved into the
-# prefix above.)
+# Queries registered AFTER the round-8 prefix froze — no driver row
+# yet; they MUST lead the round-9 rotation prefix. The prefix test
+# pins that nothing else falls outside the checked set.
 PENDING_DRIVER_QUEUE = [
 ]
 
-# Round-7 additions given first-proof slots INSIDE the r07 prefix's
-# re-check band (each pre-verified green with tools/verify_driver.py
-# and tools/audit_oracle_types.py before taking a slot).
-R07_NEW_IN_PREFIX = [
-    "h4_streaming_cdf_ivm",
-    "h2_ivf_index_at_rest",
-    "f_pivot_priority_matrix",
-    "f_lateral_topn_per_customer",
-    "h5_histogram_quantile_sketch",
-    "h1_incremental_lsh_index",
-    "h2_ann_cascade_topk",
-    "h3_unigram_lm_quality",
-    "h4_streaming_cdc_late_arrivals",
-    "h4_streaming_cdf_change_files",
+# Round-8 additions given first-proof slots at the HEAD of the r08
+# prefix (each pre-verified green with tools/verify_driver.py and
+# tools/audit_oracle_types.py before taking a slot).
+R08_NEW_IN_PREFIX = [
+    "h2_ivf_compacted_search",
+    "f_keyset_pagination",
+    "h5_kmv_set_ops",
 ]
 
 

@@ -265,29 +265,15 @@ def test_driver_rotation_prefix_is_stable():
         if names.index(n) >= 50 and n not in registry.PENDING_DRIVER_QUEUE
     ]
     assert not stray, f"unproven queries outside prefix and queue: {stray}"
-    # the 11 round-6 additions (first-ever driver rows) must lead
-    for must_lead in (
-        "h6_greedy_packing",
-        "e2_tx_delete_restore",
-        "e2_tx_update_change_feed",
-        "h4_streaming_tx_source",
-        "e2_tx_dv_delete",
-        "e2_tx_zorder_pruned_delete",
-        "e2_tx_append_evolution",
-        "f_sql_variables",
-        "e2_cdc_apply_changes",
-        "h4_streaming_cdf_apply",
-        "h4_streaming_cdc_stateful",
-    ):
-        assert names.index(must_lead) < 11
-    # re-check slots must be proven rows OR this round's declared
-    # first-proof additions (pre-verified locally before taking a
-    # slot) — no wasted slots on queries the driver can't compare
-    rechecks = [n for n in names[11:50]]
-    unproven_rechecks = [
-        n for n in rechecks
-        if n not in checked and n not in registry.R07_NEW_IN_PREFIX
-    ]
+    # round-8 additions (first-ever driver rows) must LEAD the prefix
+    n_new = len(registry.R08_NEW_IN_PREFIX)
+    for must_lead in registry.R08_NEW_IN_PREFIX:
+        assert names.index(must_lead) < n_new
+    # every remaining prefix slot is a RE-CHECK of a proven row — the
+    # registry entered r08 fully driver-proven, so no other unproven
+    # query may occupy (waste) a slot
+    rechecks = [n for n in names[n_new:50]]
+    unproven_rechecks = [n for n in rechecks if n not in checked]
     assert not unproven_rechecks, unproven_rechecks
 
 

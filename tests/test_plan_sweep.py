@@ -62,6 +62,9 @@ ALLOW: dict[str, set[str]] = {
         "h3_unigram_lm_quality",  # 1-row corpus-total + 1-row corpus-mean
         "h5_histogram_quantile_sketch",  # 1-row range + 4-row q-list broadcasts
         "h2_ivf_index_at_rest",  # same K-centroid broadcast assignment
+        "h2_ivf_compacted_search",  # same K-centroid broadcast assignment
+        "f_keyset_pagination",  # 1-row boundary token broadcast
+        "h5_kmv_set_ops",  # 1-row sketch stats × 1-row exact audit
     },
     # All-pairs semantics by design, bounded by blocking/banding
     # upstream (LSH buckets, band keys) or quadratic-in-small-n.

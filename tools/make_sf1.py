@@ -1,0 +1,95 @@
+"""Synthesize sf1 fixtures (10× sf0.1) under /tmp/bhps_sf1 by
+replicating each sf0.1 table ten times with FK-consistent key offsets
+— shard i adds i × (max_key+1) to every key column, so referential
+integrity, join fan-outs, and per-key cardinalities match the
+originals exactly while total volume grows 10×. nation/region are
+key-domain dimensions and stay as-is.
+
+Purpose: the r08 scale sweep (SCALE1.md) — run the headline + H1/H2
+families at 10× the driver's bench scale and look for nonlinear
+cliffs. Ten identical shards means no new skew; this measures plan
+scaling, not data pathology.
+
+Usage: python tools/make_sf1.py [out_dir]   (default /tmp/bhps_sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# key column -> offset-domain name; columns sharing a domain get the
+# same per-shard offset so joins keep matching
+KEY_DOMAINS = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {
+        "l_orderkey": "order",
+        "l_partkey": "part",
+        "l_suppkey": "supp",
+    },
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bhps_sf1"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    # one offset base per key domain, from the domain's max across
+    # every table that carries it
+    base: dict[str, int] = {}
+    for t, cols in KEY_DOMAINS.items():
+        tbl = pq.read_table(
+            os.path.join(SRC, f"{t}.parquet"), columns=list(cols)
+        )
+        for col, dom in cols.items():
+            m = pc.max(tbl.column(col)).as_py()
+            base[dom] = max(base.get(dom, 0), int(m) + 1)
+
+    for t in COPY_AS_IS:
+        shutil.copyfile(
+            os.path.join(SRC, f"{t}.parquet"),
+            os.path.join(out, f"{t}.parquet"),
+        )
+
+    for t, cols in KEY_DOMAINS.items():
+        src = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        shards = []
+        for i in range(COPIES):
+            arrays = []
+            for name in src.column_names:
+                col = src.column(name)
+                if name in cols and i > 0:
+                    off = pa.scalar(
+                        i * base[cols[name]], type=col.type
+                    )
+                    col = pc.add(col, off)
+                arrays.append(col)
+            shards.append(
+                pa.table(arrays, names=src.column_names)
+            )
+        pq.write_table(
+            pa.concat_tables(shards),
+            os.path.join(out, f"{t}.parquet"),
+            compression="zstd",
+        )
+        print(f"{t}: {src.num_rows} -> {src.num_rows * COPIES}")
+
+
+if __name__ == "__main__":
+    main()
