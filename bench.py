@@ -48,6 +48,10 @@ HEADLINE = [
     # round 7: the token-explode fanout shuffle (split → explode →
     # bigram groupBy) — the 100 TB text-pipeline cost center
     "h3_bigram_counts",
+    # round 8: the at-rest ANN serving loop — build (incremental
+    # partitioned appends), per-cell binpack compaction, partition-
+    # pruned search
+    "h2_ivf_compacted_search",
 ]
 
 

@@ -2331,10 +2331,10 @@ b AS (
   SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
 ),
 sa AS (
-  SELECT {_KMV_HASH} AS h FROM a ORDER BY h LIMIT {KMV_K}
+  SELECT DISTINCT {_KMV_HASH} AS h FROM a ORDER BY h LIMIT {KMV_K}
 ),
 sb AS (
-  SELECT {_KMV_HASH} AS h FROM b ORDER BY h LIMIT {KMV_K}
+  SELECT DISTINCT {_KMV_HASH} AS h FROM b ORDER BY h LIMIT {KMV_K}
 ),
 merged AS (
   SELECT COALESCE(sa.h, sb.h) AS h,

@@ -378,11 +378,21 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def sketch(df: DataFrame) -> DataFrame:
-        return df.select(
-            hash64(
-                F.concat(F.lit("kmv|"), F.col("o_custkey").cast("string"))
-            ).alias("h")
-        ).orderBy("h").limit(KMV_K)
+        # distinct h: a (2^-61-unlikely) hash collision would otherwise
+        # put equal-key rows at the limit boundary, where tie order is
+        # engine-arbitrary — distinct makes the order total
+        return (
+            df.select(
+                hash64(
+                    F.concat(
+                        F.lit("kmv|"), F.col("o_custkey").cast("string")
+                    )
+                ).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
 
     a, b = keys(KMV_YEAR_A), keys(KMV_YEAR_B)
     sa = sketch(a).withColumn("in_a", F.lit(1))

@@ -1529,10 +1529,15 @@ def compact_cell_store(
 
 
 def _ivf_store_search(
-    spark: SparkSession, emb: DataFrame, store: str
+    spark: SparkSession,
+    emb: DataFrame,
+    store: str,
+    schema: str = "vec_id bigint, embedding array<float>, cell_id bigint",
 ) -> DataFrame:
     """Probe the at-rest store: assign probes to cells, then read ONLY
-    the probed cells' directories via a partition filter."""
+    the probed cells' directories via a partition filter. ``schema``
+    must name every partition level the store carries (the streaming
+    twin adds an ``arrival`` sub-partition)."""
     probes = _ivf_cell_assign(
         emb, emb.filter(F.col("vec_id") < N_QUERIES)
     ).select(
@@ -1548,9 +1553,7 @@ def _ivf_store_search(
     # (nothing to infer from), and it types the cell_id partition
     # column as bigint rather than trusting directory-name inference
     idx = (
-        spark.read.schema(
-            "vec_id bigint, embedding array<float>, cell_id bigint"
-        )
+        spark.read.schema(schema)
         .parquet(store)
         .filter(F.col("cell_id").isin(cells))
     )
@@ -1602,6 +1605,105 @@ def ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(work, "cells")
     emb = _ivf_store_build(spark, sf_dir, store)
     return _ivf_store_search(spark, emb, store)
+
+
+IVF_STREAM_WORK = "/tmp/bhps_ivf_stream"
+
+
+def ivf_streaming_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H2 × H4: the at-rest IVF store maintained BY A STREAM — vector
+    arrivals land through a checkpointed file stream (one arrival file
+    per micro-batch); each batch assigns ONLY its own vectors to cells
+    (broadcast centroid argmax) and lands them under
+    ``partitionBy(cell_id, arrival)``, then a search probes the drained
+    store with cell partition pruning — same oracle as ``ivf_topk``.
+
+    EXACTLY-ONCE without a transaction log: each batch writes in
+    DYNAMIC partition-overwrite mode with its batch id as the
+    ``arrival`` sub-partition, so a replayed batch OVERWRITES its own
+    ``cell_id=*/arrival=N`` directories with identical content instead
+    of double-appending — idempotence from deterministic partition
+    placement, the idiomatic file-lake alternative to the txn-stamped
+    commit (``h1_incremental_lsh_index`` shows that one; the
+    redelivery test covers this one). ``arrival`` is the SECOND
+    partition level, so probe-time ``cell_id`` pruning is untouched.
+
+    Scale: arrivals cost K dot products per vector plus a partitioned
+    write of O(batch) bytes; the corpus is never re-assigned; the
+    search reads only probed cells' directories. The arrival
+    sub-partitions accrue the same small-file debt the binpack query
+    pays off (``compact_cell_store``).
+    """
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(IVF_STREAM_WORK, ignore_errors=True)
+    feed = os.path.join(IVF_STREAM_WORK, "feed")
+    os.makedirs(feed)
+    store = os.path.join(IVF_STREAM_WORK, "cells")
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    for i in range(3):  # staged arrival files, deterministic order
+        staging = os.path.join(IVF_STREAM_WORK, f"_stage{i}")
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"arrival{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        t = 1_700_000_000 + i * 100
+        os.utime(dest, (t, t))
+
+    land = _ivf_stream_lander(emb, store)
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .option(
+            "checkpointLocation", os.path.join(IVF_STREAM_WORK, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _ivf_store_search(
+        spark, emb, store,
+        schema=(
+            "vec_id bigint, embedding array<float>, "
+            "cell_id bigint, arrival int"
+        ),
+    )
+
+
+def _ivf_stream_lander(emb: DataFrame, store: str):
+    """The foreachBatch lander — module-level so the redelivery
+    idempotence contract is unit-testable."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = sess.conf.get(key, None)
+        sess.conf.set(key, "dynamic")
+        try:
+            (
+                _ivf_cell_assign(emb, batch_df)
+                .withColumn("arrival", F.lit(int(batch_id)).cast("int"))
+                .write.partitionBy("cell_id", "arrival")
+                .mode("overwrite")
+                .parquet(store)
+            )
+        finally:
+            if old is None:
+                sess.conf.unset(key)
+            else:
+                sess.conf.set(key, old)
+
+    return land
 
 
 def ivf_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:

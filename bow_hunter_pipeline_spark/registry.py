@@ -1143,6 +1143,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ivf_compacted_search,
         oracles_h.IVF_TOPK,
     ),
+    # H2 × H4: the store maintained BY A STREAM — per-batch dynamic
+    # partition overwrite (cell_id, arrival) = exactly-once landing
+    # without a txn log; cell pruning untouched; same oracle
+    "h2_ivf_streaming_maintenance": (
+        simsearch.ivf_streaming_maintenance,
+        oracles_h.IVF_TOPK,
+    ),
     # H4: exact-integer 2-sigma outlier gate per event type
     "h4_anomaly_outliers": (
         events.anomaly_outliers,
@@ -1434,6 +1441,7 @@ _DRIVER_ROTATION = [
     "h2_ivf_compacted_search",
     "f_keyset_pagination",
     "h5_kmv_set_ops",
+    "h2_ivf_streaming_maintenance",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1486,7 +1494,6 @@ _DRIVER_ROTATION = [
     "ep3_flagship_pipeline",
     "f_window_functions",
     "h6_greedy_packing",
-    "f_lateral_topn_per_customer",
 ]
 
 
@@ -1503,6 +1510,7 @@ R08_NEW_IN_PREFIX = [
     "h2_ivf_compacted_search",
     "f_keyset_pagination",
     "h5_kmv_set_ops",
+    "h2_ivf_streaming_maintenance",
 ]
 
 

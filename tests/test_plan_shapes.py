@@ -70,6 +70,16 @@ def test_top_k_pushes_group_limit_below_shuffle(spark):
     assert plan.count("WindowGroupLimit") >= 2
 
 
+def test_cascade_stage1_rank_is_group_limited(spark):
+    """The cascade's stage-1 top-C per probe must plan a partial
+    WindowGroupLimit below the q_id exchange — each map task keeps
+    only C rows per probe, so the shuffle into the (few) probe
+    partitions carries O(probes × C × tasks), never the full
+    probes × corpus score table."""
+    plan = _plan(simsearch.ann_cascade_topk(spark, SF_SMOKE))
+    assert plan.count("WindowGroupLimit") >= 2, plan[:1500]
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark):
     plan = _plan(relational.range_join_value_bands(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan

@@ -63,6 +63,7 @@ ALLOW: dict[str, set[str]] = {
         "h5_histogram_quantile_sketch",  # 1-row range + 4-row q-list broadcasts
         "h2_ivf_index_at_rest",  # same K-centroid broadcast assignment
         "h2_ivf_compacted_search",  # same K-centroid broadcast assignment
+        "h2_ivf_streaming_maintenance",  # same K-centroid broadcast assignment
         "f_keyset_pagination",  # 1-row boundary token broadcast
         "h5_kmv_set_ops",  # 1-row sketch stats × 1-row exact audit
     },
@@ -89,11 +90,7 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "h6_mixture_weights": "source-grain weights (docstring: dozens of rows)",
     "h6_token_budget_curriculum": "source-grain greedy cumsum (~20 rows)",
     "f_equi_depth_histogram": "documented non-goal; at-scale path is h5",
-    "f_paginated_top_orders": "pagination demo; keyset twin is the scale path",
-    "f_window_functions": "showcase incl. global-frame functions by design",
     "h4_lateness_audit": "docstring: batch replay over a bounded slice",
-    "f_window_distribution": "distribution functions need the full frame",
-    "g4_seasonality_index": "priority×month grain (≤60 rows)",
 }
 
 

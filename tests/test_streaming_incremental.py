@@ -505,6 +505,51 @@ def test_incremental_lsh_index_redelivery_is_noop(spark):
     assert applied and v == sv + 1
 
 
+def test_ivf_stream_landing_redelivery_is_noop(spark):
+    """The streaming IVF lander's exactly-once contract WITHOUT a txn
+    log: each batch lands under ``(cell_id, arrival=batch_id)`` in
+    dynamic partition-overwrite mode, so redelivering a batch
+    overwrites its own directories with identical content —
+    deterministic partition placement as idempotence. After a
+    redelivery the store holds the same rows and no vector is
+    duplicated."""
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans import simsearch
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    result = {
+        tuple(r)
+        for r in simsearch.ivf_streaming_maintenance(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    store = simsearch.IVF_STREAM_WORK + "/cells"
+    schema = (
+        "vec_id bigint, embedding array<float>, "
+        "cell_id bigint, arrival int"
+    )
+    n_before = spark.read.schema(schema).parquet(store).count()
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    land = simsearch._ivf_stream_lander(emb, store)
+    land(emb.filter(F.col("vec_id") % 3 == 1), 1)  # redeliver batch 1
+
+    idx = spark.read.schema(schema).parquet(store)
+    assert idx.count() == n_before
+    assert (
+        idx.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    ), "redelivery duplicated vectors"
+    again = {
+        tuple(r)
+        for r in simsearch._ivf_store_search(
+            spark, emb, store, schema=schema
+        ).collect()
+    }
+    assert again == result
+
+
 def test_ivm_delta_folding_is_replay_idempotent(spark, tmp_path):
     """The IVM state folder under at-least-once foreachBatch delivery:
     a batch redelivered after the state swap (crash between swap and
