@@ -2902,3 +2902,60 @@ SELECT e.grp, e.q, CAST(e.n_rows AS BIGINT) AS n_rows, e.est_q,
        CAST(round(abs(e.est_q - x.exact_q), 4) AS DOUBLE) AS abs_err
 FROM est e JOIN exact x ON e.grp = x.grp AND e.q = x.q
 """
+
+
+# --- H6: BPE merge training (chained per-round CTEs) -------------------
+
+from bow_hunter_pipeline_spark.plans.traindata import (  # noqa: E402
+    BPE_ROUNDS as _BPE_ROUNDS,
+)
+
+
+def _bpe_round_ctes(k: int) -> str:
+    """One BPE training round as SQL: pair counts -> top-1 winner ->
+    the same greedy left-to-right merge fold the engine runs
+    (``list_reduce`` over a space-joined accumulator) -> audit row."""
+    prev = "wt0" if k == 1 else f"m{k - 1}"
+    return f"""
+p{k} AS (
+  SELECT t.toks[g.i] AS l, t.toks[g.i+1] AS r,
+         CAST(SUM(t.freq) AS BIGINT) AS pw
+  FROM {prev} t, unnest(generate_series(1, len(t.toks)-1)) AS g(i)
+  WHERE len(t.toks) >= 2
+  GROUP BY 1, 2
+),
+w{k} AS (SELECT l, r, pw FROM p{k} ORDER BY pw DESC, l, r LIMIT 1),
+m{k} AS (
+  SELECT t.w, t.freq, len(t.toks) AS n_before,
+         string_split(list_reduce(list_prepend('', t.toks), (acc, x) ->
+           CASE WHEN acc = '' THEN x
+                WHEN x = w{k}.r AND (acc = w{k}.l
+                                     OR ends_with(acc, ' ' || w{k}.l))
+                  THEN left(acc, length(acc) - length(w{k}.l))
+                       || w{k}.l || w{k}.r
+                ELSE acc || ' ' || x END), ' ') AS toks
+  FROM {prev} t, w{k}
+),
+a{k} AS (
+  SELECT CAST({k} AS INT) AS merge_round, w{k}.l AS lhs, w{k}.r AS rhs,
+         w{k}.pw AS pair_weight,
+         CAST(SUM(m.freq * (m.n_before - len(m.toks))) AS BIGINT)
+           AS n_merges,
+         CAST(SUM(m.freq * len(m.toks)) AS BIGINT) AS corpus_tokens
+  FROM m{k} m, w{k}
+  GROUP BY 1, 2, 3, 4
+)"""
+
+
+BPE_TRAIN_MERGES = (
+    """WITH wt0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS toks
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),"""
+    + ",".join(_bpe_round_ctes(k) for k in range(1, _BPE_ROUNDS + 1))
+    + "\nSELECT * FROM "
+    + " UNION ALL SELECT * FROM ".join(
+        f"a{k}" for k in range(1, _BPE_ROUNDS + 1)
+    )
+)

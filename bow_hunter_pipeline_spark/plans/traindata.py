@@ -949,3 +949,106 @@ def greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+BPE_ROUNDS = 3
+
+
+def _bpe_fold(acc, t):
+    """One step of the greedy left-to-right merge fold: the row's
+    ``w_l``/``w_r`` columns carry the round's merge rule; the
+    accumulator is the space-joined output-so-far. Merge when the
+    accumulator's last whole symbol is ``w_l`` and the incoming symbol
+    is ``w_r`` — non-overlap is structural (``l+r != l``, so a just-
+    merged symbol can't immediately act as a left side again)."""
+    boundary = (acc == F.col("w_l")) | acc.endswith(
+        F.concat(F.lit(" "), F.col("w_l"))
+    )
+    merged = F.concat(
+        F.substr(acc, F.lit(1), F.length(acc) - F.length(F.col("w_l"))),
+        F.col("w_l"),
+        F.col("w_r"),
+    )
+    return (
+        F.when(acc == F.lit(""), t)
+        .when((t == F.col("w_r")) & boundary, merged)
+        .otherwise(F.concat(acc, F.lit(" "), t))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: DISTRIBUTED BPE MERGE TRAINING (Sennrich et al. 2016, the
+    tokenizer-training loop itself, not just vocab counting): start
+    from character symbols, and for each round (a) count corpus-
+    frequency-weighted adjacent symbol pairs, (b) pick the most
+    frequent pair (count desc, then lexicographic — the deterministic
+    tie-break), (c) apply the merge greedily left-to-right across
+    every word. Output: one audit row per round — the learned rule,
+    its overlap-counted pair weight, the number of merges actually
+    applied, and the corpus token count after the round (the
+    compression trajectory a tokenizer team tracks).
+
+    Everything is declarative and collect-free: the round winner is a
+    ``limit(1)`` (TakeOrderedAndProject — a distributed top-1, never a
+    global sort) broadcast-cross-joined onto the word table, and the
+    merge application is an order-pinned string fold (``F.aggregate``
+    over the symbol array with a space-joined accumulator: merge when
+    the accumulator's LAST symbol equals ``l`` and the next is ``r``
+    — a merged symbol can never immediately re-merge as a left side
+    because ``l+r != l``, so the fold IS non-overlapping greedy). The
+    DuckDB oracle replays the identical fold via ``list_reduce``.
+
+    Scale: the working set is the DISTINCT-WORD table (sublinear in
+    corpus size; Zipf makes it tiny relative to tokens), touched once
+    per round: one pair-count shuffle + one broadcast per round, no
+    per-round job barrier beyond the top-1. Lineage grows linearly
+    with rounds; a production trainer (thousands of merges) persists
+    the word table every few rounds — noted, not needed at 3.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("toks", F.split("w", ""))
+    )
+    adjacent = F.expr(
+        "transform(sequence(0, size(toks)-2),"
+        " i -> struct(toks[i] AS l, toks[i+1] AS r))"
+    )
+    audits = []
+    for r in range(1, BPE_ROUNDS + 1):
+        winner = (
+            cur.filter(F.size("toks") >= 2)
+            .select("freq", F.explode(adjacent).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("pair_weight"))
+            .orderBy(F.desc("pair_weight"), "l", "r")
+            .limit(1)
+            .select(
+                F.col("l").alias("w_l"),
+                F.col("r").alias("w_r"),
+                "pair_weight",
+            )
+        )
+        merged = cur.crossJoin(F.broadcast(winner)).withColumn(
+            "new_toks", F.split(F.aggregate("toks", F.lit(""), _bpe_fold), " ")
+        )
+        audits.append(
+            merged.agg(
+                F.min("w_l").alias("lhs"),
+                F.min("w_r").alias("rhs"),
+                F.min("pair_weight").alias("pair_weight"),
+                F.sum(F.col("freq") * (F.size("toks") - F.size("new_toks")))
+                .cast("bigint")
+                .alias("n_merges"),
+                F.sum(F.col("freq") * F.size("new_toks"))
+                .cast("bigint")
+                .alias("corpus_tokens"),
+            ).select(F.lit(r).cast("int").alias("merge_round"), "*")
+        )
+        cur = merged.select("w", "freq", F.col("new_toks").alias("toks"))
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out

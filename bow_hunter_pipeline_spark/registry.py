@@ -866,6 +866,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.tokenizer_vocab,
         oracles_h.TOKENIZER_VOCAB,
     ),
+    # H6: BPE merge training — per-round pair-count shuffle, broadcast
+    # top-1 winner, order-pinned greedy merge fold; collect-free
+    "h6_bpe_train_merges": (
+        traindata.bpe_train_merges,
+        oracles_h.BPE_TRAIN_MERGES,
+    ),
     # Z-order (Morton) clustered layout — multi-dim pruning stats
     "a4_zorder_layout": (pipeline.zorder_layout, oracles_f.ZORDER_LAYOUT),
     # End-to-end curation funnel (quality → exact dedup → LSH drop)
@@ -1442,6 +1448,7 @@ _DRIVER_ROTATION = [
     "f_keyset_pagination",
     "h5_kmv_set_ops",
     "h2_ivf_streaming_maintenance",
+    "h6_bpe_train_merges",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1493,7 +1500,6 @@ _DRIVER_ROTATION = [
     # --- cross-family representatives ---
     "ep3_flagship_pipeline",
     "f_window_functions",
-    "h6_greedy_packing",
 ]
 
 
@@ -1511,6 +1517,7 @@ R08_NEW_IN_PREFIX = [
     "f_keyset_pagination",
     "h5_kmv_set_ops",
     "h2_ivf_streaming_maintenance",
+    "h6_bpe_train_merges",
 ]
 
 

@@ -724,3 +724,47 @@ def test_cli_tx_maintenance_commands(spark, tmp_path, capsys):
     }
     assert main(["tx", "vacuum", table, "--keep-versions", "1"]) == 0
     capsys.readouterr()
+
+
+def test_bpe_merge_fold_is_nonoverlapping_greedy(spark):
+    """The BPE merge fold's contract on the pathological input — a
+    run of the merged pair: greedy left-to-right non-overlap turns
+    ``a a a a`` under rule (a,a) into ``aa aa`` (positions 0-1 then
+    2-3), never ``aa a a`` (delimiter-consumption bugs) or a
+    re-merged ``aaa``/``aaaa`` (overlap bugs). Also the trainer's
+    audit invariants on the fixture: token mass shrinks by exactly
+    n_merges each round, and pair_weight (overlap-counted) bounds
+    n_merges (non-overlap-applied) from above."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.plans import traindata
+    from tests.conftest import SF_SMOKE
+
+    runs = spark.createDataFrame(
+        [
+            (["a", "a", "a", "a"], "a", "a"),
+            (["a", "a", "a"], "a", "a"),
+            (["x", "a", "b", "b"], "a", "b"),
+            (["a"], "a", "a"),
+        ],
+        "toks array<string>, w_l string, w_r string",
+    )
+    folded = {
+        tuple(r.toks): r.out
+        for r in runs.withColumn(
+            "out", F.aggregate("toks", F.lit(""), traindata._bpe_fold)
+        ).collect()
+    }
+    assert folded[("a", "a", "a", "a")] == "aa aa"
+    assert folded[("a", "a", "a")] == "aa a"
+    assert folded[("x", "a", "b", "b")] == "x ab b"
+    assert folded[("a",)] == "a"
+
+    rows = traindata.bpe_train_merges(spark, SF_SMOKE).collect()
+    assert len(rows) == traindata.BPE_ROUNDS
+    prev_tokens = None
+    for r in sorted(rows, key=lambda x: x.merge_round):
+        assert r.n_merges <= r.pair_weight
+        if prev_tokens is not None:
+            assert prev_tokens - r.corpus_tokens == r.n_merges
+        prev_tokens = r.corpus_tokens
