@@ -953,6 +953,18 @@ SELECT state, year, COUNT(*) AS n_units,
 FROM feed GROUP BY state, year
 """
 
+# A1 (write side): the sink roundtrip is lossless over exact-integer
+# columns, so the oracle aggregates orders directly.
+PYTHON_DATASOURCE_WRITER = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY o_orderpriority
+"""
+
 UDF_ARROW_SCALAR = """
 SELECT doc_id,
        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,

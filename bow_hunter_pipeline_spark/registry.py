@@ -37,6 +37,7 @@ from bow_hunter_pipeline_spark.plans import (
     tpch,
     traindata,
 )
+from bow_hunter_pipeline_spark.sources import python_sink
 from bow_hunter_pipeline_spark.streaming import structured
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -909,6 +910,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ingest_demo.python_datasource_feed,
         oracles_f.PYTHON_DATASOURCE_FEED,
     ),
+    # Write-side twin: Python DataSource SINK with two-phase manifest
+    # commit — staged task files, driver-side publish, orphan-proof
+    "a1_python_datasource_writer": (
+        python_sink.python_datasource_writer,
+        oracles_f.PYTHON_DATASOURCE_WRITER,
+    ),
     # Scalar arrow_udf — Arrow arrays in/out, no pandas conversion
     "udf_arrow_scalar": (
         pandas_udfs.udf_arrow_scalar,
@@ -1449,6 +1456,7 @@ _DRIVER_ROTATION = [
     "h5_kmv_set_ops",
     "h2_ivf_streaming_maintenance",
     "h6_bpe_train_merges",
+    "a1_python_datasource_writer",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1499,7 +1507,6 @@ _DRIVER_ROTATION = [
     "h4_streaming_tx_source",
     # --- cross-family representatives ---
     "ep3_flagship_pipeline",
-    "f_window_functions",
 ]
 
 
@@ -1518,6 +1525,7 @@ R08_NEW_IN_PREFIX = [
     "h5_kmv_set_ops",
     "h2_ivf_streaming_maintenance",
     "h6_bpe_train_merges",
+    "a1_python_datasource_writer",
 ]
 
 

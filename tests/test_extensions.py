@@ -768,3 +768,49 @@ def test_bpe_merge_fold_is_nonoverlapping_greedy(spark):
         if prev_tokens is not None:
             assert prev_tokens - r.corpus_tokens == r.n_merges
         prev_tokens = r.corpus_tokens
+
+
+def test_python_sink_commit_is_manifest_scoped(spark, tmp_path):
+    """The Python-DataSource sink's two-phase contract: (1) a write
+    publishes a manifest naming exactly the files whose commit
+    messages arrived — a staged file planted outside the commit
+    (simulating a failed/speculative attempt's leftovers) is invisible
+    to the manifest read path; (2) a failing write aborts without
+    publishing any manifest at all."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.sources import python_sink
+
+    python_sink.register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    df.write.format(python_sink.SINK_FORMAT).option("path", out).mode(
+        "append"
+    ).save()
+    with open(os.path.join(out, "stage-leftover.jsonl"), "w") as f:
+        f.write(json.dumps({"k": -1, "v": -1}) + "\n")
+    back = python_sink.read_committed(spark, out, "k bigint, v bigint")
+    got = back.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert (got.n, got.s) == (100, sum(3 * i for i in range(100)))
+
+    # abort path: a poisoned row kills the job pre-commit; no manifest
+    bad = str(tmp_path / "sink_bad")
+    poison = df.withColumn(
+        "v",
+        F.when(F.col("k") == 50, F.raise_error("boom")).otherwise(
+            F.col("v").cast("string")
+        ),
+    )
+    with pytest.raises(Exception):
+        poison.write.format(python_sink.SINK_FORMAT).option(
+            "path", bad
+        ).mode("append").save()
+    assert not os.path.exists(os.path.join(bad, "_manifest.json"))
