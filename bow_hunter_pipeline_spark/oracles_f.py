@@ -1523,6 +1523,28 @@ GROUP BY 1
 """
 
 
+# E2+: the manifest freezes v1 (1995+1996); the live read sees v2
+# (+1997). Both populations replayed straight off orders.
+TX_MANIFEST_EXPORT = """
+WITH v1 AS (
+  SELECT o_orderpriority, o_orderkey FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+),
+v2 AS (
+  SELECT o_orderpriority, o_orderkey FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996, 1997)
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       'manifest_v1' AS reader
+FROM v1 GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       'live_v2' AS reader
+FROM v2 GROUP BY o_orderpriority
+"""
+
 TX_APPEND_EVOLUTION = """
 SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
                       AND o_orderdate < TIMESTAMP '1996-01-01'

@@ -1718,3 +1718,48 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("price", "total_price", "decimal(18,6)"),
         F.sum((F.col("op") == "U").cast("bigint")).alias("n_updated"),
     )
+
+
+TX_MANIFEST_PATH = "/tmp/bhps_tx_manifest"
+
+
+def tx_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: SYMLINK-MANIFEST INTEROP — the commit-log table exported
+    for engines that know nothing about the log: create (1995
+    orders), append (1996), ``generate_manifest`` at v1, then a THIRD
+    commit lands (1997). The result unions two reads: the manifest
+    read (raw ``spark.read.parquet`` over exactly the listed files —
+    what Trino/Athena would do) frozen at v1, and the live snapshot
+    at v2 — proving the manifest is a consistent point-in-time view
+    that later commits never mutate. Oracle replays both populations
+    from ``orders`` directly.
+
+    Scale: manifest generation is O(files) driver metadata (one log
+    replay, one text file, one atomic rename); both reads are plain
+    parquet scans. No shuffle beyond the 5-key rollup.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+
+    def year_slice(y: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == y).select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+
+    tx.create_table(spark, TX_MANIFEST_PATH, year_slice(1995))
+    tx.append(spark, TX_MANIFEST_PATH, year_slice(1996))
+    manifest = tx.generate_manifest(TX_MANIFEST_PATH)  # freezes v1
+    tx.append(spark, TX_MANIFEST_PATH, year_slice(1997))  # v2 lands
+
+    def roll(df: DataFrame, reader: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        ).withColumn("reader", F.lit(reader))
+
+    external = roll(
+        tx.read_manifest(spark, manifest), "manifest_v1"
+    )
+    live = roll(tx.snapshot(spark, TX_MANIFEST_PATH), "live_v2")
+    return external.unionByName(live)

@@ -1017,6 +1017,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_append_evolution,
         oracles_f.TX_APPEND_EVOLUTION,
     ),
+    # Symlink-manifest export: frozen v1 view for log-unaware engines
+    "e2_tx_manifest_export": (
+        pipeline.tx_manifest_export,
+        oracles_f.TX_MANIFEST_EXPORT,
+    ),
     # F: Spark 4 SQL scripting — session variables, EXECUTE IMMEDIATE
     # with USING binding, parameterized sql(args=...), GROUP BY ALL
     "f_sql_variables": (
@@ -1457,6 +1462,7 @@ _DRIVER_ROTATION = [
     "h2_ivf_streaming_maintenance",
     "h6_bpe_train_merges",
     "a1_python_datasource_writer",
+    "e2_tx_manifest_export",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1505,8 +1511,6 @@ _DRIVER_ROTATION = [
     "e2_tx_append_evolution",
     "e2_cdc_apply_changes",
     "h4_streaming_tx_source",
-    # --- cross-family representatives ---
-    "ep3_flagship_pipeline",
 ]
 
 
@@ -1526,6 +1530,7 @@ R08_NEW_IN_PREFIX = [
     "h2_ivf_streaming_maintenance",
     "h6_bpe_train_merges",
     "a1_python_datasource_writer",
+    "e2_tx_manifest_export",
 ]
 
 

@@ -2065,3 +2065,60 @@ def optimize_zorder(
         _discard_uncommitted(table, new_files)
         raise
     return next_v
+
+
+_MANIFEST_DIR = "_symlink_format_manifest"
+
+
+def generate_manifest(table: str, version: int | None = None) -> str:
+    """Export a snapshot as a SYMLINK-FORMAT MANIFEST — Delta's
+    ``GENERATE symlink_format_manifest`` interop surface: one text
+    file of absolute parquet paths (one per line, sorted) that any
+    engine with no knowledge of the commit log (Presto/Trino/Athena/
+    plain ``spark.read.parquet``) can serve a CONSISTENT snapshot
+    from. The manifest names this table's files only; it is published
+    with a single atomic rename, and later commits never mutate it —
+    a manifest is a frozen view of its version, so readers holding it
+    keep snapshot isolation for free (until :func:`vacuum` reclaims
+    the version's files, the same retention trade as time travel).
+
+    Refuses tables whose snapshot carries live DELETION VECTORS
+    (exactly Delta's rule): a raw-parquet reader would resurrect the
+    vectored rows. Rewrite them away first (merge/compact/
+    delete_where) and regenerate.
+
+    Scale: O(files) driver metadata — replay the log, write one text
+    file; no data bytes move.
+    """
+    versions = _versions(table)
+    if version is None:
+        version = versions[-1]
+    rels = live_files(table, version)
+    dvs = _replay_dvs(table, version)
+    vectored = sorted(f for f, v in dvs.items() if _dv_total({f: v}))
+    if vectored:
+        raise RuntimeError(
+            "cannot generate a symlink manifest while deletion "
+            f"vectors are live on {len(vectored)} file(s) (a raw "
+            "parquet reader would resurrect deleted rows) — rewrite "
+            "them away (merge/compact/delete_where) first: "
+            + ", ".join(vectored[:3])
+        )
+    out_dir = os.path.join(table, _MANIFEST_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"manifest-v{version:08d}.txt")
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        for rel in sorted(rels):
+            f.write(os.path.abspath(os.path.join(table, rel)) + "\n")
+    os.replace(tmp, final)
+    return final
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """What an EXTERNAL engine does with the manifest: read exactly
+    the listed parquet files — no log replay, no library. Kept here
+    so the interop contract is testable in-repo."""
+    with open(manifest_path) as f:
+        paths = [line.strip() for line in f if line.strip()]
+    return spark.read.parquet(*paths)

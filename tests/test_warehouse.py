@@ -1893,3 +1893,45 @@ def test_tx_compact_binpack_rewrites_only_small_files(spark, tmp_path):
         spark, table, target_bytes=1 << 20, min_file_bytes=64 << 10
     )
     assert (v2, n2) == (v, 0)
+
+
+def test_tx_manifest_export_contract(spark, tmp_path):
+    """Symlink-manifest interop laws: (1) a manifest is a frozen view
+    — commits after generation never change what it serves; (2) a
+    table with live deletion vectors REFUSES to export (a raw parquet
+    reader would resurrect the vectored rows), and exports again once
+    a rewrite materializes the survivors; (3) the manifest lists only
+    live files — compacted-away files of older versions are absent."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    tx.create_table(spark, table, df)
+    m0 = tx.generate_manifest(table)
+    tx.append(spark, table, df.withColumn("k", F.col("k") + 100))
+    assert tx.read_manifest(spark, m0).count() == 100  # frozen at v0
+    m1 = tx.generate_manifest(table)
+    assert tx.read_manifest(spark, m1).count() == 200
+
+    tx.delete_where_dv(spark, table, "v = 3")
+    with pytest.raises(RuntimeError, match="deletion vectors"):
+        tx.generate_manifest(table)
+    tx.compact(spark, table)  # rewrite materializes survivors
+    m3 = tx.generate_manifest(table)
+    live = tx.read_manifest(spark, m3)
+    assert live.count() == tx.snapshot(spark, table).count()
+    assert live.filter(F.col("v") == 3).count() == 0
+    with open(m3) as f:
+        listed = {line.strip() for line in f if line.strip()}
+    import os
+
+    expected = {
+        os.path.abspath(os.path.join(table, r))
+        for r in tx.live_files(table)
+    }
+    assert listed == expected
