@@ -1104,6 +1104,26 @@ GROUP BY o_orderpriority
 """
 
 
+# G4+: EWMA — list_reduce with no init makes the first element the
+# seed (s_1 = x_1), matching the engine's element_at/slice fold.
+EWMA_TREND = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS month_idx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+),
+series AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
+         list(x ORDER BY month_idx) AS xs
+  FROM monthly GROUP BY priority
+)
+SELECT priority, n_months,
+       list_reduce(xs, (acc, x) -> 0.5e0 * x + 0.5e0 * acc) AS ewma_fast,
+       list_reduce(xs, (acc, x) -> 0.25e0 * x + 0.75e0 * acc) AS ewma_slow
+FROM series
+"""
+
 SEASONALITY_INDEX = """
 WITH monthly AS (
   SELECT o_orderpriority AS priority,

@@ -494,3 +494,56 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             to_double(F.sum(resid)) / F.count(F.lit(1))
         ).alias("mean_bias"),
     )
+
+
+def ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: EXPONENTIALLY-WEIGHTED trend smoothing over the monthly
+    revenue series (the operational dashboard smoother next to
+    ``moving_avg_revenue``'s fixed frames): s_1 = x_1, then
+    s_t = alpha*x_t + (1-alpha)*s_{t-1}, at a fast (alpha=0.5) and a
+    slow (alpha=0.25) setting — both alphas EXACTLY representable in
+    binary, and the recurrence evaluated as an order-pinned fold over
+    the month-sorted series, so every multiply/add replays bit-for-bit
+    in any IEEE engine and the final smoothed values hash-match the
+    oracle without rounding. (A window-function EWMA needs pow() —
+    transcendental, banned from checked values; the fold needs only
+    the recurrence itself.)
+
+    Scale: one shuffle to the monthly grain, one to the series grain;
+    per-series state is the month-ordered array (dozens-hundreds of
+    elements — bounded by calendar, not data). Parallelism = number of
+    series; a 100 TB deployment smooths per (product x region) —
+    millions of independent series, same plan.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("month_idx"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    series = monthly.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(month_idx, x))),"
+            " e -> e.x)"
+        ).alias("xs"),
+    )
+
+    def ewma(alpha: float):
+        return F.aggregate(
+            F.expr("slice(xs, 2, greatest(size(xs) - 1, 0))"),
+            F.element_at("xs", 1),
+            lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+        )
+
+    return series.select(
+        "priority",
+        "n_months",
+        ewma(0.5).alias("ewma_fast"),
+        ewma(0.25).alias("ewma_slow"),
+    )

@@ -1232,6 +1232,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.seasonality_index,
         oracles_f.SEASONALITY_INDEX,
     ),
+    # G4+: EWMA smoothing as an order-pinned IEEE fold (exact alphas)
+    "g4_ewma_trend": (analytics.ewma_trend, oracles_f.EWMA_TREND),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1463,6 +1465,7 @@ _DRIVER_ROTATION = [
     "h6_bpe_train_merges",
     "a1_python_datasource_writer",
     "e2_tx_manifest_export",
+    "g4_ewma_trend",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1496,7 +1499,6 @@ _DRIVER_ROTATION = [
     "e2_tx_guarded_merge",
     # --- oldest surviving proofs (r03/r04 vintage) ---
     "c2_parse_long",
-    "c3_parse_unit",
     "c6_year_from_path",
     "a7_pending_work",
     "g5_weather_correlation",
@@ -1531,6 +1533,7 @@ R08_NEW_IN_PREFIX = [
     "h6_bpe_train_merges",
     "a1_python_datasource_writer",
     "e2_tx_manifest_export",
+    "g4_ewma_trend",
 ]
 
 
