@@ -1565,6 +1565,18 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM v2 GROUP BY o_orderpriority
 """
 
+# E2+: bloom pruning never changes results (no false negatives), so
+# the oracle is the plain IN-list.
+TX_BLOOM_PRUNED_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+WHERE o_orderkey IN (
+  (SELECT MIN(o_orderkey) FROM orders),
+  (SELECT MAX(o_orderkey) FROM orders),
+  -1
+)
+"""
+
 TX_APPEND_EVOLUTION = """
 SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
                       AND o_orderdate < TIMESTAMP '1996-01-01'

@@ -1763,3 +1763,43 @@ def tx_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     live = roll(tx.snapshot(spark, TX_MANIFEST_PATH), "live_v2")
     return external.unionByName(live)
+
+
+TX_BLOOM_PATH = "/tmp/bhps_tx_bloom"
+
+
+def tx_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: BLOOM-INDEXED POINT LOOKUP — the file-skipping case
+    min/max stats cannot serve: the table lands hash-distributed
+    (``repartition(8)``), so every file spans the full o_orderkey
+    range and range pruning keeps all 8; the per-file bloom sidecar
+    prunes to the file(s) actually holding the probed keys (~1-2 of
+    8 at the fixture's false-positive rate; the skip count is
+    test-asserted, the RESULT is pruning-independent by the
+    no-false-negative law). Probes: the min and max order keys (two
+    bounded scalar collects) plus a guaranteed-absent key. Oracle:
+    the same IN-list straight off orders.
+
+    Scale: this is the 100 TB GDPR/entity-lookup path — open
+    O(probes) files instead of O(table). Build cost is one scan of
+    the key column at write time; the sidecar is ~4 KB/file.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).repartition(8)
+    tx.create_table(spark, TX_BLOOM_PATH, base)
+    index = tx.build_bloom_index(spark, TX_BLOOM_PATH, "o_orderkey")
+
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    return tx.bloom_point_lookup(
+        spark,
+        TX_BLOOM_PATH,
+        index,
+        "o_orderkey",
+        [int(lo), int(hi), -1],
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")

@@ -1022,6 +1022,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_manifest_export,
         oracles_f.TX_MANIFEST_EXPORT,
     ),
+    # Bloom file-skip index: point lookups open O(probes) files
+    "e2_tx_bloom_pruned_lookup": (
+        pipeline.tx_bloom_pruned_lookup,
+        oracles_f.TX_BLOOM_PRUNED_LOOKUP,
+    ),
     # F: Spark 4 SQL scripting — session variables, EXECUTE IMMEDIATE
     # with USING binding, parameterized sql(args=...), GROUP BY ALL
     "f_sql_variables": (
@@ -1466,6 +1471,7 @@ _DRIVER_ROTATION = [
     "a1_python_datasource_writer",
     "e2_tx_manifest_export",
     "g4_ewma_trend",
+    "e2_tx_bloom_pruned_lookup",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1502,7 +1508,6 @@ _DRIVER_ROTATION = [
     "c6_year_from_path",
     "a7_pending_work",
     "g5_weather_correlation",
-    "g5_nearest_sensor_join",
     "h1_semdedup_kmeans",
     "h2_ivf_pq_topk",
     "h6_tokenizer_vocab",
@@ -1534,6 +1539,7 @@ R08_NEW_IN_PREFIX = [
     "a1_python_datasource_writer",
     "e2_tx_manifest_export",
     "g4_ewma_trend",
+    "e2_tx_bloom_pruned_lookup",
 ]
 
 

@@ -2122,3 +2122,140 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
     with open(manifest_path) as f:
         paths = [line.strip() for line in f if line.strip()]
     return spark.read.parquet(*paths)
+
+
+_BLOOM_DIR = "_bloom"
+BLOOM_FILE_BITS = 16_384  # m per file: 512 x 32-bit words
+BLOOM_FILE_K = 4  # seeded hashes per key
+
+
+def _bloom_positions_py(value) -> list[int]:
+    """Driver-side twin of the executor hash family (md5 first 15 hex
+    chars — ``functions.text.hash64``): the probe's bit positions."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"fbloom{j}|{value}".encode()).hexdigest()[:15],
+            16,
+        )
+        % BLOOM_FILE_BITS
+        for j in range(BLOOM_FILE_K)
+    ]
+
+
+def build_bloom_index(
+    spark: SparkSession, table: str, col: str, version: int | None = None
+) -> str:
+    """PER-FILE BLOOM INDEX — the file-skipping structure for point
+    lookups on HIGH-CARDINALITY keys, where min/max stats are useless
+    (a hash-distributed write gives every file the full key range, so
+    range pruning keeps everything; Delta's bloom filter index and
+    Iceberg's bloom write the same sidecar). One distributed pass over
+    the snapshot builds a 16384-bit / 4-hash filter per live file
+    (explode key positions, ``bit_or`` per (file, word) — map-side
+    combined), and the driver stores O(files x 512 words) as a sparse
+    JSON sidecar under ``_bloom/``, atomically renamed and keyed by
+    version. Rows deleted by deletion vectors stay IN a file's filter
+    — that only adds false positives, never false negatives, so
+    pruning stays sound.
+
+    Scale: build cost is one scan of the indexed column (runs with
+    the write in production); sidecar size is ~4 KB/file metadata; no
+    shuffle wider than (files x 512) cells.
+    """
+    versions = _versions(table)
+    if version is None:
+        version = versions[-1]
+    rels = live_files(table, version)
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    paths = [os.path.join(table, r) for r in rels]
+    df = spark.read.parquet(*paths).select(
+        F.col(col).alias("k"), _norm_file_path().alias("fp")
+    )
+    positions = F.array(
+        *[
+            hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
+            % F.lit(BLOOM_FILE_BITS)
+            for j in range(BLOOM_FILE_K)
+        ]
+    )
+    words = (
+        df.select("fp", F.explode(positions).alias("p"))
+        .groupBy("fp", F.expr("p div 32").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    abs_to_rel = {os.path.abspath(os.path.join(table, r)): r for r in rels}
+    files: dict[str, dict[str, int]] = {r: {} for r in rels}
+    for row in words:
+        rel = abs_to_rel[os.path.abspath(row.fp)]
+        files[rel][str(row.w)] = int(row.bits)
+    out_dir = os.path.join(table, _BLOOM_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"{col}-v{version:08d}.json")
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"col": col, "version": version, "files": files}, f)
+    os.replace(tmp, final)
+    return final
+
+
+def _bloom_candidates(
+    table: str, index_path: str, values: list, version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(candidate rels, all live rels) at ``version`` under the index:
+    a file is a candidate if ANY probe value has all its bits set in
+    the file's filter — or if the file is not in the index at all
+    (appended after the build: unindexed files always scan, so a
+    stale index is merely less effective, never wrong)."""
+    with open(index_path) as f:
+        idx = json.load(f)
+    rels = live_files(table, version)
+    probe_bits = [_bloom_positions_py(v) for v in values]
+
+    def might_contain(rel: str) -> bool:
+        words = idx["files"].get(rel)
+        if words is None:
+            return True
+        return any(
+            all(
+                (words.get(str(p // 32), 0) >> (p % 32)) & 1
+                for p in bits
+            )
+            for bits in probe_bits
+        )
+
+    return [r for r in rels if might_contain(r)], rels
+
+
+def bloom_point_lookup(
+    spark: SparkSession,
+    table: str,
+    index_path: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup THROUGH the bloom index: open only candidate
+    files (no false negatives — a non-candidate provably lacks every
+    probe), then apply the exact predicate. If the snapshot carries
+    live deletion vectors the lookup falls back to the DV-aware
+    ``snapshot`` read over all files — correct, just unpruned (the
+    next rewrite re-enables pruning)."""
+    dvs = _replay_dvs(table, version)
+    if any(_dv_total({f: v}) for f, v in dvs.items()):
+        return snapshot(spark, table, version).filter(
+            F.col(col).isin(values)
+        )
+    cand, rels = _bloom_candidates(table, index_path, values, version)
+    read = cand if cand else rels[:1]  # keep schema for empty result
+    return (
+        spark.read.parquet(*[os.path.join(table, r) for r in read])
+        .filter(F.col(col).isin(values))
+    )

@@ -1935,3 +1935,62 @@ def test_tx_manifest_export_contract(spark, tmp_path):
         for r in tx.live_files(table)
     }
     assert listed == expected
+
+
+def test_tx_bloom_index_prunes_without_false_negatives(spark, tmp_path):
+    """Bloom file-skip laws: (1) on a hash-distributed layout the
+    index prunes most files for a single-key probe (min/max stats
+    would keep all of them); (2) no false negatives — for every key
+    in the table, the pruned lookup returns exactly the snapshot
+    filter's rows; (3) files appended after the build are unindexed
+    and therefore always candidates (stale index = conservative, not
+    wrong); (4) with live deletion vectors the lookup falls back to
+    the DV-aware snapshot read and stays correct."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(8)
+    tx.create_table(spark, table, df)
+    index = tx.build_bloom_index(spark, table, "k")
+
+    # (1) pruning: a point probe keeps strictly fewer than all files
+    cand, rels = tx._bloom_candidates(table, index, [1234])
+    assert len(rels) == 8
+    assert 1 <= len(cand) < 8, f"no pruning: {len(cand)}/8"
+
+    # (2) no false negatives, probed across the whole key domain
+    for k in range(0, 4000, 397):
+        got = sorted(
+            map(
+                tuple,
+                tx.bloom_point_lookup(
+                    spark, table, index, "k", [k]
+                ).collect(),
+            )
+        )
+        assert got == [(k, k % 13)], k
+
+    # (3) staleness: appended file is always a candidate
+    tx.append(
+        spark,
+        table,
+        spark.range(4000, 4200).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+        ).coalesce(1),
+    )
+    got = tx.bloom_point_lookup(spark, table, index, "k", [4100]).collect()
+    assert [tuple(r) for r in got] == [(4100, 4100 % 13)]
+
+    # (4) DV fallback: delete some rows merge-on-read, lookup stays
+    # DV-aware (deleted key gone, survivor intact)
+    tx.delete_where_dv(spark, table, "k = 777")
+    assert (
+        tx.bloom_point_lookup(spark, table, index, "k", [777]).count() == 0
+    )
+    assert (
+        tx.bloom_point_lookup(spark, table, index, "k", [778]).count() == 1
+    )
