@@ -2841,6 +2841,53 @@ FROM per_doc GROUP BY source
 """
 
 
+# H3: interpolated bigram LM — the mixture expression mirrors the
+# engine's IEEE op tree exactly; ln rounded to 6 then decimal-summed.
+BIGRAM_LM_QUALITY = """
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+toks AS (SELECT doc_id, source, unnest(ws) AS token FROM base),
+trans AS (
+  SELECT doc_id, source, ws[g.i] AS w1, ws[g.i+1] AS w2
+  FROM base, unnest(generate_series(1, len(ws)-1)) AS g(i)
+),
+vocab AS (SELECT token AS w2, COUNT(*) AS c2 FROM toks GROUP BY token),
+ctx AS (SELECT w1, COUNT(*) AS c1 FROM trans GROUP BY w1),
+bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM trans GROUP BY w1, w2),
+tot AS (SELECT COUNT(*) AS n_total FROM toks),
+term AS (
+  SELECT t.doc_id, t.source,
+         CAST(round(-ln(
+             0.75e0 * (CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE))
+           + 0.25e0 * (CAST(v.c2 AS DOUBLE)
+                       / CAST((SELECT n_total FROM tot) AS DOUBLE))
+         ), 6) AS DECIMAL(20,6)) AS s
+  FROM trans t
+  JOIN bi b USING (w1, w2)
+  JOIN ctx c USING (w1)
+  JOIN vocab v USING (w2)
+),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_trans, SUM(s) AS nll
+  FROM term GROUP BY doc_id, source
+),
+corpus AS (
+  SELECT CAST(SUM(nll) AS DOUBLE) / CAST(SUM(n_trans) AS DOUBLE) AS gmean
+  FROM per_doc
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(nll AS DOUBLE) / CAST(n_trans AS DOUBLE)
+                      > 1.25e0 * (SELECT gmean FROM corpus)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(n_trans) AS BIGINT) AS total_trans,
+       CAST(round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(n_trans) AS DOUBLE),
+                  4) AS DOUBLE) AS mean_nll
+FROM per_doc GROUP BY source
+"""
+
+
 # Mergeable histogram quantiles: the ALL group is recomputed FROM
 # SCRATCH here while Spark produces it by merging per-priority bin
 # vectors — hash equality proves closure under union. Every

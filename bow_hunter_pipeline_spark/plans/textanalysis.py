@@ -690,3 +690,97 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_nll"),
         )
     )
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: INTERPOLATED BIGRAM-LM QUALITY GATE — the next model class
+    up from :func:`unigram_lm_quality` (CCNet ships a 5-gram; the
+    estimator mechanics are identical from bigrams upward): a
+    Jelinek-Mercer mixture p(w2|w1) = 0.75*c(w1 w2)/c(w1·) +
+    0.25*c(w2)/N, self-trained on the corpus, scoring every document
+    by mean NLL over its token TRANSITIONS and flagging docs past
+    1.25x the corpus mean. Both mixture weights are exactly
+    representable; each transition's surprise is one short chain of
+    IEEE divides/multiplies/adds, a single libm ln, and a round to 6
+    places summed as DECIMAL — the established exact-NLL discipline,
+    now over a two-table model.
+
+    Scale: the bigram model is one shuffle over distinct bigrams
+    (sublinear in corpus size), the context and unigram tables one
+    shuffle each; scoring is three token-keyed joins back (AQE
+    handles head-word skew) + one shuffle per doc, one per source.
+    Nothing is corpus².
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    toks = base.select(
+        "doc_id", "source", F.explode("ws").alias("token")
+    )
+    trans = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws)-1),"
+                " (w, i) -> struct(w AS w1, ws[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.w1", "b.w2")
+
+    vocab = toks.groupBy(F.col("token").alias("w2")).agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    ctx = trans.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+
+    p = F.lit(0.75) * (
+        F.col("c12").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(0.25) * (
+        F.col("c2").cast("double") / F.col("n_total").cast("double")
+    )
+    term = (
+        trans.join(bi, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(vocab, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.round(-F.log(p), 6).cast("decimal(20,6)").alias("s"),
+        )
+    )
+    per_doc = term.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_trans"),
+        F.sum("s").alias("nll"),
+    )
+    glob = per_doc.agg(
+        (
+            F.sum("nll").cast("double") / F.sum("n_trans").cast("double")
+        ).alias("gmean")
+    )
+    doc_mean = F.col("nll").cast("double") / F.col("n_trans").cast("double")
+    return (
+        per_doc.crossJoin(F.broadcast(glob))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(doc_mean > F.lit(1.25) * F.col("gmean"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("n_trans").cast("bigint").alias("total_trans"),
+            F.round(
+                F.sum("nll").cast("double")
+                / F.sum("n_trans").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("mean_nll"),
+        )
+    )

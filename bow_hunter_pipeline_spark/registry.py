@@ -1136,6 +1136,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.unigram_lm_quality,
         oracles_h.UNIGRAM_LM_QUALITY,
     ),
+    # H3: Jelinek-Mercer interpolated bigram LM quality gate
+    "h3_bigram_lm_quality": (
+        textanalysis.bigram_lm_quality,
+        oracles_h.BIGRAM_LM_QUALITY,
+    ),
     # F: relational PIVOT (pinned values -> one-pass conditional agg)
     "f_pivot_priority_matrix": (
         relational.pivot_priority_matrix,
@@ -1472,6 +1477,7 @@ _DRIVER_ROTATION = [
     "e2_tx_manifest_export",
     "g4_ewma_trend",
     "e2_tx_bloom_pruned_lookup",
+    "h3_bigram_lm_quality",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1505,7 +1511,6 @@ _DRIVER_ROTATION = [
     "e2_tx_guarded_merge",
     # --- oldest surviving proofs (r03/r04 vintage) ---
     "c2_parse_long",
-    "c6_year_from_path",
     "a7_pending_work",
     "g5_weather_correlation",
     "h1_semdedup_kmeans",
@@ -1540,6 +1545,7 @@ R08_NEW_IN_PREFIX = [
     "e2_tx_manifest_export",
     "g4_ewma_trend",
     "e2_tx_bloom_pruned_lookup",
+    "h3_bigram_lm_quality",
 ]
 
 
