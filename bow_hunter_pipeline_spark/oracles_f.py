@@ -1124,6 +1124,18 @@ SELECT priority, n_months,
 FROM series
 """
 
+# F: SMB co-location changes the plan, never the values.
+SMB_COLOCATED_JOIN = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS sum_qty,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
 SEASONALITY_INDEX = """
 WITH monthly AS (
   SELECT o_orderpriority AS priority,

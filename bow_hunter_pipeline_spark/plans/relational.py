@@ -1441,3 +1441,51 @@ def lateral_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT {LATERAL_TOP_N}
         ) o
     """)
+
+
+SMB_ORDERS_TABLE = "bhps_smb_orders"
+SMB_LINEITEM_TABLE = "bhps_smb_lineitem"
+
+
+def smb_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: SORT-MERGE-BUCKET co-located FACT-FACT join — the
+    amortized-shuffle deployment shape for the lake's biggest join
+    (orders x lineitem): both facts land ONCE as bucketed+sorted
+    tables on the order key (operators.scale.write_bucketed), and the
+    join reads them back co-bucketed, so the plan's only exchange is
+    the final 5-key rollup — the join itself moves nothing. At 100 TB
+    this is the difference between re-shuffling both fact tables on
+    every query and never moving them again; the exchange-free plan
+    shape is asserted in tests (test_plan_shapes), the VALUES against
+    the oracle's plain join.
+
+    Idempotent: tables are overwritten per run (the bucketed-LSH
+    discipline).
+    """
+    import shutil
+
+    from bow_hunter_pipeline_spark.operators.scale import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = wh.removeprefix("file:")
+    for t in (SMB_ORDERS_TABLE, SMB_LINEITEM_TABLE):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh_path}/{t}", ignore_errors=True)
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    items = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, SMB_ORDERS_TABLE, ["okey"], 8)
+    write_bucketed(items, SMB_LINEITEM_TABLE, ["okey"], 8)
+
+    joined = spark.table(SMB_ORDERS_TABLE).join(
+        spark.table(SMB_LINEITEM_TABLE), "okey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )

@@ -460,6 +460,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.window_function_showcase,
         oracles_f.WINDOW_FUNCTION_SHOWCASE,
     ),
+    # F: fact-fact join off co-bucketed tables — exchange-free join
+    "f_smb_colocated_join": (
+        relational.smb_colocated_join,
+        oracles_f.SMB_COLOCATED_JOIN,
+    ),
     "f_set_ops_repeat_buyers": (
         relational.set_ops_repeat_buyers,
         oracles_f.SET_OPS_REPEAT_BUYERS,
@@ -1478,6 +1483,7 @@ _DRIVER_ROTATION = [
     "g4_ewma_trend",
     "e2_tx_bloom_pruned_lookup",
     "h3_bigram_lm_quality",
+    "f_smb_colocated_join",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1514,7 +1520,6 @@ _DRIVER_ROTATION = [
     "a7_pending_work",
     "g5_weather_correlation",
     "h1_semdedup_kmeans",
-    "h2_ivf_pq_topk",
     "h6_tokenizer_vocab",
     # --- warehouse_tx paths changed this round: tx re-checks ---
     "e2_tx_delete_restore",
@@ -1546,6 +1551,7 @@ R08_NEW_IN_PREFIX = [
     "g4_ewma_trend",
     "e2_tx_bloom_pruned_lookup",
     "h3_bigram_lm_quality",
+    "f_smb_colocated_join",
 ]
 
 

@@ -616,3 +616,25 @@ def test_ivf_compacted_store_still_prunes_cell_partitions(spark):
     store_scan = plan.split("bhps_ivf_store_c", 1)[0]
     pf = store_scan.rsplit("PartitionFilters:", 1)[-1]
     assert "cell_id" in pf, plan[:1200]
+
+
+def test_smb_join_only_exchange_is_the_rollup(spark):
+    """f_smb_colocated_join's contract: reading both facts co-bucketed
+    on the order key leaves the JOIN exchange-free — the executed plan
+    carries exchanges only for the final priority rollup, never to
+    co-locate the join keys (no Exchange whose partitioning is on
+    okey)."""
+    from bow_hunter_pipeline_spark.plans import relational
+    from tests.conftest import SF_SMOKE
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = relational.smb_colocated_join(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "okey" not in line, f"join key exchange planned: {line}"
+    assert "SortMergeJoin" in plan
