@@ -1796,10 +1796,8 @@ def tx_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = orders.agg(
         F.min("o_orderkey"), F.max("o_orderkey")
     ).collect()[0]
+    # zero-row fixture: no min/max to probe — the absent key alone
+    probes = [-1] if lo is None else [int(lo), int(hi), -1]
     return tx.bloom_point_lookup(
-        spark,
-        TX_BLOOM_PATH,
-        index,
-        "o_orderkey",
-        [int(lo), int(hi), -1],
+        spark, TX_BLOOM_PATH, index, "o_orderkey", probes
     ).select("o_orderkey", "o_custkey", "o_orderpriority")

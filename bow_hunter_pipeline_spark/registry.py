@@ -1076,6 +1076,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_cdf_ivm,
         oracles_f.STREAMING_CDF_IVM,
     ),
+    # H4 x G4: per-key numeric state across micro-batches — the EWMA
+    # fold replays the batch recurrence bit-for-bit (same oracle)
+    "h4_streaming_ewma": (
+        structured.streaming_ewma,
+        oracles_f.EWMA_TREND,
+    ),
     # F: TPC-H Q19 — disjunctive OR-of-conjuncts join predicate
     "f_q19_discounted_parts": (
         tpch.q19_discounted_parts,
@@ -1484,6 +1490,7 @@ _DRIVER_ROTATION = [
     "e2_tx_bloom_pruned_lookup",
     "h3_bigram_lm_quality",
     "f_smb_colocated_join",
+    "h4_streaming_ewma",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1517,7 +1524,6 @@ _DRIVER_ROTATION = [
     "e2_tx_guarded_merge",
     # --- oldest surviving proofs (r03/r04 vintage) ---
     "c2_parse_long",
-    "a7_pending_work",
     "g5_weather_correlation",
     "h1_semdedup_kmeans",
     "h6_tokenizer_vocab",
@@ -1552,6 +1558,7 @@ R08_NEW_IN_PREFIX = [
     "e2_tx_bloom_pruned_lookup",
     "h3_bigram_lm_quality",
     "f_smb_colocated_join",
+    "h4_streaming_ewma",
 ]
 
 

@@ -1500,3 +1500,123 @@ def streaming_cdf_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         to_double(F.round(F.col("rev"), 4)).alias("total_price"),
     )
+
+
+EWMA_STREAM_WORK = "/tmp/bhps_ewma_stream"
+
+
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 x G4: EWMA as a STATEFUL STREAMING OPERATOR — the smoother a
+    live revenue dashboard actually runs: monthly aggregates arrive
+    one year per micro-batch (staged files, ``maxFilesPerTrigger=1``),
+    and ``applyInPandasWithState`` keyed on priority carries
+    (n, fast, slow) numeric state across batches, folding each batch's
+    month-sorted values through the same exactly-representable
+    recurrences (alpha = 0.5 / 0.25) as the batch query. Because
+    Python's float ops are the same IEEE doubles the JVM folds, the
+    final state matches ``g4_ewma_trend``'s oracle BIT-FOR-BIT — the
+    proof that numeric state survives Arrow round-trips and
+    micro-batch boundaries without drift. Emission is cumulative per
+    batch; the last emission per key (max n_months) is the answer.
+
+    Scale: O(1) doubles of state per series; parallelism = series
+    keys; the feed staging is fixture plumbing — production points
+    the same operator at a Kafka/file arrival stream.
+    """
+    import glob
+    import os
+    import shutil
+
+    from bow_hunter_pipeline_spark.io.readers import read_table
+
+    shutil.rmtree(EWMA_STREAM_WORK, ignore_errors=True)
+    feed = os.path.join(EWMA_STREAM_WORK, "feed")
+    os.makedirs(feed)
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("month_idx"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    years = [
+        r.yr for r in monthly.select("yr").distinct().orderBy("yr").collect()
+    ]
+    for i, yr in enumerate(years):
+        staging = os.path.join(EWMA_STREAM_WORK, f"_stage{i}")
+        monthly.filter(F.col("yr") == yr).select(
+            "priority", "month_idx", "x"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"year{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        t = 1_700_000_000 + i * 100
+        os.utime(dest, (t, t))
+
+    def fold_series(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (priority,) = key
+        if state.exists:
+            n, fast, slow = state.get
+        else:
+            n, fast, slow = 0, 0.0, 0.0
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (int(m), float(x))
+                for m, x in zip(pdf["month_idx"], pdf["x"])
+            )
+        rows.sort()
+        for _, x in rows:
+            if n == 0:
+                fast, slow = x, x
+            else:
+                fast = 0.5 * x + 0.5 * fast
+                slow = 0.25 * x + 0.75 * slow
+            n += 1
+        state.update((n, fast, slow))
+        yield pd.DataFrame(
+            {
+                "priority": pd.Series([priority], dtype="object"),
+                "n_months": pd.Series([n], dtype="int64"),
+                "ewma_fast": pd.Series([fast], dtype="float64"),
+                "ewma_slow": pd.Series([slow], dtype="float64"),
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("priority string, month_idx long, x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = stream.groupBy("priority").applyInPandasWithState(
+        fold_series,
+        outputStructType=(
+            "priority string, n_months bigint, "
+            "ewma_fast double, ewma_slow double"
+        ),
+        stateStructType="n bigint, fast double, slow double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(out, "bhps_stream_ewma", "update")
+    emitted = spark.table("bhps_stream_ewma")
+    last = emitted.groupBy("priority").agg(
+        F.max(
+            F.struct("n_months", "ewma_fast", "ewma_slow")
+        ).alias("s")
+    )
+    return last.select(
+        "priority",
+        F.col("s.n_months").alias("n_months"),
+        F.col("s.ewma_fast").alias("ewma_fast"),
+        F.col("s.ewma_slow").alias("ewma_slow"),
+    )
