@@ -59,6 +59,17 @@ def build_parser() -> argparse.ArgumentParser:
     t_res = tx_sub.add_parser("restore", help="roll back to a version")
     t_res.add_argument("table")
     t_res.add_argument("version", type=int)
+    t_man = tx_sub.add_parser(
+        "manifest", help="export a symlink-format manifest"
+    )
+    t_man.add_argument("table")
+    t_man.add_argument("--version", type=int, default=None)
+    t_blm = tx_sub.add_parser(
+        "bloom", help="build a per-file bloom file-skip index"
+    )
+    t_blm.add_argument("table")
+    t_blm.add_argument("column")
+    t_blm.add_argument("--version", type=int, default=None)
     return p
 
 
@@ -92,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.tx_cmd == "restore":
             v = tx.restore(spark, args.table, args.version)
             print(f"restored to version {args.version} as version {v}")
+        elif args.tx_cmd == "manifest":
+            path = tx.generate_manifest(args.table, args.version)
+            print(f"manifest at {path}")
+        elif args.tx_cmd == "bloom":
+            path = tx.build_bloom_index(
+                spark, args.table, args.column, args.version
+            )
+            print(f"bloom index at {path}")
         return 0
 
     from bow_hunter_pipeline_spark import registry

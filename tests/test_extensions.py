@@ -725,6 +725,14 @@ def test_cli_tx_maintenance_commands(spark, tmp_path, capsys):
     assert main(["tx", "vacuum", table, "--keep-versions", "1"]) == 0
     capsys.readouterr()
 
+    assert main(["tx", "manifest", table]) == 0
+    man = capsys.readouterr().out.strip().removeprefix("manifest at ")
+    assert tx.read_manifest(spark, man).count() == 50
+    assert main(["tx", "bloom", table, "k"]) == 0
+    idx = capsys.readouterr().out.strip().removeprefix("bloom index at ")
+    got = tx.bloom_point_lookup(spark, table, idx, "k", [7]).collect()
+    assert [(r.k, r.v) for r in got] == [(7, 7.0)]
+
 
 def test_bpe_merge_fold_is_nonoverlapping_greedy(spark):
     """The BPE merge fold's contract on the pathological input — a
