@@ -232,6 +232,50 @@ FROM lineitem GROUP BY l_returnflag
 
 # --- multimodal --------------------------------------------------------
 
+# Multimodal patchify -> pooled integer embedding -> exact top-3
+# retrieval, replayed from raw text (ASCII fixture: chars == bytes).
+MM_PATCH_EMBED_SEARCH = """
+WITH pb AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) // 4 AS stride, text
+  FROM documents
+),
+patches AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 4), p ->
+           list_sum(list_transform(
+             string_split(substring(text,
+               (p-1)*stride + 1,
+               CASE WHEN p < 4 THEN stride ELSE n - 3*stride END), ''),
+             ch -> ascii(ch)))) AS patch_sums
+  FROM pb
+),
+emb AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 8), d ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(patch_sums, s -> (s * d) % 9973)),
+             (acc, x) -> acc + x)) AS emb
+  FROM patches
+),
+scored AS (
+  SELECT q.doc_id AS q_doc, c.doc_id AS n_doc,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, 8),
+             d -> q.emb[d] * c.emb[d])),
+           (acc, x) -> acc + x) AS BIGINT) AS dot
+  FROM emb q JOIN emb c ON q.doc_id < 5 AND q.doc_id <> c.doc_id
+),
+ranked AS (
+  SELECT q_doc, n_doc, dot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_doc
+                                 ORDER BY dot DESC, n_doc) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT q_doc, n_doc, dot, rank FROM ranked WHERE rank <= 3
+"""
+
 MM_DECODE_META = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -259,3 +259,99 @@ def audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(window_features, _AUDIO_SCHEMA)
+
+
+_PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("patch_sums", T.ArrayType(T.LongType())),
+    ]
+)
+
+N_PATCHES = 4
+EMBED_DIM = 8
+EMBED_MOD = 9973
+N_EMBED_PROBES = 5
+
+
+def patch_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → retrieval handoff, end to end in one plan: decode
+    each payload into PATCH features (mapInPandas — the CLIP-style
+    patchify step; the fake feature is each quarter-payload's byte
+    sum, so the whole pipeline stays byte-deterministic), pool the
+    patches into a D=8 integer embedding, and run exact top-3
+    retrieval for the first five docs as probes (integer dot products
+    — the h2_int8 discipline, so every score hash-matches the
+    oracle's replay from raw text).
+
+    This is the cross-modal shape a media lake serves: codec →
+    patch features → pooled embedding COLUMN → the same ANN machinery
+    the text embeddings use. Swap the byte-sum fake for a real vision
+    encoder at the codec seam; the plan around it — narrow patchify
+    map, embedding arithmetic in built-ins, bounded probe broadcast,
+    per-probe top-k window — does not change.
+
+    Scale: patchify is a narrow map (no shuffle); scoring is
+    probes x corpus with a 5-row broadcast probe side (the exact
+    baseline; the IVF/LSH family is the pruned path at volume).
+    """
+    n_patches = N_PATCHES
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_sums = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                stride = n // n_patches
+                sums = []
+                for p in range(n_patches):
+                    lo = p * stride
+                    hi = (p + 1) * stride if p < n_patches - 1 else n
+                    sums.append(sum(b[lo:hi]))
+                out_doc.append(doc_id)
+                out_sums.append(sums)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "patch_sums": pd.Series(out_sums, dtype="object"),
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    patches = with_payload(docs).mapInPandas(patchify, _PATCH_SCHEMA)
+    # pool: emb[d] = sum over patches of (patch_sum * (d+1)) % MOD —
+    # integer arithmetic end to end, replayable in any engine
+    emb = patches.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, {EMBED_DIM}), d -> "
+            f"aggregate(patch_sums, cast(0 as bigint), "
+            f"(acc, s) -> acc + (s * d) % {EMBED_MOD}))"
+        ).alias("emb"),
+    )
+    probes = emb.filter(F.col("doc_id") < N_EMBED_PROBES).select(
+        F.col("doc_id").alias("q_doc"), F.col("emb").alias("q_emb")
+    )
+    cands = emb.select(
+        F.col("doc_id").alias("n_doc"), F.col("emb").alias("n_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "n_emb", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_doc").orderBy(
+        F.desc("dot"), F.col("n_doc")
+    )
+    return (
+        F.broadcast(probes)
+        .crossJoin(cands)
+        .filter(F.col("q_doc") != F.col("n_doc"))
+        .withColumn("dot", dot)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_doc", "n_doc", "dot", "rank")
+    )

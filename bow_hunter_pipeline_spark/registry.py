@@ -816,6 +816,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles_f.UDF_GROUPED_MAP_ARROW,
     ),
     "mm_audio_windows": (multimodal.audio_windows, oracles_f.MM_AUDIO_WINDOWS),
+    # Multimodal -> retrieval handoff: patchify (mapInPandas) ->
+    # pooled integer embedding -> exact top-3, one oracle-checked plan
+    "mm_patch_embed_search": (
+        multimodal.patch_embed_search,
+        oracles_f.MM_PATCH_EMBED_SEARCH,
+    ),
     "h2_pq_topk": (simsearch.pq_topk, oracles_h.PQ_TOPK),
     # H6 training-data pipeline operators (plans.traindata)
     "h6_sequence_packing": (
@@ -1491,6 +1497,7 @@ _DRIVER_ROTATION = [
     "h3_bigram_lm_quality",
     "f_smb_colocated_join",
     "h4_streaming_ewma",
+    "mm_patch_embed_search",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1525,7 +1532,6 @@ _DRIVER_ROTATION = [
     # --- oldest surviving proofs (r03/r04 vintage) ---
     "c2_parse_long",
     "g5_weather_correlation",
-    "h1_semdedup_kmeans",
     "h6_tokenizer_vocab",
     # --- warehouse_tx paths changed this round: tx re-checks ---
     "e2_tx_delete_restore",
@@ -1559,6 +1565,7 @@ R08_NEW_IN_PREFIX = [
     "h3_bigram_lm_quality",
     "f_smb_colocated_join",
     "h4_streaming_ewma",
+    "mm_patch_embed_search",
 ]
 
 

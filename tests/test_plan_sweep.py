@@ -61,6 +61,7 @@ ALLOW: dict[str, set[str]] = {
         "h2_ann_cascade_topk",  # stage-1 = the same bounded probe broadcast
         "h3_unigram_lm_quality",  # 1-row corpus-total + 1-row corpus-mean
         "h3_bigram_lm_quality",  # same 1-row total + 1-row mean broadcasts
+        "mm_patch_embed_search",  # 5-row probe broadcast, exact baseline
         "h5_histogram_quantile_sketch",  # 1-row range + 4-row q-list broadcasts
         "h2_ivf_index_at_rest",  # same K-centroid broadcast assignment
         "h2_ivf_compacted_search",  # same K-centroid broadcast assignment
