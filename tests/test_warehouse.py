@@ -1994,3 +1994,26 @@ def test_tx_bloom_index_prunes_without_false_negatives(spark, tmp_path):
     assert (
         tx.bloom_point_lookup(spark, table, index, "k", [778]).count() == 1
     )
+
+
+def test_tx_manifest_expires_with_vacuum_retention(spark, tmp_path):
+    """The manifest's retention trade, pinned: a manifest is a frozen
+    view of its version's files, so once vacuum reclaims versions
+    below the retention window the old manifest's reads fail loudly
+    (files gone) while a fresh manifest of the live version still
+    serves — exactly the time-travel trade documented for snapshots."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"))
+    tx.create_table(spark, table, df)
+    m0 = tx.generate_manifest(table)
+    tx.compact(spark, table)  # v1 rewrites the live set
+    tx.vacuum(spark, table, keep_versions=1)  # v0's files reclaimed
+    with pytest.raises(Exception):
+        tx.read_manifest(spark, m0).count()
+    m1 = tx.generate_manifest(table)
+    assert tx.read_manifest(spark, m1).count() == 50
