@@ -3006,3 +3006,29 @@ BPE_TRAIN_MERGES = (
         f"a{k}" for k in range(1, _BPE_ROUNDS + 1)
     )
 )
+
+
+BPE_APPLY_COMPRESSION = (
+    """WITH wt0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS toks
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),"""
+    + ",".join(_bpe_round_ctes(k) for k in range(1, _BPE_ROUNDS + 1))
+    + f""",
+words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+enc AS (
+  SELECT w, CAST(length(w) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_bpe
+  FROM m{_BPE_ROUNDS}
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(DISTINCT words.w) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(n_chars) AS BIGINT) AS symbols_before,
+       CAST(SUM(n_bpe) AS BIGINT) AS symbols_after,
+       CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
+         AS compression
+FROM words JOIN enc USING (w) GROUP BY source"""
+)

@@ -1052,3 +1052,71 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionByName(a)
     return out
+
+
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: APPLY the trained BPE merges — the second half of the
+    tokenizer loop (:func:`bpe_train_merges` learns the rules; this
+    encodes the corpus with them) with the optimization every
+    production tokenizer uses: encoding is computed ONCE PER DISTINCT
+    WORD (the word table is vocabulary-sized) and joined back to the
+    corpus, never re-folded per occurrence. Output per source: symbol
+    counts before (characters) and after the merges, distinct words,
+    and the compression ratio — the number a tokenizer team actually
+    tracks when choosing merge counts.
+
+    Scale: the train loop's cost profile (pair-count shuffles over
+    the distinct-word table) plus ONE token-keyed join back to the
+    corpus words; encoding cost is O(vocabulary), not O(corpus) —
+    the HuggingFace word-cache trick as a Spark plan.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cur = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("toks", F.split("w", ""))
+    )
+    adjacent = F.expr(
+        "transform(sequence(0, size(toks)-2),"
+        " i -> struct(toks[i] AS l, toks[i+1] AS r))"
+    )
+    for _ in range(BPE_ROUNDS):
+        winner = (
+            cur.filter(F.size("toks") >= 2)
+            .select("freq", F.explode(adjacent).alias("p"))
+            .groupBy(F.col("p.l").alias("w_l"), F.col("p.r").alias("w_r"))
+            .agg(F.sum("freq").cast("bigint").alias("pw"))
+            .orderBy(F.desc("pw"), "w_l", "w_r")
+            .limit(1)
+            .select("w_l", "w_r")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(winner))
+            .withColumn(
+                "toks",
+                F.split(F.aggregate("toks", F.lit(""), _bpe_fold), " "),
+            )
+            .select("w", "freq", "toks")
+        )
+    encoded = cur.select(
+        "w",
+        F.length("w").cast("bigint").alias("n_chars"),
+        F.size("toks").cast("bigint").alias("n_bpe"),
+    )
+    return (
+        words.join(encoded, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.count_distinct("w").cast("bigint").alias("n_distinct_words"),
+            F.sum("n_chars").cast("bigint").alias("symbols_before"),
+            F.sum("n_bpe").cast("bigint").alias("symbols_after"),
+            (
+                F.sum("n_bpe").cast("double")
+                / F.sum("n_chars").cast("double")
+            ).alias("compression"),
+        )
+    )

@@ -884,6 +884,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.bpe_train_merges,
         oracles_h.BPE_TRAIN_MERGES,
     ),
+    # H6: apply the learned merges — encode once per DISTINCT word
+    # (vocabulary-sized), join back; per-source compression trajectory
+    "h6_bpe_apply_compression": (
+        traindata.bpe_apply_compression,
+        oracles_h.BPE_APPLY_COMPRESSION,
+    ),
     # Z-order (Morton) clustered layout — multi-dim pruning stats
     "a4_zorder_layout": (pipeline.zorder_layout, oracles_f.ZORDER_LAYOUT),
     # End-to-end curation funnel (quality → exact dedup → LSH drop)
@@ -1498,6 +1504,7 @@ _DRIVER_ROTATION = [
     "f_smb_colocated_join",
     "h4_streaming_ewma",
     "mm_patch_embed_search",
+    "h6_bpe_apply_compression",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1532,7 +1539,6 @@ _DRIVER_ROTATION = [
     # --- oldest surviving proofs (r03/r04 vintage) ---
     "c2_parse_long",
     "g5_weather_correlation",
-    "h6_tokenizer_vocab",
     # --- warehouse_tx paths changed this round: tx re-checks ---
     "e2_tx_delete_restore",
     "e2_tx_update_change_feed",
@@ -1566,6 +1572,7 @@ R08_NEW_IN_PREFIX = [
     "f_smb_colocated_join",
     "h4_streaming_ewma",
     "mm_patch_embed_search",
+    "h6_bpe_apply_compression",
 ]
 
 

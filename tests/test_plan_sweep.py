@@ -69,6 +69,7 @@ ALLOW: dict[str, set[str]] = {
         "f_keyset_pagination",  # 1-row boundary token broadcast
         "h5_kmv_set_ops",  # 1-row sketch stats × 1-row exact audit
         "h6_bpe_train_merges",  # 1-row merge-rule winner broadcast per round
+        "h6_bpe_apply_compression",  # same 1-row winner broadcasts
     },
     # All-pairs semantics by design, bounded by blocking/banding
     # upstream (LSH buckets, band keys) or quadratic-in-small-n.
