@@ -475,6 +475,23 @@ FROM e c JOIN e p
  AND p.us - c.us <= CAST(3600 AS BIGINT) * 1000000
 """
 
+# H4 stream-stream LEFT OUTER: same band, purchases preserved;
+# NULL click = no preceding click within the hour.
+STREAMING_OUTER_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+)
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       (p.us - c.us) // 1000000 AS gap_s
+FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.us <= p.us
+ AND p.us - c.us <= CAST(3600 AS BIGINT) * 1000000
+"""
+
 MOVING_AVG_REVENUE = """
 WITH monthly AS (
   SELECT o_orderpriority AS priority,

@@ -1088,6 +1088,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_cdf_ivm,
         oracles_f.STREAMING_CDF_IVM,
     ),
+    # H4: stream-stream LEFT OUTER with watermark-proven null matches
+    "h4_streaming_outer_attribution": (
+        structured.streaming_outer_attribution,
+        oracles_f.STREAMING_OUTER_ATTRIBUTION,
+    ),
     # H4 x G4: per-key numeric state across micro-batches — the EWMA
     # fold replays the batch recurrence bit-for-bit (same oracle)
     "h4_streaming_ewma": (
@@ -1505,6 +1510,7 @@ _DRIVER_ROTATION = [
     "h4_streaming_ewma",
     "mm_patch_embed_search",
     "h6_bpe_apply_compression",
+    "h4_streaming_outer_attribution",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1537,7 +1543,6 @@ _DRIVER_ROTATION = [
     "h4_attribution_first_last",
     "e2_tx_guarded_merge",
     # --- oldest surviving proofs (r03/r04 vintage) ---
-    "c2_parse_long",
     "g5_weather_correlation",
     # --- warehouse_tx paths changed this round: tx re-checks ---
     "e2_tx_delete_restore",
@@ -1573,6 +1578,7 @@ R08_NEW_IN_PREFIX = [
     "h4_streaming_ewma",
     "mm_patch_embed_search",
     "h6_bpe_apply_compression",
+    "h4_streaming_outer_attribution",
 ]
 
 

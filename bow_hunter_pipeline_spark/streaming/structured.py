@@ -1620,3 +1620,138 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.ewma_fast").alias("ewma_fast"),
         F.col("s.ewma_slow").alias("ewma_slow"),
     )
+
+
+OUTER_JOIN_WORK = "/tmp/bhps_outer_join_stream"
+
+
+def streaming_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H4 stream-stream LEFT OUTER join — the attribution question the
+    inner join (:func:`streaming_click_attribution`) cannot answer:
+    which purchases had NO preceding click? Outer results can only
+    emit once the watermark proves no matching click can still arrive,
+    so this query also demonstrates the operational trick that makes
+    outer joins usable on bounded replays: two SENTINEL events (far
+    future, filtered out of both legs AFTER their watermark nodes)
+    arrive as final micro-batches purely to advance the watermark —
+    the first moves it past every real purchase's join window, the
+    later ones give the engine batches in which to flush the expired
+    state (eviction emits one batch after the watermark allows it). Without them, unmatched rows inside the final lateness
+    window would sit in state forever.
+
+    Scale: both legs are watermarked and the join condition carries
+    the event-time band, so state for either side is dropped once the
+    watermark passes the window — bounded state on a perpetual
+    stream; the sentinel pattern is only the bounded-replay harness.
+    Oracle: the same LEFT JOIN in plain SQL.
+    """
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(OUTER_JOIN_WORK, ignore_errors=True)
+    feed = os.path.join(OUTER_JOIN_WORK, "feed")
+    os.makedirs(feed)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if dict(batch.dtypes)["ts"] in ("bigint", "long")
+        else F.col("ts").cast("timestamp")
+    )
+    ev = batch.select(
+        "event_id", "user_id", "event_type", ts.alias("ts")
+    )
+
+    def stage(df: DataFrame, name: str, order: int) -> None:
+        staging = os.path.join(OUTER_JOIN_WORK, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"{name}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        t = 1_700_000_000 + order * 100
+        os.utime(dest, (t, t))
+
+    stage(ev, "a_real", 0)
+    # sentinels must be REAL click/purchase rows (user_id = -1, which
+    # joins nothing and is filtered after the join): Catalyst pushes
+    # each leg's type filter BELOW its watermark node, so a row of a
+    # third type would be dropped before it could advance either
+    # watermark — the single sharpest gotcha in this query
+    for i, hours in enumerate((3, 6)):
+        m = (F.col("m") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts")
+        stage(
+            ev.agg(F.max("ts").alias("m")).select(
+                F.lit(-1 - 2 * i).alias("event_id"),
+                F.lit(-1).alias("user_id"),
+                F.lit("click").alias("event_type"),
+                m,
+            ).unionByName(
+                ev.agg(F.max("ts").alias("m")).select(
+                    F.lit(-2 - 2 * i).alias("event_id"),
+                    F.lit(-1).alias("user_id"),
+                    F.lit("purchase").alias("event_type"),
+                    m,
+                )
+            ),
+            f"b_sentinel{i}",
+            1 + i,
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    # withWatermark BEFORE the type filter on each leg: the sentinel
+    # rows advance both watermarks, then vanish at the filter
+    clicks = (
+        stream.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) "
+            "div 1000000"
+        ).alias("gap_s"),
+    )
+    run_to_memory(joined, "bhps_stream_outer_attr", "append")
+    # drop the sentinel purchases AFTER materialization: filtering the
+    # STREAMING frame would be pushed below the watermark nodes by
+    # Catalyst (through the equi-join key, onto both legs) and
+    # re-silence the sentinels
+    return spark.table("bhps_stream_outer_attr").filter(
+        F.col("user_id") >= 0
+    )
