@@ -531,6 +531,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_sessionize,
         oracles_h.SESSIONIZE,
     ),
+    # H4: sessions emitted exactly once, on EventTimeTimeout close
+    "h4_streaming_session_timeout": (
+        structured.streaming_session_timeout,
+        oracles_h.SESSIONIZE,
+    ),
     # Group F third wave — outer-join distribution, EXISTS, dual-role
     # dimension, argmin join-back, multi-distinct
     "f_q13_customer_distribution": (
@@ -1511,6 +1516,7 @@ _DRIVER_ROTATION = [
     "mm_patch_embed_search",
     "h6_bpe_apply_compression",
     "h4_streaming_outer_attribution",
+    "h4_streaming_session_timeout",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1543,7 +1549,6 @@ _DRIVER_ROTATION = [
     "h4_attribution_first_last",
     "e2_tx_guarded_merge",
     # --- oldest surviving proofs (r03/r04 vintage) ---
-    "g5_weather_correlation",
     # --- warehouse_tx paths changed this round: tx re-checks ---
     "e2_tx_delete_restore",
     "e2_tx_update_change_feed",
@@ -1579,6 +1584,7 @@ R08_NEW_IN_PREFIX = [
     "mm_patch_embed_search",
     "h6_bpe_apply_compression",
     "h4_streaming_outer_attribution",
+    "h4_streaming_session_timeout",
 ]
 
 

@@ -1755,3 +1755,162 @@ def streaming_outer_attribution(
     return spark.table("bhps_stream_outer_attr").filter(
         F.col("user_id") >= 0
     )
+
+
+SESSION_TIMEOUT_WORK = "/tmp/bhps_session_timeout_stream"
+
+
+def streaming_session_timeout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H4: sessionization closed by EVENT-TIME TIMEOUT — the third
+    stateful-API surface after the in-fold gap logic
+    (:func:`streaming_sessionize`) and transformWithState: here a
+    session EMITS only when it provably cannot grow — either a later
+    event inside a batch exceeds the gap, or the WATERMARK passes the
+    open session's end + gap and the engine calls the function back
+    with ``state.hasTimedOut`` (``GroupStateTimeout.EventTimeTimeout``
+    + ``state.setTimeoutTimestamp``). This is the production shape for
+    "emit each session exactly once, when it closes" — no
+    re-emissions, no downstream dedup.
+
+    Events arrive in three chronological micro-batches (sessions span
+    batch boundaries, proving state carry), then two far-future
+    sentinel events (user -1 — a key of its own, never emitted since
+    nothing outlives it) advance the watermark so every real open
+    session times out and flushes; eviction emits one batch late,
+    hence two sentinels. Same oracle as batch sessionize — the full
+    session set, each row emitted exactly once.
+
+    Scale: O(1) session tuple per live key, dropped at timeout; the
+    watermark bounds state on a perpetual stream.
+    """
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(SESSION_TIMEOUT_WORK, ignore_errors=True)
+    feed = os.path.join(SESSION_TIMEOUT_WORK, "feed")
+    os.makedirs(feed)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if dict(batch.dtypes)["ts"] in ("bigint", "long")
+        else F.col("ts").cast("timestamp")
+    )
+    ev = batch.select("user_id", ts.alias("ts"))
+
+    def stage(df: DataFrame, name: str, order: int) -> None:
+        staging = os.path.join(SESSION_TIMEOUT_WORK, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"{name}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        t = 1_700_000_000 + order * 100
+        os.utime(dest, (t, t))
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    third = (hi - lo) / 3
+    stage(ev.filter(F.col("ts") < F.lit(lo + third)), "a_part0", 0)
+    stage(
+        ev.filter(
+            (F.col("ts") >= F.lit(lo + third))
+            & (F.col("ts") < F.lit(lo + 2 * third))
+        ),
+        "b_part1",
+        1,
+    )
+    stage(ev.filter(F.col("ts") >= F.lit(lo + 2 * third)), "c_part2", 2)
+    for i, days in enumerate((2, 4)):
+        stage(
+            ev.agg(F.max("ts").alias("m")).select(
+                F.lit(-1).alias("user_id"),
+                (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias(
+                    "ts"
+                ),
+            ),
+            f"d_sentinel{i}",
+            3 + i,
+        )
+
+    gap_s = SESSION_GAP_S
+
+    def close_sessions(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n_closed, open_start, open_end, open_n = state.get
+        else:
+            n_closed, open_start, open_end, open_n = 0, None, None, 0
+        rows = []
+        if state.hasTimedOut:
+            # the watermark passed open_end + gap: the session is final
+            if open_start is not None:
+                rows.append(
+                    (user_id, n_closed + 1, open_n, open_start, open_end)
+                )
+            state.remove()
+        else:
+            epochs: list[int] = []
+            for pdf in batches:
+                epochs.extend(
+                    int(x) for x in (pdf["ts"].astype("int64") // 10**9)
+                )
+            epochs.sort()
+            for e in epochs:
+                if open_start is None:
+                    open_start, open_end, open_n = e, e, 1
+                elif e - open_end > gap_s:
+                    n_closed += 1
+                    rows.append(
+                        (user_id, n_closed, open_n, open_start, open_end)
+                    )
+                    open_start, open_end, open_n = e, e, 1
+                else:
+                    open_end, open_n = e, open_n + 1
+            state.update((n_closed, open_start, open_end, open_n))
+            state.setTimeoutTimestamp((open_end + gap_s + 1) * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "session_idx": pd.Series(
+                    [r[1] for r in rows], dtype="int64"
+                ),
+                "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
+                "session_start_s": pd.Series(
+                    [r[3] for r in rows], dtype="int64"
+                ),
+                "session_end_s": pd.Series(
+                    [r[4] for r in rows], dtype="int64"
+                ),
+                "duration_s": pd.Series(
+                    [r[4] - r[3] for r in rows], dtype="int64"
+                ),
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "1 minute")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        close_sessions,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    run_to_memory(out, "bhps_stream_session_timeout", "append")
+    # the second sentinel closes the first sentinel's own session
+    # in-fold; drop the sentinel key AFTER materialization (a
+    # streaming-side filter would be pushed below the watermark node)
+    return spark.table("bhps_stream_session_timeout").filter(
+        F.col("user_id") >= 0
+    )
