@@ -492,6 +492,28 @@ LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
  AND p.us - c.us <= CAST(3600 AS BIGINT) * 1000000
 """
 
+# G5: grid pruning never changes the result set (two points within
+# R differ by <=1 cell per axis) — the oracle is brute force.
+RADIUS_GRID_JOIN = """
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         (c_custkey * 13) % 100 AS px, (c_custkey * 29) % 100 AS py
+  FROM customer
+),
+q AS (
+  SELECT s_suppkey,
+         (s_suppkey * 17) % 100 AS qx, (s_suppkey * 41) % 100 AS qy
+  FROM supplier
+)
+SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_in_radius,
+       CAST(MIN((px-qx)*(px-qx) + (py-qy)*(py-qy)) AS BIGINT) AS min_d2,
+       CAST(round(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 4) AS DOUBLE)
+         AS total_acctbal
+FROM q JOIN pts
+  ON (px-qx)*(px-qx) + (py-qy)*(py-qy) <= 25
+GROUP BY s_suppkey
+"""
+
 MOVING_AVG_REVENUE = """
 WITH monthly AS (
   SELECT o_orderpriority AS priority,

@@ -547,3 +547,67 @@ def ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma(0.5).alias("ewma_fast"),
         ewma(0.25).alias("ewma_slow"),
     )
+
+
+RADIUS = 5  # search radius; also the grid cell size (3x3 candidates)
+
+
+def radius_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: RADIUS SEARCH AS A GRID-CELL BUCKET JOIN — the production
+    refinement :func:`nearest_sensor_join`'s docstring defers to, for
+    when BOTH point sets are too big to broadcast: bucket points into
+    cells of side = radius, explode each query point to its 3x3
+    neighbor cells, equi-join on the cell key, then apply the exact
+    distance predicate. Two points within distance R can differ by at
+    most one cell index in each axis, so the candidate set per query
+    is bounded by 9 cells' occupancy — never points x points — and
+    the join is a plain hash/sort-merge shuffle on the cell key (no
+    cross product anywhere, plan-sweep-enforced). Coordinates are the
+    deterministic integer grid, so every squared distance is an exact
+    bigint and the oracle replays the brute-force predicate.
+
+    Scale: this is how a spatial join runs at 100 TB (geohash/S2/H3
+    cells are this with curved cells); skewed cells split via AQE,
+    and the 9x explode is narrow map-side fan-out.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    pts = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") * 13) % 100).cast("bigint").alias("px"),
+        ((F.col("c_custkey") * 29) % 100).cast("bigint").alias("py"),
+    ).select(
+        "*",
+        (F.col("px") / RADIUS).cast("bigint").alias("cx"),
+        (F.col("py") / RADIUS).cast("bigint").alias("cy"),
+    )
+    queries = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 17) % 100).cast("bigint").alias("qx"),
+        ((F.col("s_suppkey") * 41) % 100).cast("bigint").alias("qy"),
+    )
+    neighbors = queries.select(
+        "*",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), i -> "
+                f"transform(sequence(-1, 1), j -> struct("
+                f"cast(qx div {RADIUS} + i as bigint) AS cx, "
+                f"cast(qy div {RADIUS} + j as bigint) AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("s_suppkey", "qx", "qy", "cell.cx", "cell.cy")
+    dx = F.col("px") - F.col("qx")
+    dy = F.col("py") - F.col("qy")
+    d2 = dx * dx + dy * dy
+    return (
+        neighbors.join(pts, ["cx", "cy"])
+        .filter(d2 <= F.lit(RADIUS * RADIUS))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in_radius"),
+            F.min(d2).alias("min_d2"),
+            dsum("c_acctbal", "total_acctbal", "decimal(12,2)"),
+        )
+    )

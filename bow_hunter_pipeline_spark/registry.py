@@ -1277,6 +1277,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # G4+: EWMA smoothing as an order-pinned IEEE fold (exact alphas)
     "g4_ewma_trend": (analytics.ewma_trend, oracles_f.EWMA_TREND),
+    # G5: radius search as a grid-cell bucket join — bounded candidates
+    "g5_radius_grid_join": (
+        analytics.radius_grid_join,
+        oracles_f.RADIUS_GRID_JOIN,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1517,6 +1522,7 @@ _DRIVER_ROTATION = [
     "h6_bpe_apply_compression",
     "h4_streaming_outer_attribution",
     "h4_streaming_session_timeout",
+    "g5_radius_grid_join",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1535,7 +1541,6 @@ _DRIVER_ROTATION = [
     "h4_streaming_cdf_change_files",
     "h4_streaming_cdc_late_arrivals",
     # --- bench headliners (all re-proven every round) ---
-    "g1_pricing_summary",
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
     "g4_yearly_trend",
@@ -1585,6 +1590,7 @@ R08_NEW_IN_PREFIX = [
     "h6_bpe_apply_compression",
     "h4_streaming_outer_attribution",
     "h4_streaming_session_timeout",
+    "g5_radius_grid_join",
 ]
 
 

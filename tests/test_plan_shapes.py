@@ -638,3 +638,18 @@ def test_smb_join_only_exchange_is_the_rollup(spark):
         if "Exchange" in line:
             assert "okey" not in line, f"join key exchange planned: {line}"
     assert "SortMergeJoin" in plan
+
+
+def test_radius_grid_join_is_equi_join_on_cells(spark):
+    """g5_radius_grid_join's contract: the spatial join plans as a
+    plain equi join on the cell key (hash or sort-merge), never a
+    nested-loop/cartesian over points x queries — the 9-cell explode
+    bounds candidates and the distance predicate is a post-join
+    filter."""
+    from bow_hunter_pipeline_spark.plans import analytics
+    from tests.conftest import SF_SMOKE
+
+    plan = _plan(analytics.radius_grid_join(spark, SF_SMOKE))
+    assert "Join" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
