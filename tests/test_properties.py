@@ -395,3 +395,49 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, data):
         assert abs(r.est_q - r.exact_q) <= width + 1e-9 * max(
             1.0, abs(hi), abs(lo)
         ), (r, width)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    toks=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        min_size=1,
+        max_size=12,
+    ),
+    rule=st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=3),
+        st.text(alphabet="ab", min_size=1, max_size=3),
+    ),
+)
+def test_bpe_fold_matches_pure_python_greedy(spark, toks, rule):
+    """The BPE merge fold vs an independent reference on ARBITRARY
+    token runs and rules (including multi-char symbols and rules that
+    never match): greedy left-to-right non-overlapping merge — scan
+    the original sequence, merge (l, r) at the first opportunity,
+    continue after the merged pair."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.plans import traindata
+
+    l, r = rule
+
+    def reference(ts: list) -> list:
+        out, i = [], 0
+        while i < len(ts):
+            if i + 1 < len(ts) and ts[i] == l and ts[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(ts[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(toks, l, r)], "toks array<string>, w_l string, w_r string"
+    )
+    got = df.select(
+        F.split(
+            F.aggregate("toks", F.lit(""), traindata._bpe_fold), " "
+        ).alias("out")
+    ).collect()[0].out
+    assert got == reference(toks), (toks, rule, got)
