@@ -1096,6 +1096,45 @@ FROM r LEFT JOIN qs USING (source) LEFT JOIN es USING (source)
 """
 
 
+CORPUS_RELEASE_PIPELINE = f"""
+WITH q AS (SELECT * FROM documents WHERE {_KEEP_SQL}),
+e AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM q
+  ) WHERE doc_id = min_id
+),
+sigs AS (
+  SELECT doc_id,
+    {_minhash_sig_exprs()}
+  FROM e
+),
+bands AS (SELECT doc_id, unnest({_band_exprs()}) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+final AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_b FROM cand)),
+s AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5('split|' ||
+                CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+             THEN 'train'
+           WHEN CAST(('0x' || substr(md5('split|' ||
+                CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90
+             THEN 'val'
+           ELSE 'test' END AS split,
+         source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM final
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(floor((SUM(n_tokens) - 1) / 128e0) AS BIGINT) + 1 AS n_packs
+FROM s GROUP BY split, source
+"""
+
+
 def _pagerank_iters(n: int) -> str:
     """Unrolled fixed-point PageRank rounds (plans.graph contract:
     contribution = floor(score·85/300), inflow summed exactly)."""

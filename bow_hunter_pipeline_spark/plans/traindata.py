@@ -1120,3 +1120,88 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: the RELEASE composite — everything between a raw corpus and
+    a training-ready dataset card, in one Catalyst plan: Gopher
+    quality gate → exact dedup (keep-first by content hash) →
+    MinHash-LSH near-dup drop → content-stable train/val/test split →
+    per-(split, source) release accounting with the token-span pack
+    count at ``TOKEN_BUDGET`` (chunked packing lays tokens
+    contiguously, so packs = ceil(tokens/budget) — pure arithmetic,
+    no window). Each stage is the already-proven standalone operator;
+    the composite proves they compose in one lineage, filter-first
+    (hashing runs only on quality survivors).
+
+    Scale: map-side gate, one md5 shuffle, the collision-bounded LSH
+    self-join, one hash-split expression, one rollup. No O(n²), no
+    collect, no Python.
+    """
+    from bow_hunter_pipeline_spark.plans.dedup import _minhash_buckets
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_word_len = F.length(F.array_join(toks, "")).cast(
+        "double"
+    ) / n_words.cast("double")
+    alpha_ratio = F.size(
+        F.filter(toks, lambda w: w.rlike("^[a-z]+$"))
+    ).cast("double") / n_words.cast("double")
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS)))
+    keep = (
+        (n_words >= QUALITY_MIN_WORDS)
+        & (n_words <= QUALITY_MAX_WORDS)
+        & (mean_word_len >= QUALITY_MEAN_LEN_LO)
+        & (mean_word_len <= QUALITY_MEAN_LEN_HI)
+        & (alpha_ratio >= QUALITY_MIN_ALPHA_RATIO)
+        & (n_stop >= QUALITY_MIN_STOPWORDS)
+    )
+    q = docs.filter(keep)
+    e = q.withColumn(
+        "min_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).filter(F.col("doc_id") == F.col("min_id")).drop("min_id")
+
+    buckets = _minhash_buckets(e.select("doc_id", "text"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    drop = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    final = e.join(drop, "doc_id", "left_anti")
+
+    bucket = hash64(
+        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+    ) % F.lit(100)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        final.select(
+            split.alias("split"),
+            "source",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.floor((F.col("n_tokens") - 1) / F.lit(TOKEN_BUDGET)) + 1)
+            .cast("bigint")
+            .alias("n_packs"),
+        )
+    )

@@ -895,6 +895,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.bpe_apply_compression,
         oracles_h.BPE_APPLY_COMPRESSION,
     ),
+    # H6: the release composite — curate -> split -> pack accounting
+    "h6_corpus_release_pipeline": (
+        traindata.corpus_release_pipeline,
+        oracles_h.CORPUS_RELEASE_PIPELINE,
+    ),
     # Z-order (Morton) clustered layout — multi-dim pruning stats
     "a4_zorder_layout": (pipeline.zorder_layout, oracles_f.ZORDER_LAYOUT),
     # End-to-end curation funnel (quality → exact dedup → LSH drop)
@@ -1523,6 +1528,7 @@ _DRIVER_ROTATION = [
     "h4_streaming_outer_attribution",
     "h4_streaming_session_timeout",
     "g5_radius_grid_join",
+    "h6_corpus_release_pipeline",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1543,7 +1549,6 @@ _DRIVER_ROTATION = [
     # --- bench headliners (all re-proven every round) ---
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
-    "g4_yearly_trend",
     "b3_d1_d2_population_explode",
     "e2_orders_upsert",
     "h1_minhash_lsh_pairs",
@@ -1591,6 +1596,7 @@ R08_NEW_IN_PREFIX = [
     "h4_streaming_outer_attribution",
     "h4_streaming_session_timeout",
     "g5_radius_grid_join",
+    "h6_corpus_release_pipeline",
 ]
 
 
