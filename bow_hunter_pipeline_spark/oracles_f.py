@@ -1048,6 +1048,16 @@ WHERE year(o_orderdate) = 1995
 GROUP BY o_orderpriority
 """
 
+# mapInArrow twin: plain per-source text stats.
+UDF_MAP_IN_ARROW = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_words,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(len(str_split(text, ' '))) AS BIGINT) AS max_words
+FROM documents GROUP BY source
+"""
+
 UDF_ARROW_SCALAR = """
 SELECT doc_id,
        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,

@@ -250,3 +250,42 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_upper("text").alias("n_upper"),
         F.length("text").alias("n_chars_checked"),
     )
+
+
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the eighth and final Arrow execution shape:
+    a free-form map over the partition's ``pyarrow.RecordBatch``
+    stream, no pandas anywhere (the zero-copy twin of ``mapInPandas``,
+    the shape to pick when the per-batch logic is expressible in
+    pyarrow.compute kernels and the double arrow<->pandas copy is pure
+    overhead — e.g. string-heavy feature extraction feeding an Arrow
+    ecosystem). Emits one output batch per input batch: doc stats via
+    vectorized kernels. Narrow map, no shuffle below the final rollup.
+    """
+    import pyarrow.compute as pc
+
+    def doc_stats(batches):
+        for rb in batches:
+            text = rb.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("source"),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int64(),
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["source", "n_words", "n_chars"],
+            )
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    stats = docs.mapInArrow(
+        doc_stats, "source string, n_words long, n_chars long"
+    )
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("n_words").cast("bigint").alias("max_words"),
+    )

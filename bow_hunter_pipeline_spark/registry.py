@@ -948,6 +948,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pandas_udfs.udf_arrow_scalar,
         oracles_f.UDF_ARROW_SCALAR,
     ),
+    # The eighth Arrow shape: free-form RecordBatch map, no pandas
+    "udf_map_in_arrow": (
+        pandas_udfs.udf_map_in_arrow,
+        oracles_f.UDF_MAP_IN_ARROW,
+    ),
     # Spark 4 SQL UDFs (scalar + correlated LATERAL table function)
     "a8_sql_udf_roundtrip": (
         funcfamilies.sql_udf_roundtrip,
@@ -1529,6 +1534,7 @@ _DRIVER_ROTATION = [
     "h4_streaming_session_timeout",
     "g5_radius_grid_join",
     "h6_corpus_release_pipeline",
+    "udf_map_in_arrow",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1549,7 +1555,6 @@ _DRIVER_ROTATION = [
     # --- bench headliners (all re-proven every round) ---
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
-    "b3_d1_d2_population_explode",
     "e2_orders_upsert",
     "h1_minhash_lsh_pairs",
     "h4_sessionize",
@@ -1597,6 +1602,7 @@ R08_NEW_IN_PREFIX = [
     "h4_streaming_session_timeout",
     "g5_radius_grid_join",
     "h6_corpus_release_pipeline",
+    "udf_map_in_arrow",
 ]
 
 
