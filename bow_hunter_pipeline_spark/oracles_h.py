@@ -81,6 +81,41 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
 FROM s GROUP BY user_id, session_idx
 """
 
+# H4: dynamic-gap sessions replayed as a running-max interval sweep —
+# new session strictly after max(ts+gap) of ALL preceding events
+# (touching spans merge: probe-pinned closed-interval semantics).
+SESSION_WINDOW_DYNAMIC_GAP = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) + CAST(CASE event_type
+             WHEN 'click' THEN 900
+             WHEN 'view' THEN 1800
+             ELSE 1200 END AS BIGINT) * 1000000 AS en
+  FROM events
+),
+g AS (
+  SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY us, en
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM e
+),
+f AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR us > prev_max
+                 THEN 1 ELSE 0 END AS is_new
+  FROM g
+),
+sids AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, en
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(en) AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sids GROUP BY user_id, sid
+"""
+
 JSON_MAP_EXPLODE = """
 SELECT event_id, k AS key, CAST(props->>k AS BIGINT) AS value
 FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)

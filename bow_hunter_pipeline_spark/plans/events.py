@@ -686,3 +686,42 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_value"),
         )
     )
+
+
+DYN_GAP_CLICK_S = 900
+DYN_GAP_VIEW_S = 1800
+DYN_GAP_DEFAULT_S = 1200
+
+
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: DYNAMIC-GAP session windows — the gap is a per-EVENT
+    expression (clicks keep a session alive 15 min, views 30, the
+    rest 20), the Spark 4 surface behind per-activity-class session
+    policies. Semantics (probe-pinned, incl. the boundary): each
+    event spans [ts, ts+gap(event)]; overlapping OR TOUCHING spans
+    merge; the session is the union. The oracle replays that as a
+    running-max sweep: a new session starts strictly after the
+    max(ts+gap) of all preceding events.
+
+    One shuffle on the session key; state is the native session
+    operator's. Row-per-session output (user, start/end micros,
+    event count).
+    """
+    ev = read_events(spark, sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "click", f"{DYN_GAP_CLICK_S} seconds")
+        .when(F.col("event_type") == "view", f"{DYN_GAP_VIEW_S} seconds")
+        .otherwise(f"{DYN_GAP_DEFAULT_S} seconds")
+    )
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), gap), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )

@@ -812,6 +812,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.session_window_builtin,
         oracles_f.SESSION_WINDOW_BUILTIN,
     ),
+    # H4: per-event dynamic gap — the session-policy surface
+    "h4_session_window_dynamic_gap": (
+        events.session_window_dynamic_gap,
+        oracles_h.SESSION_WINDOW_DYNAMIC_GAP,
+    ),
     "e1_stage_full_refresh": (
         pipeline.stage_full_refresh,
         oracles_f.STAGE_FULL_REFRESH,
@@ -1535,6 +1540,7 @@ _DRIVER_ROTATION = [
     "g5_radius_grid_join",
     "h6_corpus_release_pipeline",
     "udf_map_in_arrow",
+    "h4_session_window_dynamic_gap",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1555,7 +1561,6 @@ _DRIVER_ROTATION = [
     # --- bench headliners (all re-proven every round) ---
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
-    "e2_orders_upsert",
     "h1_minhash_lsh_pairs",
     "h4_sessionize",
     "h6_curation_pipeline",
@@ -1603,6 +1608,7 @@ R08_NEW_IN_PREFIX = [
     "g5_radius_grid_join",
     "h6_corpus_release_pipeline",
     "udf_map_in_arrow",
+    "h4_session_window_dynamic_gap",
 ]
 
 
