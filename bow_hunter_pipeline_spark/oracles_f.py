@@ -1197,6 +1197,39 @@ GROUP BY o_orderpriority
 """
 
 
+# G4+: Holt — the recursive CTE replays the engine's exact op tree;
+# l_new recomputed inline in the b-expression yields identical bits.
+HOLT_LINEAR_TREND = """
+WITH RECURSIVE monthly AS (
+  SELECT o_orderpriority AS priority,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS month_idx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT priority, x,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY month_idx)
+           AS i
+  FROM monthly
+),
+n AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months
+  FROM ranked GROUP BY priority
+),
+h(priority, i, l, b) AS (
+  SELECT priority, i, x, 0.0e0 FROM ranked WHERE i = 1
+  UNION ALL
+  SELECT r.priority, r.i,
+         0.5e0 * r.x + 0.5e0 * (h.l + h.b),
+         0.25e0 * ((0.5e0 * r.x + 0.5e0 * (h.l + h.b)) - h.l)
+           + 0.75e0 * h.b
+  FROM h JOIN ranked r ON r.priority = h.priority AND r.i = h.i + 1
+)
+SELECT n.priority, n.n_months, h.l AS level, h.b AS trend,
+       h.l + h.b AS forecast_next
+FROM h JOIN n ON h.priority = n.priority AND h.i = n.n_months
+"""
+
 # G4+: EWMA — list_reduce with no init makes the first element the
 # seed (s_1 = x_1), matching the engine's element_at/slice fold.
 EWMA_TREND = """

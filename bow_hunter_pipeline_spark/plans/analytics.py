@@ -611,3 +611,58 @@ def radius_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_acctbal", "decimal(12,2)"),
         )
     )
+
+
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: HOLT LINEAR-TREND smoothing (double exponential — the
+    M-competition baseline one level above :func:`ewma_trend`): the
+    coupled recurrences l_t = a*x_t + (1-a)*(l_{t-1}+b_{t-1}) and
+    b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1} with a=0.5, g=0.25 (both
+    binary-exact), seeded l_1 = x_1, b_1 = 0, folded over the
+    month-sorted revenue series with a STRUCT accumulator — the level
+    and trend evolve together in one pass, every op a deterministic
+    IEEE double. Output per priority: final level, trend, and the
+    one-step-ahead forecast (level + trend), all bit-exact against the
+    oracle's recursive-CTE replay of the identical expression tree.
+
+    Scale: same as ewma_trend — one shuffle to monthly grain, one to
+    series grain, calendar-bounded per-series state, parallel across
+    series keys.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("month_idx"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    series = monthly.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(month_idx, x))),"
+            " e -> e.x)"
+        ).alias("xs"),
+    )
+    init = F.struct(
+        F.element_at("xs", 1).alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    holt = F.aggregate(
+        F.expr("slice(xs, 2, greatest(size(xs) - 1, 0))"), init, step
+    )
+    return series.select(
+        "priority",
+        "n_months",
+        holt["l"].alias("level"),
+        holt["b"].alias("trend"),
+        (holt["l"] + holt["b"]).alias("forecast_next"),
+    )

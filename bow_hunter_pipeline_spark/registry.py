@@ -1292,6 +1292,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # G4+: EWMA smoothing as an order-pinned IEEE fold (exact alphas)
     "g4_ewma_trend": (analytics.ewma_trend, oracles_f.EWMA_TREND),
+    # G4+: Holt double-exponential — coupled level/trend struct fold
+    "g4_holt_linear_trend": (
+        analytics.holt_linear_trend,
+        oracles_f.HOLT_LINEAR_TREND,
+    ),
     # G5: radius search as a grid-cell bucket join — bounded candidates
     "g5_radius_grid_join": (
         analytics.radius_grid_join,
@@ -1541,6 +1546,7 @@ _DRIVER_ROTATION = [
     "h6_corpus_release_pipeline",
     "udf_map_in_arrow",
     "h4_session_window_dynamic_gap",
+    "g4_holt_linear_trend",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1562,7 +1568,6 @@ _DRIVER_ROTATION = [
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
     "h1_minhash_lsh_pairs",
-    "h4_sessionize",
     "h6_curation_pipeline",
     "f_q9_product_profit",
     "e2_tx_merge_timetravel",
@@ -1609,6 +1614,7 @@ R08_NEW_IN_PREFIX = [
     "h6_corpus_release_pipeline",
     "udf_map_in_arrow",
     "h4_session_window_dynamic_gap",
+    "g4_holt_linear_trend",
 ]
 
 
