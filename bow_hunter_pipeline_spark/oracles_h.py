@@ -3106,3 +3106,72 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
          AS compression
 FROM words JOIN enc USING (w) GROUP BY source"""
 )
+
+
+# H2: one exact fixed-point Lloyd round per PQ subspace — assignment,
+# floor-of-mean retrain, reassignment, distortion audit. Integer
+# arithmetic end to end (the semdedup discipline).
+PQ_TRAINED_CODEBOOK = """
+WITH sub AS (
+  SELECT vec_id, g.s,
+         list_slice(
+           list_transform(embedding,
+             e -> CAST(floor(CAST(e AS DOUBLE) * 1000000e0) AS BIGINT)),
+           g.s * 16 + 1, g.s * 16 + 16) AS sv
+  FROM embeddings, unnest(generate_series(0, 3)) AS g(s)
+),
+seeds AS (
+  SELECT s, vec_id AS cent_id, sv AS cv FROM sub
+  WHERE vec_id IN (11, 22, 33, 44, 55, 66, 77, 88)
+),
+sc1 AS (
+  SELECT u.vec_id, u.s, u.sv, c.cent_id,
+         CAST(list_sum(list_transform(generate_series(1, 16),
+           i -> (u.sv[i] - c.cv[i]) * (u.sv[i] - c.cv[i]))) AS BIGINT)
+           AS d
+  FROM sub u JOIN seeds c USING (s)
+),
+a1 AS (
+  SELECT vec_id, s, sv, d AS d1, cent_id AS code1 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, cent_id) AS rn
+    FROM sc1
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT s, code1, i, sv[i] AS v
+  FROM a1, unnest(generate_series(1, 16)) AS gi(i)
+),
+means AS (
+  SELECT s, code1, i,
+         CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+              AS BIGINT) AS m
+  FROM dims GROUP BY s, code1, i
+),
+trained AS (
+  SELECT s, code1 AS cent_id, list(m ORDER BY i) AS cv
+  FROM means GROUP BY s, code1
+),
+sc2 AS (
+  SELECT u.vec_id, u.s, c.cent_id,
+         CAST(list_sum(list_transform(generate_series(1, 16),
+           i -> (u.sv[i] - c.cv[i]) * (u.sv[i] - c.cv[i]))) AS BIGINT)
+           AS d
+  FROM sub u JOIN trained c USING (s)
+),
+a2 AS (
+  SELECT vec_id, s, d AS d2, cent_id AS code2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, cent_id) AS rn
+    FROM sc2
+  ) WHERE rn = 1
+)
+SELECT CAST(a1.s AS INT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(a1.d1) AS BIGINT) AS sse_seed,
+       CAST(SUM(a2.d2) AS BIGINT) AS sse_trained,
+       CAST(SUM(CASE WHEN a1.code1 <> a2.code2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id AND a1.s = a2.s
+GROUP BY a1.s
+"""

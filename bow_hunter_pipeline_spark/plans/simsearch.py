@@ -1734,3 +1734,102 @@ def ivf_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(glob.glob(os.path.join(cell_dir, "*.parquet")))
         assert n == 1, f"{cell_dir}: {n} files after binpack"
     return _ivf_store_search(spark, emb, store)
+
+
+def pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: PQ codebook TRAINING — the k-means step ``pq_topk``'s
+    docstring defers ("real PQ trains the codebook"): one Lloyd
+    refinement per subspace in EXACT fixed-point arithmetic (the
+    ``semdedup_kmeans`` discipline — floor(x*10^6) bigint vectors,
+    integer L2², exact dim sums, floor-of-mean centroids), so the
+    whole training round replays bit-for-bit in the oracle. Output
+    per subspace: vectors, total integer distortion under the seed
+    codebook vs after the trained round, and how many vectors changed
+    code — the training-progress audit a vector-store team reads
+    (floor-rounded centroids mean distortion is near-monotone, not
+    strictly; the audit reports both sides rather than asserting).
+
+    Scale: assignment is a broadcast of M x 8 centroids + a map-side
+    argmin (min-of-struct partial agg, no window); retraining explodes
+    dims with map-side combine into (M x 8 x SUBDIM) running sums.
+    Nothing is corpus².
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    sub = (
+        emb.select("vec_id", _scaled_vec("embedding").alias("xi"))
+        .select(
+            "vec_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))
+            ).alias("s"),
+            "xi",
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.expr(
+                f"slice(xi, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+            ).alias("sv"),
+        )
+    )
+    seeds = sub.filter(F.col("vec_id").isin(*PQ_CENTROID_IDS)).select(
+        "s", F.col("vec_id").alias("cent_id"), F.col("sv").alias("cv")
+    )
+
+    def d2(sv, cv):
+        return F.aggregate(
+            F.zip_with(sv, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cb: DataFrame, code_col: str) -> DataFrame:
+        scored = sub.join(F.broadcast(cb), "s").select(
+            "vec_id",
+            "s",
+            F.struct(
+                d2(F.col("sv"), F.col("cv")).alias("d"),
+                F.col("cent_id").alias("code"),
+                F.col("sv").alias("sv"),
+            ).alias("t"),
+        )
+        best = scored.groupBy("vec_id", "s").agg(F.min("t").alias("t"))
+        return best.select(
+            "vec_id",
+            "s",
+            F.col("t.d").alias("d"),
+            F.col("t.code").alias(code_col),
+            F.col("t.sv").alias("sv"),
+        )
+
+    a1 = assign(seeds, "code1")
+    dims = a1.select("s", "code1", F.posexplode("sv").alias("i", "v"))
+    sums = dims.groupBy("s", "code1", "i").agg(
+        F.sum("v").alias("sm"), F.count(F.lit(1)).alias("n")
+    )
+    trained = sums.groupBy("s", "code1").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sm", "n"))),
+            lambda t: F.floor(
+                t["sm"].cast("double") / t["n"].cast("double")
+            ).cast("bigint"),
+        ).alias("cv")
+    ).select("s", F.col("code1").alias("cent_id"), "cv")
+    a2 = assign(trained, "code2")
+
+    joined = a1.select(
+        "vec_id", "s", F.col("d").alias("d1"), "code1"
+    ).join(
+        a2.select("vec_id", "s", F.col("d").alias("d2"), "code2"),
+        ["vec_id", "s"],
+    )
+    return joined.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("d1").cast("bigint").alias("sse_seed"),
+        F.sum("d2").cast("bigint").alias("sse_trained"),
+        F.sum(
+            F.when(F.col("code1") != F.col("code2"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved"),
+    )

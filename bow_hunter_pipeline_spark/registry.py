@@ -1226,6 +1226,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ivf_streaming_maintenance,
         oracles_h.IVF_TOPK,
     ),
+    # H2: PQ codebook TRAINING — one exact fixed-point Lloyd round
+    # per subspace with a distortion/movement audit
+    "h2_pq_trained_codebook": (
+        simsearch.pq_trained_codebook,
+        oracles_h.PQ_TRAINED_CODEBOOK,
+    ),
     # H4: exact-integer 2-sigma outlier gate per event type
     "h4_anomaly_outliers": (
         events.anomaly_outliers,
@@ -1547,6 +1553,7 @@ _DRIVER_ROTATION = [
     "udf_map_in_arrow",
     "h4_session_window_dynamic_gap",
     "g4_holt_linear_trend",
+    "h2_pq_trained_codebook",
     # --- plans rewritten in r08: distributed top-k cuts ---
     "h3_token_top_k",
     "h3_bigram_counts",
@@ -1567,7 +1574,6 @@ _DRIVER_ROTATION = [
     # --- bench headliners (all re-proven every round) ---
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
-    "h1_minhash_lsh_pairs",
     "h6_curation_pipeline",
     "f_q9_product_profit",
     "e2_tx_merge_timetravel",
@@ -1615,6 +1621,7 @@ R08_NEW_IN_PREFIX = [
     "udf_map_in_arrow",
     "h4_session_window_dynamic_gap",
     "g4_holt_linear_trend",
+    "h2_pq_trained_codebook",
 ]
 
 
