@@ -1522,56 +1522,54 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-8 prefix. The registry entered this round FULLY
-    # driver-proven (258/258 through r07), so the prefix is: the
-    # round-8 ADDITIONS first (their first driver rows), then every
-    # query whose PLAN CHANGED this round (the global-window top-k
-    # rewrite and the warehouse/streaming exactly-once work — a
-    # changed plan invalidates its old proof), then the bench
-    # headliners, then re-checks biased to the OLDEST surviving
-    # proofs (r03/r04 vintage) to catch silent drift.
-    # --- new in r08 (pre-verified with tools/verify_driver.py AND
-    # tools/audit_oracle_types.py before taking a slot) ---
-    "h2_ivf_compacted_search",
-    "f_keyset_pagination",
-    "h5_kmv_set_ops",
-    "h2_ivf_streaming_maintenance",
-    "h6_bpe_train_merges",
-    "a1_python_datasource_writer",
-    "e2_tx_manifest_export",
-    "g4_ewma_trend",
-    "e2_tx_bloom_pruned_lookup",
-    "h3_bigram_lm_quality",
-    "f_smb_colocated_join",
-    "h4_streaming_ewma",
-    "mm_patch_embed_search",
-    "h6_bpe_apply_compression",
-    "h4_streaming_outer_attribution",
-    "h4_streaming_session_timeout",
-    "g5_radius_grid_join",
-    "h6_corpus_release_pipeline",
-    "udf_map_in_arrow",
-    "h4_session_window_dynamic_gap",
-    "g4_holt_linear_trend",
-    "h2_pq_trained_codebook",
-    # --- plans rewritten in r08: distributed top-k cuts ---
-    "h3_token_top_k",
-    "h3_bigram_counts",
-    "h3_vocab_coverage_curve",
-    "h3_inverted_index_search",
-    "h5_countmin_heavy_hitters",
-    "h5_kmv_distinct_sketch",
-    "f_q15_top_supplier",
-    # --- touched by r08 exactly-once / CDC-property / cascade work ---
-    "h1_incremental_lsh_index",
-    "h2_ann_cascade_topk",
-    "h2_ivf_index_at_rest",
-    "h4_streaming_cdf_apply",
-    "h4_streaming_cdc_stateful",
-    "h4_streaming_cdf_ivm",
-    "h4_streaming_cdf_change_files",
-    "h4_streaming_cdc_late_arrivals",
-    # --- bench headliners (all re-proven every round) ---
+    # --- round-9 prefix. The registry entered this round FULLY
+    # driver-proven (280/280 through r08), so the prefix is: the
+    # round-9 ADDITIONS first (their first driver rows), then every
+    # query whose PLAN CHANGED this round (a changed plan invalidates
+    # its old proof), then re-checks biased to the OLDEST surviving
+    # proofs (r02/r03 vintage — nothing has re-proven them since) and
+    # the bench headliners.
+    # --- new in r09 (pre-verified with tools/verify_driver.py AND
+    # tools/audit_oracle_types.py before taking a slot); mirrored in
+    # R09_NEW_IN_PREFIX below ---
+    # --- plans changed in r09 (re-proof required) ---
+    # --- oldest surviving proofs: r02 vintage ---
+    "f_anti_join_inactive_customers",
+    "f_cube_flag_status",
+    "f_date_parts_monthly",
+    "f_date_spine_monthly",
+    "f_grouping_sets_orders",
+    "f_rollup_order_totals",
+    "f_semi_join_big_spenders",
+    "f_set_ops_repeat_buyers",
+    "f_stats_moments",
+    "g1_success_rate",
+    "g3_market_share_window",
+    "h1_dedup_clusters",
+    "h1_edit_distance_pairs",
+    "h1_embedding_near_dup",
+    "h1_jaccard_pairs",
+    "h1_simhash_near_dup",
+    "h1_simhash_signatures",
+    "h2_ann_bucketed_topk",
+    "h3_fingerprint_docs",
+    "h3_language_id",
+    "h3_language_profile",
+    "h3_quality_score",
+    "h3_regex_token_stats",
+    "h3_rolling_fingerprint",
+    # --- next-oldest: r03 vintage ---
+    "a5_csv_roundtrip",
+    "a5_json_roundtrip",
+    "a7_pending_work",
+    "c3_parse_unit",
+    "h2_ivf_topk",
+    "h2_pq_topk",
+    "h3_tfidf_top_terms",
+    "g4_moving_avg",
+    "f_range_join_value_bands",
+    "h1_containment_pairs",
+    # --- bench headliners (re-proven every round) ---
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
     "h6_curation_pipeline",
@@ -1579,49 +1577,21 @@ _DRIVER_ROTATION = [
     "e2_tx_merge_timetravel",
     "h4_attribution_first_last",
     "e2_tx_guarded_merge",
-    # --- oldest surviving proofs (r03/r04 vintage) ---
-    # --- warehouse_tx paths changed this round: tx re-checks ---
-    "e2_tx_delete_restore",
-    "e2_tx_update_change_feed",
-    "e2_tx_dv_delete",
-    "e2_tx_append_evolution",
-    "e2_cdc_apply_changes",
-    "h4_streaming_tx_source",
+    "h1_minhash_lsh_pairs",
+    "h2_ivf_compacted_search",
 ]
 
 
-# Queries registered AFTER the round-8 prefix froze — no driver row
-# yet; they MUST lead the round-9 rotation prefix. The prefix test
+# Queries registered AFTER the round-9 prefix froze — no driver row
+# yet; they MUST lead the round-10 rotation prefix. The prefix test
 # pins that nothing else falls outside the checked set.
 PENDING_DRIVER_QUEUE = [
 ]
 
-# Round-8 additions given first-proof slots at the HEAD of the r08
+# Round-9 additions given first-proof slots at the HEAD of the r09
 # prefix (each pre-verified green with tools/verify_driver.py and
 # tools/audit_oracle_types.py before taking a slot).
-R08_NEW_IN_PREFIX = [
-    "h2_ivf_compacted_search",
-    "f_keyset_pagination",
-    "h5_kmv_set_ops",
-    "h2_ivf_streaming_maintenance",
-    "h6_bpe_train_merges",
-    "a1_python_datasource_writer",
-    "e2_tx_manifest_export",
-    "g4_ewma_trend",
-    "e2_tx_bloom_pruned_lookup",
-    "h3_bigram_lm_quality",
-    "f_smb_colocated_join",
-    "h4_streaming_ewma",
-    "mm_patch_embed_search",
-    "h6_bpe_apply_compression",
-    "h4_streaming_outer_attribution",
-    "h4_streaming_session_timeout",
-    "g5_radius_grid_join",
-    "h6_corpus_release_pipeline",
-    "udf_map_in_arrow",
-    "h4_session_window_dynamic_gap",
-    "g4_holt_linear_trend",
-    "h2_pq_trained_codebook",
+R09_NEW_IN_PREFIX = [
 ]
 
 
