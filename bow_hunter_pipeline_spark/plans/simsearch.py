@@ -1608,6 +1608,10 @@ def ivf_index_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_STREAM_WORK = "/tmp/bhps_ivf_stream"
+IVF_STREAM_SCHEMA = (
+    "vec_id bigint, embedding array<float>, cell_id bigint, arrival int"
+)
+IVF_COMPACTION_MARK = "_compaction.json"
 
 
 def ivf_streaming_maintenance(
@@ -1634,20 +1638,31 @@ def ivf_streaming_maintenance(
     write of O(batch) bytes; the corpus is never re-assigned; the
     search reads only probed cells' directories. The arrival
     sub-partitions accrue the same small-file debt the binpack query
-    pays off (``compact_cell_store``).
+    pays off (``compact_stream_cell_store`` /
+    ``ivf_stream_compacted_search`` close that loop).
     """
+    emb, store = _ivf_stream_build(spark, sf_dir, IVF_STREAM_WORK)
+    return _ivf_store_search(spark, emb, store, schema=IVF_STREAM_SCHEMA)
+
+
+def _ivf_stream_build(
+    spark: SparkSession, sf_dir: str, work: str
+) -> tuple[DataFrame, str]:
+    """Stage three deterministic arrival files under ``work/feed`` and
+    drain them through the checkpointed lander stream into
+    ``work/cells``; returns ``(embeddings frame, store path)``."""
     import glob
     import os
     import shutil
 
-    shutil.rmtree(IVF_STREAM_WORK, ignore_errors=True)
-    feed = os.path.join(IVF_STREAM_WORK, "feed")
+    shutil.rmtree(work, ignore_errors=True)
+    feed = os.path.join(work, "feed")
     os.makedirs(feed)
-    store = os.path.join(IVF_STREAM_WORK, "cells")
+    store = os.path.join(work, "cells")
 
     emb = read_table(spark, sf_dir, "embeddings")
     for i in range(3):  # staged arrival files, deterministic order
-        staging = os.path.join(IVF_STREAM_WORK, f"_stage{i}")
+        staging = os.path.join(work, f"_stage{i}")
         emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
             "overwrite"
         ).parquet(staging)
@@ -1664,20 +1679,12 @@ def ivf_streaming_maintenance(
     ).parquet(feed)
     q = (
         stream.writeStream.foreachBatch(land)
-        .option(
-            "checkpointLocation", os.path.join(IVF_STREAM_WORK, "ckpt")
-        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return _ivf_store_search(
-        spark, emb, store,
-        schema=(
-            "vec_id bigint, embedding array<float>, "
-            "cell_id bigint, arrival int"
-        ),
-    )
+    return emb, store
 
 
 def _ivf_stream_lander(emb: DataFrame, store: str):
@@ -1685,6 +1692,14 @@ def _ivf_stream_lander(emb: DataFrame, store: str):
     idempotence contract is unit-testable."""
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
+        # Compaction high-water guard: a batch at or below the mark
+        # was packed into ``arrival=-1`` and its own arrival dirs no
+        # longer exist — the partition-overwrite idempotence that
+        # normally makes replay a no-op would instead re-CREATE the
+        # dirs and duplicate every row already inside the packs.
+        mark = _stream_store_mark(store)
+        if int(batch_id) <= mark["compacted_through"]:
+            return
         sess = batch_df.sparkSession
         key = "spark.sql.sources.partitionOverwriteMode"
         old = sess.conf.get(key, None)
@@ -1704,6 +1719,214 @@ def _ivf_stream_lander(emb: DataFrame, store: str):
                 sess.conf.set(key, old)
 
     return land
+
+
+def _stream_store_mark(store: str) -> dict:
+    """Read the streaming store's compaction mark. It lives INSIDE the
+    store root as ``_compaction.json`` — Spark's file listing ignores
+    underscore-prefixed names, so readers never see it — and an absent
+    mark means never-compacted."""
+    import json
+    import os
+
+    path = os.path.join(store, IVF_COMPACTION_MARK)
+    if not os.path.exists(path):
+        return {"compacted_through": -1, "packs": [], "pending_delete": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def compact_stream_cell_store(
+    spark: SparkSession,
+    store: str,
+    target_bytes: int = 128 << 20,
+    min_file_bytes: int | None = None,
+) -> tuple[int, int]:
+    """Binpack compaction for the STREAMING IVF store's two-level
+    ``cell_id=*/arrival=N/`` layout — the debt
+    :func:`compact_cell_store` cannot reach (it globs one level), and
+    the hazard it must not trip: the store's exactly-once guarantee
+    lives in the arrival directories (a replayed batch overwrites its
+    own ``arrival=N``), so packing those dirs away would turn a
+    post-crash replay into a duplicate append.
+
+    Resolution: a COMPACTED-THROUGH HIGH-WATER MARK. Packed files land
+    under the reserved ``arrival=-1`` sub-partition (cell-level
+    pruning and the store's partition schema are untouched; no real
+    batch id is negative), and one atomic ``os.replace`` of the mark
+    JSON commits the round: ``compacted_through`` = highest arrival
+    present at pack time, ``packs`` = the committed pack file set,
+    ``pending_delete`` = the packed source files. The lander
+    (:func:`_ivf_stream_lander`) consults the mark and SKIPS any
+    replayed batch at or below it — its rows are already inside the
+    packs (or, for arrival dirs the round carried, still in place —
+    skipping is safe either way because the content is present).
+
+    Crash discipline (single-writer maintenance window, as in
+    :func:`compact_cell_store` — the tx-table twin
+    ``warehouse_tx.compact_binpack`` is the commit-atomic version):
+    packs land under final names FIRST (never-missing-data), the mark
+    replace is the pivot, source deletion is LAST. Recovery is built
+    into entry: pack files the committed mark does not name are
+    discarded (leftovers of a crashed round), and files the mark still
+    lists as ``pending_delete`` are removed — re-running after a crash
+    at any point converges to the committed state. A reader racing the
+    window may double-read; that window is the documented trade.
+
+    Returns ``(n_rewritten, n_carried)`` over data files.
+    """
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    if min_file_bytes is None:
+        min_file_bytes = target_bytes // 2
+    mark = _stream_store_mark(store)
+    committed = set(mark["packs"])
+    # recovery: discard uncommitted packs from a crashed round …
+    for f in glob.glob(
+        os.path.join(store, "cell_id=*", "arrival=-1", "*.parquet")
+    ):
+        if os.path.relpath(f, store) not in committed:
+            os.unlink(f)
+    # … and finish the committed round's source deletion
+    for rel in mark["pending_delete"]:
+        path = os.path.join(store, rel)
+        if os.path.exists(path):
+            os.unlink(path)
+    _drop_empty_arrival_dirs(store)
+
+    n_rewritten = n_carried = 0
+    new_packs: list[str] = []
+    to_delete: list[str] = []
+    high_water = int(mark["compacted_through"])
+    for cell_dir in sorted(glob.glob(os.path.join(store, "cell_id=*"))):
+        files = sorted(
+            glob.glob(os.path.join(cell_dir, "arrival=*", "*.parquet"))
+        )
+        for f in files:  # arrivals present at pack time set the mark
+            a = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+            high_water = max(high_water, a)
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = [f for f in files if sizes[f] < min_file_bytes]
+        if len(small) < 2:
+            n_carried += len(files)
+            new_packs += [
+                os.path.relpath(f, store)
+                for f in files
+                if os.sep + "arrival=-1" + os.sep in f
+            ]
+            continue
+        n_bins = max(1, -(-sum(sizes[f] for f in small) // target_bytes))
+        packed = (
+            spark.read.schema("vec_id bigint, embedding array<float>")
+            .parquet(*small)
+            .coalesce(n_bins)
+        )
+        pack_dir = os.path.join(cell_dir, "arrival=-1")
+        os.makedirs(pack_dir, exist_ok=True)
+        tmp = os.path.join(store, f"_packing-{uuid.uuid4().hex[:8]}")
+        packed.write.parquet(tmp)
+        for i, part in enumerate(
+            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+        ):
+            dest = os.path.join(
+                pack_dir, f"packed-{uuid.uuid4().hex[:8]}-{i}.parquet"
+            )
+            os.replace(part, dest)
+            new_packs.append(os.path.relpath(dest, store))
+        shutil.rmtree(tmp, ignore_errors=True)
+        to_delete += small
+        carry = [f for f in files if f not in set(small)]
+        new_packs += [
+            os.path.relpath(f, store)
+            for f in carry
+            if os.sep + "arrival=-1" + os.sep in f
+        ]
+        n_carried += len(carry)
+        n_rewritten += len(small)
+
+    # the atomic commit pivot: packs + mark + deletion intent in one
+    # os.replace — before it the round never happened, after it the
+    # lander skips packed batches and recovery finishes the deletes
+    new_mark = {
+        "compacted_through": high_water,
+        "packs": sorted(new_packs),
+        "pending_delete": sorted(
+            os.path.relpath(f, store) for f in to_delete
+        ),
+    }
+    if os.path.isdir(store):
+        tmp_mark = os.path.join(store, IVF_COMPACTION_MARK + ".tmp")
+        with open(tmp_mark, "w") as fh:
+            json.dump(new_mark, fh)
+        os.replace(tmp_mark, os.path.join(store, IVF_COMPACTION_MARK))
+    for f in to_delete:
+        os.unlink(f)
+    _drop_empty_arrival_dirs(store)
+    return n_rewritten, n_carried
+
+
+def _drop_empty_arrival_dirs(store: str) -> None:
+    import glob
+    import os
+    import shutil
+
+    for d in glob.glob(os.path.join(store, "cell_id=*", "arrival=*")):
+        a = int(os.path.basename(d).split("=", 1)[1])
+        if a >= 0 and not os.listdir(d):
+            shutil.rmtree(d)
+
+
+IVF_STREAM_C_WORK = "/tmp/bhps_ivf_stream_c"
+
+
+def ivf_stream_compacted_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H2 × H4: the streaming IVF store's maintenance loop CLOSED —
+    stream-maintain (three checkpointed arrival batches under
+    ``cell_id=*/arrival=N``) → COMPACT the two-level layout
+    (:func:`compact_stream_cell_store`: per-cell binpack into the
+    reserved ``arrival=-1`` partition, committed with a
+    compacted-through high-water mark) → REPLAY a packed batch through
+    the lander (the post-crash redelivery the mark exists for — the
+    in-query assertion proves the store's file set does not move) →
+    partition-pruned search. Same oracle as ``ivf_topk``: neither
+    compaction nor the replay guard may change a single answer.
+
+    Scale: after compaction a probe opens ONE footer per probed cell
+    regardless of ingest age, and the mark keeps replay exactly-once
+    without a txn log — the piece ``ivf_streaming_maintenance``'s
+    docstring left as debt.
+    """
+    import glob
+    import os
+
+    emb, store = _ivf_stream_build(spark, sf_dir, IVF_STREAM_C_WORK)
+    compact_stream_cell_store(spark, store)
+    # post-pack invariant: every cell serves from ONE packed file
+    # (every per-arrival file is small at fixture scale)
+    for cell_dir in glob.glob(os.path.join(store, "cell_id=*")):
+        fs = glob.glob(os.path.join(cell_dir, "arrival=*", "*.parquet"))
+        assert len(fs) == 1 and os.sep + "arrival=-1" + os.sep in fs[0], (
+            cell_dir,
+            fs,
+        )
+    # redelivery AFTER compaction: the high-water guard must skip it
+    before = sorted(
+        glob.glob(os.path.join(store, "**", "*.parquet"), recursive=True)
+    )
+    _ivf_stream_lander(emb, store)(
+        emb.filter(F.col("vec_id") % 3 == 1), 1
+    )
+    after = sorted(
+        glob.glob(os.path.join(store, "**", "*.parquet"), recursive=True)
+    )
+    assert before == after, "post-compaction replay mutated the store"
+    return _ivf_store_search(spark, emb, store, schema=IVF_STREAM_SCHEMA)
 
 
 def ivf_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1226,6 +1226,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ivf_streaming_maintenance,
         oracles_h.IVF_TOPK,
     ),
+    # H2 × H4: the streaming store's loop CLOSED — stream-maintain →
+    # two-level binpack committed with a compacted-through high-water
+    # mark → post-compaction replay (guard-skipped, asserted in-query)
+    # → pruned search; same oracle
+    "h2_ivf_stream_compacted_search": (
+        simsearch.ivf_stream_compacted_search,
+        oracles_h.IVF_TOPK,
+    ),
     # H2: PQ codebook TRAINING — one exact fixed-point Lloyd round
     # per subspace with a distortion/movement audit
     "h2_pq_trained_codebook": (
@@ -1532,7 +1540,10 @@ _DRIVER_ROTATION = [
     # --- new in r09 (pre-verified with tools/verify_driver.py AND
     # tools/audit_oracle_types.py before taking a slot); mirrored in
     # R09_NEW_IN_PREFIX below ---
+    "h2_ivf_stream_compacted_search",
     # --- plans changed in r09 (re-proof required) ---
+    # lander gained the compaction high-water replay guard
+    "h2_ivf_streaming_maintenance",
     # --- oldest surviving proofs: r02 vintage ---
     "f_anti_join_inactive_customers",
     "f_cube_flag_status",
@@ -1592,6 +1603,7 @@ PENDING_DRIVER_QUEUE = [
 # prefix (each pre-verified green with tools/verify_driver.py and
 # tools/audit_oracle_types.py before taking a slot).
 R09_NEW_IN_PREFIX = [
+    "h2_ivf_stream_compacted_search",
 ]
 
 

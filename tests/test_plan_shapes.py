@@ -618,6 +618,20 @@ def test_ivf_compacted_store_still_prunes_cell_partitions(spark):
     assert "cell_id" in pf, plan[:1200]
 
 
+def test_ivf_stream_compacted_store_still_prunes_cells(spark):
+    """Pruning must survive STREAMING-store compaction too: after the
+    two-level binpack folds every ``arrival=N`` dir into the reserved
+    ``arrival=-1`` pack partition, the search scan still carries the
+    probe cells as PartitionFilters — the mark/pack machinery must not
+    cost the store its first-level layout."""
+    from bow_hunter_pipeline_spark.plans import simsearch
+
+    plan = _plan(simsearch.ivf_stream_compacted_search(spark, SF_SMOKE))
+    store_scan = plan.split("bhps_ivf_stream_c", 1)[0]
+    pf = store_scan.rsplit("PartitionFilters:", 1)[-1]
+    assert "cell_id" in pf, plan[:1200]
+
+
 def test_smb_join_only_exchange_is_the_rollup(spark):
     """f_smb_colocated_join's contract: reading both facts co-bucketed
     on the order key leaves the JOIN exchange-free — the executed plan

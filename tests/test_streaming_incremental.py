@@ -550,6 +550,112 @@ def test_ivf_stream_landing_redelivery_is_noop(spark):
     assert again == result
 
 
+def test_stream_store_compaction_replay_and_crash_recovery(spark):
+    """The streaming IVF store compactor's exactly-once composition
+    contract: (a) after compaction, replaying ANY packed batch through
+    the lander is a no-op (the high-water mark skips it — without the
+    guard, the vanished ``arrival=N`` dirs would be re-created and
+    every row duplicated); (b) the compactor recovers from a crash in
+    either window — packs landed but mark not committed (uncommitted
+    packs are discarded, sources intact), and mark committed but
+    sources not yet deleted (pending_delete finishes) — converging to
+    the same store content."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans import simsearch
+    from tests.conftest import SF_SMOKE
+
+    work = "/tmp/bhps_ivf_stream_crash_t"
+    emb, store = simsearch._ivf_stream_build(spark, SF_SMOKE, work)
+    schema = simsearch.IVF_STREAM_SCHEMA
+    baseline = spark.read.schema(schema).parquet(store)
+    rows_before = baseline.count()
+    assert rows_before > 0
+
+    # --- crash window 1: packs landed, mark NOT committed ---------
+    # simulate by planting a bogus un-marked pack file
+    some_cell = sorted(glob.glob(os.path.join(store, "cell_id=*")))[0]
+    fake_dir = os.path.join(some_cell, "arrival=-1")
+    os.makedirs(fake_dir)
+    src = glob.glob(os.path.join(some_cell, "arrival=0", "*.parquet"))[0]
+    shutil.copy(src, os.path.join(fake_dir, "packed-deadbeef-0.parquet"))
+    simsearch.compact_stream_cell_store(spark, store)
+    # the uncommitted pack was discarded BEFORE packing, so no row is
+    # duplicated and the committed pack holds exactly the source rows
+    idx = spark.read.schema(schema).parquet(store)
+    assert idx.count() == rows_before
+    assert (
+        idx.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    mark = simsearch._stream_store_mark(store)
+    assert mark["compacted_through"] == 2  # three batches: 0,1,2
+    assert mark["packs"] and not any(
+        os.path.exists(os.path.join(store, r))
+        for r in mark["pending_delete"]
+    )
+
+    # --- replay after compaction: guard must skip ------------------
+    files_before = sorted(
+        glob.glob(os.path.join(store, "**", "*.parquet"), recursive=True)
+    )
+    land = simsearch._ivf_stream_lander(emb, store)
+    for bid in range(3):
+        land(emb.filter(F.col("vec_id") % 3 == bid), bid)
+    assert files_before == sorted(
+        glob.glob(os.path.join(store, "**", "*.parquet"), recursive=True)
+    ), "replay of a packed batch mutated the compacted store"
+
+    # --- a genuinely NEW batch above the mark still lands ----------
+    new_vecs = emb.filter(F.col("vec_id") % 3 == 1).limit(5)
+    land(new_vecs.withColumn("vec_id", F.col("vec_id") + 1_000_000), 3)
+    idx2 = spark.read.schema(schema).parquet(store)
+    n_new = new_vecs.count()
+    assert idx2.count() == rows_before + n_new
+    assert idx2.filter(F.col("arrival") == 3).count() == n_new
+
+    # --- crash window 2: mark committed, sources not deleted -------
+    # re-stage the new batch's files as pending_delete leftovers
+    arr3 = glob.glob(
+        os.path.join(store, "cell_id=*", "arrival=3", "*.parquet")
+    )
+    assert arr3
+    mark2 = simsearch._stream_store_mark(store)
+    # pretend a round packed arrival=3 and crashed before deleting it:
+    # copy its files into the pack set and list them pending_delete
+    packs2 = list(mark2["packs"])
+    for f in arr3:
+        cell_dir = os.path.dirname(os.path.dirname(f))
+        pdir = os.path.join(cell_dir, "arrival=-1")
+        os.makedirs(pdir, exist_ok=True)
+        dest = os.path.join(pdir, "packed-crash2-0.parquet")
+        shutil.copy(f, dest)
+        packs2.append(os.path.relpath(dest, store))
+    mark2 = {
+        "compacted_through": 3,
+        "packs": sorted(packs2),
+        "pending_delete": sorted(
+            os.path.relpath(f, store) for f in arr3
+        ),
+    }
+    with open(os.path.join(store, simsearch.IVF_COMPACTION_MARK), "w") as fh:
+        json.dump(mark2, fh)
+    simsearch.compact_stream_cell_store(spark, store)
+    idx3 = spark.read.schema(schema).parquet(store)
+    assert idx3.count() == rows_before + n_new  # no loss, no dup
+    assert (
+        idx3.groupBy("vec_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def test_ivm_delta_folding_is_replay_idempotent(spark, tmp_path):
     """The IVM state folder under at-least-once foreachBatch delivery:
     a batch redelivered after the state swap (crash between swap and
