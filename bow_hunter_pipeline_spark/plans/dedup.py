@@ -964,13 +964,26 @@ def incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mode("append")`` parquet here would double-append on replay
     (at-least-once), the gap this closes.
     """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    _store, pairs = _incremental_lsh_build(
+        spark, sf_dir, "/tmp/bhps_incr_lsh"
+    )
+    return tx.snapshot(spark, pairs).select("doc_a", "doc_b").distinct()
+
+
+def _incremental_lsh_build(
+    spark: SparkSession, sf_dir: str, work: str
+) -> tuple[str, str]:
+    """Stage three arrival files and drain them through the
+    checkpointed index-maintenance stream; returns the (signature
+    store, pair ledger) tx-table paths under ``work``."""
     import glob
     import os
     import shutil
 
     from bow_hunter_pipeline_spark import warehouse_tx as tx
 
-    work = "/tmp/bhps_incr_lsh"
     shutil.rmtree(work, ignore_errors=True)
     feed = os.path.join(work, "feed")
     os.makedirs(feed)
@@ -1042,4 +1055,57 @@ def incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return store, pairs
+
+
+def lsh_compacted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: the incremental LSH index's maintenance loop CLOSED with
+    compaction — the streaming build leaves one small file per batch
+    in BOTH tx tables (signature store, pair ledger); OPTIMIZE each
+    through :func:`warehouse_tx.compact_binpack` (size-eligible files
+    bin-packed and swapped in ONE commit), then prove exactly-once
+    SURVIVES compaction: the txn stamps live in the transaction LOG,
+    which OPTIMIZE carries forward, so a redelivered batch still
+    recognizes itself and skips — asserted in-query with poison
+    replays of every batch id. Same oracle as
+    ``h1_minhash_lsh_pairs``: packing files must not change a pair.
+
+    This is the missing third leg of the store-maintenance triangle:
+    the batch cell store (``h2_ivf_compacted_search``) and the
+    streaming cell store (``h2_ivf_stream_compacted_search``) compact
+    through directory swaps; a TX table compacts through a commit —
+    idempotence needs no extra machinery because the log IS the
+    mechanism. At 100 TB this is what keeps the new×old candidate
+    join's store side at O(live bytes) footers after years of daily
+    arrivals.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    store, pairs = _incremental_lsh_build(
+        spark, sf_dir, "/tmp/bhps_incr_lsh_c"
+    )
+    for table in (store, pairs):
+        v0 = tx._versions(table)[-1]
+        v1, n_rw, _ = tx.compact_binpack(spark, table)
+        # three per-batch appends leave >= 2 packable files (except on
+        # empty fixtures, where 0-row appends may write no data files)
+        assert n_rw >= 2 or tx.snapshot(spark, table).count() == 0, (
+            table,
+            n_rw,
+        )
+        assert v1 >= v0
+    # redelivery AFTER compaction: txn stamps ride the log through
+    # OPTIMIZE, so every original batch id still skips
+    empty_sig = tx.snapshot(spark, store).limit(0)
+    empty_pair = tx.snapshot(spark, pairs).limit(0)
+    for table, app, df in (
+        (store, "lsh_store", empty_sig),
+        (pairs, "lsh_pairs", empty_pair),
+    ):
+        v_now = tx._versions(table)[-1]
+        for bid in range(3):
+            v, applied = tx.append_idempotent(
+                spark, table, df, txn=(app, bid)
+            )
+            assert not applied and v == v_now, (table, bid)
     return tx.snapshot(spark, pairs).select("doc_a", "doc_b").distinct()

@@ -1171,6 +1171,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.incremental_lsh_index,
         oracles_h.MINHASH_LSH_PAIRS,
     ),
+    # H1 incremental + OPTIMIZE: the index tables bin-packed through
+    # the tx log (txn stamps survive compaction — poison replays of
+    # every batch id asserted in-query); same oracle
+    "h1_lsh_compacted_index": (
+        dedup.lsh_compacted_index,
+        oracles_h.MINHASH_LSH_PAIRS,
+    ),
     # H2: two-stage retrieval cascade — int8-cosine coarse top-C,
     # exact-cosine refine of only the survivors (the FAISS/ScaNN
     # serving shape); the oracle replays both stages
@@ -1541,6 +1548,7 @@ _DRIVER_ROTATION = [
     # tools/audit_oracle_types.py before taking a slot); mirrored in
     # R09_NEW_IN_PREFIX below ---
     "h2_ivf_stream_compacted_search",
+    "h1_lsh_compacted_index",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1604,6 +1612,7 @@ PENDING_DRIVER_QUEUE = [
 # tools/audit_oracle_types.py before taking a slot).
 R09_NEW_IN_PREFIX = [
     "h2_ivf_stream_compacted_search",
+    "h1_lsh_compacted_index",
 ]
 
 
