@@ -1715,6 +1715,15 @@ WHERE o_orderkey IN (
 )
 """
 
+# E2+: parquet-sidecar bloom lookup with a DV-deleted max key — the
+# deleted key must return nothing, the min key everything, pruning
+# never changes results.
+TX_BLOOM_TABLE_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM orders
+WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+"""
+
 TX_APPEND_EVOLUTION = """
 SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
                       AND o_orderdate < TIMESTAMP '1996-01-01'

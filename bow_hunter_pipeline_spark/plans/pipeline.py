@@ -1801,3 +1801,46 @@ def tx_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bloom_point_lookup(
         spark, TX_BLOOM_PATH, index, "o_orderkey", probes
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+TX_BLOOMT_PATH = "/tmp/bhps_tx_bloom_t"
+
+
+def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: the bloom sidecar AS A TABLE — same point-lookup shape as
+    ``tx_bloom_pruned_lookup``, but the per-file filters live in a
+    parquet sidecar and candidates come from a broadcast-probe JOIN
+    (:func:`warehouse_tx.build_bloom_index_table`), so the driver
+    never holds the bitmap words — the posture that survives 10⁷
+    files where the JSON sidecar would be driver-GBs.
+
+    It also exercises the DV composition the JSON-era lookup refused:
+    after the index builds, the MAX key's row is deleted MERGE-ON-READ
+    (a deletion vector — zero data bytes move), and the lookup still
+    PRUNES: a deleted row stays in its file's filter (false positives
+    only, never false negatives), so skipping non-candidates stays
+    sound, and candidate files are read DV-aware so the deleted key
+    returns nothing. Probes: min key (present), max key (DV-deleted),
+    and a guaranteed-absent key. Oracle: the same lookup straight off
+    orders minus the deleted key.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).repartition(8)
+    tx.create_table(spark, TX_BLOOMT_PATH, base)
+    index = tx.build_bloom_index_table(spark, TX_BLOOMT_PATH, "o_orderkey")
+
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    if lo is not None:  # zero-row fixture: nothing to delete
+        tx.delete_where_dv(
+            spark, TX_BLOOMT_PATH, f"o_orderkey = {int(hi)}"
+        )
+    probes = [-1] if lo is None else [int(lo), int(hi), -1]
+    return tx.bloom_point_lookup(
+        spark, TX_BLOOMT_PATH, index, "o_orderkey", probes
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")

@@ -1060,6 +1060,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles_f.TX_MANIFEST_EXPORT,
     ),
     # Bloom file-skip index: point lookups open O(probes) files
+    # E2+: parquet bloom sidecar, candidates via broadcast-probe join,
+    # DV-deleted probe key still pruned (never unpruned-fallback)
+    "e2_tx_bloom_table_lookup": (
+        pipeline.tx_bloom_table_lookup,
+        oracles_f.TX_BLOOM_TABLE_LOOKUP,
+    ),
     "e2_tx_bloom_pruned_lookup": (
         pipeline.tx_bloom_pruned_lookup,
         oracles_f.TX_BLOOM_PRUNED_LOOKUP,
@@ -1549,9 +1555,12 @@ _DRIVER_ROTATION = [
     # R09_NEW_IN_PREFIX below ---
     "h2_ivf_stream_compacted_search",
     "h1_lsh_compacted_index",
+    "e2_tx_bloom_table_lookup",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
+    # lookup now reads candidates DV-aware through _read_live
+    "e2_tx_bloom_pruned_lookup",
     # --- oldest surviving proofs: r02 vintage ---
     "f_anti_join_inactive_customers",
     "f_cube_flag_status",
@@ -1613,6 +1622,7 @@ PENDING_DRIVER_QUEUE = [
 R09_NEW_IN_PREFIX = [
     "h2_ivf_stream_compacted_search",
     "h1_lsh_compacted_index",
+    "e2_tx_bloom_table_lookup",
 ]
 
 

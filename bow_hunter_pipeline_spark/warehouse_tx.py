@@ -2206,6 +2206,128 @@ def build_bloom_index(
     return final
 
 
+def build_bloom_index_table(
+    spark: SparkSession, table: str, col: str, version: int | None = None
+) -> str:
+    """:func:`build_bloom_index`'s AT-SCALE twin: the same per-file
+    16384-bit/4-hash filters, stored as a PARQUET SIDECAR keyed by
+    ``(file, w, bits)`` instead of driver-held JSON. The JSON sidecar
+    is O(files × 512 words) in driver memory — fine at thousands of
+    files, driver-GBs at 10⁷; here the words never leave the
+    executors (the build writes the aggregated frame directly) and
+    candidate computation is a broadcast-probe JOIN
+    (:func:`_bloom_candidates_join`), so the driver holds only file
+    NAMES (the same O(files) listing every log replay already holds).
+    Probe-side bit positions are computed with the same executor-side
+    hash exprs as the build — one code path owns the bit layout.
+    """
+    versions = _versions(table)
+    if version is None:
+        version = versions[-1]
+    rels = live_files(table, version)
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    abs_table = os.path.abspath(table)
+    paths = [os.path.join(table, r) for r in rels]
+    df = spark.read.parquet(*paths).select(
+        F.col(col).alias("k"), _norm_file_path().alias("fp")
+    )
+    positions = F.array(
+        *[
+            hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
+            % F.lit(BLOOM_FILE_BITS)
+            for j in range(BLOOM_FILE_K)
+        ]
+    )
+    words = (
+        df.select(
+            # log-relative file name, derived executor-side
+            F.expr(f"substr(fp, {len(abs_table) + 2})").alias("file"),
+            F.explode(positions).alias("p"),
+        )
+        .groupBy("file", F.expr("cast(p div 32 as int)").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))")
+            ).alias("bits")
+        )
+    )
+    out_dir = os.path.join(table, _BLOOM_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"{col}-v{version:08d}.bloom.parquet")
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    words.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(final):
+        import shutil
+
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return final
+
+
+def _bloom_probe_positions(spark: SparkSession, values: list) -> DataFrame:
+    """Probe values → ``(k, n_pos, w, mask)`` rows, one per DISTINCT
+    bit position, using the build's own hash exprs."""
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    # dedupe: a probe listed twice would double its per-position hit
+    # count past n_pos and mask every candidate
+    probes = spark.createDataFrame(
+        [(v,) for v in dict.fromkeys(values)], ["k"]
+    )
+    pos = F.array(
+        *[
+            hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
+            % F.lit(BLOOM_FILE_BITS)
+            for j in range(BLOOM_FILE_K)
+        ]
+    )
+    return (
+        probes.select("k", F.array_distinct(pos).alias("ps"))
+        .select("k", F.size("ps").alias("n_pos"), F.explode("ps").alias("p"))
+        .select(
+            "k",
+            "n_pos",
+            F.expr("cast(p div 32 as int)").alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(p % 32 as int))"
+            ).alias("mask"),
+        )
+    )
+
+
+def _bloom_candidates_join(
+    spark: SparkSession,
+    table: str,
+    index_path: str,
+    values: list,
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Candidate files via the parquet sidecar: broadcast the probes'
+    (word, mask) rows onto the sidecar, count fully-hit probes per
+    file — a file is a candidate if ANY probe has all its distinct
+    positions set, or if the sidecar does not cover it (unindexed
+    files always scan; a stale index is less effective, never wrong).
+    The driver materializes file NAMES only."""
+    rels = live_files(table, version)
+    if not values:
+        return [], rels
+    side = spark.read.parquet(index_path)
+    pb = _bloom_probe_positions(spark, values)
+    hits = (
+        side.join(F.broadcast(pb), "w")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("file", "k", "n_pos")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == F.col("n_pos"))
+        .select("file")
+        .distinct()
+    )
+    cand_set = {r.file for r in hits.collect()}
+    indexed = {r.file for r in side.select("file").distinct().collect()}
+    return [r for r in rels if r in cand_set or r not in indexed], rels
+
+
 def _bloom_candidates(
     table: str, index_path: str, values: list, version: int | None = None
 ) -> tuple[list[str], list[str]]:
@@ -2244,18 +2366,26 @@ def bloom_point_lookup(
 ) -> DataFrame:
     """Point lookup THROUGH the bloom index: open only candidate
     files (no false negatives — a non-candidate provably lacks every
-    probe), then apply the exact predicate. If the snapshot carries
-    live deletion vectors the lookup falls back to the DV-aware
-    ``snapshot`` read over all files — correct, just unpruned (the
-    next rewrite re-enables pruning)."""
-    dvs = _replay_dvs(table, version)
-    if any(_dv_total({f: v}) for f, v in dvs.items()):
-        return snapshot(spark, table, version).filter(
-            F.col(col).isin(values)
+    probe), then apply the exact predicate. Dispatches on the sidecar
+    format: a ``.json`` index computes candidates driver-side
+    (:func:`_bloom_candidates` — fine for small tables), a parquet
+    index via the broadcast-probe join
+    (:func:`_bloom_candidates_join`).
+
+    Deletion vectors do NOT disable pruning: a row deleted by a DV
+    stays in its file's filter, which only ADDS false positives —
+    a non-candidate file provably lacked every probe even before the
+    delete, so skipping it stays sound. Candidate files are read
+    DV-aware (:func:`_read_live`), so vectored rows drop from the
+    result while the scan still opens O(candidates) files."""
+    if index_path.endswith(".json"):
+        cand, rels = _bloom_candidates(table, index_path, values, version)
+    else:
+        cand, rels = _bloom_candidates_join(
+            spark, table, index_path, values, version
         )
-    cand, rels = _bloom_candidates(table, index_path, values, version)
     read = cand if cand else rels[:1]  # keep schema for empty result
-    return (
-        spark.read.parquet(*[os.path.join(table, r) for r in read])
-        .filter(F.col(col).isin(values))
-    )
+    dvs = _replay_dvs(table, version)
+    return _read_live(
+        spark, table, read, dvs, schema=table_schema(table, version)
+    ).filter(F.col(col).isin(values))

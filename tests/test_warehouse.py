@@ -1944,8 +1944,8 @@ def test_tx_bloom_index_prunes_without_false_negatives(spark, tmp_path):
     in the table, the pruned lookup returns exactly the snapshot
     filter's rows; (3) files appended after the build are unindexed
     and therefore always candidates (stale index = conservative, not
-    wrong); (4) with live deletion vectors the lookup falls back to
-    the DV-aware snapshot read and stays correct."""
+    wrong); (4) with live deletion vectors the lookup reads candidates
+    DV-aware and stays correct (deleted key gone, survivor intact)."""
     from pyspark.sql import functions as F
 
     from bow_hunter_pipeline_spark import warehouse_tx as tx
@@ -1993,6 +1993,75 @@ def test_tx_bloom_index_prunes_without_false_negatives(spark, tmp_path):
     )
     assert (
         tx.bloom_point_lookup(spark, table, index, "k", [778]).count() == 1
+    )
+
+
+def test_tx_bloom_table_sidecar_matches_json_and_prunes_with_dvs(
+    spark, tmp_path
+):
+    """The parquet bloom sidecar's laws: (1) the broadcast-probe join
+    computes EXACTLY the candidate set the driver-side JSON path
+    computes (same hash exprs own the bit layout on both build paths);
+    (2) unindexed (post-build) files are always candidates; (3) with
+    live deletion vectors the lookup still PRUNES — the scan opens
+    fewer than all files (the JSON-era fallback read everything) —
+    while staying DV-correct: the deleted key returns nothing, its
+    file-mates survive."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(8)
+    tx.create_table(spark, table, df)
+    idx_json = tx.build_bloom_index(spark, table, "k")
+    idx_tab = tx.build_bloom_index_table(spark, table, "k")
+
+    # (1) candidate parity across probe shapes, including misses
+    for probes in ([1234], [0, 3999], [-5], [7, 7, 7], [17, -1]):
+        cand_j, rels_j = tx._bloom_candidates(table, idx_json, probes)
+        cand_t, rels_t = tx._bloom_candidates_join(
+            spark, table, idx_tab, probes
+        )
+        assert rels_j == rels_t
+        assert sorted(cand_j) == sorted(cand_t), probes
+
+    # value parity through the full lookup
+    for k in range(0, 4000, 397):
+        got = sorted(
+            map(
+                tuple,
+                tx.bloom_point_lookup(
+                    spark, table, idx_tab, "k", [k]
+                ).collect(),
+            )
+        )
+        assert got == [(k, k % 13)], k
+
+    # (2) staleness: appended file is always a candidate
+    tx.append(
+        spark,
+        table,
+        spark.range(4000, 4200).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+        ).coalesce(1),
+    )
+    got = tx.bloom_point_lookup(spark, table, idx_tab, "k", [4100])
+    assert [tuple(r) for r in got.collect()] == [(4100, 4100 % 13)]
+
+    # (3) DV-selective pruning: delete one key merge-on-read, then a
+    # point lookup still opens fewer files than the table holds
+    tx.delete_where_dv(spark, table, "k = 777")
+    pruned = tx.bloom_point_lookup(spark, table, idx_tab, "k", [777])
+    n_live = len(tx.live_files(table, None))
+    assert n_live == 9
+    assert 0 < len(pruned.inputFiles()) < n_live, pruned.inputFiles()
+    assert pruned.count() == 0  # DV applied on the candidate read
+    assert (
+        tx.bloom_point_lookup(spark, table, idx_tab, "k", [778]).count()
+        == 1
     )
 
 
