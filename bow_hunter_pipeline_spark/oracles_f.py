@@ -1724,6 +1724,29 @@ FROM orders
 WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
 """
 
+# E2+: composite-key pruned merge — the merge replayed relationally:
+# min-composite-key row gets +100 quantity, one (-1, 1) insert.
+TX_COMPOSITE_PRUNED_MERGE = """
+WITH target AS (
+  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+), mink AS (
+  SELECT l_orderkey, l_linenumber FROM target
+  ORDER BY l_orderkey, l_linenumber LIMIT 1
+), merged AS (
+  SELECT t.l_linenumber,
+         CASE WHEN m.l_orderkey IS NOT NULL
+              THEN t.l_quantity + 100 ELSE t.l_quantity END AS l_quantity
+  FROM target t LEFT JOIN mink m
+    ON t.l_orderkey = m.l_orderkey AND t.l_linenumber = m.l_linenumber
+  UNION ALL
+  SELECT 1, 7e0
+)
+SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS sum_qty
+FROM merged GROUP BY l_linenumber
+"""
+
 TX_APPEND_EVOLUTION = """
 SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
                       AND o_orderdate < TIMESTAMP '1996-01-01'

@@ -1844,3 +1844,72 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bloom_point_lookup(
         spark, TX_BLOOMT_PATH, index, "o_orderkey", probes
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+TX_CMERGE_PATH = "/tmp/bhps_tx_cmerge"
+
+
+def tx_composite_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: MERGE with a COMPOSITE-KEY find phase — the table keys on
+    ``(l_orderkey, l_linenumber)`` (the reference's own merges key on
+    the 4-column ``(state, species, year, unit)`` PK,
+    load_population_production.sql:30), landed hash-distributed so
+    EVERY file spans both columns' full ranges: the per-column stats
+    intersection (``merge_pruned``'s whole arsenal) keeps all 8 files,
+    and only the composite-key bloom probe — the updates' key TUPLES
+    hashed as one unit — prunes the rewrite set. The in-query
+    assertion pins exactly that: strictly fewer files rewrite than the
+    stats-only find phase would (the returned ``n_stats_survivors``).
+
+    Updates: bump the minimum composite key's quantity (+100,
+    binary-exact) and insert a new ``(-1, 1)`` row — one matched
+    rewrite, one insert, both flowing through the same pruned commit.
+    Oracle: the merge replayed relationally over lineitem.
+
+    Scale: this is the daily-CDC shape at 100 TB — a thousand-row
+    update batch against a billion-row table rewrites O(probed
+    tuples) files, not O(table); the probe keys never route through
+    a driver list.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    base = li.repartition(8)
+    tx.create_table(spark, TX_CMERGE_PATH, base)
+    index = tx.build_bloom_index_table(
+        spark, TX_CMERGE_PATH, ["l_orderkey", "l_linenumber"]
+    )
+
+    # bounded 1-row collect: the minimum composite key
+    head = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()
+    rows = [(-1, 1, 7.0)]  # the insert leg
+    if head:
+        r = head[0]
+        rows.append(
+            (
+                int(r.l_orderkey),
+                int(r.l_linenumber),
+                float(r.l_quantity) + 100.0,
+            )
+        )
+    updates = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
+    )
+    _, n_rw, _, n_stats = tx.merge_pruned_composite(
+        spark,
+        TX_CMERGE_PATH,
+        updates,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity"],
+        bloom_index=index,
+    )
+    assert n_rw <= n_stats
+    if head:  # non-empty fixture: bloom must BEAT the stats pruner
+        assert n_rw < n_stats, (n_rw, n_stats)
+    return tx.snapshot(spark, TX_CMERGE_PATH).groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+    )

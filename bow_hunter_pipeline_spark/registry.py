@@ -1066,6 +1066,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_bloom_table_lookup,
         oracles_f.TX_BLOOM_TABLE_LOOKUP,
     ),
+    # E2+: composite-key find phase — per-column stats intersection
+    # AND a composite-key bloom probe; strictly fewer files rewrite
+    # than stats alone (asserted in-query)
+    "e2_tx_composite_pruned_merge": (
+        pipeline.tx_composite_pruned_merge,
+        oracles_f.TX_COMPOSITE_PRUNED_MERGE,
+    ),
     "e2_tx_bloom_pruned_lookup": (
         pipeline.tx_bloom_pruned_lookup,
         oracles_f.TX_BLOOM_PRUNED_LOOKUP,
@@ -1556,6 +1563,7 @@ _DRIVER_ROTATION = [
     "h2_ivf_stream_compacted_search",
     "h1_lsh_compacted_index",
     "e2_tx_bloom_table_lookup",
+    "e2_tx_composite_pruned_merge",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1623,6 +1631,7 @@ R09_NEW_IN_PREFIX = [
     "h2_ivf_stream_compacted_search",
     "h1_lsh_compacted_index",
     "e2_tx_bloom_table_lookup",
+    "e2_tx_composite_pruned_merge",
 ]
 
 

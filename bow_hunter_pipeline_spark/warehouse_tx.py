@@ -1173,6 +1173,103 @@ def merge_pruned(
     return next_v, len(rewrite), len(carry)
 
 
+def merge_pruned_composite(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    bloom_index: str | None = None,
+) -> tuple[int, int, int, int]:
+    """MERGE with a COMPOSITE-KEY find phase — :func:`merge_pruned`
+    prunes on the FIRST key's range only; real CDC merges key on
+    composites (the reference's PK is ``(state, species, year,
+    unit)``, load_population_production.sql:30), where two pruners
+    compose:
+
+    1. Per-column stats intersection over EVERY integral merge key —
+       sound because a matching row must equal an update on ALL key
+       columns, so ONE disjoint column range already proves a file
+       clean.
+    2. A composite-key BLOOM probe (``bloom_index`` from
+       :func:`build_bloom_index_table` over the same key list) over
+       the stats survivors — the point-set discriminator range stats
+       cannot be: on a hash-distributed layout every file spans every
+       column's full range, yet almost no file holds the probed key
+       TUPLES. Probe keys come straight from the updates batch as a
+       DataFrame (never a driver list); files the index does not
+       cover (appended after the build) stay candidates.
+
+    No false negatives anywhere, so carried files provably hold no
+    matched row; update rows whose keys miss every file are inserts
+    and land in the rewritten output. Empty updates are a no-op.
+
+    Returns ``(new_version, n_rewritten, n_carried,
+    n_stats_survivors)`` — the last is what the single-pruner find
+    phase would rewrite, so callers can assert the bloom stage
+    actually tightened the set.
+    """
+    # one bounded scalar row: per-key lo/hi of the updates batch
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    b = updates.agg(*aggs).collect()[0]
+    read_v = _versions(table)[-1]
+    rels, logged = _replay(table, read_v)
+    if all(b[f"__lo_{k}"] is None for k in keys):  # empty updates
+        return read_v, 0, len(rels), 0
+
+    prunable = [
+        k
+        for k in keys
+        if isinstance(updates.schema[k].dataType, _INTEGRAL_TYPES)
+    ]
+    survivors, carry = [], []
+    for rel in rels:
+        clean = False
+        for k in prunable:
+            if rel in logged and k in logged[rel]:
+                f_lo, f_hi = logged[rel][k]
+            else:  # legacy commit without stats: one-time footer read
+                f_lo, f_hi = _file_key_stats(spark, table, rel, k)
+            if f_lo is None:
+                continue  # no stats on this column: can't prove clean
+            if f_hi < b[f"__lo_{k}"] or f_lo > b[f"__hi_{k}"]:
+                clean = True  # one disjoint key column proves it
+                break
+        (carry if clean else survivors).append(rel)
+
+    rewrite = survivors
+    if bloom_index is not None and survivors:
+        probes = updates.select(_bloom_key_expr(keys).alias("k"))
+        cand, _ = _bloom_candidates_join_df(
+            spark, table, bloom_index, probes, read_v
+        )
+        cand_set = set(cand)
+        rewrite = [r for r in survivors if r in cand_set]
+        carry = carry + [r for r in survivors if r not in cand_set]
+
+    if rewrite:
+        touched = _read_live(
+            spark, table, rewrite, _replay_dvs(table, read_v),
+            schema=table_schema(table, read_v),
+        )
+    else:
+        touched = snapshot(spark, table, read_v).limit(0)
+    merged = upsert(touched, updates, keys, update_cols)
+    next_v = read_v + 1
+    new_files, stats = _write_data(merged, table, next_v, keys)
+    try:
+        _commit(
+            table, next_v, add=new_files, remove=rewrite, stats=stats,
+            op="MERGE_PRUNED_COMPOSITE",
+        )
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v, len(rewrite), len(carry), len(survivors)
+
+
 def merge_with_constraints(
     spark: SparkSession,
     table: str,
@@ -2206,8 +2303,18 @@ def build_bloom_index(
     return final
 
 
+def _bloom_key_expr(cols: list[str]) -> "F.Column":
+    """The indexed key rendered as ONE string — unit-separator-joined
+    casts, so a composite key hashes as a single value and the build
+    and probe sides can never disagree on the rendering."""
+    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+
+
 def build_bloom_index_table(
-    spark: SparkSession, table: str, col: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    col: str | list[str],
+    version: int | None = None,
 ) -> str:
     """:func:`build_bloom_index`'s AT-SCALE twin: the same per-file
     16384-bit/4-hash filters, stored as a PARQUET SIDECAR keyed by
@@ -2220,6 +2327,13 @@ def build_bloom_index_table(
     NAMES (the same O(files) listing every log replay already holds).
     Probe-side bit positions are computed with the same executor-side
     hash exprs as the build — one code path owns the bit layout.
+
+    ``col`` may be a LIST of columns: the composite key is hashed as
+    one unit-separator-joined string (:func:`_bloom_key_expr`), the
+    structure a real CDC merge keys on (the reference's own PK is the
+    4-column ``(state, species, year, unit)``,
+    load_population_production.sql:30) — per-column range stats
+    cannot see a composite POINT set; this can.
     """
     versions = _versions(table)
     if version is None:
@@ -2227,10 +2341,11 @@ def build_bloom_index_table(
     rels = live_files(table, version)
     from bow_hunter_pipeline_spark.functions.text import hash64
 
+    cols = [col] if isinstance(col, str) else list(col)
     abs_table = os.path.abspath(table)
     paths = [os.path.join(table, r) for r in rels]
     df = spark.read.parquet(*paths).select(
-        F.col(col).alias("k"), _norm_file_path().alias("fp")
+        _bloom_key_expr(cols).alias("k"), _norm_file_path().alias("fp")
     )
     positions = F.array(
         *[
@@ -2254,7 +2369,9 @@ def build_bloom_index_table(
     )
     out_dir = os.path.join(table, _BLOOM_DIR)
     os.makedirs(out_dir, exist_ok=True)
-    final = os.path.join(out_dir, f"{col}-v{version:08d}.bloom.parquet")
+    final = os.path.join(
+        out_dir, f"{'-'.join(cols)}-v{version:08d}.bloom.parquet"
+    )
     tmp = final + f".{uuid.uuid4().hex}.tmp"
     words.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(final):
@@ -2265,16 +2382,11 @@ def build_bloom_index_table(
     return final
 
 
-def _bloom_probe_positions(spark: SparkSession, values: list) -> DataFrame:
-    """Probe values → ``(k, n_pos, w, mask)`` rows, one per DISTINCT
-    bit position, using the build's own hash exprs."""
+def _bloom_probe_positions_df(probes: DataFrame) -> DataFrame:
+    """DataFrame twin: ``probes`` carries one DISTINCT key per row in
+    column ``k`` (the composite rendering for multi-column keys)."""
     from bow_hunter_pipeline_spark.functions.text import hash64
 
-    # dedupe: a probe listed twice would double its per-position hit
-    # count past n_pos and mask every candidate
-    probes = spark.createDataFrame(
-        [(v,) for v in dict.fromkeys(values)], ["k"]
-    )
     pos = F.array(
         *[
             hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
@@ -2309,11 +2421,30 @@ def _bloom_candidates_join(
     positions set, or if the sidecar does not cover it (unindexed
     files always scan; a stale index is less effective, never wrong).
     The driver materializes file NAMES only."""
-    rels = live_files(table, version)
     if not values:
-        return [], rels
+        return [], live_files(table, version)
+    probes = spark.createDataFrame(
+        [(v,) for v in dict.fromkeys(values)], ["k"]
+    )
+    return _bloom_candidates_join_df(spark, table, index_path, probes, version)
+
+
+def _bloom_candidates_join_df(
+    spark: SparkSession,
+    table: str,
+    index_path: str,
+    probes: DataFrame,
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """:func:`_bloom_candidates_join` with the probes as a DataFrame —
+    the merge find-phase shape, where the probe keys come from the
+    updates batch and never route through a driver list. ``probes``
+    must carry the key rendering in column ``k``; it is distinct-ed
+    here (duplicates would inflate per-position hit counts past
+    n_pos and mask every candidate)."""
+    rels = live_files(table, version)
     side = spark.read.parquet(index_path)
-    pb = _bloom_probe_positions(spark, values)
+    pb = _bloom_probe_positions_df(probes.select("k").distinct())
     hits = (
         side.join(F.broadcast(pb), "w")
         .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)

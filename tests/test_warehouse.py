@@ -2065,6 +2065,62 @@ def test_tx_bloom_table_sidecar_matches_json_and_prunes_with_dvs(
     )
 
 
+def test_merge_pruned_composite_stats_and_bloom_stages(spark, tmp_path):
+    """The composite find phase's two stages, isolated: (1) stats —
+    a file whose SECOND key column's range is disjoint from the
+    updates' is carried even though the FIRST column's range overlaps
+    (merge_pruned, keyed on the first column only, would rewrite it);
+    (2) bloom — on a hash-distributed layout where stats keep
+    everything, the composite-key probe cuts the rewrite set; (3) the
+    merged content is the plain upsert either way."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    # (1) range-clustered on k2: every file spans all of k1
+    t1 = str(tmp_path / "t1")
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("k1"),
+        F.expr("id div 100").alias("k2"),
+        F.lit(1.0).alias("v"),
+    ).repartitionByRange(5, "k2")
+    tx.create_table(spark, t1, df)
+    ups = spark.createDataFrame(
+        [(7, 0, 100.0), (55, 1, 100.0)], "k1 bigint, k2 bigint, v double"
+    )
+    _, n_rw, n_carry, n_stats = tx.merge_pruned_composite(
+        spark, t1, ups, ["k1", "k2"], ["v"]
+    )
+    assert n_stats == n_rw  # no bloom stage here
+    assert 0 < n_rw < n_rw + n_carry, (n_rw, n_carry)
+    got = tx.snapshot(spark, t1)
+    assert got.filter("v = 100.0").count() == 2
+    assert got.count() == 1000
+
+    # (2) hash-distributed: stats keep all files, bloom prunes
+    t2 = str(tmp_path / "t2")
+    df2 = spark.range(4000).select(
+        (F.col("id") % 63).alias("k1"),
+        (F.col("id") % 61).alias("k2"),
+        F.col("id").cast("double").alias("v"),
+    ).repartition(8)
+    tx.create_table(spark, t2, df2)
+    idx = tx.build_bloom_index_table(spark, t2, ["k1", "k2"])
+    ups2 = spark.createDataFrame(
+        [(5, 5, -1.0)], "k1 bigint, k2 bigint, v double"
+    )
+    _, n_rw2, _, n_stats2 = tx.merge_pruned_composite(
+        spark, t2, ups2, ["k1", "k2"], ["v"], bloom_index=idx
+    )
+    assert n_stats2 == 8  # every file spans both full ranges
+    assert n_rw2 < 8, n_rw2
+    got2 = tx.snapshot(spark, t2)
+    assert got2.count() == 4000
+    assert got2.filter("k1 = 5 AND k2 = 5 AND v = -1.0").count() == (
+        df2.filter("k1 = 5 AND k2 = 5").count()
+    )
+
+
 def test_tx_manifest_expires_with_vacuum_retention(spark, tmp_path):
     """The manifest's retention trade, pinned: a manifest is a frozen
     view of its version's files, so once vacuum reclaims versions
