@@ -1569,6 +1569,8 @@ _DRIVER_ROTATION = [
     "h2_ivf_streaming_maintenance",
     # lookup now reads candidates DV-aware through _read_live
     "e2_tx_bloom_pruned_lookup",
+    # feed trimmed to 3 contiguous year-chunk arrivals (same fold order)
+    "h4_streaming_ewma",
     # --- oldest surviving proofs: r02 vintage ---
     "f_anti_join_inactive_customers",
     "f_cube_flag_status",

@@ -1548,13 +1548,25 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     years = [
         r.yr for r in monthly.select("yr").distinct().orderBy("yr").collect()
     ]
-    for i, yr in enumerate(years):
+    # three CONTIGUOUS year chunks, one arrival file each: the
+    # cross-batch-state property needs >= 2 micro-batches, while each
+    # extra batch costs fixed state-store/planning overhead at any sf
+    # — 3 proves the contract at under half the 1-per-year wall. The
+    # chunks are contiguous and arrive in order, so the global
+    # month-sorted fold order (the bit-exactness contract with
+    # g4_ewma_trend) is unchanged.
+    n_chunks = min(3, len(years))
+    bounds = [
+        round(j * len(years) / n_chunks) for j in range(n_chunks + 1)
+    ] if n_chunks else []
+    for i in range(n_chunks):
+        yrs = years[bounds[i]:bounds[i + 1]]
         staging = os.path.join(EWMA_STREAM_WORK, f"_stage{i}")
-        monthly.filter(F.col("yr") == yr).select(
+        monthly.filter(F.col("yr").isin(yrs)).select(
             "priority", "month_idx", "x"
         ).coalesce(1).write.mode("overwrite").parquet(staging)
         part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
-        dest = os.path.join(feed, f"year{i}.parquet")
+        dest = os.path.join(feed, f"chunk{i}.parquet")
         shutil.move(part, dest)
         shutil.rmtree(staging)
         t = 1_700_000_000 + i * 100

