@@ -1724,6 +1724,22 @@ FROM orders
 WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
 """
 
+# E2+: replaceWhere — the urgent region rebuilt: even keys survive
+# with negated custkeys, everything else unchanged.
+TX_REPLACE_WHERE = f"""
+WITH merged AS (
+  SELECT o_orderpriority, o_custkey, o_totalprice FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderpriority, -o_custkey, o_totalprice FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM merged GROUP BY o_orderpriority
+"""
+
 # E2+: composite-key pruned merge — the merge replayed relationally:
 # min-composite-key row gets +100 quantity, one (-1, 1) insert.
 TX_COMPOSITE_PRUNED_MERGE = """

@@ -1831,7 +1831,14 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderpriority"
     ).repartition(8)
     tx.create_table(spark, TX_BLOOMT_PATH, base)
-    index = tx.build_bloom_index_table(spark, TX_BLOOMT_PATH, "o_orderkey")
+    # ~16 bits/key: the fixed default saturates past ~4k keys/file
+    n_rows = orders.count()
+    index = tx.build_bloom_index_table(
+        spark,
+        TX_BLOOMT_PATH,
+        "o_orderkey",
+        bits=max(16_384, 16 * (n_rows // 8 + 1)),
+    )
 
     lo, hi = orders.agg(
         F.min("o_orderkey"), F.max("o_orderkey")
@@ -1844,6 +1851,49 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bloom_point_lookup(
         spark, TX_BLOOMT_PATH, index, "o_orderkey", probes
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+TX_RW_PATH = "/tmp/bhps_tx_replace_where"
+
+
+def tx_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: ``replaceWhere`` — the idempotent region-rebuild primitive
+    (Delta's ``INSERT OVERWRITE ... replaceWhere``): one commit
+    atomically deletes every row in the predicate region and inserts
+    the recomputed rows. Here the URGENT-priority region is rebuilt
+    keeping only even order keys with negated customer keys — a
+    delete-and-reshape in one swap; with the table landed
+    priority-clustered (``repartition(8, priority)``), the find phase
+    rewrites only the file(s) the region lives in. The write contract
+    is Delta's: inserted rows must satisfy the predicate (enforced,
+    tested) — that is what makes a re-run idempotent.
+
+    Scale: the daily-partition rebuild at 100 TB — recompute one
+    day/region, swap it in one commit, never touch the other files;
+    readers time-travel across the swap like any other commit.
+    Oracle: the region rebuild replayed relationally.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.repartition(8, "o_orderpriority")
+    tx.create_table(spark, TX_RW_PATH, base)
+    repl = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderkey") % 2 == 0)
+    ).withColumn("o_custkey", -F.col("o_custkey"))
+    _, n_del, n_ins = tx.replace_where(
+        spark, TX_RW_PATH, "o_orderpriority = '1-URGENT'", repl
+    )
+    assert n_ins <= n_del  # the rebuild only ever shrinks the region
+    return tx.snapshot(spark, TX_RW_PATH).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        dsum("o_totalprice", "total_price", cast="decimal(14,2)"),
+    )
 
 
 TX_CMERGE_PATH = "/tmp/bhps_tx_cmerge"
@@ -1879,8 +1929,17 @@ def tx_composite_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = li.repartition(8)
     tx.create_table(spark, TX_CMERGE_PATH, base)
+    # size the per-file filter to the data: ~16 bits/key keeps the
+    # false-positive rate ~1e-3 at ANY sf (the fixed 16384-bit default
+    # saturates past ~4k keys/file and pruning silently dies) — one
+    # bounded scalar count, the sizing call a real OPTIMIZE makes
+    n_rows = li.count()
+    bits = max(16_384, 16 * (n_rows // 8 + 1))
     index = tx.build_bloom_index_table(
-        spark, TX_CMERGE_PATH, ["l_orderkey", "l_linenumber"]
+        spark,
+        TX_CMERGE_PATH,
+        ["l_orderkey", "l_linenumber"],
+        bits=bits,
     )
 
     # bounded 1-row collect: the minimum composite key

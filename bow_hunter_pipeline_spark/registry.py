@@ -1073,6 +1073,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_composite_pruned_merge,
         oracles_f.TX_COMPOSITE_PRUNED_MERGE,
     ),
+    # E2+: replaceWhere — predicate region atomically deleted and
+    # re-inserted in ONE commit, insert rows contract-checked
+    "e2_tx_replace_where": (
+        pipeline.tx_replace_where,
+        oracles_f.TX_REPLACE_WHERE,
+    ),
     "e2_tx_bloom_pruned_lookup": (
         pipeline.tx_bloom_pruned_lookup,
         oracles_f.TX_BLOOM_PRUNED_LOOKUP,
@@ -1564,6 +1570,7 @@ _DRIVER_ROTATION = [
     "h1_lsh_compacted_index",
     "e2_tx_bloom_table_lookup",
     "e2_tx_composite_pruned_merge",
+    "e2_tx_replace_where",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1634,6 +1641,7 @@ R09_NEW_IN_PREFIX = [
     "h1_lsh_compacted_index",
     "e2_tx_bloom_table_lookup",
     "e2_tx_composite_pruned_merge",
+    "e2_tx_replace_where",
 ]
 
 

@@ -1545,6 +1545,88 @@ def delete_where(
     return next_v, n_deleted
 
 
+def replace_where(
+    spark: SparkSession,
+    table: str,
+    condition: str,
+    df: DataFrame,
+    key_range: tuple[str, int, int] | None = None,
+) -> tuple[int, int, int]:
+    """Delta's ``INSERT OVERWRITE ... replaceWhere``: ONE commit that
+    deletes every row matching ``condition`` and inserts ``df`` in its
+    place — the idempotent region-rebuild primitive (re-run a day's
+    pipeline: the day's partition-predicate region is atomically
+    swapped for the recomputed rows, readers never see the gap).
+
+    Delta's write contract is enforced: every inserted row must itself
+    satisfy ``condition`` (otherwise the operation would not be
+    idempotent — a second run would not reclaim the stray rows);
+    violations raise ``ValueError`` before anything is written.
+
+    Find phase is :func:`delete_where`'s: only files CONTAINING
+    matching rows rewrite (predicate pushed into the scan; optional
+    ``key_range`` prunes on logged stats first); the rewrite is
+    DV-aware. Inserts land even when nothing matches — replaceWhere
+    into an empty region is just a guarded append.
+
+    Returns ``(new_version, n_deleted, n_inserted)``.
+    """
+    cond = F.expr(condition)
+    is_hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+    n_bad = df.filter(~is_hit).count()
+    if n_bad:
+        raise ValueError(
+            f"replaceWhere: {n_bad} insert rows violate `{condition}`"
+        )
+    n_inserted = df.count()
+
+    read_v = _versions(table)[-1]
+    rels, stats = _replay(table, read_v)
+    dvs = _replay_dvs(table, read_v)
+    sch = table_schema(table, read_v)
+    candidates = _prune_candidates(rels, stats, key_range)
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table, r)): r for r in rels
+    }
+    hit_rels: list[str] = []
+    n_deleted = 0
+    if candidates:
+        scan = _read_live(
+            spark, table, candidates, dvs, with_file=True, schema=sch
+        )
+        per_file = (
+            scan.filter(cond)
+            .groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        hit_rels = [abs_to_rel[r["__file"]] for r in per_file]
+        n_deleted = sum(r["n"] for r in per_file)
+    if not hit_rels and n_inserted == 0:
+        return read_v, 0, 0
+
+    stat_cols = sorted({c for s in stats.values() for c in s})
+    if hit_rels:
+        keep = _read_live(spark, table, hit_rels, dvs, schema=sch).filter(
+            ~is_hit
+        )
+        out = keep.unionByName(df.select(*keep.columns))
+    else:
+        out = df if sch is None else df.select(*[f.name for f in sch.fields])
+    next_v = read_v + 1
+    new_files, new_stats = _write_data(out, table, next_v, stat_cols)
+    carry = {r: s for r, s in stats.items() if r not in set(hit_rels)}
+    try:
+        _commit(
+            table, next_v, add=new_files, remove=hit_rels,
+            stats={**carry, **new_stats}, op="REPLACE_WHERE",
+        )
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v, n_deleted, n_inserted
+
+
 def restore(spark: SparkSession, table: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF — roll the CURRENT state
     back to an earlier snapshot as a new commit (history is append-
@@ -2315,6 +2397,7 @@ def build_bloom_index_table(
     table: str,
     col: str | list[str],
     version: int | None = None,
+    bits: int = BLOOM_FILE_BITS,
 ) -> str:
     """:func:`build_bloom_index`'s AT-SCALE twin: the same per-file
     16384-bit/4-hash filters, stored as a PARQUET SIDECAR keyed by
@@ -2334,6 +2417,14 @@ def build_bloom_index_table(
     4-column ``(state, species, year, unit)``,
     load_population_production.sql:30) — per-column range stats
     cannot see a composite POINT set; this can.
+
+    ``bits`` sizes the PER-FILE filter and must track per-file key
+    cardinality — a 16384-bit filter saturates around ~4k keys/file
+    (every probe false-positives and pruning silently dies), so big
+    tables size it up: ~16 bits/key keeps the false-positive rate
+    under 1e-3 at any scale, and the sidecar stays ~0.2% of key
+    bytes. The chosen size rides in the sidecar's filename, so probes
+    self-configure and build/probe can never disagree.
     """
     versions = _versions(table)
     if version is None:
@@ -2350,7 +2441,7 @@ def build_bloom_index_table(
     positions = F.array(
         *[
             hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
-            % F.lit(BLOOM_FILE_BITS)
+            % F.lit(bits)
             for j in range(BLOOM_FILE_K)
         ]
     )
@@ -2370,7 +2461,8 @@ def build_bloom_index_table(
     out_dir = os.path.join(table, _BLOOM_DIR)
     os.makedirs(out_dir, exist_ok=True)
     final = os.path.join(
-        out_dir, f"{'-'.join(cols)}-v{version:08d}.bloom.parquet"
+        out_dir,
+        f"{'-'.join(cols)}-v{version:08d}-m{bits}.bloom.parquet",
     )
     tmp = final + f".{uuid.uuid4().hex}.tmp"
     words.write.mode("overwrite").parquet(tmp)
@@ -2382,7 +2474,18 @@ def build_bloom_index_table(
     return final
 
 
-def _bloom_probe_positions_df(probes: DataFrame) -> DataFrame:
+def _bloom_index_bits(index_path: str) -> int:
+    """The filter size the sidecar was built with, parsed from its
+    ``-m<bits>`` filename tag (pre-tag sidecars used the default)."""
+    import re
+
+    m = re.search(r"-m(\d+)\.bloom\.parquet$", index_path)
+    return int(m.group(1)) if m else BLOOM_FILE_BITS
+
+
+def _bloom_probe_positions_df(
+    probes: DataFrame, bits: int = BLOOM_FILE_BITS
+) -> DataFrame:
     """DataFrame twin: ``probes`` carries one DISTINCT key per row in
     column ``k`` (the composite rendering for multi-column keys)."""
     from bow_hunter_pipeline_spark.functions.text import hash64
@@ -2390,7 +2493,7 @@ def _bloom_probe_positions_df(probes: DataFrame) -> DataFrame:
     pos = F.array(
         *[
             hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
-            % F.lit(BLOOM_FILE_BITS)
+            % F.lit(bits)
             for j in range(BLOOM_FILE_K)
         ]
     )
@@ -2444,7 +2547,9 @@ def _bloom_candidates_join_df(
     n_pos and mask every candidate)."""
     rels = live_files(table, version)
     side = spark.read.parquet(index_path)
-    pb = _bloom_probe_positions_df(probes.select("k").distinct())
+    pb = _bloom_probe_positions_df(
+        probes.select("k").distinct(), _bloom_index_bits(index_path)
+    )
     hits = (
         side.join(F.broadcast(pb), "w")
         .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)

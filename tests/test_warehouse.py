@@ -2121,6 +2121,74 @@ def test_merge_pruned_composite_stats_and_bloom_stages(spark, tmp_path):
     )
 
 
+def test_replace_where_laws(spark, tmp_path):
+    """replaceWhere's contract, isolated: (1) file-level isolation —
+    on a region-clustered layout only the region's files rewrite
+    (carried files keep their identity across the commit); (2) the
+    write contract: an insert row outside the predicate raises BEFORE
+    anything is written; (3) idempotence: re-running the same
+    replaceWhere yields the same snapshot; (4) replace into an empty
+    region is a guarded append; (5) the swap is one commit (version
+    advances by exactly 1) and time travel still serves the
+    pre-replace state."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("region"),
+        F.lit(1.0).alias("v"),
+    ).repartition(4, "region")
+    tx.create_table(spark, table, df)
+    v0 = tx._versions(table)[-1]
+    files0 = set(tx.live_files(table, v0))
+
+    # (2) contract: stray insert row refused, nothing committed
+    bad = spark.createDataFrame(
+        [(9999, 3, 2.0)], "k bigint, region bigint, v double"
+    )
+    with pytest.raises(ValueError, match="violate"):
+        tx.replace_where(spark, table, "region = 2", bad)
+    assert tx._versions(table)[-1] == v0
+
+    # (1) + (5): rebuild region 2 keeping only even k, v doubled
+    repl = df.filter(
+        (F.col("region") == 2) & (F.col("k") % 8 == 2)
+    ).withColumn("v", F.lit(2.0))
+    v1, n_del, n_ins = tx.replace_where(spark, table, "region = 2", repl)
+    assert v1 == v0 + 1
+    assert n_del == 250 and n_ins == 125
+    files1 = set(tx.live_files(table, v1))
+    # carried files persist by identity; at least one file was swapped
+    assert files0 - files1, "no file was rewritten"
+    assert files0 & files1, "isolation failed: every file rewritten"
+    snap = tx.snapshot(spark, table)
+    assert snap.count() == 875
+    assert snap.filter("region = 2").count() == 125
+    assert snap.filter("region = 2 AND v != 2.0").count() == 0
+    # time travel below the swap still serves the old region
+    old = tx.snapshot(spark, table, v0)
+    assert old.filter("region = 2").count() == 250
+
+    # (3) idempotence: same replace again, same result
+    v2, n_del2, n_ins2 = tx.replace_where(spark, table, "region = 2", repl)
+    assert (n_del2, n_ins2) == (125, 125)
+    snap2 = tx.snapshot(spark, table)
+    assert snap2.count() == 875
+    assert snap2.filter("region = 2 AND v != 2.0").count() == 0
+
+    # (4) empty region: pure guarded append
+    ins = spark.createDataFrame(
+        [(5000, 9, 1.0)], "k bigint, region bigint, v double"
+    )
+    v3, n_del3, n_ins3 = tx.replace_where(spark, table, "region = 9", ins)
+    assert (n_del3, n_ins3) == (0, 1)
+    assert tx.snapshot(spark, table).filter("region = 9").count() == 1
+
+
 def test_tx_manifest_expires_with_vacuum_retention(spark, tmp_path):
     """The manifest's retention trade, pinned: a manifest is a frozen
     view of its version's files, so once vacuum reclaims versions
