@@ -10,7 +10,10 @@ families at 10× the driver's bench scale and look for nonlinear
 cliffs. Ten identical shards means no new skew; this measures plan
 scaling, not data pathology.
 
-Usage: python tools/make_sf1.py [out_dir]   (default /tmp/bhps_sf1)
+Usage: python tools/make_sf1.py [out_dir] [copies] [tables...]
+(defaults: /tmp/bhps_sf1, 10 copies, all tables — e.g.
+``python tools/make_sf1.py /tmp/bhps_sf3_docs 30 documents`` builds a
+30× documents-only fixture for the token-fan-out probes)
 """
 
 from __future__ import annotations
@@ -47,6 +50,8 @@ COPY_AS_IS = ["region", "nation"]
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bhps_sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+    only = set(sys.argv[3:])  # empty = every table
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
 
@@ -62,15 +67,19 @@ def main() -> None:
             base[dom] = max(base.get(dom, 0), int(m) + 1)
 
     for t in COPY_AS_IS:
+        if only and t not in only:
+            continue
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"),
             os.path.join(out, f"{t}.parquet"),
         )
 
     for t, cols in KEY_DOMAINS.items():
+        if only and t not in only:
+            continue
         src = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
         shards = []
-        for i in range(COPIES):
+        for i in range(copies):
             arrays = []
             for name in src.column_names:
                 col = src.column(name)
@@ -88,7 +97,7 @@ def main() -> None:
             os.path.join(out, f"{t}.parquet"),
             compression="zstd",
         )
-        print(f"{t}: {src.num_rows} -> {src.num_rows * COPIES}")
+        print(f"{t}: {src.num_rows} -> {src.num_rows * copies}")
 
 
 if __name__ == "__main__":

@@ -12,9 +12,17 @@ echo "== bench (sf0.1) =="
 python bench.py 2>/dev/null | tail -1 || fail=1
 echo "== pytest =="
 python -m pytest tests/ -q 2>&1 | tail -1 || fail=1
-if [ "${1:-}" = "--sf01" ]; then
-  echo "== sf0.1 oracle sweep (~18 min) =="
-  BHPS_ORACLE_SF_DIR=/root/testdata/sf0.1 \
-    python -m pytest tests/test_registry_oracle.py -q 2>&1 | tail -1 || fail=1
-fi
+for arg in "$@"; do
+  if [ "$arg" = "--sf01" ]; then
+    echo "== sf0.1 oracle sweep (~18 min) =="
+    BHPS_ORACLE_SF_DIR=/root/testdata/sf0.1 \
+      python -m pytest tests/test_registry_oracle.py -q 2>&1 | tail -1 || fail=1
+  fi
+  if [ "$arg" = "--sf1" ]; then
+    echo "== sf1 scale sweep + ratio-regression gate (~15 min) =="
+    [ -d /tmp/bhps_sf1 ] || python tools/make_sf1.py || fail=1
+    python tools/scale_sweep.py >/dev/null || { echo "SCALE GATE FAILED"; fail=1; }
+    tail -5 SCALE1.md
+  fi
+done
 exit $fail
