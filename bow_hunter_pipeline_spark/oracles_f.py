@@ -1740,6 +1740,20 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM merged GROUP BY o_orderpriority
 """
 
+# E2+: column-mapping rename is presentation-only — the replay just
+# aliases; the min key's revenue was zeroed by the post-rename merge.
+TX_COLUMN_RENAME = f"""
+WITH merged AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+              THEN 0e0 ELSE o_totalprice END AS revenue
+  FROM orders
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_DSUM.format(c='revenue')} AS sum_revenue
+FROM merged GROUP BY o_orderpriority
+"""
+
 # E2+: composite-key pruned merge — the merge replayed relationally:
 # min-composite-key row gets +100 quantity, one (-1, 1) insert.
 TX_COMPOSITE_PRUNED_MERGE = """

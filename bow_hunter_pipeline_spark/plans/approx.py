@@ -473,18 +473,10 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch — production keeps the counter build and drops the audit
     join.
     """
-    from bow_hunter_pipeline_spark.functions.text import hash64, tokens
+    from bow_hunter_pipeline_spark.functions.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
-
-    def cells(tok: Column) -> Column:
-        return F.array(
-            *[
-                hash64(F.concat(F.lit(f"cms{j}|"), tok)) % F.lit(CMS_W)
-                for j in range(CMS_D)
-            ]
-        )
 
     exact = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("exact_cnt")
@@ -492,11 +484,31 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = (
         exact.select(
             "exact_cnt",
-            F.posexplode(cells(F.col("token"))).alias("row", "cell"),
+            F.posexplode(cms_cells(F.col("token"))).alias("row", "cell"),
         )
         .groupBy("row", "cell")
         .agg(F.sum("exact_cnt").alias("cnt"))
     )
+    return cms_probe_audit(exact, counters)
+
+
+def cms_cells(tok: Column) -> Column:
+    """The CM hash family: d cell indexes per token (shared by the
+    batch build, the probe side, and the streaming-state twin — one
+    code path owns the layout)."""
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    return F.array(
+        *[
+            hash64(F.concat(F.lit(f"cms{j}|"), tok)) % F.lit(CMS_W)
+            for j in range(CMS_D)
+        ]
+    )
+
+
+def cms_probe_audit(exact: DataFrame, counters: DataFrame) -> DataFrame:
+    """Top-CMS_TOP heavy hitters audited against the counter table —
+    the shared tail of the batch and streaming CM queries."""
     # distributed top-k heap cut, never a global rank window over the
     # vocabulary-sized frame (plans.topk)
     cands = ranked_top_k(
@@ -509,7 +521,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "exact_cnt",
         "rnk",
-        F.posexplode(cells(F.col("token"))).alias("row", "cell"),
+        F.posexplode(cms_cells(F.col("token"))).alias("row", "cell"),
     )
     return (
         probe.join(F.broadcast(counters), ["row", "cell"])

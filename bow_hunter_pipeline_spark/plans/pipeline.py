@@ -1599,7 +1599,9 @@ def tx_zorder_pruned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     lo = int(b.mn) if b.mn is not None else 0
     hi = lo + (int(b.mx) - lo) // 8 if b.mx is not None else 0
-    candidates = tx._prune_candidates(rels, stats, ("o_custkey", lo, hi))
+    candidates = tx._prune_candidates(
+        TX_ZORDER_PATH, rels, stats, ("o_custkey", lo, hi)
+    )
     fully_stated = all("o_custkey" in stats.get(r, {}) for r in rels)
     if fully_stated and len(rels) > 1:  # vacuous on empty/tiny inputs
         assert len(candidates) < len(rels), (
@@ -1893,6 +1895,75 @@ def tx_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
         dsum("o_totalprice", "total_price", cast="decimal(14,2)"),
+    )
+
+
+TX_RENAME_PATH = "/tmp/bhps_tx_rename"
+
+
+def tx_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: COLUMN MAPPING rename — ``o_totalprice`` becomes
+    ``revenue`` in a METADATA-ONLY commit (zero data bytes move,
+    asserted in-query: the live file set is identical across the
+    rename), and the full write surface keeps working under the new
+    name: an APPEND lands a batch carrying ``revenue``, a MERGE
+    updates ``revenue`` keyed on the order key, and the final
+    snapshot rolls up under the logical name — while every file on
+    disk still stores ``o_totalprice`` (physical names are this
+    protocol's field ids, exactly Delta's column-mapping trade).
+    Time travel below the rename still serves the OLD name (asserted
+    in-query), because the mapping is versioned like any commit.
+
+    Scale: the 100 TB rename story is the whole point — renaming a
+    column on a petabyte table is one JSON commit, not a rewrite; all
+    pruning (stats are logged under physical names) keeps working via
+    name translation. Oracle: the rename is presentation-only, so the
+    relational replay just aliases.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    tx.create_table(
+        spark, TX_RENAME_PATH, orders.filter(F.col("o_orderkey") % 3 != 2)
+    )
+    files0 = tx.live_files(TX_RENAME_PATH, None)
+    v_rename = tx.rename_column(
+        spark, TX_RENAME_PATH, "o_totalprice", "revenue"
+    )
+    assert tx.live_files(TX_RENAME_PATH, None) == files0  # metadata-only
+    # the pre-rename snapshot still serves the OLD name
+    assert "o_totalprice" in tx.snapshot(
+        spark, TX_RENAME_PATH, v_rename - 1
+    ).columns
+    # append under the NEW name
+    tx.append(
+        spark,
+        TX_RENAME_PATH,
+        orders.filter(F.col("o_orderkey") % 3 == 2).withColumnRenamed(
+            "o_totalprice", "revenue"
+        ),
+    )
+    # merge touching the renamed column: zero out the min key's revenue
+    head = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    if head is not None:  # zero-row fixture: nothing to merge
+        # full logical schema; matched rows take only update_cols, so
+        # the dummy non-updated values never land
+        updates = spark.createDataFrame(
+            [(int(head), 0, "X", 0.0)],
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderpriority string, revenue double",
+        )
+        tx.merge(
+            spark, TX_RENAME_PATH, updates, ["o_orderkey"], ["revenue"]
+        )
+    snap = tx.snapshot(spark, TX_RENAME_PATH)
+    assert "revenue" in snap.columns and "o_totalprice" not in snap.columns
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("revenue", "sum_revenue", cast="decimal(14,2)"),
     )
 
 

@@ -1079,6 +1079,20 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_replace_where,
         oracles_f.TX_REPLACE_WHERE,
     ),
+    # E2+: column-mapping RENAME — metadata-only commit (live file set
+    # unchanged, asserted), append+merge under the new name, time
+    # travel below the rename serves the old name
+    "e2_tx_column_rename": (
+        pipeline.tx_column_rename,
+        oracles_f.TX_COLUMN_RENAME,
+    ),
+    # H4 × H5: Count-Min maintained as streaming state keyed on the
+    # hash row — linear sketch, so the drained state equals the batch
+    # build bit-for-bit; SAME oracle as h5_countmin_heavy_hitters
+    "h4_streaming_countmin": (
+        structured.streaming_countmin,
+        oracles_h.COUNTMIN_HEAVY_HITTERS,
+    ),
     "e2_tx_bloom_pruned_lookup": (
         pipeline.tx_bloom_pruned_lookup,
         oracles_f.TX_BLOOM_PRUNED_LOOKUP,
@@ -1571,9 +1585,14 @@ _DRIVER_ROTATION = [
     "e2_tx_bloom_table_lookup",
     "e2_tx_composite_pruned_merge",
     "e2_tx_replace_where",
+    "e2_tx_column_rename",
+    "h4_streaming_countmin",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
+    # batch CM refactored into shared cells/audit helpers (code
+    # motion; re-proven anyway per protocol)
+    "h5_countmin_heavy_hitters",
     # lookup now reads candidates DV-aware through _read_live
     "e2_tx_bloom_pruned_lookup",
     # feed trimmed to 3 contiguous year-chunk arrivals (same fold order)
@@ -1642,6 +1661,8 @@ R09_NEW_IN_PREFIX = [
     "e2_tx_bloom_table_lookup",
     "e2_tx_composite_pruned_merge",
     "e2_tx_replace_where",
+    "e2_tx_column_rename",
+    "h4_streaming_countmin",
 ]
 
 

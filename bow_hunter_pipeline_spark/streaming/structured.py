@@ -1634,6 +1634,105 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_STREAM_WORK = "/tmp/bhps_cms_stream"
+
+
+def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × H5: the Count-Min sketch maintained as STREAMING STATE —
+    documents arrive in three checkpointed micro-batches; each batch's
+    token occurrences explode to (row, cell) increments JVM-side, and
+    ``applyInPandasWithState`` KEYED ON THE HASH-FAMILY ROW folds them
+    into that row's w=256 bigint counters. The sketch is LINEAR
+    (counter addition commutes and associates), so the drained state
+    equals the one-shot batch build bit-for-bit regardless of arrival
+    slicing — the registry oracle is literally the batch query's
+    (``h5_countmin_heavy_hitters``), the strongest exactness statement
+    a streaming operator can make.
+
+    This is the textbook streaming-sketch shape: state is BOUNDED
+    (d × w integers, never vocabulary- or volume-sized), parallelism
+    is the d independent rows, and the heavy exact-audit side runs
+    batch over the same corpus only to JUDGE the sketch. At 100 TB the
+    same operator keys on (tenant, row) for millions of independent
+    sketches with the same bounded per-key state.
+    """
+    import glob
+    import os
+    import shutil
+
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans import approx
+    from bow_hunter_pipeline_spark.functions.text import tokens
+
+    shutil.rmtree(CMS_STREAM_WORK, ignore_errors=True)
+    feed = os.path.join(CMS_STREAM_WORK, "feed")
+    os.makedirs(feed)
+
+    docs = read_table(spark, sf_dir, "documents")
+    for i in range(3):
+        staging = os.path.join(CMS_STREAM_WORK, f"_stage{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        t = 1_700_000_000 + i * 100
+        os.utime(dest, (t, t))
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    incr = stream.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).select(
+        F.posexplode(approx.cms_cells(F.col("token"))).alias(
+            "row", "cell"
+        )
+    )
+
+    def fold_row(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (row,) = key
+        arr = list(state.get[0]) if state.exists else [0] * approx.CMS_W
+        for pdf in batches:
+            for c, n in pdf["cell"].value_counts().items():
+                arr[int(c)] += int(n)
+        state.update((arr,))
+        yield pd.DataFrame({"row": [int(row)], "cells": [list(arr)]})
+
+    out = incr.groupBy("row").applyInPandasWithState(
+        fold_row,
+        outputStructType="row int, cells array<bigint>",
+        stateStructType="cells array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(out, "bhps_stream_cms", "update")
+    emitted = spark.table("bhps_stream_cms")
+    # cumulative emissions: counters only grow, so the final state is
+    # the emission with the largest counter total per row
+    tot = F.aggregate(
+        "cells", F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    final = emitted.groupBy("row").agg(
+        F.max(F.struct(tot.alias("t"), F.col("cells").alias("c")))
+        .getField("c")
+        .alias("cells")
+    )
+    counters = final.select(
+        "row", F.posexplode("cells").alias("cell", "cnt")
+    ).filter(F.col("cnt") > 0).select(
+        "row", F.col("cell").cast("bigint").alias("cell"), "cnt"
+    )
+    exact = docs.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return approx.cms_probe_audit(exact, counters)
+
+
 OUTER_JOIN_WORK = "/tmp/bhps_outer_join_stream"
 
 

@@ -191,6 +191,16 @@ def _write_data(
     paths, per-file stats for ``stats_cols``). Files land under a
     unique directory so a failed writer never collides with a
     committed one."""
+    m = _column_mapping(table) if os.path.isdir(table) else {}
+    if m:
+        # column mapping: frames compute in LOGICAL names, files are
+        # written PHYSICAL forever — translate both data and stats
+        inv = {l: p for p, l in m.items()}
+        df = df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
+        if stats_cols:
+            stats_cols = [inv.get(c, c) for c in stats_cols]
     rel_dir = os.path.join(_DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
     out_dir = os.path.join(table, rel_dir)
     df.write.mode("errorifexists").parquet(out_dir)
@@ -234,6 +244,7 @@ def _commit(
     schema_json: str | None = None,
     cdc: dict | None = None,
     props: dict | None = None,
+    rename: dict | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
@@ -280,6 +291,8 @@ def _commit(
         }
     if op is not None:
         entry["op"] = op
+    if rename is not None:
+        entry["rename"] = {"old": rename["old"], "new": rename["new"]}
     if schema_json is not None:
         entry["schema"] = schema_json
     if cdc is not None:
@@ -592,6 +605,118 @@ def table_schema(table: str, version: int | None = None):
     return T.StructType.fromJson(json.loads(schema_json))
 
 
+def _column_mapping(
+    table: str, version: int | None = None
+) -> dict[str, str]:
+    """COLUMN MAPPING state as of ``version``: physical name (the name
+    in the data files and the logged schema, fixed at create time) →
+    current logical name, for every column a :func:`rename_column`
+    commit has touched. Identity entries are omitted, so an empty dict
+    means no renames and every mapped code path no-ops. Renames chain:
+    a→b then b→c leaves {a: c}."""
+    versions = _versions(table)
+    if not versions:
+        return {}
+    upto = versions[-1] if version is None else version
+    m: dict[str, str] = {}
+    for v in versions:
+        if v > upto:
+            break
+        with open(_log_path(table, v)) as f:
+            entry = json.load(f)
+        r = entry.get("rename")
+        if r:
+            old, new = r["old"], r["new"]
+            phys = next((p for p, l in m.items() if l == old), old)
+            m[phys] = new
+    return {p: l for p, l in m.items() if p != l}
+
+
+def _physical_name(
+    table: str, col: str, version: int | None = None
+) -> str:
+    """A logical column name → its physical (at-rest) name."""
+    m = _column_mapping(table, version)
+    inv = {l: p for p, l in m.items()}
+    return inv.get(col, col)
+
+
+def logical_schema(table: str, version: int | None = None):
+    """:func:`table_schema` (always physical names) presented under
+    the column mapping as of ``version`` — what :func:`snapshot`
+    returns."""
+    sch = table_schema(table, version)
+    if sch is None:
+        return None
+    m = _column_mapping(table, version)
+    if not m:
+        return sch
+    return T.StructType(
+        [
+            T.StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+            for f in sch.fields
+        ]
+    )
+
+
+def _physical_schema_json(table: str, schema) -> str:
+    """A logical-named StructType rendered with physical names for the
+    log (identity when no renames exist)."""
+    m = _column_mapping(table)
+    if not m:
+        return schema.json()
+    inv = {l: p for p, l in m.items()}
+    return T.StructType(
+        [
+            T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    ).json()
+
+
+def rename_column(spark: SparkSession, table: str, old: str, new: str) -> int:
+    """Delta's column-mapping RENAME COLUMN: a METADATA-ONLY commit —
+    zero data bytes move at any table size. Files keep their physical
+    column names forever; the log records the logical mapping and
+    every read (:func:`snapshot`, and the frames the mutation
+    operators compute on via :func:`_read_live`) presents logical
+    names, while every write (:func:`_write_data`) translates back to
+    physical. Time travel below the rename sees the OLD name — the
+    mapping is versioned like any other commit.
+
+    Name-space law: the new name must collide with neither a current
+    logical name nor ANY physical name — names are this protocol's
+    field ids (Delta uses numeric ids for the same purpose), and a
+    logical name shadowing a physical one would make the translation
+    ambiguous. ``ValueError`` on violation, nothing committed.
+
+    CDF caveat: change files written before a rename keep their
+    at-write names (like parquet files, they are immutable); CDF
+    consumers reading across a rename see the old names for old
+    commits.
+    """
+    read_v = _versions(table)[-1]
+    sch = table_schema(table, read_v)
+    if sch is None:
+        raise ValueError(f"{table} has no logged schema to rename in")
+    m = _column_mapping(table, read_v)
+    physical = [f.name for f in sch.fields]
+    logical = [m.get(p, p) for p in physical]
+    if old not in logical:
+        raise ValueError(f"no column {old!r} in {table} (have {logical})")
+    if new in logical or new in physical:
+        raise ValueError(
+            f"{new!r} collides with an existing logical or physical "
+            f"column name of {table}"
+        )
+    next_v = read_v + 1
+    _commit(
+        table, next_v, add=[], remove=[], op="RENAME_COLUMN",
+        rename={"old": old, "new": new},
+    )
+    return next_v
+
+
 def create_table(
     spark: SparkSession,
     table: str,
@@ -711,7 +836,7 @@ def snapshot(
         )
     return _read_live(
         spark, table, rels, dvs,
-        schema=table_schema(table, version),
+        schema=table_schema(table, version), version=version,
     )
 
 
@@ -730,6 +855,7 @@ def _read_live(
     with_file: bool = False,
     with_pos: bool = False,
     schema=None,
+    version: int | None = None,
 ) -> DataFrame:
     """Scan ``rels`` applying deletion vectors (merge-on-read): rows
     whose (file, row_index) appear in a DV are anti-joined away using
@@ -744,9 +870,21 @@ def _read_live(
     need file attribution."""
     reader = spark.read.schema(schema) if schema is not None else spark.read
     df = reader.parquet(*[os.path.join(table, r) for r in rels])
+    m = _column_mapping(table, version)
+
+    def _to_logical(frame: DataFrame, keep: list[str]) -> DataFrame:
+        # column mapping: files are physical, frames are LOGICAL —
+        # alias mapped data columns on the way out (the DV anti-join
+        # above runs on __file/__idx, untouched by the aliasing)
+        if not m:
+            return frame.select(*keep)
+        return frame.select(
+            *[F.col(c).alias(m.get(c, c)) for c in keep]
+        )
+
     live_dvs = {r: ref for r, ref in dvs.items() if r in set(rels) and ref}
     if not live_dvs and not (with_file or with_pos):
-        return df
+        return _to_logical(df, df.columns) if m else df
     cols = df.columns
     df = df.withColumn("__file", _norm_file_path()).withColumn(
         "__idx", F.col("_metadata.row_index")
@@ -777,7 +915,7 @@ def _read_live(
         keep.append("__file")
     if with_pos:
         keep.append("__idx")
-    return df.select(*keep)
+    return _to_logical(df, keep)
 
 
 def _align_schemas(
@@ -865,7 +1003,8 @@ def merge(
     if evolve_schema:
         current, updates = _align_schemas(current, updates)
         if table_schema(table, read_v) is not None:
-            schema_json = current.schema.json()
+            # the logged schema stays PHYSICAL under column mapping
+            schema_json = _physical_schema_json(table, current.schema)
     merged = upsert(
         current, updates, keys, update_cols, guard_cols=guard_cols
     )
@@ -1136,15 +1275,16 @@ def merge_pruned(
         return read_v, 0, len(rels)
 
     prunable = isinstance(updates.schema[key].dataType, _INTEGRAL_TYPES)
+    p_key = _physical_name(table, key, read_v)  # stats are at-rest names
     rewrite, carry = [], []
     for rel in rels:
         if not prunable:
             rewrite.append(rel)
             continue
-        if rel in logged and key in logged[rel]:
-            f_lo, f_hi = logged[rel][key]
+        if rel in logged and p_key in logged[rel]:
+            f_lo, f_hi = logged[rel][p_key]
         else:  # legacy commit without stats: one-time footer read
-            f_lo, f_hi = _file_key_stats(spark, table, rel, key)
+            f_lo, f_hi = _file_key_stats(spark, table, rel, p_key)
         if f_lo is None:  # no stats anywhere: conservatively rewrite
             rewrite.append(rel)
         elif f_hi >= lo and f_lo <= hi:  # ranges intersect: may match
@@ -1228,10 +1368,11 @@ def merge_pruned_composite(
     for rel in rels:
         clean = False
         for k in prunable:
-            if rel in logged and k in logged[rel]:
-                f_lo, f_hi = logged[rel][k]
+            pk = _physical_name(table, k, read_v)
+            if rel in logged and pk in logged[rel]:
+                f_lo, f_hi = logged[rel][pk]
             else:  # legacy commit without stats: one-time footer read
-                f_lo, f_hi = _file_key_stats(spark, table, rel, k)
+                f_lo, f_hi = _file_key_stats(spark, table, rel, pk)
             if f_lo is None:
                 continue  # no stats on this column: can't prove clean
             if f_hi < b[f"__lo_{k}"] or f_lo > b[f"__hi_{k}"]:
@@ -1436,6 +1577,7 @@ def clone_table(src: str, dst: str) -> None:
 
 
 def _prune_candidates(
+    table: str,
     rels: list[str],
     stats: dict[str, dict[str, list]],
     key_range: tuple[str, int, int] | None,
@@ -1445,10 +1587,12 @@ def _prune_candidates(
     without logged stats for the column stay candidates. The caller
     asserts its predicate implies the range — same contract as a
     partition-pruning hint; the subsequent per-row filter still
-    decides exactly."""
+    decides exactly. ``col`` is a LOGICAL name; logged stats are
+    at-rest (physical) names, translated here."""
     if key_range is None:
         return list(rels)
     col, lo, hi = key_range
+    col = _physical_name(table, col)
     out = []
     for rel in rels:
         st = stats.get(rel, {}).get(col)
@@ -1487,7 +1631,7 @@ def delete_where(
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
-    candidates = _prune_candidates(rels, stats, key_range)
+    candidates = _prune_candidates(table, rels, stats, key_range)
     if not candidates:
         return read_v, 0
     abs_to_rel = {
@@ -1584,7 +1728,7 @@ def replace_where(
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
     sch = table_schema(table, read_v)
-    candidates = _prune_candidates(rels, stats, key_range)
+    candidates = _prune_candidates(table, rels, stats, key_range)
     abs_to_rel = {
         os.path.abspath(os.path.join(table, r)): r for r in rels
     }
@@ -1736,7 +1880,7 @@ def update_where(
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
-    candidates = _prune_candidates(rels, stats, key_range)
+    candidates = _prune_candidates(table, rels, stats, key_range)
     if not candidates:
         return read_v, 0
     abs_to_rel = {
@@ -1894,6 +2038,16 @@ def append(
     the logged-schema scan, no rewrite. Missing columns land as typed
     NULLs."""
     read_v = _versions(table)[-1]
+    cmap = _column_mapping(table, read_v)
+    if cmap:
+        # column mapping: callers append LOGICAL-named frames; schema
+        # enforcement below compares against the (physical) logged
+        # schema, so translate first — unknown names pass through and
+        # hit the evolution path as genuinely new columns
+        inv = {l: p for p, l in cmap.items()}
+        df = df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
     target = table_schema(table, read_v)
     schema_json = None
     if target is not None:
@@ -2061,7 +2215,7 @@ def delete_where_dv(
     read_v = _versions(table)[-1]
     rels, stats = _replay(table, read_v)
     dvs = _replay_dvs(table, read_v)
-    candidates = _prune_candidates(rels, stats, key_range)
+    candidates = _prune_candidates(table, rels, stats, key_range)
     if not candidates:
         return read_v, 0
     cond = F.expr(condition)

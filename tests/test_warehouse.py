@@ -1164,7 +1164,7 @@ def test_tx_row_ops_key_range_prunes_find_phase(spark, tmp_path):
     rels, stats = tx._replay(table)
     assert len(rels) == 4 and all("k" in s for s in stats.values())
     # a range covering one file's span keeps 1 candidate
-    assert len(tx._prune_candidates(rels, stats, ("k", 0, 50))) == 1
+    assert len(tx._prune_candidates(table, rels, stats, ("k", 0, 50))) == 1
     # out-of-range ops are free no-ops (no scan, no commit)
     v0 = tx._versions(table)[-1]
     assert tx.delete_where(
@@ -2187,6 +2187,83 @@ def test_replace_where_laws(spark, tmp_path):
     v3, n_del3, n_ins3 = tx.replace_where(spark, table, "region = 9", ins)
     assert (n_del3, n_ins3) == (0, 1)
     assert tx.snapshot(spark, table).filter("region = 9").count() == 1
+
+
+def test_column_mapping_rename_laws(spark, tmp_path):
+    """Column mapping's laws, isolated: (1) rename is metadata-only
+    (live file set identical); (2) files stay PHYSICAL forever — raw
+    parquet written before AND after the rename carries the original
+    name, while snapshot presents the logical one; (3) time travel
+    below the rename serves the old name; (4) appends and merges
+    accept logical-named frames; (5) renames chain and the name-space
+    law refuses collisions with logical or physical names; (6) stats
+    pruning keyed on a RENAMED merge key still prunes (logged stats
+    are physical, lookups translate)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.expr("id % 10").alias("grp"),
+        F.lit(1.0).alias("v"),
+    ).repartitionByRange(5, "k")
+    tx.create_table(spark, table, df, stats_cols=["k"])
+    v0 = tx._versions(table)[-1]
+    files0 = tx.live_files(table, None)
+
+    # (1) + (3)
+    v1 = tx.rename_column(spark, table, "v", "val")
+    assert tx.live_files(table, None) == files0
+    assert "v" in tx.snapshot(spark, table, v0).columns
+    snap = tx.snapshot(spark, table)
+    assert "val" in snap.columns and "v" not in snap.columns
+
+    # (2) physical-at-rest before and after
+    raw0 = spark.read.parquet(os.path.join(table, files0[0]))
+    assert "v" in raw0.columns
+    tx.append(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(5000, 3, 9.0)], "k bigint, grp bigint, val double"
+        ).coalesce(1),
+    )
+    new_file = [
+        r for r in tx.live_files(table, None) if r not in set(files0)
+    ]
+    assert len(new_file) == 1
+    raw1 = spark.read.parquet(os.path.join(table, new_file[0]))
+    assert "v" in raw1.columns and "val" not in raw1.columns
+    assert tx.snapshot(spark, table).filter("val = 9.0").count() == 1
+
+    # (5) chain + collisions
+    v2 = tx.rename_column(spark, table, "val", "value")
+    assert tx._column_mapping(table) == {"v": "value"}
+    with pytest.raises(ValueError, match="collides"):
+        tx.rename_column(spark, table, "k", "value")  # logical clash
+    with pytest.raises(ValueError, match="collides"):
+        tx.rename_column(spark, table, "grp", "v")  # physical clash
+    with pytest.raises(ValueError, match="no column"):
+        tx.rename_column(spark, table, "val", "x")  # old name is gone
+
+    # (4) + (6): rename the MERGE KEY, then a pruned merge still
+    # carries files (stats logged under physical 'k', lookup maps)
+    tx.rename_column(spark, table, "k", "key_id")
+    ups = spark.createDataFrame(
+        [(7, 0, 100.0)], "key_id bigint, grp bigint, value double"
+    )
+    _, n_rw, n_carry = tx.merge_pruned(
+        spark, table, ups, ["key_id"], ["value"]
+    )
+    assert n_carry > 0, "stats pruning died under the renamed key"
+    got = tx.snapshot(spark, table)
+    assert got.filter("key_id = 7 AND value = 100.0").count() == 1
+    assert got.count() == 1001
 
 
 def test_tx_manifest_expires_with_vacuum_retention(spark, tmp_path):
