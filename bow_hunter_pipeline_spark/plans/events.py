@@ -16,7 +16,7 @@ a pushed-down scalar, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.functions.exact import to_double
@@ -354,13 +354,27 @@ def anomaly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined passes, no window over a skewed type partition.
     """
     ev = read_events(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = event_cents()
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("sx"),
         F.sum(cents * cents).alias("sxx"),
     )
-    joined = ev.select("event_type", cents.alias("x")).join(
+    return anomaly_audit(ev, stats)
+
+
+def event_cents() -> Column:
+    """The exact-integer value rendering (cents) — shared by the batch
+    build, the audit, and the streaming-state twin. The conversion
+    must stay IN SPARK: Python's ``round`` is banker's, Spark/DuckDB's
+    is half-up, so a Python-side cents fold would diverge on .xx5."""
+    return F.round(F.col("value") * 100).cast("bigint")
+
+
+def anomaly_audit(ev: DataFrame, stats: DataFrame) -> DataFrame:
+    """The 2σ gate replayed against per-type (n, sx, sxx) stats — the
+    shared tail of the batch and streaming anomaly queries."""
+    joined = ev.select("event_type", event_cents().alias("x")).join(
         F.broadcast(stats), "event_type"
     )
     lhs = F.col("n") * F.col("x") - F.col("sx")

@@ -1093,6 +1093,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_countmin,
         oracles_h.COUNTMIN_HEAVY_HITTERS,
     ),
+    # H4: 2σ anomaly stats (n, Σx, Σx²) as streaming state — linear
+    # integer moments, drained state == batch aggregate; SAME oracle
+    "h4_streaming_anomaly": (
+        structured.streaming_anomaly,
+        oracles_h.ANOMALY_OUTLIERS,
+    ),
     "e2_tx_bloom_pruned_lookup": (
         pipeline.tx_bloom_pruned_lookup,
         oracles_f.TX_BLOOM_PRUNED_LOOKUP,
@@ -1587,12 +1593,15 @@ _DRIVER_ROTATION = [
     "e2_tx_replace_where",
     "e2_tx_column_rename",
     "h4_streaming_countmin",
+    "h4_streaming_anomaly",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
     # batch CM refactored into shared cells/audit helpers (code
     # motion; re-proven anyway per protocol)
     "h5_countmin_heavy_hitters",
+    # batch anomaly refactored into shared cents/audit helpers
+    "h4_anomaly_outliers",
     # lookup now reads candidates DV-aware through _read_live
     "e2_tx_bloom_pruned_lookup",
     # feed trimmed to 3 contiguous year-chunk arrivals (same fold order)
@@ -1663,6 +1672,7 @@ R09_NEW_IN_PREFIX = [
     "e2_tx_replace_where",
     "e2_tx_column_rename",
     "h4_streaming_countmin",
+    "h4_streaming_anomaly",
 ]
 
 

@@ -1733,6 +1733,100 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx.cms_probe_audit(exact, counters)
 
 
+ANOMALY_STREAM_WORK = "/tmp/bhps_anomaly_stream"
+
+
+def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4: the 2σ anomaly gate's stats maintained as STREAMING STATE —
+    events arrive in three checkpointed micro-batches and
+    ``applyInPandasWithState`` keyed on event_type carries the exact
+    integer moments (n, Σx, Σx²) across batches (x = cents, converted
+    IN SPARK before the stateful op — Python's banker's rounding never
+    touches a value). The moments are LINEAR, so the drained state
+    equals the one-shot batch aggregate bit-for-bit and the query
+    shares ``h4_anomaly_outliers``'s oracle verbatim — the same
+    linear-sketch exactness statement as ``h4_streaming_countmin``,
+    on the ops-monitoring shape: a live anomaly monitor never rescans
+    history, it folds three integers per key per batch.
+
+    Scale: O(1) bigints of state per event type; parallelism = type
+    keys; the audit rescan exists only to JUDGE the gate.
+    """
+    import glob
+    import os
+    import shutil
+
+    from bow_hunter_pipeline_spark.io.readers import read_events
+    from bow_hunter_pipeline_spark.plans import events as events_plans
+
+    shutil.rmtree(ANOMALY_STREAM_WORK, ignore_errors=True)
+    feed = os.path.join(ANOMALY_STREAM_WORK, "feed")
+    os.makedirs(feed)
+
+    ev = read_events(spark, sf_dir)
+    for i in range(3):
+        staging = os.path.join(ANOMALY_STREAM_WORK, f"_stage{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        t = 1_700_000_000 + i * 100
+        os.utime(dest, (t, t))
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    xs = stream.select(
+        "event_type", events_plans.event_cents().alias("x")
+    )
+
+    def fold_moments(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        n, sx, sxx = state.get if state.exists else (0, 0, 0)
+        for pdf in batches:
+            for x in pdf["x"]:
+                x = int(x)  # Python ints: arbitrary precision, exact
+                n += 1
+                sx += x
+                sxx += x * x
+        state.update((n, sx, sxx))
+        yield pd.DataFrame(
+            {
+                "event_type": pd.Series([etype], dtype="object"),
+                "n": pd.Series([n], dtype="int64"),
+                "sx": pd.Series([sx], dtype="int64"),
+                "sxx": pd.Series([sxx], dtype="int64"),
+            }
+        )
+
+    out = xs.groupBy("event_type").applyInPandasWithState(
+        fold_moments,
+        outputStructType=(
+            "event_type string, n bigint, sx bigint, sxx bigint"
+        ),
+        stateStructType="n bigint, sx bigint, sxx bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(out, "bhps_stream_anomaly", "update")
+    emitted = spark.table("bhps_stream_anomaly")
+    # cumulative emissions: n only grows — the max-n row is final
+    stats = emitted.groupBy("event_type").agg(
+        F.max(F.struct("n", "sx", "sxx")).alias("s")
+    ).select(
+        "event_type",
+        F.col("s.n").alias("n"),
+        F.col("s.sx").alias("sx"),
+        F.col("s.sxx").alias("sxx"),
+    )
+    return events_plans.anomaly_audit(ev, stats)
+
+
 OUTER_JOIN_WORK = "/tmp/bhps_outer_join_stream"
 
 
