@@ -1740,6 +1740,16 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM merged GROUP BY o_orderpriority
 """
 
+# E2+: generated columns are pure derivations — the replay just
+# re-derives them.
+TX_GENERATED_COLUMNS = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_orderkey % 16) AS BIGINT) AS n_buckets,
+       {_DSUM.format(c='o_totalprice')} AS total_price
+FROM orders GROUP BY 1
+"""
+
 # E2+: column-mapping rename is presentation-only — the replay just
 # aliases; the min key's revenue was zeroed by the post-rename merge.
 TX_COLUMN_RENAME = f"""

@@ -1898,6 +1898,61 @@ def tx_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TX_GEN_PATH = "/tmp/bhps_tx_generated"
+
+
+def tx_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: GENERATED ALWAYS AS columns — the table declares
+    ``o_year = year(o_orderdate)`` and ``key_bucket = o_orderkey % 16``
+    at create time; every write path then either COMPUTES the column
+    (writer omitted it — both the create and the append here) or
+    ENFORCES it (writer provided a value: it must match on every row,
+    or the write is refused — asserted in-query with a poisoned
+    append). This is Delta's generated-column contract: readers can
+    trust derived partition/bucket keys without re-deriving them,
+    which is what makes partition pruning on derived columns sound.
+
+    Scale: enforcement is one codegen'd scan of the writer's batch —
+    O(batch), never O(table); the computed column costs the same
+    projection the writer would have paid. Oracle: the generation
+    expressions replayed relationally.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    tx.create_table(
+        spark,
+        TX_GEN_PATH,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        properties={
+            "generated": {
+                "o_year": "year(o_orderdate)",
+                "key_bucket": "o_orderkey % 16",
+            }
+        },
+    )
+    # append omitting the generated columns: computed on the way in
+    tx.append(spark, TX_GEN_PATH, orders.filter(F.col("o_orderkey") % 2 == 1))
+    # a violating writer is refused before anything lands
+    poison = orders.limit(1).withColumn("o_year", F.lit(-1))
+    if poison.count():  # zero-row fixture: nothing to violate with
+        v_before = tx._versions(TX_GEN_PATH)[-1]
+        try:
+            tx.append(spark, TX_GEN_PATH, poison)
+            raise AssertionError("violating append was accepted")
+        except ValueError:
+            pass
+        assert tx._versions(TX_GEN_PATH)[-1] == v_before
+    return tx.snapshot(spark, TX_GEN_PATH).groupBy("o_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("key_bucket").cast("bigint").alias("n_buckets"),
+        dsum("o_totalprice", "total_price", cast="decimal(14,2)"),
+    )
+
+
 TX_RENAME_PATH = "/tmp/bhps_tx_rename"
 
 

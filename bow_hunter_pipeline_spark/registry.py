@@ -1079,6 +1079,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_replace_where,
         oracles_f.TX_REPLACE_WHERE,
     ),
+    # E2+: GENERATED ALWAYS AS — omitted columns computed, provided
+    # values enforced (poisoned write refused, asserted in-query)
+    "e2_tx_generated_columns": (
+        pipeline.tx_generated_columns,
+        oracles_f.TX_GENERATED_COLUMNS,
+    ),
     # E2+: column-mapping RENAME — metadata-only commit (live file set
     # unchanged, asserted), append+merge under the new name, time
     # travel below the rename serves the old name
@@ -1594,6 +1600,7 @@ _DRIVER_ROTATION = [
     "e2_tx_column_rename",
     "h4_streaming_countmin",
     "h4_streaming_anomaly",
+    "e2_tx_generated_columns",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1673,6 +1680,7 @@ R09_NEW_IN_PREFIX = [
     "e2_tx_column_rename",
     "h4_streaming_countmin",
     "h4_streaming_anomaly",
+    "e2_tx_generated_columns",
 ]
 
 

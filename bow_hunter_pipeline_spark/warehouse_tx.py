@@ -717,6 +717,33 @@ def rename_column(spark: SparkSession, table: str, old: str, new: str) -> int:
     return next_v
 
 
+def _apply_generated_exprs(df: DataFrame, gen: dict[str, str]) -> DataFrame:
+    """Delta's GENERATED ALWAYS AS write contract: a declared column
+    the writer OMITS is computed from its expression; a column the
+    writer PROVIDES must match the expression on every row (one
+    codegen'd scan of the batch) or the write is refused — otherwise
+    readers could never trust the invariant the declaration promises.
+    Expressions reference physical column names (they are declared at
+    create time, before any rename can exist)."""
+    for col, expr in gen.items():
+        if col in df.columns:
+            bad = df.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr))
+            ).count()
+            if bad:
+                raise ValueError(
+                    f"generated column {col!r}: {bad} rows violate "
+                    f"GENERATED ALWAYS AS ({expr})"
+                )
+        else:
+            df = df.withColumn(col, F.expr(expr))
+    return df
+
+
+def _generated_columns(table: str) -> dict[str, str]:
+    return dict(table_properties(table).get("generated", {}))
+
+
 def create_table(
     spark: SparkSession,
     table: str,
@@ -734,6 +761,8 @@ def create_table(
     by default, so a CDF stream over the table always plans per-file
     ``cdc`` partitions instead of the read-time diff fallback — the
     property a table created BY a streaming pipeline should declare."""
+    if properties and properties.get("generated"):
+        df = _apply_generated_exprs(df, dict(properties["generated"]))
     shutil.rmtree(table, ignore_errors=True)
     os.makedirs(table)
     files, stats = _write_data(df, table, 0, stats_cols)
@@ -990,6 +1019,9 @@ def merge(
     conflict)."""
     if write_cdc is None:
         write_cdc = bool(table_properties(table).get("cdc", False))
+    gen = _generated_columns(table)
+    if gen:  # GENERATED ALWAYS AS holds for merge inserts/updates too
+        updates = _apply_generated_exprs(updates, gen)
     read_v = _versions(table)[-1]
     if txn is not None:
         app_id, txn_version = txn
@@ -2048,6 +2080,9 @@ def append(
         df = df.select(
             *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
         )
+    gen = _generated_columns(table)
+    if gen:  # GENERATED ALWAYS AS: compute omitted, enforce provided
+        df = _apply_generated_exprs(df, gen)
     target = table_schema(table, read_v)
     schema_json = None
     if target is not None:
