@@ -514,6 +514,33 @@ FROM q JOIN pts
 GROUP BY s_suppkey
 """
 
+# G5: the two-phase grid kNN is EXACT (ring-resolve law + brute-force
+# remainder) — the oracle is plain brute-force row_number.
+KNN_GRID_JOIN = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 13) % 100 AS px, (c_custkey * 29) % 100 AS py
+  FROM customer
+),
+q AS (
+  SELECT s_suppkey,
+         (s_suppkey * 17) % 100 AS qx, (s_suppkey * 41) % 100 AS qy
+  FROM supplier
+),
+scored AS (
+  SELECT s_suppkey, c_custkey,
+         (px-qx)*(px-qx) + (py-qy)*(py-qy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY s_suppkey
+           ORDER BY (px-qx)*(px-qx) + (py-qy)*(py-qy), c_custkey
+         ) AS rnk
+  FROM q CROSS JOIN pts
+)
+SELECT s_suppkey, CAST(rnk AS INT) AS rnk, c_custkey,
+       CAST(d2 AS BIGINT) AS d2
+FROM scored WHERE rnk <= 3
+"""
+
 MOVING_AVG_REVENUE = """
 WITH monthly AS (
   SELECT o_orderpriority AS priority,

@@ -1368,6 +1368,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.radius_grid_join,
         oracles_f.RADIUS_GRID_JOIN,
     ),
+    # G5: exact two-phase grid kNN — ring-1 resolve (kth d2 <= S²
+    # proves nothing outside can displace), brute-force remainder
+    "g5_knn_grid_join": (
+        analytics.knn_grid_join,
+        oracles_f.KNN_GRID_JOIN,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1601,6 +1607,7 @@ _DRIVER_ROTATION = [
     "h4_streaming_countmin",
     "h4_streaming_anomaly",
     "e2_tx_generated_columns",
+    "g5_knn_grid_join",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1681,6 +1688,7 @@ R09_NEW_IN_PREFIX = [
     "h4_streaming_countmin",
     "h4_streaming_anomaly",
     "e2_tx_generated_columns",
+    "g5_knn_grid_join",
 ]
 
 
