@@ -3175,3 +3175,25 @@ SELECT CAST(a1.s AS INT) AS s,
 FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id AND a1.s = a2.s
 GROUP BY a1.s
 """
+
+# H3: chunk boundaries are pure integer arithmetic; the fingerprint is
+# md5 of the same byte string — bit-exact replay.
+SLIDING_WINDOW_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         (greatest(len({_TOKS}) - 64, 0) + 47) // 48 + 1 AS n_chunks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS ci
+  FROM d
+),
+chunks AS (
+  SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         list_slice(toks, ci * 48 + 1, ci * 48 + 64) AS chunk
+  FROM idx
+)
+SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+"""

@@ -784,3 +784,54 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_nll"),
         )
     )
+
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_T = 48  # stride (16-token overlap)
+
+
+def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: SLIDING-WINDOW CHUNKING — the RAG/pretraining segmenter:
+    each document becomes ceil(max(n−W, 0)/T) + 1 chunks of W=64
+    tokens at stride T=48 (16-token overlap), so every token belongs
+    to at least one chunk and long-range context survives the cut.
+    Output per (doc, chunk): token count and an md5 fingerprint of the
+    space-joined chunk text — the identity a downstream index or
+    dedup stage keys on. Everything is JVM-side array arithmetic
+    (sequence → slice → array_to_string → md5): one narrow fan-out of
+    ~n/T rows per document, no shuffle until a downstream groupBy,
+    exactly how a 100 TB corpus chunks in parallel.
+
+    Exactness: chunk boundaries are pure integer arithmetic and the
+    fingerprint is md5 of the same byte string in both engines.
+    """
+    from bow_hunter_pipeline_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    w, t = CHUNK_W, CHUNK_T
+    with_toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn(
+        "n_chunks",
+        F.expr(f"(greatest(size(toks) - {w}, 0) + {t - 1}) div {t} + 1"),
+    )
+    return (
+        with_toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr("sequence(0, n_chunks - 1)")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr(f"slice(toks, chunk_idx * {t} + 1, {w})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("int").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )

@@ -1374,6 +1374,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.knn_grid_join,
         oracles_f.KNN_GRID_JOIN,
     ),
+    # H3: sliding-window RAG/pretraining chunker — W=64 tokens at
+    # stride 48, md5 chunk fingerprints, pure JVM array arithmetic
+    "h3_sliding_window_chunks": (
+        textanalysis.sliding_window_chunks,
+        oracles_h.SLIDING_WINDOW_CHUNKS,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1608,6 +1614,7 @@ _DRIVER_ROTATION = [
     "h4_streaming_anomaly",
     "e2_tx_generated_columns",
     "g5_knn_grid_join",
+    "h3_sliding_window_chunks",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1689,6 +1696,7 @@ R09_NEW_IN_PREFIX = [
     "h4_streaming_anomaly",
     "e2_tx_generated_columns",
     "g5_knn_grid_join",
+    "h3_sliding_window_chunks",
 ]
 
 
