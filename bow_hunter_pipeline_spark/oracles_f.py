@@ -1948,3 +1948,46 @@ FROM orders
 WHERE o_orderkey % 5 <> 0
 GROUP BY 1
 """
+
+# G4: CUSUM via its closed window form — every s_t is exact integer
+# arithmetic; window sums cast back to BIGINT (DuckDB widens them).
+CUSUM_CHANGEPOINT = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(year(o_orderdate) AS BIGINT) * 12
+           + month(o_orderdate) - 1 AS month_idx,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+refs AS (
+  SELECT priority, CAST(SUM(x) AS BIGINT) // COUNT(*) AS ref
+  FROM monthly GROUP BY priority
+),
+scored AS (
+  SELECT m.priority, m.month_idx, r.ref,
+         CAST(SUM(m.x - r.ref) OVER (
+           PARTITION BY m.priority ORDER BY m.month_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS p
+  FROM monthly m JOIN refs r USING (priority)
+),
+cusum AS (
+  SELECT priority, month_idx, ref,
+         p - least(CAST(0 AS BIGINT), CAST(MIN(p) OVER (
+           PARTITION BY priority ORDER BY month_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT)) AS s
+  FROM scored
+),
+peaked AS (
+  SELECT priority, month_idx, ref, s,
+         MAX(s) OVER (PARTITION BY priority) AS max_s
+  FROM cusum
+)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(MIN(ref) AS BIGINT) AS ref_cents,
+       CAST(MAX(s) AS BIGINT) AS max_cusum,
+       MIN(CASE WHEN s = max_s THEN month_idx END) AS peak_month_idx
+FROM peaked GROUP BY priority
+"""

@@ -3197,3 +3197,21 @@ SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tokens,
        md5(array_to_string(chunk, ' ')) AS chunk_md5
 FROM chunks
 """
+
+# H6: the classifier is exact bigint arithmetic over md5-derived
+# buckets — full replay.
+HASHED_LINEAR_CLASSIFIER = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+w AS (
+  SELECT doc_id,
+         ((CAST('0x' || substr(md5('clf|' || token), 1, 15) AS BIGINT)
+           % 4096) * 2654435761) % 1001 - 500 AS w
+  FROM tok
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS score,
+       CAST(CAST(SUM(w) AS BIGINT) > 0 AS INT) AS keep
+FROM w GROUP BY doc_id
+"""

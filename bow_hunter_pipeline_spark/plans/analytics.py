@@ -701,6 +701,59 @@ def knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: CUSUM changepoint detection over the monthly revenue series
+    — the Page (1954) upward-shift detector next to the smoothing
+    family: s_t = max(0, s_{t-1} + (x_t − ref)), peak and location per
+    priority. The recurrence is NOT folded: CUSUM has the closed
+    window form s_t = P_t − min(0, min_{j≤t} P_j) with P the running
+    sum of deviations, so the whole detector is two plain window
+    functions over the month-sorted series — no UDF, no driver loop,
+    whole-stage codegen end to end, and trivially parallel across
+    series keys at 100 TB (millions of (product × region) series,
+    same plan).
+
+    Exactness: x is the exact monthly cents total (bigint), ref is
+    the integer mean (div), so every s_t is exact integer arithmetic
+    — the oracle replays the identical windows.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("month_idx"),
+    ).agg(F.sum(cents).alias("x"))
+    ref = monthly.groupBy("priority").agg(
+        F.expr("sum(x) div count(1)").alias("ref")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        monthly.join(F.broadcast(ref), "priority")
+        .withColumn("p", F.sum(F.col("x") - F.col("ref")).over(w))
+        .withColumn(
+            "s",
+            F.col("p") - F.least(F.lit(0).cast("bigint"), F.min("p").over(w)),
+        )
+    )
+    scored = scored.withColumn(
+        "max_s", F.max("s").over(Window.partitionBy("priority"))
+    )
+    return scored.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.first("ref").alias("ref_cents"),
+        F.max("s").alias("max_cusum"),
+        F.min(
+            F.when(F.col("s") == F.col("max_s"), F.col("month_idx"))
+        ).alias("peak_month_idx"),
+    )
+
+
 def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: HOLT LINEAR-TREND smoothing (double exponential — the
     M-competition baseline one level above :func:`ewma_trend`): the

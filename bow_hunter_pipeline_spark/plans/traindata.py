@@ -1205,3 +1205,48 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_packs"),
         )
     )
+
+
+HASH_CLF_D = 4096  # hashing-trick feature buckets
+HASH_CLF_A = 2654435761  # Knuth multiplier for the stand-in weights
+
+
+def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6: QUALITY-CLASSIFIER APPLICATION at corpus scale — the
+    fastText-shaped filter stage every production pretraining pipeline
+    runs (CCNet, RefinedWeb, FineWeb): hash each token into D=4096
+    feature buckets (the hashing trick — no vocabulary table ships to
+    executors), sum the buckets' weights per document, gate on the
+    sign. Weights here are a DETERMINISTIC stand-in ((bucket·A) mod
+    1001 − 500 — a trained model would broadcast a D-length array and
+    the plan is identical), because what this query proves is the
+    APPLICATION plan: one narrow token fan-out, map-side-combined
+    per-doc integer sums, zero joins, zero Python — the shape that
+    scores 100 TB in one pass.
+
+    Exactness: bucket ids are the 60-bit md5 hash (non-negative, so
+    ``%`` agrees across engines) and every weight/score is exact
+    bigint arithmetic.
+    """
+    from bow_hunter_pipeline_spark.io.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    b = hash64(F.concat(F.lit("clf|"), F.col("token"))) % F.lit(HASH_CLF_D)
+    wgt = (b * F.lit(HASH_CLF_A)) % F.lit(1001) - F.lit(500)
+    return (
+        tok.select("doc_id", wgt.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            (F.col("score") > 0).cast("int").alias("keep"),
+        )
+    )

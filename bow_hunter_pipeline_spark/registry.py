@@ -1380,6 +1380,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.sliding_window_chunks,
         oracles_h.SLIDING_WINDOW_CHUNKS,
     ),
+    # G4: CUSUM changepoint via its closed two-window form — exact
+    # integer cents, no fold, codegen end to end
+    "g4_cusum_changepoint": (
+        analytics.cusum_changepoint,
+        oracles_f.CUSUM_CHANGEPOINT,
+    ),
+    # H6: hashing-trick linear quality classifier applied in one pass
+    # (fastText filter shape, deterministic stand-in weights)
+    "h6_hashed_linear_classifier": (
+        traindata.hashed_linear_classifier,
+        oracles_h.HASHED_LINEAR_CLASSIFIER,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1615,6 +1627,8 @@ _DRIVER_ROTATION = [
     "e2_tx_generated_columns",
     "g5_knn_grid_join",
     "h3_sliding_window_chunks",
+    "g4_cusum_changepoint",
+    "h6_hashed_linear_classifier",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1697,6 +1711,8 @@ R09_NEW_IN_PREFIX = [
     "e2_tx_generated_columns",
     "g5_knn_grid_join",
     "h3_sliding_window_chunks",
+    "g4_cusum_changepoint",
+    "h6_hashed_linear_classifier",
 ]
 
 
