@@ -1991,3 +1991,14 @@ SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_months,
        MIN(CASE WHEN s = max_s THEN month_idx END) AS peak_month_idx
 FROM peaked GROUP BY priority
 """
+
+# F: pipe syntax is sugar — the oracle is the standard form.
+SQL_PIPE_SYNTAX = """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1, 2
+"""

@@ -313,6 +313,31 @@ def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F: Spark 4's SQL PIPE syntax (``|>``) — the linear query form
+    (FROM … |> WHERE … |> EXTEND … |> AGGREGATE) that reads in
+    execution order instead of inside-out. Pipe stages are pure sugar
+    over the same Catalyst plan as the standard form (filter pushdown,
+    partial aggregation — all identical), so this row pins the API
+    surface, not a new engine path; the oracle is the equivalent
+    standard SQL.
+    """
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "bhps_pipe_orders"
+    )
+    return spark.sql(
+        """
+        FROM bhps_pipe_orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |> EXTEND year(o_orderdate) AS o_year
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))),
+                                4) AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority, o_year
+        """
+    )
+
+
 Q3_CUTOFF = "1998-07-01"
 Q3_SEGMENT = "BUILDING"
 Q3_TOP_N = 10

@@ -1392,6 +1392,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         traindata.hashed_linear_classifier,
         oracles_h.HASHED_LINEAR_CLASSIFIER,
     ),
+    # F: Spark 4 SQL pipe syntax (|>) — same Catalyst plan as the
+    # standard form; the oracle IS the standard form
+    "f_sql_pipe_syntax": (
+        relational.sql_pipe_syntax,
+        oracles_f.SQL_PIPE_SYNTAX,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1629,6 +1635,7 @@ _DRIVER_ROTATION = [
     "h3_sliding_window_chunks",
     "g4_cusum_changepoint",
     "h6_hashed_linear_classifier",
+    "f_sql_pipe_syntax",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1713,6 +1720,7 @@ R09_NEW_IN_PREFIX = [
     "h3_sliding_window_chunks",
     "g4_cusum_changepoint",
     "h6_hashed_linear_classifier",
+    "f_sql_pipe_syntax",
 ]
 
 
