@@ -52,6 +52,12 @@ HEADLINE = [
     # partitioned appends), per-cell binpack compaction, partition-
     # pruned search
     "h2_ivf_compacted_search",
+    # round 9: the STREAMING store's full maintenance loop (stream-
+    # maintain → mark-committed compaction → replay guard → pruned
+    # search) and the composite-key CDC merge find phase (stats ∩
+    # bloom probe)
+    "h2_ivf_stream_compacted_search",
+    "e2_tx_composite_pruned_merge",
 ]
 
 
