@@ -1648,6 +1648,16 @@ _DRIVER_ROTATION = [
     "e2_tx_bloom_pruned_lookup",
     # feed trimmed to 3 contiguous year-chunk arrivals (same fold order)
     "h4_streaming_ewma",
+    # --- core machinery re-checks: column mapping + generated columns
+    # threaded through _read_live/_write_data/append/merge this round;
+    # the no-op path is full-registry-verified, and these six tx rows
+    # re-prove it under the driver's hash too ---
+    "e2_tx_merge_timetravel",
+    "e2_tx_guarded_merge",
+    "e2_tx_dv_delete",
+    "e2_tx_delete_restore",
+    "e2_orders_upsert",
+    "e2_tx_merge_pruned",
     # --- oldest surviving proofs: r02 vintage ---
     "f_anti_join_inactive_customers",
     "f_cube_flag_status",
@@ -1684,14 +1694,13 @@ _DRIVER_ROTATION = [
     "g4_moving_avg",
     "f_range_join_value_bands",
     "h1_containment_pairs",
-    # --- bench headliners (re-proven every round) ---
+    # --- bench headliners (the two tx ones moved into the core-
+    # machinery section above) ---
     "g2_revenue_by_nation",
     "g3_top_k_per_group",
     "h6_curation_pipeline",
     "f_q9_product_profit",
-    "e2_tx_merge_timetravel",
     "h4_attribution_first_last",
-    "e2_tx_guarded_merge",
     "h1_minhash_lsh_pairs",
     "h2_ivf_compacted_search",
 ]
