@@ -3215,3 +3215,36 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(CAST(SUM(w) AS BIGINT) > 0 AS INT) AS keep
 FROM w GROUP BY doc_id
 """
+
+# MM: the fake frame feature is the payload byte at the frame offset —
+# ascii()/substr replays it exactly over the ASCII fixture text.
+FRAME_SHOT_BOUNDARIES = """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n_bytes,
+         CAST(strlen(text) % 5 + 1 AS BIGINT) AS n_frames
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, text, n_bytes, n_frames,
+         unnest(generate_series(0, n_frames - 1)) AS i
+  FROM d
+),
+f AS (
+  SELECT doc_id, n_frames, i,
+         ascii(substr(text,
+                      CAST(i * (n_bytes // n_frames) AS BIGINT) + 1,
+                      1)) AS feat
+  FROM idx
+),
+b AS (
+  SELECT doc_id, n_frames, i, feat,
+         lag(feat) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM f
+)
+SELECT doc_id, CAST(MIN(n_frames) AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 16
+                     THEN 1 ELSE 0 END) AS INT) AS n_boundaries,
+       CAST(MIN(CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 16
+                     THEN i END) AS INT) AS first_boundary_idx
+FROM b GROUP BY doc_id
+"""

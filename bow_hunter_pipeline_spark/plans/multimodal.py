@@ -355,3 +355,66 @@ def patch_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("q_doc", "n_doc", "dot", "rank")
     )
+
+
+_SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_boundaries", T.IntegerType()),
+        T.StructField("first_boundary_idx", T.IntegerType()),
+    ]
+)
+
+SHOT_THRESHOLD = 16  # |feature delta| above this = a cut
+
+
+def frame_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal SHOT-BOUNDARY detection: sample each payload's
+    frames (the ``frame_sample`` offsets), extract a per-frame feature,
+    and flag a cut wherever consecutive features jump by more than the
+    threshold — the video segmentation step a clip-level training
+    pipeline runs before captioning/packing. The whole per-payload
+    loop (offsets → features → deltas → per-doc stats) runs INSIDE one
+    Arrow batch in ``mapInPandas``: frames never explode into a
+    shuffle, output is one row per payload, partitions stay
+    independent — the plumbing a real decoder (ffmpeg scene filter)
+    drops into at the documented seam.
+
+    The fake feature is the payload byte at each frame offset
+    (byte-deterministic), so the oracle replays the detector exactly
+    via ascii()/substr over the ASCII fixture text.
+    """
+    n_frame_mod = N_FRAME_MOD
+    tau = SHOT_THRESHOLD
+
+    def fake_shots(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_b": [], "first_b": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_bytes = len(payload)
+                n_frames = n_bytes % n_frame_mod + 1
+                stride = n_bytes // n_frames
+                feats = [payload[i * stride] for i in range(n_frames)]
+                cuts = [
+                    i
+                    for i in range(1, n_frames)
+                    if abs(feats[i] - feats[i - 1]) > tau
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_b"].append(len(cuts))
+                out["first_b"].append(cuts[0] if cuts else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "n_boundaries": pd.Series(out["n_b"], dtype="int32"),
+                    "first_boundary_idx": pd.Series(
+                        out["first_b"], dtype="Int32"
+                    ),
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(fake_shots, _SHOT_SCHEMA)

@@ -1398,6 +1398,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.sql_pipe_syntax,
         oracles_f.SQL_PIPE_SYNTAX,
     ),
+    # MM: shot-boundary detection — per-payload frame features and
+    # cut flags inside one mapInPandas batch, byte-deterministic fake
+    "mm_frame_shot_boundaries": (
+        multimodal.frame_shot_boundaries,
+        oracles_h.FRAME_SHOT_BOUNDARIES,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1636,6 +1642,7 @@ _DRIVER_ROTATION = [
     "g4_cusum_changepoint",
     "h6_hashed_linear_classifier",
     "f_sql_pipe_syntax",
+    "mm_frame_shot_boundaries",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1730,6 +1737,7 @@ R09_NEW_IN_PREFIX = [
     "g4_cusum_changepoint",
     "h6_hashed_linear_classifier",
     "f_sql_pipe_syntax",
+    "mm_frame_shot_boundaries",
 ]
 
 
