@@ -339,6 +339,14 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    return _min_label_propagate(edges, labels)
+
+
+def _min_label_propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """The min-label propagation loop to convergence — shared by the
+    from-scratch and incremental cluster builders. ``edges`` must be
+    symmetric; ``labels`` seeds every node (a warm seed from a prior
+    labeling converges in fewer rounds)."""
     for _ in range(MAX_CC_ITERS):
         nbr_labels = edges.join(
             labels.select(
@@ -368,6 +376,60 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def incremental_dedup_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H1 INCREMENTAL cluster maintenance — the companion
+    ``h1_incremental_lsh_index`` needs to close the daily-dedup loop:
+    when an arrival's NEW candidate pairs land, cluster labels update
+    WITHOUT re-walking the old pair graph. The old components ride
+    along as one node→root STAR edge per node (the union-find
+    contraction: O(nodes), never O(old edges)); the new pairs merge
+    stars through the same min-label propagation, warm-seeded with the
+    existing labels so rounds ≈ star diameter (≤2) plus the new paths.
+    The final labeling must equal from-scratch connected components
+    over ALL pairs — same oracle as ``h1_dedup_clusters``.
+
+    Scale: this is what nightly dedup maintenance costs at 100 TB —
+    O(new pairs + affected component sizes) shuffle per arrival; the
+    historical pair graph is never re-shuffled, only its contracted
+    star (bytes ∝ corpus nodes, not edges).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    # arrival split mirrors the incremental index fixture: batch 2 is
+    # the new arrival — pairs touching it are the new edges
+    is_new = (F.col("doc_a") % 3 == 2) | (F.col("doc_b") % 3 == 2)
+    old_pairs = pairs.filter(~is_new)
+    new_pairs = pairs.filter(is_new)
+    labels_old = dedup_clusters(spark, sf_dir, pairs=old_pairs)
+    star = labels_old.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
+    ).unionByName(
+        labels_old.select(
+            F.col("cluster_id").alias("src"), F.col("doc_id").alias("dst")
+        )
+    )
+    new_edges = new_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        new_pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    edges = star.unionByName(new_edges).localCheckpoint()
+    seed = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .join(labels_old, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .localCheckpoint()
+    )
+    return _min_label_propagate(edges, seed)
 
 
 def jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:

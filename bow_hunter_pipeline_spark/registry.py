@@ -418,6 +418,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles_h.EDIT_DISTANCE_PAIRS,
     ),
     "h1_dedup_clusters": (dedup.dedup_clusters, oracles_h.DEDUP_CLUSTERS),
+    # H1 incremental: cluster labels updated from a new arrival's
+    # pairs + the old components' star contraction — never re-walking
+    # old edges; must equal from-scratch CC (same oracle)
+    "h1_incremental_dedup_clusters": (
+        dedup.incremental_dedup_clusters,
+        oracles_h.DEDUP_CLUSTERS,
+    ),
     # H6 deterministic sampling
     "h6_stratified_sample": (
         sampling.stratified_sample,
@@ -1643,6 +1650,7 @@ _DRIVER_ROTATION = [
     "h6_hashed_linear_classifier",
     "f_sql_pipe_syntax",
     "mm_frame_shot_boundaries",
+    "h1_incremental_dedup_clusters",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1738,6 +1746,7 @@ R09_NEW_IN_PREFIX = [
     "h6_hashed_linear_classifier",
     "f_sql_pipe_syntax",
     "mm_frame_shot_boundaries",
+    "h1_incremental_dedup_clusters",
 ]
 
 
