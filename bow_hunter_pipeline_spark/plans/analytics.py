@@ -725,16 +725,18 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("month_idx"),
     ).agg(F.sum(cents).alias("x"))
-    ref = monthly.groupBy("priority").agg(
-        F.expr("sum(x) div count(1)").alias("ref")
-    )
+    # the reference level comes from partition windows over the SAME
+    # monthly frame — one scan of orders, no second aggregate + join
+    wp = Window.partitionBy("priority")
     w = (
         Window.partitionBy("priority")
         .orderBy("month_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scored = (
-        monthly.join(F.broadcast(ref), "priority")
+        monthly.withColumn("tot", F.sum("x").over(wp))
+        .withColumn("cnt", F.count(F.lit(1)).over(wp))
+        .withColumn("ref", F.expr("tot div cnt"))
         .withColumn("p", F.sum(F.col("x") - F.col("ref")).over(w))
         .withColumn(
             "s",
