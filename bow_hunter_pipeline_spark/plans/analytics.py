@@ -684,16 +684,24 @@ def knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt") == KNN_K) & (F.col("kth") <= F.lit(S * S))
     ).select("s_suppkey")
     resolved = ring.join(resolved_q, "s_suppkey", "left_semi")
-    # phase 2: the sparse remainder, exact brute force
-    rest_q = queries.join(resolved_q, "s_suppkey", "left_anti")
-    brute = (
-        F.broadcast(rest_q)
-        .crossJoin(pts.select("c_custkey", "px", "py"))
-        .select("s_suppkey", "c_custkey", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-    )
-    return resolved.unionByName(brute).select(
+    # phase 2: the sparse remainder, exact brute force — GATED on a
+    # bounded probe (one boolean over the query-sized side), because a
+    # union would otherwise scan the full point set a second time even
+    # when phase 1 resolved everything
+    rest_q = queries.join(
+        resolved_q, "s_suppkey", "left_anti"
+    ).localCheckpoint()
+    out = resolved
+    if not rest_q.isEmpty():
+        brute = (
+            F.broadcast(rest_q)
+            .crossJoin(pts.select("c_custkey", "px", "py"))
+            .select("s_suppkey", "c_custkey", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KNN_K)
+        )
+        out = resolved.unionByName(brute)
+    return out.select(
         "s_suppkey",
         F.col("rn").cast("int").alias("rnk"),
         "c_custkey",
