@@ -3248,3 +3248,58 @@ SELECT doc_id, CAST(MIN(n_frames) AS INT) AS n_frames,
                      THEN i END) AS INT) AS first_boundary_idx
 FROM b GROUP BY doc_id
 """
+
+# H2: recluster replay — cosine seed assignment, per-cell floor-mean
+# integer centroids (embeddings are 64-dim), exact L2² re-assignment,
+# per-new-cell top-k by the same integer distance.
+IVF_RECLUSTER_MOVES = f"""
+WITH {_IVF_ASSIGNED_CTES},
+sx AS (
+  SELECT vec_id, cell_id AS old_cell,
+         list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000e0) AS BIGINT))
+           AS xi
+  FROM assigned
+),
+dims AS (
+  SELECT old_cell, i, xi[i] AS v
+  FROM sx, unnest(generate_series(1, 64)) AS g(i)
+),
+cents AS (
+  SELECT old_cell AS cent_id, list(m ORDER BY i) AS cvec FROM (
+    SELECT old_cell, i,
+           CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                AS BIGINT) AS m
+    FROM dims GROUP BY old_cell, i
+  ) GROUP BY old_cell
+),
+rescored AS (
+  SELECT s.vec_id, s.xi, c.cent_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (s.xi[i] - c.cvec[i]) * (s.xi[i] - c.cvec[i])))
+           AS BIGINT) AS d
+  FROM sx s CROSS JOIN cents c
+),
+newassign AS (
+  SELECT vec_id, xi, cent_id AS new_cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY d, cent_id
+    ) AS rn
+    FROM rescored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.new_cell AS cell_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> (q.xi[i] - c.xi[i]) * (q.xi[i] - c.xi[i])))
+           AS BIGINT) AS d2
+  FROM newassign q JOIN newassign c ON q.new_cell = c.new_cell
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, cell_id, d2, rnk FROM (
+  SELECT *, CAST(RANK() OVER (
+    PARTITION BY q_id ORDER BY d2, c_id
+  ) AS INT) AS rnk
+  FROM pairs
+) WHERE rnk <= {TOP_K}
+"""

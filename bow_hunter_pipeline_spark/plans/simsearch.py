@@ -2056,3 +2056,184 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_moved"),
     )
+
+
+IVF_RECLUSTER_WORK = "/tmp/bhps_ivf_recluster"
+
+
+def ivf_recluster_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: INDEX RE-CLUSTERING with minimal movement — the maintenance
+    step the at-rest family still lacked: as a corpus grows the seed
+    centroids drift, and the answer is retrain + move ONLY the vectors
+    whose assignment changed, never a full rebuild. The chain: (1)
+    build the store under the seed (cosine) assignment; (2) RETRAIN —
+    per-cell exact fixed-point centroid means (floor(e·10⁶) bigint
+    vectors, integer sums, floor-of-mean: the semdedup/PQ discipline,
+    so the whole round replays bit-for-bit); (3) re-assign every
+    vector by exact integer L2² argmin (broadcast K centroids,
+    min-of-struct partial agg — no window); (4) REWRITE ONLY the
+    affected cells in dynamic partition-overwrite mode (cells nothing
+    moved in or out of keep their exact file identity — asserted
+    in-query; a fully-emptied cell's dir is dropped); (5) SERVE:
+    probes re-assign under the new centroids and the search reads only
+    the probed cells' directories, ranking by the same exact integer
+    distance.
+
+    Scale: retraining is one map-side-combined (cells × dims) running
+    sum; re-assignment is K broadcast distances per vector; movement
+    I/O ∝ vectors that actually moved — the rebalance a trillion-row
+    vector lake can afford nightly, vs the full rebuild it cannot.
+    """
+    import glob
+    import os
+    import shutil
+
+    shutil.rmtree(IVF_RECLUSTER_WORK, ignore_errors=True)
+    store = os.path.join(IVF_RECLUSTER_WORK, "cells")
+    emb = _ivf_store_build(spark, sf_dir, store)
+    schema = "vec_id bigint, embedding array<float>, cell_id bigint"
+    at_rest = spark.read.schema(schema).parquet(store)
+    scaled = at_rest.select(
+        "vec_id",
+        "embedding",
+        F.col("cell_id").alias("old_cell"),
+        _scaled_vec("embedding").alias("xi"),
+    )
+    dims = scaled.select("old_cell", F.posexplode("xi").alias("i", "v"))
+    cents = (
+        dims.groupBy("old_cell", "i")
+        .agg(F.sum("v").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .groupBy("old_cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sm", "n"))),
+                lambda t: F.floor(
+                    t["sm"].cast("double") / t["n"].cast("double")
+                ).cast("bigint"),
+            ).alias("cvec")
+        )
+        .select(F.col("old_cell").alias("cent_id"), "cvec")
+        # K rows; materialized because the probe-side assignment
+        # re-evaluates it AFTER the store rewrite replaces its lineage
+        .localCheckpoint()
+    )
+
+    def d2(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign_new(frame: DataFrame) -> DataFrame:
+        """Exact integer argmin over the broadcast retrained centroids;
+        input needs (vec_id, embedding, xi [, old_cell])."""
+        carry = [c for c in frame.columns if c not in ("vec_id", "xi")]
+        scored = frame.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            *carry,
+            F.struct(
+                d2(F.col("xi"), F.col("cvec")).alias("d"),
+                F.col("cent_id").alias("cell"),
+            ).alias("t"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min("t").alias("t"),
+            *[F.first(c).alias(c) for c in carry],
+        ).select(
+            "vec_id", *carry, F.col("t.cell").alias("new_cell")
+        )
+
+    # materialize: the rewrite below overwrites the very files this
+    # frame's lineage reads — checkpoint severs the self-overwrite
+    best = assign_new(scaled).localCheckpoint()
+    moves = best.filter(F.col("new_cell") != F.col("old_cell"))
+    # bounded collect: affected cell ids (<= 2K of the K cells)
+    aff = sorted(
+        r.c
+        for r in moves.select(F.col("old_cell").alias("c"))
+        .unionByName(moves.select(F.col("new_cell").alias("c")))
+        .distinct()
+        .collect()
+    )
+    files_before = {
+        d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(store, "cell_id=*"))
+    }
+    if aff:
+        new_layout = best.filter(F.col("new_cell").isin(aff)).select(
+            "vec_id", "embedding", F.col("new_cell").alias("cell_id")
+        )
+        sess_key = "spark.sql.sources.partitionOverwriteMode"
+        old_mode = spark.conf.get(sess_key, None)
+        spark.conf.set(sess_key, "dynamic")
+        try:
+            new_layout.write.partitionBy("cell_id").mode(
+                "overwrite"
+            ).parquet(store)
+        finally:
+            if old_mode is None:
+                spark.conf.unset(sess_key)
+            else:
+                spark.conf.set(sess_key, old_mode)
+        live_cells = {
+            r.cell_id
+            for r in new_layout.select("cell_id").distinct().collect()
+        }
+        for c in aff:  # a cell every vector left: drop its dir
+            if c not in live_cells:
+                shutil.rmtree(
+                    os.path.join(store, f"cell_id={c}"),
+                    ignore_errors=True,
+                )
+        # the session's file-status cache still lists the replaced
+        # files — drop it before the serving read
+        spark.catalog.refreshByPath(store)
+    # untouched cells keep their exact file identity across the move
+    for d, files in files_before.items():
+        cell = int(os.path.basename(d).split("=", 1)[1])
+        if cell not in set(aff):
+            now = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            assert now == files, f"untouched cell rewritten: {d}"
+
+    probes = assign_new(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", _scaled_vec("embedding").alias("xi")
+        )
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("new_cell").alias("q_cell"),
+    ).join(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            _scaled_vec("embedding").alias("q_xi"),
+        ),
+        "q_id",
+    )
+    cells = sorted(
+        r.q_cell for r in probes.select("q_cell").distinct().collect()
+    )
+    idx = (
+        spark.read.schema(schema)
+        .parquet(store)
+        .filter(F.col("cell_id").isin(cells) if cells else F.lit(False))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            _scaled_vec("embedding").alias("c_xi"),
+            "cell_id",
+        )
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(idx, F.col("q_cell") == F.col("cell_id"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", "cell_id", d2(F.col("q_xi"), F.col("c_xi")).alias("d2")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "c_id", "cell_id", "d2", "rnk")
+    )

@@ -1285,6 +1285,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ivf_streaming_maintenance,
         oracles_h.IVF_TOPK,
     ),
+    # H2: re-clustering with minimal movement — retrain exact
+    # fixed-point centroids, move ONLY changed vectors (untouched
+    # cells keep file identity, asserted), serve under new centroids
+    "h2_ivf_recluster_moves": (
+        simsearch.ivf_recluster_moves,
+        oracles_h.IVF_RECLUSTER_MOVES,
+    ),
     # H2 × H4: the streaming store's loop CLOSED — stream-maintain →
     # two-level binpack committed with a compacted-through high-water
     # mark → post-compaction replay (guard-skipped, asserted in-query)
@@ -1651,6 +1658,7 @@ _DRIVER_ROTATION = [
     "f_sql_pipe_syntax",
     "mm_frame_shot_boundaries",
     "h1_incremental_dedup_clusters",
+    "h2_ivf_recluster_moves",
     # --- plans changed in r09 (re-proof required) ---
     # lander gained the compaction high-water replay guard
     "h2_ivf_streaming_maintenance",
@@ -1747,6 +1755,7 @@ R09_NEW_IN_PREFIX = [
     "f_sql_pipe_syntax",
     "mm_frame_shot_boundaries",
     "h1_incremental_dedup_clusters",
+    "h2_ivf_recluster_moves",
 ]
 
 
