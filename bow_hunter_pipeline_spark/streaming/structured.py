@@ -1641,20 +1641,22 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H4 × H5: the Count-Min sketch maintained as STREAMING STATE —
     documents arrive in three checkpointed micro-batches; each batch's
     token occurrences explode to (row, cell) increments JVM-side, and
-    ``applyInPandasWithState`` KEYED ON THE HASH-FAMILY ROW folds them
-    into that row's w=256 bigint counters. The sketch is LINEAR
-    (counter addition commutes and associates), so the drained state
-    equals the one-shot batch build bit-for-bit regardless of arrival
-    slicing — the registry oracle is literally the batch query's
+    ``applyInPandasWithState`` KEYED ON (row, cell) folds each
+    COUNTER as one bigint of state. The sketch is LINEAR (counter
+    addition commutes and associates), so the drained state equals the
+    one-shot batch build bit-for-bit regardless of arrival slicing —
+    the registry oracle is literally the batch query's
     (``h5_countmin_heavy_hitters``), the strongest exactness statement
     a streaming operator can make.
 
-    This is the textbook streaming-sketch shape: state is BOUNDED
-    (d × w integers, never vocabulary- or volume-sized), parallelism
-    is the d independent rows, and the heavy exact-audit side runs
-    batch over the same corpus only to JUDGE the sketch. At 100 TB the
-    same operator keys on (tenant, row) for millions of independent
-    sketches with the same bounded per-key state.
+    The (row, cell) keying is the scale decision: keying on the row
+    alone gives parallelism d (=4) and funnels the whole d×N increment
+    stream through four tasks — measured at sf1, that single-threads
+    the stage for minutes. Per-counter keys give d×w (=1024)
+    independent groups, each with ONE bigint of state, so the stateful
+    shuffle spreads across the cluster and per-group work is a
+    vectorized length-of-batch count. At 100 TB the same operator
+    keys on (tenant, row, cell) — millions of scalar counters.
     """
     import glob
     import os
@@ -1692,40 +1694,34 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def fold_row(
+    def fold_counter(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (row,) = key
-        arr = list(state.get[0]) if state.exists else [0] * approx.CMS_W
+        row, cell = key
+        (cnt,) = state.get if state.exists else (0,)
         for pdf in batches:
-            for c, n in pdf["cell"].value_counts().items():
-                arr[int(c)] += int(n)
-        state.update((arr,))
-        yield pd.DataFrame({"row": [int(row)], "cells": [list(arr)]})
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {
+                "row": pd.Series([int(row)], dtype="int32"),
+                "cell": pd.Series([int(cell)], dtype="int64"),
+                "cnt": pd.Series([cnt], dtype="int64"),
+            }
+        )
 
-    out = incr.groupBy("row").applyInPandasWithState(
-        fold_row,
-        outputStructType="row int, cells array<bigint>",
-        stateStructType="cells array<bigint>",
+    out = incr.groupBy("row", "cell").applyInPandasWithState(
+        fold_counter,
+        outputStructType="row int, cell bigint, cnt bigint",
+        stateStructType="cnt bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     run_to_memory(out, "bhps_stream_cms", "update")
     emitted = spark.table("bhps_stream_cms")
-    # cumulative emissions: counters only grow, so the final state is
-    # the emission with the largest counter total per row
-    tot = F.aggregate(
-        "cells", F.lit(0).cast("bigint"), lambda a, x: a + x
-    )
-    final = emitted.groupBy("row").agg(
-        F.max(F.struct(tot.alias("t"), F.col("cells").alias("c")))
-        .getField("c")
-        .alias("cells")
-    )
-    counters = final.select(
-        "row", F.posexplode("cells").alias("cell", "cnt")
-    ).filter(F.col("cnt") > 0).select(
-        "row", F.col("cell").cast("bigint").alias("cell"), "cnt"
+    # cumulative emissions: counters only grow — max is final
+    counters = emitted.groupBy("row", "cell").agg(
+        F.max("cnt").alias("cnt")
     )
     exact = docs.select(
         F.explode(tokens(F.col("text"))).alias("token")
@@ -1789,11 +1785,12 @@ def streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (etype,) = key
         n, sx, sxx = state.get if state.exists else (0, 0, 0)
         for pdf in batches:
-            for x in pdf["x"]:
-                x = int(x)  # Python ints: arbitrary precision, exact
-                n += 1
-                sx += x
-                sxx += x * x
+            # object dtype = Python ints: x*x sums would silently
+            # overflow int64, and floats would be inexact
+            xs = pdf["x"].astype("object")
+            n += len(pdf)
+            sx += int(xs.sum())
+            sxx += int((xs * xs).sum())
         state.update((n, sx, sxx))
         yield pd.DataFrame(
             {
