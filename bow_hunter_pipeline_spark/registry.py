@@ -42,6 +42,13 @@ from bow_hunter_pipeline_spark.streaming import structured
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Current build round. tools/plan_fingerprints.py stamps every query
+# whose transitive plan source changed with this round, and
+# tests/test_plan_fingerprints.py forces those queries into the
+# driver-checked prefix — the mechanical form of the rotation rule
+# "changed plan ⇒ re-proof" (VERDICT r09, What's-missing #1).
+ROUND = 10
+
 # --- oracle SQL fragments (DuckDB dialect = ANSI here) -----------------
 
 _DEC_SUM = "CAST(round(SUM(CAST({c} AS DECIMAL(14,2))), 4) AS DOUBLE)"
@@ -1641,7 +1648,7 @@ _DRIVER_ROTATION = [
     # the bench headliners.
     # --- new in r09 (pre-verified with tools/verify_driver.py AND
     # tools/audit_oracle_types.py before taking a slot); mirrored in
-    # R09_NEW_IN_PREFIX below ---
+    # R10_NEW_IN_PREFIX below ---
     "h2_ivf_stream_compacted_search",
     "h1_lsh_compacted_index",
     "e2_tx_bloom_table_lookup",
@@ -1735,27 +1742,11 @@ _DRIVER_ROTATION = [
 PENDING_DRIVER_QUEUE = [
 ]
 
-# Round-9 additions given first-proof slots at the HEAD of the r09
+# Round-10 additions given first-proof slots at the HEAD of the r10
 # prefix (each pre-verified green with tools/verify_driver.py and
-# tools/audit_oracle_types.py before taking a slot).
-R09_NEW_IN_PREFIX = [
-    "h2_ivf_stream_compacted_search",
-    "h1_lsh_compacted_index",
-    "e2_tx_bloom_table_lookup",
-    "e2_tx_composite_pruned_merge",
-    "e2_tx_replace_where",
-    "e2_tx_column_rename",
-    "h4_streaming_countmin",
-    "h4_streaming_anomaly",
-    "e2_tx_generated_columns",
-    "g5_knn_grid_join",
-    "h3_sliding_window_chunks",
-    "g4_cusum_changepoint",
-    "h6_hashed_linear_classifier",
-    "f_sql_pipe_syntax",
-    "mm_frame_shot_boundaries",
-    "h1_incremental_dedup_clusters",
-    "h2_ivf_recluster_moves",
+# tools/audit_oracle_types.py before taking a slot; prefix membership
+# of every changed plan is enforced by tests/test_plan_fingerprints.py).
+R10_NEW_IN_PREFIX = [
 ]
 
 

@@ -235,7 +235,7 @@ def test_driver_rotation_prefix_is_stable():
     # proofs (r02/r03 vintage) to catch drift. A red row never retires
     # a query: it must be re-queued until it proves green.
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:
@@ -265,12 +265,12 @@ def test_driver_rotation_prefix_is_stable():
         if names.index(n) >= 50 and n not in registry.PENDING_DRIVER_QUEUE
     ]
     assert not stray, f"unproven queries outside prefix and queue: {stray}"
-    # round-9 additions (first-ever driver rows) must LEAD the prefix
-    n_new = len(registry.R09_NEW_IN_PREFIX)
-    for must_lead in registry.R09_NEW_IN_PREFIX:
+    # round-10 additions (first-ever driver rows) must LEAD the prefix
+    n_new = len(registry.R10_NEW_IN_PREFIX)
+    for must_lead in registry.R10_NEW_IN_PREFIX:
         assert names.index(must_lead) < n_new
     # every remaining prefix slot is a RE-CHECK of a proven row — the
-    # registry entered r09 fully driver-proven, so no other unproven
+    # registry entered r10 fully driver-proven, so no other unproven
     # query may occupy (waste) a slot
     rechecks = [n for n in names[n_new:50]]
     unproven_rechecks = [n for n in rechecks if n not in checked]
@@ -574,7 +574,7 @@ def test_rotation_finishes_registry_this_round():
     from bow_hunter_pipeline_spark import registry
 
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:
