@@ -1751,6 +1751,23 @@ FROM orders
 WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
 """
 
+# E2+: incremental bloom index — maintenance strategy never changes
+# answers: min key present, first CDC-only key present (arrived
+# pre-indexed), DV-deleted max key absent, absent key absent.
+TX_INCREMENTAL_BLOOM_INDEX = """
+WITH bounds AS (
+  SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+), cdc AS (
+  SELECT MIN(o_orderkey) AS ck FROM orders WHERE o_orderkey % 3 = 0
+), base AS (
+  SELECT MIN(o_orderkey) AS bk FROM orders WHERE o_orderkey % 3 <> 0
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority
+FROM orders o, bounds b, cdc c, base e
+WHERE o.o_orderkey IN (b.mn, c.ck, e.bk, b.mx, -1)
+  AND o.o_orderkey <> b.mx
+"""
+
 # E2+: replaceWhere — the urgent region rebuilt: even keys survive
 # with negated custkeys, everything else unchanged.
 TX_REPLACE_WHERE = f"""

@@ -1855,6 +1855,94 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
 
 
+TX_IBLOOM_PATH = "/tmp/bhps_tx_ibloom"
+
+
+def tx_incremental_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: WRITE-TIME bloom-index maintenance — the daily-CDC answer
+    to ``build_bloom_index_table``'s full-corpus build: the index is
+    registered once (``warehouse_tx.register_bloom_index``), and every
+    ``append_indexed`` commit folds ONLY its own new files into the
+    parts-directory sidecar, so arrivals are pre-indexed the moment
+    they land and pruning never re-pays a table scan.
+
+    Three laws are asserted in-plan (a violated law crashes the
+    query, which the driver records as red):
+
+    1. O(new) maintenance — the post-append refresh hashed exactly
+       the files that commit added, and a second refresh hashes 0;
+    2. bit-equality — the incremental parts union equals a
+       from-scratch full build over the same snapshot (per-file
+       filters are file-local, so carry-old ∪ hash-new IS the full
+       index), checked with a two-sided ``exceptAll``;
+    3. exactness under deletes — the max key is DV-deleted after
+       indexing; its probe returns nothing while pruning stays
+       sound (a vectored row only ever ADDS false positives).
+
+    Result: point lookups through the incremental index for the min
+    key (landed in the base build), the first CDC-only key (landed
+    pre-indexed by ``append_indexed``), the DV-deleted max key, and
+    an absent key. Oracle: the same lookup straight off orders.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    proj = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
+    base = proj.filter(F.col("o_orderkey") % 3 != 0).repartition(8)
+    cdc = proj.filter(F.col("o_orderkey") % 3 == 0).repartition(2)
+    tx.create_table(spark, TX_IBLOOM_PATH, base)
+    # ~16 bits/key keeps the per-file filter honest at any sf
+    n_rows = orders.count()
+    bits = max(16_384, 16 * (n_rows // 8 + 1))
+    idx = tx.register_bloom_index(spark, TX_IBLOOM_PATH, "o_orderkey", bits)
+
+    before = len(tx.live_files(TX_IBLOOM_PATH))
+    v, scanned = tx.append_indexed(spark, TX_IBLOOM_PATH, cdc)
+    n_new = len(tx.live_files(TX_IBLOOM_PATH, v)) - before
+    assert scanned == {idx: n_new}, (scanned, n_new)  # law 1: O(new)
+    _, rescanned, _ = tx.refresh_bloom_index(
+        spark, TX_IBLOOM_PATH, "o_orderkey", bits=bits
+    )
+    assert rescanned == 0, rescanned  # law 1: refresh is idempotent
+
+    full = tx.build_bloom_index_table(
+        spark, TX_IBLOOM_PATH, "o_orderkey", bits=bits
+    )
+    # w = -1 rows are the refresh path's coverage sentinels (one per
+    # scanned file, so zero-row files stay covered) — not filter words
+    inc_words = spark.read.parquet(idx).filter("w >= 0")
+    full_words = spark.read.parquet(full)
+    assert inc_words.exceptAll(full_words).count() == 0  # law 2
+    assert full_words.exceptAll(inc_words).count() == 0  # law 2
+
+    b = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    ck = (
+        cdc.agg(F.min("o_orderkey").alias("ck")).collect()[0].ck
+        if b.mn is not None
+        else None
+    )
+    bk = (
+        base.agg(F.min("o_orderkey").alias("bk")).collect()[0].bk
+        if b.mn is not None
+        else None
+    )
+    probes = [-1]
+    if b.mn is not None:
+        tx.delete_where_dv(
+            spark, TX_IBLOOM_PATH, f"o_orderkey = {int(b.mx)}"
+        )
+        probes = sorted(
+            {int(b.mn), int(b.mx)}
+            | ({int(ck)} if ck is not None else set())
+            | ({int(bk)} if bk is not None else set()),
+        ) + [-1]
+    return tx.bloom_point_lookup(
+        spark, TX_IBLOOM_PATH, idx, "o_orderkey", probes
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
 TX_RW_PATH = "/tmp/bhps_tx_replace_where"
 
 

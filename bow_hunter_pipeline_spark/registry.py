@@ -1080,6 +1080,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_bloom_table_lookup,
         oracles_f.TX_BLOOM_TABLE_LOOKUP,
     ),
+    # E2+: write-time bloom maintenance — appends arrive pre-indexed
+    # (O(new) refresh), incremental index == full build bit-equal,
+    # DV-deleted probe returns nothing (all asserted in-plan)
+    "e2_tx_incremental_bloom_index": (
+        pipeline.tx_incremental_bloom_index,
+        oracles_f.TX_INCREMENTAL_BLOOM_INDEX,
+    ),
     # E2+: composite-key find phase — per-column stats intersection
     # AND a composite-key bloom probe; strictly fewer files rewrite
     # than stats alone (asserted in-query)
@@ -1646,13 +1653,20 @@ _DRIVER_ROTATION = [
     # its old proof), then re-checks biased to the OLDEST surviving
     # proofs (r02/r03 vintage — nothing has re-proven them since) and
     # the bench headliners.
-    # --- new in r09 (pre-verified with tools/verify_driver.py AND
+    # --- new in r10 (pre-verified with tools/verify_driver.py AND
     # tools/audit_oracle_types.py before taking a slot); mirrored in
     # R10_NEW_IN_PREFIX below ---
-    "h2_ivf_stream_compacted_search",
-    "h1_lsh_compacted_index",
+    "e2_tx_incremental_bloom_index",
+    # --- plans changed in r10 (fingerprint-flagged by
+    # tools/plan_fingerprints.py; re-proof required) ---
+    # _bloom_words_for_files extraction (one code path owns the bit
+    # layout for full build + incremental refresh + probe)
     "e2_tx_bloom_table_lookup",
     "e2_tx_composite_pruned_merge",
+    # --- r09 carry-over of the old prefix (proven r09; slots now
+    # re-check rotation below) ---
+    "h2_ivf_stream_compacted_search",
+    "h1_lsh_compacted_index",
     "e2_tx_replace_where",
     "e2_tx_column_rename",
     "h4_streaming_countmin",
@@ -1747,6 +1761,7 @@ PENDING_DRIVER_QUEUE = [
 # tools/audit_oracle_types.py before taking a slot; prefix membership
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
 R10_NEW_IN_PREFIX = [
+    "e2_tx_incremental_bloom_index",
 ]
 
 

@@ -2287,3 +2287,89 @@ def test_tx_manifest_expires_with_vacuum_retention(spark, tmp_path):
         tx.read_manifest(spark, m0).count()
     m1 = tx.generate_manifest(table)
     assert tx.read_manifest(spark, m1).count() == 50
+
+
+def test_incremental_bloom_index_laws(spark, tmp_path):
+    """register → append_indexed keeps the parts index bit-equal to a
+    full rebuild while hashing only each commit's new files; vacuum
+    drops dead files' words; probes stay exact throughout."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    bits = 1 << 15
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(4)
+    tx.create_table(spark, table, df)
+    idx = tx.register_bloom_index(spark, table, "k", bits)
+    assert tx.registered_bloom_indexes(table) == [
+        {"cols": ["k"], "bits": bits}
+    ]
+    # registration is idempotent (no duplicate config, no extra scan)
+    assert tx.register_bloom_index(spark, table, "k", bits) == idx
+    assert len(tx.registered_bloom_indexes(table)) == 1
+
+    # O(new): each append hashes exactly its own files
+    batch = spark.range(2000, 2500).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(2)
+    before = len(tx.live_files(table))
+    v, scanned = tx.append_indexed(spark, table, batch)
+    n_new = len(tx.live_files(table, v)) - before
+    assert scanned == {idx: n_new} and n_new == 2
+    _, rescanned, covered = tx.refresh_bloom_index(spark, table, "k", bits=bits)
+    assert rescanned == 0 and covered == before + n_new
+
+    # bit-equality with a from-scratch build over the same snapshot
+    full = tx.build_bloom_index_table(spark, table, "k", bits=bits)
+    inc = spark.read.parquet(idx).filter("w >= 0")  # drop sentinels
+    ful = spark.read.parquet(full)
+    assert inc.exceptAll(ful).count() == 0
+    assert ful.exceptAll(inc).count() == 0
+
+    # exactness: base key, CDC key, absent key
+    for k, expect in [(7, [(7, 7 % 13)]), (2400, [(2400, 2400 % 13)]),
+                      (999_999, [])]:
+        got = sorted(
+            map(tuple, tx.bloom_point_lookup(
+                spark, table, idx, "k", [k]).collect())
+        )
+        assert got == expect, (k, got)
+
+    # vacuum after a rewrite: dead files' words leave the index
+    tx.delete_where(spark, table, "k < 100")
+    live_now = set(tx.live_files(table))
+    tx.refresh_bloom_index(spark, table, "k", bits=bits)  # cover rewrite
+    kept_rows, _ = tx.vacuum_bloom_index(spark, table, "k", bits=bits)
+    files_in_idx = {
+        r.file for r in spark.read.parquet(idx).select("file")
+        .distinct().collect()
+    }
+    assert files_in_idx <= live_now
+    got = sorted(map(tuple, tx.bloom_point_lookup(
+        spark, table, idx, "k", [7, 150]).collect()))
+    assert got == [(150, 150 % 13)]
+
+
+def test_build_bloom_index_auto_dispatch(spark, tmp_path):
+    """Size-based convergence: small tables get the JSON sidecar,
+    big file counts the parquet table — same lookup answers."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4)
+    tx.create_table(spark, table, df)
+    small = tx.build_bloom_index_auto(spark, table, "k")
+    assert small.endswith(".json")
+    big = tx.build_bloom_index_auto(spark, table, "k", json_max_files=2)
+    assert big.endswith(".bloom.parquet")
+    for index in (small, big):
+        got = sorted(map(tuple, tx.bloom_point_lookup(
+            spark, table, index, "k", [123, 999_999]).collect()))
+        assert got == [(123, 123 % 7)]
