@@ -1831,6 +1831,30 @@ SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM merged GROUP BY l_linenumber
 """
 
+# E2+: DF-planned merge — planner strategy never changes answers:
+# max composite key's quantity bumped, (-2, 1) row inserted.
+TX_DF_PLANNED_MERGE = """
+WITH target AS (
+  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+), maxk AS (
+  SELECT l_orderkey, l_linenumber FROM target
+  ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 1
+), merged AS (
+  SELECT t.l_orderkey, t.l_linenumber,
+         CASE WHEN m.l_orderkey IS NOT NULL
+              THEN t.l_quantity + 50 ELSE t.l_quantity END AS l_quantity
+  FROM target t LEFT JOIN maxk m
+    ON t.l_orderkey = m.l_orderkey AND t.l_linenumber = m.l_linenumber
+  UNION ALL
+  SELECT -2, 1, 5e0
+)
+SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(14,2))), 4) AS DOUBLE)
+         AS sum_qty,
+       MIN(l_orderkey) AS min_okey
+FROM merged GROUP BY l_linenumber
+"""
+
 TX_APPEND_EVOLUTION = """
 SELECT COALESCE(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
                       AND o_orderdate < TIMESTAMP '1996-01-01'

@@ -1855,6 +1855,94 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
 
 
+TX_DFMERGE_PATH = "/tmp/bhps_tx_dfmerge"
+
+
+def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: the MERGE find phase AS A DATAFRAME — candidate selection
+    runs over a parquet ACTIONS CHECKPOINT of the commit log
+    (``warehouse_tx.write_actions_checkpoint``) instead of a
+    driver-side per-file loop: the stats intersection is a
+    filter + anti-join, the bloom stage joins the probe-hit frame,
+    and the driver first touches per-file state when it collects the
+    final O(candidates) rewrite list — the list the merge must read
+    anyway. This is the posture that survives 10⁷ files, where the
+    Python per-file loop (fine at 10⁵) becomes the planner
+    bottleneck (VERDICT r09 watch-item a).
+
+    The PLANNER-EQUIVALENCE law is asserted in-plan: on the same
+    snapshot, bounds, and bloom index, the DataFrame planner's
+    (rewrite, carry, stats-survivors) must equal the driver-loop
+    planner's set-for-set — pruning strategy can never change
+    answers, only cost. Then the DF-planned merge commits: bump the
+    MAX composite key's quantity and insert a ``(-2, 1)`` row.
+    Oracle: the merge replayed relationally over lineitem.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    base = li.repartition(8)
+    tx.create_table(spark, TX_DFMERGE_PATH, base)
+    n_rows = li.count()
+    bits = max(16_384, 16 * (n_rows // 8 + 1))
+    keys = ["l_orderkey", "l_linenumber"]
+    index = tx.build_bloom_index_table(
+        spark, TX_DFMERGE_PATH, keys, bits=bits
+    )
+
+    head = (
+        li.orderBy(F.desc("l_orderkey"), F.desc("l_linenumber"))
+        .limit(1)
+        .collect()
+    )
+    rows = [(-2, 1, 5.0)]  # the insert leg
+    if head:
+        r = head[0]
+        rows.append(
+            (
+                int(r.l_orderkey),
+                int(r.l_linenumber),
+                float(r.l_quantity) + 50.0,
+            )
+        )
+    updates = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
+    )
+
+    # planner equivalence: DataFrame find == driver-loop find
+    b = tx._updates_key_bounds(updates, keys)
+    read_v = tx._versions(TX_DFMERGE_PATH)[-1]
+    rels, logged = tx._replay(TX_DFMERGE_PATH, read_v)
+    lp_rw, lp_carry, lp_stats = tx._composite_find_loop(
+        spark, TX_DFMERGE_PATH, updates, keys, b, rels, logged,
+        read_v, index,
+    )
+    actions = tx.write_actions_checkpoint(spark, TX_DFMERGE_PATH, read_v)
+    df_rw, df_carry, df_stats = tx._composite_find_df(
+        spark, TX_DFMERGE_PATH, updates, keys, b, read_v, index,
+        actions_path=actions,
+    )
+    assert set(df_rw) == set(lp_rw), (df_rw, lp_rw)
+    assert set(df_carry) == set(lp_carry), (df_carry, lp_carry)
+    assert df_stats == lp_stats, (df_stats, lp_stats)
+
+    _, n_rw, _, n_stats = tx.merge_pruned_composite_df(
+        spark, TX_DFMERGE_PATH, updates, keys, ["l_quantity"],
+        bloom_index=index, actions_path=actions,
+    )
+    assert n_rw <= n_stats
+    if head:  # non-empty fixture: bloom must BEAT the stats pruner
+        assert n_rw < n_stats, (n_rw, n_stats)
+    return tx.snapshot(spark, TX_DFMERGE_PATH).groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        F.min("l_orderkey").alias("min_okey"),
+    )
+
+
 TX_IBLOOM_PATH = "/tmp/bhps_tx_ibloom"
 
 

@@ -1094,6 +1094,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_composite_pruned_merge,
         oracles_f.TX_COMPOSITE_PRUNED_MERGE,
     ),
+    # E2+: the find phase AS A DATAFRAME over a parquet actions
+    # checkpoint — planner equivalence with the driver-loop find
+    # asserted set-for-set in-plan (the 10⁷-file posture)
+    "e2_tx_df_planned_merge": (
+        pipeline.tx_df_planned_merge,
+        oracles_f.TX_DF_PLANNED_MERGE,
+    ),
     # E2+: replaceWhere — predicate region atomically deleted and
     # re-inserted in ONE commit, insert rows contract-checked
     "e2_tx_replace_where": (
@@ -1657,11 +1664,15 @@ _DRIVER_ROTATION = [
     # tools/audit_oracle_types.py before taking a slot); mirrored in
     # R10_NEW_IN_PREFIX below ---
     "e2_tx_incremental_bloom_index",
+    "e2_tx_df_planned_merge",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
-    # _bloom_words_for_files extraction (one code path owns the bit
-    # layout for full build + incremental refresh + probe)
+    # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
+    # path owns the bit layout and the candidate law for full build,
+    # incremental refresh, probe join, and the DF find phase);
+    # merge_pruned_composite find/commit split into shared helpers
     "e2_tx_bloom_table_lookup",
+    "e2_tx_bloom_pruned_lookup",
     "e2_tx_composite_pruned_merge",
     # --- r09 carry-over of the old prefix (proven r09; slots now
     # re-check rotation below) ---
@@ -1688,8 +1699,6 @@ _DRIVER_ROTATION = [
     "h5_countmin_heavy_hitters",
     # batch anomaly refactored into shared cents/audit helpers
     "h4_anomaly_outliers",
-    # lookup now reads candidates DV-aware through _read_live
-    "e2_tx_bloom_pruned_lookup",
     # feed trimmed to 3 contiguous year-chunk arrivals (same fold order)
     "h4_streaming_ewma",
     # --- core machinery re-checks: column mapping + generated columns
@@ -1762,6 +1771,7 @@ PENDING_DRIVER_QUEUE = [
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
 R10_NEW_IN_PREFIX = [
     "e2_tx_incremental_bloom_index",
+    "e2_tx_df_planned_merge",
 ]
 
 

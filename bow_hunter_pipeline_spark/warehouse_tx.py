@@ -1381,16 +1381,45 @@ def merge_pruned_composite(
     phase would rewrite, so callers can assert the bloom stage
     actually tightened the set.
     """
-    # one bounded scalar row: per-key lo/hi of the updates batch
-    aggs = []
-    for k in keys:
-        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
-    b = updates.agg(*aggs).collect()[0]
+    b = _updates_key_bounds(updates, keys)
     read_v = _versions(table)[-1]
     rels, logged = _replay(table, read_v)
     if all(b[f"__lo_{k}"] is None for k in keys):  # empty updates
         return read_v, 0, len(rels), 0
+    rewrite, carry, n_stats = _composite_find_loop(
+        spark, table, updates, keys, b, rels, logged, read_v, bloom_index
+    )
+    next_v = _merge_rewrite_commit(
+        spark, table, rewrite, updates, keys, update_cols, read_v,
+        "MERGE_PRUNED_COMPOSITE",
+    )
+    return next_v, len(rewrite), len(carry), n_stats
 
+
+def _updates_key_bounds(updates: DataFrame, keys: list[str]):
+    """One bounded scalar row: per-key lo/hi of the updates batch."""
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+    return updates.agg(*aggs).collect()[0]
+
+
+def _composite_find_loop(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    b,
+    rels: list[str],
+    logged: dict,
+    read_v: int,
+    bloom_index: str | None,
+) -> tuple[list[str], list[str], int]:
+    """The DRIVER-LOOP find phase (stats intersection, then bloom):
+    fine to ~10⁵ files, O(files) Python-side past that. Its
+    DataFrame twin :func:`_composite_find_df` computes the same sets
+    executor-side from an actions checkpoint; the two planners are
+    equivalence-asserted in-query (e2_tx_df_planned_merge)."""
     prunable = [
         k
         for k in keys
@@ -1421,7 +1450,21 @@ def merge_pruned_composite(
         cand_set = set(cand)
         rewrite = [r for r in survivors if r in cand_set]
         carry = carry + [r for r in survivors if r not in cand_set]
+    return rewrite, carry, len(survivors)
 
+
+def _merge_rewrite_commit(
+    spark: SparkSession,
+    table: str,
+    rewrite: list[str],
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    read_v: int,
+    op: str,
+) -> int:
+    """The shared MERGE tail: read only the rewrite set DV-aware,
+    upsert, commit (add new files, remove the rewrite set)."""
     if rewrite:
         touched = _read_live(
             spark, table, rewrite, _replay_dvs(table, read_v),
@@ -1435,12 +1478,139 @@ def merge_pruned_composite(
     try:
         _commit(
             table, next_v, add=new_files, remove=rewrite, stats=stats,
-            op="MERGE_PRUNED_COMPOSITE",
+            op=op,
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
         raise
-    return next_v, len(rewrite), len(carry), len(survivors)
+    return next_v
+
+
+_ACTIONS_DIR = "_actions"
+
+
+def write_actions_checkpoint(
+    spark: SparkSession, table: str, version: int | None = None
+) -> str:
+    """Materialize the replayed table state — live files plus their
+    logged per-column integral min/max — as a PARQUET checkpoint
+    (Delta paper §3.2: the log's answer to unbounded replay, here
+    extended to the FIND PHASE: planners read this frame
+    executor-side instead of looping driver-held dicts, so candidate
+    selection scales past 10⁷ files where the per-file Python loop
+    becomes the bottleneck — VERDICT r09 watch-item (a)). Schema:
+    ``(file, col, lo, hi)``; every live file gets a ``col IS NULL``
+    existence row, so the frame alone reconstructs the live set.
+    The write itself is driver-O(files) once per version — the same
+    cost the JSON checkpoint already pays — and every subsequent
+    find phase is distributed."""
+    if version is None:
+        version = _versions(table)[-1]
+    rels, logged = _replay(table, version)
+    rows: list[tuple] = [(r, None, None, None) for r in rels]
+    for rel in rels:
+        for col, (lo, hi) in sorted(logged.get(rel, {}).items()):
+            if isinstance(lo, bool) or not isinstance(lo, int):
+                continue  # only integral stats serve range pruning
+            rows.append((rel, col, int(lo), int(hi)))
+    df = spark.createDataFrame(
+        rows or [], "file string, col string, lo bigint, hi bigint"
+    )
+    out_dir = os.path.join(table, _ACTIONS_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"actions-v{version:08d}.parquet")
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    df.coalesce(max(1, len(rows) // 250_000 + 1)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return final
+
+
+def _composite_find_df(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    b,
+    read_v: int,
+    bloom_index: str | None,
+    actions_path: str | None = None,
+) -> tuple[list[str], list[str], int]:
+    """:func:`_composite_find_loop` AS A DATAFRAME over the actions
+    checkpoint: the stats intersection is a filter+anti-join, the
+    bloom stage joins the probe-hit frame — nothing per-file touches
+    the driver until the final O(candidates) collect of the rewrite
+    LIST (bounded by what the merge must read anyway). Files without
+    stats for a key stay candidates (only a logged disjoint range
+    proves clean), and files absent from the bloom index stay
+    candidates — both laws inherited from the loop planner, which
+    this must match set-for-set (asserted in e2_tx_df_planned_merge).
+    """
+    if actions_path is None:
+        actions_path = write_actions_checkpoint(spark, table, read_v)
+    acts = spark.read.parquet(actions_path)
+    files = acts.select("file").distinct()
+    prunable = [
+        k
+        for k in keys
+        if isinstance(updates.schema[k].dataType, _INTEGRAL_TYPES)
+    ]
+    disjoint = F.lit(False)
+    for k in prunable:
+        pk = _physical_name(table, k, read_v)
+        lo_b, hi_b = b[f"__lo_{k}"], b[f"__hi_{k}"]
+        disjoint = disjoint | (
+            (F.col("col") == pk)
+            & ((F.col("hi") < F.lit(lo_b)) | (F.col("lo") > F.lit(hi_b)))
+        )
+    clean = acts.filter(disjoint).select("file").distinct()
+    survivors_df = files.join(clean, "file", "left_anti")
+    n_stats = survivors_df.count()
+
+    cand_df = survivors_df
+    if bloom_index is not None and n_stats:
+        probes = updates.select(_bloom_key_expr(keys).alias("k"))
+        hits, indexed = _bloom_hits_dfs(spark, bloom_index, probes)
+        cand_df = survivors_df.join(hits, "file", "semi").unionByName(
+            survivors_df.join(indexed, "file", "left_anti")
+        ).distinct()
+    rewrite = sorted(r.file for r in cand_df.collect())
+    rset = set(rewrite)
+    carry = sorted(
+        r.file for r in files.collect() if r.file not in rset
+    )
+    return rewrite, carry, n_stats
+
+
+def merge_pruned_composite_df(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    bloom_index: str | None = None,
+    actions_path: str | None = None,
+) -> tuple[int, int, int, int]:
+    """:func:`merge_pruned_composite` with the find phase as a
+    DATAFRAME over the actions checkpoint — the 10⁷-file posture:
+    the driver never loops per-file stats; it holds only the final
+    rewrite list (O(candidates), which the merge reads anyway).
+    Same return contract."""
+    b = _updates_key_bounds(updates, keys)
+    read_v = _versions(table)[-1]
+    if all(b[f"__lo_{k}"] is None for k in keys):  # empty updates
+        return read_v, 0, len(live_files(table, read_v)), 0
+    rewrite, carry, n_stats = _composite_find_df(
+        spark, table, updates, keys, b, read_v, bloom_index, actions_path
+    )
+    next_v = _merge_rewrite_commit(
+        spark, table, rewrite, updates, keys, update_cols, read_v,
+        "MERGE_PRUNED_COMPOSITE_DF",
+    )
+    return next_v, len(rewrite), len(carry), n_stats
 
 
 def merge_with_constraints(
@@ -2991,6 +3161,22 @@ def _bloom_candidates_join_df(
     here (duplicates would inflate per-position hit counts past
     n_pos and mask every candidate)."""
     rels = live_files(table, version)
+    hits, indexed_df = _bloom_hits_dfs(spark, index_path, probes)
+    cand_set = {r.file for r in hits.collect()}
+    indexed = {r.file for r in indexed_df.collect()}
+    return [r for r in rels if r in cand_set or r not in indexed], rels
+
+
+def _bloom_hits_dfs(
+    spark: SparkSession, index_path: str, probes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(files some probe fully hits, files the index covers) as
+    DATAFRAMES — the executor-side half of the candidate law
+    ``candidates = (survivors ∩ hits) ∪ (survivors ∖ indexed)``,
+    shared by the list-returning join path and the all-DataFrame find
+    phase (:func:`_composite_find_df`). Duplicate word rows (a
+    double-covered file) can only over-count position hits, i.e. add
+    false positives — never false negatives."""
     side = spark.read.parquet(index_path)
     pb = _bloom_probe_positions_df(
         probes.select("k").distinct(), _bloom_index_bits(index_path)
@@ -2998,15 +3184,18 @@ def _bloom_candidates_join_df(
     hits = (
         side.join(F.broadcast(pb), "w")
         .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        # DISTINCT positions: a double-covered file (two refresh parts
+        # carrying the same words) matches each position twice; a raw
+        # row count would overshoot n_pos and turn the == filter into
+        # a FALSE NEGATIVE. Distinct (w, mask) counts each probe
+        # position once no matter how many parts repeat it.
         .groupBy("file", "k", "n_pos")
-        .agg(F.count(F.lit(1)).alias("nhit"))
+        .agg(F.count_distinct(F.col("w"), F.col("mask")).alias("nhit"))
         .filter(F.col("nhit") == F.col("n_pos"))
         .select("file")
         .distinct()
     )
-    cand_set = {r.file for r in hits.collect()}
-    indexed = {r.file for r in side.select("file").distinct().collect()}
-    return [r for r in rels if r in cand_set or r not in indexed], rels
+    return hits, side.select("file").distinct()
 
 
 def _bloom_candidates(

@@ -2373,3 +2373,60 @@ def test_build_bloom_index_auto_dispatch(spark, tmp_path):
         got = sorted(map(tuple, tx.bloom_point_lookup(
             spark, table, index, "k", [123, 999_999]).collect()))
         assert got == [(123, 123 % 7)]
+
+
+def test_df_find_phase_matches_loop_planner(spark, tmp_path):
+    """Planner equivalence on a clustered layout where stats DO prune
+    (the hash-distributed registry query exercises the bloom-only
+    side): DataFrame find over the actions checkpoint == driver-loop
+    find, with and without the bloom stage."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    # range-clustered: repartitionByRange gives disjoint per-file key
+    # ranges, so the stats stage prunes most files
+    df = spark.range(4000).select(
+        F.col("id").alias("a"),
+        (F.col("id") % 5).cast("int").alias("g"),
+        (F.col("id") * 2).alias("v"),
+    ).repartitionByRange(8, "a")
+    tx.create_table(spark, table, df, stats_cols=["a", "g"])
+    index = tx.build_bloom_index_table(spark, table, ["a", "g"])
+    keys = ["a", "g"]
+    updates = spark.createDataFrame(
+        [(100, 0, -1), (101, 1, -1), (-5, 0, -7)], "a bigint, g int, v bigint"
+    )
+    b = tx._updates_key_bounds(updates, keys)
+    read_v = tx._versions(table)[-1]
+    rels, logged = tx._replay(table, read_v)
+    for idx in (None, index):
+        lp = tx._composite_find_loop(
+            spark, table, updates, keys, b, rels, logged, read_v, idx
+        )
+        dfp = tx._composite_find_df(
+            spark, table, updates, keys, b, read_v, idx
+        )
+        assert set(dfp[0]) == set(lp[0])
+        assert set(dfp[1]) == set(lp[1])
+        assert dfp[2] == lp[2]
+    # the stats stage genuinely pruned (clustered layout)
+    assert lp[2] < len(rels)
+
+    # the DF-planned merge commits the same result as plain upsert math
+    v, n_rw, n_carry, n_stats = tx.merge_pruned_composite_df(
+        spark, table, updates, keys, ["v"], bloom_index=index
+    )
+    assert n_rw + n_carry == len(rels)
+    snap = tx.snapshot(spark, table, v)
+    assert snap.filter("v = -1").count() == 2   # matched updates
+    assert snap.filter("a = -5").count() == 1   # insert leg
+    assert snap.count() == 4001
+
+    # empty updates: no-op contract
+    empty = updates.limit(0)
+    v2, n_rw2, _, n_s2 = tx.merge_pruned_composite_df(
+        spark, table, empty, keys, ["v"], bloom_index=index
+    )
+    assert (v2, n_rw2, n_s2) == (v, 0, 0)
