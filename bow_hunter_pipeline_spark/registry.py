@@ -1674,9 +1674,11 @@ _DRIVER_ROTATION = [
     "e2_tx_bloom_table_lookup",
     "e2_tx_bloom_pruned_lookup",
     "e2_tx_composite_pruned_merge",
+    # stream-store compaction planner is now a DataFrame over the
+    # listing; execution is one partitioned write, not per-cell jobs
+    "h2_ivf_stream_compacted_search",
     # --- r09 carry-over of the old prefix (proven r09; slots now
     # re-check rotation below) ---
-    "h2_ivf_stream_compacted_search",
     "h1_lsh_compacted_index",
     "e2_tx_replace_where",
     "e2_tx_column_rename",
