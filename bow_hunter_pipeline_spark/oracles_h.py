@@ -3303,3 +3303,64 @@ SELECT q_id, c_id, cell_id, d2, rnk FROM (
   FROM pairs
 ) WHERE rnk <= {TOP_K}
 """
+
+
+# H3/H1: duplicated-span dedup signal — w=8 rolling spans, corpus-
+# duplicated iff the fingerprint spans >= 2 distinct docs; the >= 30%
+# drop gate is integer cross-multiplication.
+DUP_SPAN_FLAGS = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+spans AS (
+  SELECT doc_id, md5(array_to_string(list_slice(l, i, i + 7), ' ')) AS h
+  FROM t, unnest(generate_series(1, greatest(len(l) - 7, 0))) AS u(i)
+),
+dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+dupd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+  FROM spans JOIN dup USING (h) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_spans,
+       CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       COALESCE(d.n_dup_spans, 0) / CAST(p.n_spans AS DOUBLE) AS dup_ratio,
+       COALESCE(d.n_dup_spans, 0) * 10 >= p.n_spans * 3 AS drop_doc
+FROM per_doc p LEFT JOIN dupd d USING (doc_id)
+"""
+
+# H3: Gopher-style repetition gates — repeated-token fraction and the
+# top bigram's share, thresholds as integer cross-multiplication.
+REPETITION_QUALITY_FILTER = """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct
+  FROM t
+),
+bi AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]
+         )) AS bigram
+  FROM t
+),
+bcnt AS (SELECT doc_id, bigram, COUNT(*) AS bn FROM bi GROUP BY doc_id, bigram),
+bagg AS (
+  SELECT doc_id, CAST(MAX(bn) AS BIGINT) AS top_bigram_n,
+         CAST(SUM(bn) AS BIGINT) AS n_bigrams
+  FROM bcnt GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       CAST(COALESCE(g.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       (b.n_tokens - b.n_distinct) / CAST(b.n_tokens AS DOUBLE)
+         AS rep_token_ratio,
+       CASE WHEN COALESCE(g.n_bigrams, 0) > 0
+            THEN COALESCE(g.top_bigram_n, 0) / CAST(g.n_bigrams AS DOUBLE)
+            ELSE 0e0 END AS top_bigram_ratio,
+       ((b.n_tokens - b.n_distinct) * 4 <= b.n_tokens * 3
+        AND COALESCE(g.top_bigram_n, 0) * 8 <= COALESCE(g.n_bigrams, 0))
+         AS keep_doc
+FROM base b LEFT JOIN bagg g USING (doc_id)
+"""

@@ -835,3 +835,114 @@ def sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
         )
     )
+
+
+DUP_SPAN_W = 8  # tokens per rolling span (the exact-substring grain)
+
+
+def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3/H1: EXACT SUBSTRING-SPAN DEDUP SIGNAL — the pretraining-
+    corpus pass that catches boilerplate MinHash misses: every rolling
+    ``DUP_SPAN_W``-token span is fingerprinted (md5 of the space-joined
+    window, same grain as a suffix-array dedup's minimum match
+    length); spans whose fingerprint occurs in ≥2 DISTINCT documents
+    are corpus-duplicated, and each document reports how much of it is
+    made of duplicated spans. ``drop_doc`` marks documents ≥30%
+    duplicated — the rows an exact-substring filter would cut.
+
+    Scale shape: one narrow fan-out (~n_tokens rows/doc), one groupBy
+    on the span hash (the only shuffle — collision-sized, never
+    O(n²) pairs), one doc-level rollup. The ≥30% gate is integer
+    cross-multiplication, not a float threshold.
+    """
+    from bow_hunter_pipeline_spark.functions.text import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), DUP_SPAN_W)).alias("span"),
+    ).select("doc_id", F.md5("span").alias("h"))
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    dup_per_doc = (
+        spans.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_ratio"),
+            (F.col("n_dup_spans") * 10 >= F.col("n_spans") * 3).alias(
+                "drop_doc"
+            ),
+        )
+    )
+
+
+def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3: REPETITION QUALITY GATE (the Gopher-rules shape): a
+    document is low-quality when it repeats itself — measured here as
+    (a) the repeated-token fraction ``1 − distinct/total`` and (b) the
+    share of all bigrams taken by the single most frequent bigram.
+    ``keep_doc`` passes documents under both gates (≤75% repeated
+    tokens, top bigram ≤1/8 of bigrams), with the thresholds applied
+    as integer cross-multiplications.
+
+    Scale shape: the token-distinct count is per-row JVM array math
+    (``array_distinct``, zero shuffle); only the top-bigram statistic
+    shuffles, grouped by (doc, bigram) with map-side partial
+    aggregation. No UDFs anywhere.
+    """
+    from bow_hunter_pipeline_spark.functions.text import word_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _toks()
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.explode_outer(word_shingles(F.col("text"), 2)).alias("bigram"),
+    )
+    per_bigram = base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(
+        F.count(F.when(F.col("bigram").isNotNull(), 1)).alias("bn")
+    )
+    per_doc = per_bigram.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.max(F.when(F.col("bigram").isNotNull(), F.col("bn")))
+        .alias("top_bigram_n"),
+        F.sum(F.when(F.col("bigram").isNotNull(), F.col("bn")))
+        .alias("n_bigrams"),
+    )
+    top_n = F.coalesce("top_bigram_n", F.lit(0)).cast("bigint")
+    n_bi = F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        top_n.alias("top_bigram_n"),
+        n_bi.alias("n_bigrams"),
+        ((F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"))
+        .alias("rep_token_ratio"),
+        F.when(n_bi > 0, top_n / n_bi).otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        (
+            ((F.col("n_tokens") - F.col("n_distinct")) * 4
+             <= F.col("n_tokens") * 3)
+            & (top_n * 8 <= n_bi)
+        ).alias("keep_doc"),
+    )

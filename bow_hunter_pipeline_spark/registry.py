@@ -1628,6 +1628,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # E2+: zero-copy shallow clone, merge into the clone, both read back
     "e2_tx_shallow_clone": (pipeline.tx_shallow_clone, _TX_MERGE_SQL),
+    # H3/H1: exact substring-span dedup signal — rolling w=8 spans,
+    # corpus-duplicated iff >= 2 distinct docs share the fingerprint
+    "h3_dup_span_flags": (
+        textanalysis.dup_span_flags,
+        oracles_h.DUP_SPAN_FLAGS,
+    ),
+    # H3: Gopher-style repetition gates (repeated-token fraction,
+    # top-bigram share) — integer cross-multiplied thresholds
+    "h3_repetition_filter": (
+        textanalysis.repetition_quality_filter,
+        oracles_h.REPETITION_QUALITY_FILTER,
+    ),
     # H1: MinHash-vs-SimHash pair-set agreement audit
     "h1_method_agreement": (
         dedup.dedup_method_agreement,
@@ -1665,6 +1677,8 @@ _DRIVER_ROTATION = [
     # R10_NEW_IN_PREFIX below ---
     "e2_tx_incremental_bloom_index",
     "e2_tx_df_planned_merge",
+    "h3_dup_span_flags",
+    "h3_repetition_filter",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1774,6 +1788,8 @@ PENDING_DRIVER_QUEUE = [
 R10_NEW_IN_PREFIX = [
     "e2_tx_incremental_bloom_index",
     "e2_tx_df_planned_merge",
+    "h3_dup_span_flags",
+    "h3_repetition_filter",
 ]
 
 
