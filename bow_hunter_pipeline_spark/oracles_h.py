@@ -3364,3 +3364,25 @@ SELECT b.doc_id, b.n_tokens, b.n_distinct,
          AS keep_doc
 FROM base b LEFT JOIN bagg g USING (doc_id)
 """
+
+
+# H2: radius search — pruning is plan-side only; the oracle is the
+# full brute-force scan the triangle inequality must never beat on
+# answers (identical label-shift transform, same strict L2 fold).
+IVF_RADIUS_SEARCH = f"""
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, {DIM}), i ->
+           CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 8 * label
+                ELSE CAST(embedding[i] AS DOUBLE) END) AS ve
+  FROM embeddings
+),
+p AS (SELECT vec_id AS q_id, ve AS qe FROM s WHERE vec_id < {N_QUERIES}),
+d AS (
+  SELECT q_id, vec_id AS c_id,
+         sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+              i -> (qe[i] - ve[i]) * (qe[i] - ve[i])))) AS dist
+  FROM p, s WHERE q_id <> vec_id
+)
+SELECT q_id, c_id, dist FROM d WHERE dist <= 1.25e0
+"""

@@ -2293,3 +2293,97 @@ def ivf_recluster_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "c_id", "cell_id", "d2", "rnk")
     )
+
+
+RADIUS = 1.25          # binary-exact search radius (L2)
+RADIUS_EPS = 2.0 ** -20  # prune slack: only ever ADDS candidate cells
+LABEL_SHIFT = 8.0      # per-label offset making clusters separable
+
+
+def _l2_fold(a, b) -> Column:
+    """Σ (a_i − b_i)² as a strict left fold in double — the same
+    order-pinned discipline as dot_fold, so sqrt(d²) replays
+    bit-identically in DuckDB's list_sum fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: RADIUS (range) SEARCH with TRIANGLE-INEQUALITY cell
+    pruning — the "every neighbor within r" query the top-k family
+    cannot express (dedup-by-distance, recall-guaranteed blocklists).
+    Per cell the index stores one REPRESENTATIVE point and the cell's
+    covering radius ``r_cell = max d(x, rep)``; the triangle
+    inequality gives ``d(q, x) ≥ d(q, rep) − r_cell`` for EVERY
+    member x, so a cell with ``d(q, rep) > r + r_cell`` provably
+    holds no result and is skipped without reading a vector. The
+    prune threshold carries a 2⁻²⁰ slack so float rounding can only
+    ADD candidate cells — soundness never hinges on the last bit.
+
+    The fixture's embeddings are near-isotropic (all pair distances
+    ≈1.0–1.7), where no metric index can prune, so the plan first
+    separates the clusters deterministically: coordinate 0 is shifted
+    by ``8·label`` (both engines apply the identical transform).
+    In-plan assertion: with 10 separated cells, each probe searches
+    ≤3 of them — the pruning actually fired; the oracle (a full
+    brute-force scan) proves it never dropped a neighbor.
+
+    Scale shape: reps+radii are K rows broadcast; assignment never
+    shuffles the corpus (cells ARE the label partition); only probed
+    cells are read — partition pruning as a metric guarantee.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    shifted = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == 0,
+                x.cast("double") + F.lit(LABEL_SHIFT) * F.col("label"),
+            ).otherwise(x.cast("double")),
+        ).alias("ve"),
+    )
+    w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (
+        shifted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("ve").alias("rvec"))
+    )
+    radii = (
+        shifted.join(F.broadcast(reps), "label")
+        .withColumn("d", F.sqrt(_l2_fold("ve", "rvec")))
+        .groupBy("label")
+        .agg(F.max("d").alias("r_cell"))
+    )
+    cells = reps.join(radii, "label")  # K rows: (label, rvec, r_cell)
+
+    probes = shifted.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("ve").alias("qe")
+    )
+    searched = (
+        F.broadcast(probes)
+        .crossJoin(F.broadcast(cells))
+        .withColumn("dc", F.sqrt(_l2_fold("qe", "rvec")))
+        .filter(
+            F.col("dc")
+            <= F.lit(RADIUS) + F.col("r_cell") + F.lit(RADIUS_EPS)
+        )
+        .select("q_id", "qe", "label")
+    )
+    n_probes = probes.count()  # bounded: N_QUERIES rows
+    if n_probes:  # pruning LAW: separated cells ⇒ ≤3 searched per probe
+        assert searched.count() <= 3 * n_probes
+    cands = shifted.select(
+        F.col("vec_id").alias("c_id"), "label", F.col("ve").alias("ce")
+    )
+    return (
+        searched.join(cands, "label")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dist", F.sqrt(_l2_fold("qe", "ce")))
+        .filter(F.col("dist") <= F.lit(RADIUS))
+        .select("q_id", "c_id", "dist")
+    )

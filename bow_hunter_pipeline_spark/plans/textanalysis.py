@@ -896,13 +896,16 @@ def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H3: REPETITION QUALITY GATE (the Gopher-rules shape): a
-    document is low-quality when it repeats itself — measured here as
-    (a) the repeated-token fraction ``1 − distinct/total`` and (b) the
-    share of all bigrams taken by the single most frequent bigram.
-    ``keep_doc`` passes documents under both gates (≤75% repeated
-    tokens, top bigram ≤1/8 of bigrams), with the thresholds applied
-    as integer cross-multiplications.
+    """H3: TOP-N-GRAM CONCENTRATION GATE (the Gopher rule "fraction
+    of the document inside its most common n-gram"): the share of all
+    bigrams taken by the single most frequent bigram, composed with
+    the repeated-token fraction into a two-gate ``keep_doc`` verdict
+    (≤75% repeated tokens AND top bigram ≤1/8 of bigrams), thresholds
+    as integer cross-multiplications. Complements its siblings —
+    ``h3_type_token_ratio`` reports the lexical-diversity statistic
+    alone, ``h6_repetition_filter`` gates on duplicate SHINGLES — by
+    catching the loop-y doc whose vocabulary is diverse but whose
+    phrasing cycles (high top-bigram share, ordinary TTR).
 
     Scale shape: the token-distinct count is per-row JVM array math
     (``array_distinct``, zero shuffle); only the top-bigram statistic

@@ -1640,6 +1640,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.repetition_quality_filter,
         oracles_h.REPETITION_QUALITY_FILTER,
     ),
+    # H2: radius (range) search — triangle-inequality cell pruning
+    # over rep+covering-radius cells; oracle is the full scan
+    "h2_ivf_radius_search": (
+        simsearch.ivf_radius_search,
+        oracles_h.IVF_RADIUS_SEARCH,
+    ),
     # H1: MinHash-vs-SimHash pair-set agreement audit
     "h1_method_agreement": (
         dedup.dedup_method_agreement,
@@ -1679,6 +1685,7 @@ _DRIVER_ROTATION = [
     "e2_tx_df_planned_merge",
     "h3_dup_span_flags",
     "h3_repetition_filter",
+    "h2_ivf_radius_search",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1790,6 +1797,7 @@ R10_NEW_IN_PREFIX = [
     "e2_tx_df_planned_merge",
     "h3_dup_span_flags",
     "h3_repetition_filter",
+    "h2_ivf_radius_search",
 ]
 
 

@@ -72,6 +72,7 @@ ALLOW: dict[str, set[str]] = {
         "h5_kmv_set_ops",  # 1-row sketch stats × 1-row exact audit
         "h6_bpe_train_merges",  # 1-row merge-rule winner broadcast per round
         "h6_bpe_apply_compression",  # same 1-row winner broadcasts
+        "h2_ivf_radius_search",  # 5-probe x 10-cell broadcast prune stage
         # phase-2 remainder: only queries the ring-1 resolve law could
         # not close (sparse regions) brute-force; production iterates
         # rings before falling back — the hot path is the cell join
