@@ -3386,3 +3386,45 @@ d AS (
 )
 SELECT q_id, c_id, dist FROM d WHERE dist <= 1.25e0
 """
+
+
+# H4 x H5: first-principles HLL — max-semiring registers replayed from
+# raw orders; the estimate's harmonic denominator is an order-pinned
+# fold of exact dyadic terms, so even the double is hash-checked.
+STREAMING_HLL = """
+WITH x AS (
+  SELECT o_orderpriority AS priority, o_custkey,
+         CAST(('0x' || substr(md5('hll|' || CAST(o_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM orders
+),
+r AS (
+  SELECT priority, h % 64 AS reg,
+         MAX(CAST(55 - length(ltrim(bin(h // 64), '0')) AS BIGINT)) AS val
+  FROM x GROUP BY priority, h % 64
+),
+agg AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS regs_set,
+         md5(string_agg(CAST(reg AS VARCHAR) || ':' || CAST(val AS VARCHAR),
+                        ' ' ORDER BY reg)) AS reg_md5,
+         list_reduce(
+           list_prepend(0e0,
+             list(1e0 / CAST((CAST(1 AS BIGINT) << val) AS DOUBLE)
+                  ORDER BY reg)),
+           (a, v) -> a + v) AS dsum
+  FROM r GROUP BY priority
+),
+e AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT a.priority, a.regs_set, a.reg_md5,
+       0.709e0 * 4096e0 / (a.dsum + (64 - a.regs_set) * 1e0)
+         AS hll_estimate,
+       e.exact_distinct,
+       abs(0.709e0 * 4096e0 / (a.dsum + (64 - a.regs_set) * 1e0)
+           - e.exact_distinct) / e.exact_distinct AS rel_err
+FROM agg a JOIN e USING (priority)
+"""

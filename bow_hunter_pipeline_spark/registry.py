@@ -1640,6 +1640,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.repetition_quality_filter,
         oracles_h.REPETITION_QUALITY_FILTER,
     ),
+    # H4 x H5: first-principles HLL as streaming state — max-semiring
+    # registers keyed per (priority, register); drained state AND the
+    # harmonic estimate hash-equal the batch replay
+    "h4_streaming_hll": (
+        structured.streaming_hll,
+        oracles_h.STREAMING_HLL,
+    ),
     # H2: radius (range) search — triangle-inequality cell pruning
     # over rep+covering-radius cells; oracle is the full scan
     "h2_ivf_radius_search": (
@@ -1686,6 +1693,7 @@ _DRIVER_ROTATION = [
     "h3_dup_span_flags",
     "h3_repetition_filter",
     "h2_ivf_radius_search",
+    "h4_streaming_hll",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1798,6 +1806,7 @@ R10_NEW_IN_PREFIX = [
     "h3_dup_span_flags",
     "h3_repetition_filter",
     "h2_ivf_radius_search",
+    "h4_streaming_hll",
 ]
 
 

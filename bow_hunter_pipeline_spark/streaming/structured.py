@@ -2116,3 +2116,155 @@ def streaming_session_timeout(
     return spark.table("bhps_stream_session_timeout").filter(
         F.col("user_id") >= 0
     )
+
+
+HLL_STREAM_WORK = "/tmp/bhps_hll_stream"
+HLL_M = 64        # registers (b = 6 index bits)
+HLL_ALPHA = 0.709  # Flajolet et al. bias constant for m = 64
+
+
+def streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 × H5: a FIRST-PRINCIPLES HyperLogLog maintained as STREAMING
+    STATE — and, unlike the DataSketches path (whose binaries no SQL
+    engine replays, h5_hll_error_bound checks an envelope instead),
+    hash-exact end to end: registers are md5-derived (the portable
+    hash64 discipline), the register fold is MAX (idempotent,
+    commutative, associative — the max-semiring twin of Count-Min's
+    linearity), so the drained state equals the batch build bit-for-
+    bit under ANY arrival slicing, and even the harmonic-mean
+    ESTIMATE is a checked value: each register contributes the exact
+    dyadic 2^-val, summed as an order-pinned fold.
+
+    Orders arrive in three checkpointed micro-batches;
+    ``applyInPandasWithState`` is KEYED PER (priority, register) —
+    the same scale decision as streaming Count-Min's per-counter
+    keys: 5 x 64 independent single-bigint state groups instead of 5
+    priority-wide registers arrays, so the stateful shuffle spreads
+    and per-group work is a vectorized max. At 100 TB the key becomes
+    (tenant, metric, register) — millions of scalar maxima, which is
+    exactly how a streaming distinct-count service shards.
+
+    Output per priority: registers set, an md5 fingerprint of the
+    full register vector, the HLL estimate, and the exact distinct
+    count (batch side) with its relative error — all value-checked
+    against an oracle that replays the identical math from raw
+    orders.
+    """
+    import glob
+    import os
+    import shutil
+
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    shutil.rmtree(HLL_STREAM_WORK, ignore_errors=True)
+    feed = os.path.join(HLL_STREAM_WORK, "feed")
+    os.makedirs(feed)
+
+    orders = read_table(spark, sf_dir, "orders")
+    for i in range(3):
+        staging = os.path.join(HLL_STREAM_WORK, f"_stage{i}")
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(feed, f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+        t = 1_700_000_000 + i * 100
+        os.utime(dest, (t, t))
+
+    stream = spark.readStream.schema(orders.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(feed)
+    incr = stream.withColumn(
+        "__h",
+        hash64(F.concat(F.lit("hll|"), F.col("o_custkey").cast("string"))),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("__h") % HLL_M).alias("reg"),
+        # rho = leading-zero count of the remaining 54 bits + 1
+        F.expr(
+            "cast(55 - length(ltrim('0', bin(__h div 64))) as bigint)"
+        ).alias("rho"),
+    )
+
+    def fold_register(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        priority, reg = key
+        (val,) = state.get if state.exists else (0,)
+        for pdf in batches:
+            m = int(pdf["rho"].max())
+            if m > val:
+                val = m
+        state.update((val,))
+        yield pd.DataFrame(
+            {
+                "priority": pd.Series([priority], dtype="object"),
+                "reg": pd.Series([int(reg)], dtype="int64"),
+                "val": pd.Series([val], dtype="int64"),
+            }
+        )
+
+    out = incr.groupBy("priority", "reg").applyInPandasWithState(
+        fold_register,
+        outputStructType="priority string, reg bigint, val bigint",
+        stateStructType="val bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(out, "bhps_stream_hll", "update")
+    emitted = spark.table("bhps_stream_hll")
+    # cumulative emissions under a max-fold: the max IS the final state
+    regs = emitted.groupBy("priority", "reg").agg(
+        F.max("val").alias("val")
+    ).withColumn(
+        "dterm",
+        F.expr(
+            "1.0 / cast(shiftleft(cast(1 as bigint), cast(val as int))"
+            " as double)"
+        ),
+    )
+    packed = F.array_sort(F.collect_list(F.struct("reg", "val", "dterm")))
+    summary = regs.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("regs_set"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    packed,
+                    lambda s: F.concat(
+                        s["reg"].cast("string"),
+                        F.lit(":"),
+                        s["val"].cast("string"),
+                    ),
+                ),
+                " ",
+            )
+        ).alias("reg_md5"),
+        F.aggregate(
+            F.transform(packed, lambda s: s["dterm"]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dsum"),
+    )
+    exact = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(F.count_distinct("o_custkey").alias("exact_distinct"))
+    est = (F.lit(HLL_ALPHA) * F.lit(4096.0)) / (
+        F.col("dsum") + (F.lit(HLL_M) - F.col("regs_set")) * F.lit(1.0)
+    )
+    return (
+        summary.join(exact, "priority")
+        .select(
+            "priority",
+            "regs_set",
+            "reg_md5",
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            (
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+    )
