@@ -1831,6 +1831,23 @@ SELECT l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM merged GROUP BY l_linenumber
 """
 
+# E2+: vacuum reclaims storage, never answers — the retained head is
+# orders minus the deleted key band plus the appended batch.
+TX_VACUUM_RETENTION = f"""
+WITH survive AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 5 <> 0
+), extra AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 7 = 0
+), allr AS (
+  SELECT * FROM survive UNION ALL SELECT * FROM extra
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM.format(c="o_totalprice")} AS total_price
+FROM allr GROUP BY o_orderpriority
+"""
+
 # E2+: DF-planned merge — planner strategy never changes answers:
 # max composite key's quantity bumped, (-2, 1) row inserted.
 TX_DF_PLANNED_MERGE = """

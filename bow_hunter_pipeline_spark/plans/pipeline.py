@@ -1855,6 +1855,81 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
 
 
+TX_VACUUM_PATH = "/tmp/bhps_tx_vacuum"
+
+
+def tx_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: VACUUM under a retention window — the storage-reclaim
+    primitive a 100 TB table runs nightly, with Delta's exact trade:
+    data files unreachable from the newest ``keep_versions`` commits
+    are deleted, history metadata stays, and time travel below the
+    window fails loudly instead of returning silent partials.
+
+    History: create (v0) → row-level delete rewrites files (v1) →
+    append (v2). Laws asserted in-plan:
+
+    1. DRY RUN counts the reclaimable files and deletes nothing
+       (reads at every version still work after it);
+    2. the real vacuum deletes exactly the dry-run count;
+    3. reads INSIDE the window (v1, v2) return byte-identical
+       results before and after the vacuum;
+    4. time travel BELOW the window raises ``VersionVacuumedError``.
+
+    Result: per-priority rollup of the retained head — orders minus
+    the deleted key band plus the appended batch, replayed
+    relationally by the oracle.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).repartition(4)
+    tx.create_table(spark, TX_VACUUM_PATH, base)
+    tx.delete_where(spark, TX_VACUUM_PATH, "o_orderkey % 5 = 0")
+    extra = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "price",
+    )
+    tx.append(spark, TX_VACUUM_PATH, extra)
+
+    def _fingerprint(version):
+        row = (
+            tx.snapshot(spark, TX_VACUUM_PATH, version)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_orderkey")).alias("s"),
+            )
+            .collect()[0]
+        )
+        return (row.n, row.s)
+
+    n_rows = base.count()
+    before = {v: _fingerprint(v) for v in (1, 2)}
+    dry = tx.vacuum(spark, TX_VACUUM_PATH, keep_versions=2, dry_run=True)
+    assert {v: _fingerprint(v) for v in (1, 2)} == before  # law 1
+    deleted = tx.vacuum(spark, TX_VACUUM_PATH, keep_versions=2)
+    assert deleted == dry, (deleted, dry)  # law 2
+    if n_rows:  # non-empty: the v0-only files were reclaimable
+        assert deleted >= 1, deleted
+    assert {v: _fingerprint(v) for v in (1, 2)} == before  # law 3
+    try:  # law 4: below-window time travel must fail loudly
+        tx.snapshot(spark, TX_VACUUM_PATH, 0).count()
+        if deleted:
+            raise AssertionError("v0 readable after vacuum")
+    except tx.VersionVacuumedError:
+        pass
+    return tx.snapshot(spark, TX_VACUUM_PATH).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("price", "total_price"),
+    )
+
+
 TX_DFMERGE_PATH = "/tmp/bhps_tx_dfmerge"
 
 

@@ -1080,6 +1080,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_bloom_table_lookup,
         oracles_f.TX_BLOOM_TABLE_LOOKUP,
     ),
+    # E2+: VACUUM under a retention window — dry-run law, exact
+    # reclaim count, in-window reads unchanged, below-window time
+    # travel fails loudly (all asserted in-plan)
+    "e2_tx_vacuum_retention": (
+        pipeline.tx_vacuum_retention,
+        oracles_f.TX_VACUUM_RETENTION,
+    ),
     # E2+: write-time bloom maintenance — appends arrive pre-indexed
     # (O(new) refresh), incremental index == full build bit-equal,
     # DV-deleted probe returns nothing (all asserted in-plan)
@@ -1694,6 +1701,7 @@ _DRIVER_ROTATION = [
     "h3_repetition_filter",
     "h2_ivf_radius_search",
     "h4_streaming_hll",
+    "e2_tx_vacuum_retention",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1807,6 +1815,7 @@ R10_NEW_IN_PREFIX = [
     "h3_repetition_filter",
     "h2_ivf_radius_search",
     "h4_streaming_hll",
+    "e2_tx_vacuum_retention",
 ]
 
 
