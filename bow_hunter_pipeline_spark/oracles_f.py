@@ -2060,3 +2060,44 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY 1, 2
 """
+
+
+# Multimodal: VAD-style energy segmentation — active windows
+# (integer gate) merged into runs via gaps-and-islands.
+MM_AUDIO_SEGMENTS = """
+WITH d AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(text[i:i])) AS b
+  FROM documents
+),
+w AS (
+  SELECT doc_id, b,
+         unnest(generate_series(0,
+            CAST(ceil(len(b) / 64.0) AS INT) - 1)) AS win_idx
+  FROM d
+),
+s AS (
+  SELECT doc_id, CAST(win_idx AS INT) AS win_idx,
+         b[win_idx * 64 + 1 : least((win_idx + 1) * 64, len(b))] AS chunk
+  FROM w
+),
+f AS (
+  SELECT doc_id, win_idx, len(chunk) AS n,
+         CAST(list_sum(list_transform(chunk, x -> x * x)) AS BIGINT)
+           AS energy
+  FROM s
+),
+a AS (SELECT * FROM f WHERE energy >= 9800 * n),
+i AS (
+  SELECT doc_id, win_idx, energy,
+         win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY win_idx) AS seg_id
+  FROM a
+)
+SELECT doc_id, CAST(MIN(win_idx) AS INT) AS seg_start,
+       CAST(MAX(win_idx) AS INT) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(energy) AS BIGINT) AS seg_energy
+FROM i GROUP BY doc_id, seg_id
+"""

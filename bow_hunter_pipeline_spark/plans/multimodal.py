@@ -418,3 +418,45 @@ def frame_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(fake_shots, _SHOT_SCHEMA)
+
+
+VAD_THRESHOLD = 9800  # per-sample mean-square energy gate (integer law)
+
+
+def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: ENERGY-BASED SEGMENTATION (the VAD shape) — the
+    clip-extraction step between decode and transcription: windows
+    whose mean per-sample energy clears the gate are ACTIVE, and runs
+    of consecutive active windows merge into segments via
+    gaps-and-islands (win_idx − row_number per doc), each reported
+    with its span and total energy. Composes the audio pipeline end
+    to end: the Arrow-batch decode seam (:func:`audio_windows` — a
+    real decoder drops in there) feeds pure relational segmentation,
+    so everything after the UDF is Catalyst-planned window arithmetic.
+
+    Exactness: the gate is the integer cross-multiplication
+    ``energy ≥ 9800 · n_samples`` (no float mean), island ids are
+    integer differences, segment energies exact bigint sums.
+
+    Scale: the stateful part is two window functions partitioned by
+    doc — shuffle keyed on doc_id only, segments never cross docs, so
+    a 100 TB corpus segments embarrassingly parallel per document.
+    """
+    from pyspark.sql import Window
+
+    wins = audio_windows(spark, sf_dir)
+    active = wins.filter(
+        F.col("energy") >= F.lit(VAD_THRESHOLD) * F.col("n_samples")
+    )
+    w = Window.partitionBy("doc_id").orderBy("win_idx")
+    islands = active.withColumn(
+        "seg_id", F.col("win_idx") - F.row_number().over(w)
+    )
+    return islands.groupBy("doc_id", "seg_id").agg(
+        F.min("win_idx").alias("seg_start"),
+        F.max("win_idx").alias("seg_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("energy").alias("seg_energy"),
+    ).select(
+        "doc_id", "seg_start", "seg_end", "n_windows", "seg_energy"
+    )

@@ -840,6 +840,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles_f.UDF_GROUPED_MAP_ARROW,
     ),
     "mm_audio_windows": (multimodal.audio_windows, oracles_f.MM_AUDIO_WINDOWS),
+    # Multimodal: VAD-style segmentation — decode seam feeds pure
+    # relational gaps-and-islands (integer energy gate)
+    "mm_audio_energy_segments": (
+        multimodal.audio_energy_segments,
+        oracles_f.MM_AUDIO_SEGMENTS,
+    ),
     # Multimodal -> retrieval handoff: patchify (mapInPandas) ->
     # pooled integer embedding -> exact top-3, one oracle-checked plan
     "mm_patch_embed_search": (
@@ -1702,6 +1708,7 @@ _DRIVER_ROTATION = [
     "h2_ivf_radius_search",
     "h4_streaming_hll",
     "e2_tx_vacuum_retention",
+    "mm_audio_energy_segments",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1816,6 +1823,7 @@ R10_NEW_IN_PREFIX = [
     "h2_ivf_radius_search",
     "h4_streaming_hll",
     "e2_tx_vacuum_retention",
+    "mm_audio_energy_segments",
 ]
 
 
