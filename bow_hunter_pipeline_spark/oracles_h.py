@@ -3428,3 +3428,58 @@ SELECT a.priority, a.regs_set, a.reg_md5,
            - e.exact_distinct) / e.exact_distinct AS rel_err
 FROM agg a JOIN e USING (priority)
 """
+
+
+# G5: DBSCAN replayed brute-force — O(n^2) pair predicate (the Spark
+# side blocks by grid cell; answers must be identical), recursive-CTE
+# connected components over the core-core graph, border points pinned
+# to the MINIMUM adjacent cluster id.
+DBSCAN_CLUSTERS = """
+WITH RECURSIVE n AS (
+  SELECT COUNT(*) AS n,
+         CAST(ceil(sqrt(COUNT(*) * 23.5625)) AS BIGINT) AS s
+  FROM customer
+),
+p AS (
+  SELECT c_custkey AS pid,
+         CAST(('0x' || substr(md5('dbx|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT)
+           % (SELECT greatest(s, 1) FROM n) AS px,
+         CAST(('0x' || substr(md5('dby|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT)
+           % (SELECT greatest(s, 1) FROM n) AS py
+  FROM customer
+),
+pairs AS (
+  SELECT a.pid AS src, b.pid AS dst
+  FROM p a JOIN p b ON a.pid <> b.pid
+   AND (a.px - b.px) * (a.px - b.px)
+     + (a.py - b.py) * (a.py - b.py) <= 9
+),
+deg AS (SELECT src AS pid, COUNT(*) AS nn FROM pairs GROUP BY src),
+core AS (SELECT pid FROM deg WHERE nn + 1 >= 4),
+ce AS (
+  SELECT src, dst FROM pairs
+  WHERE src IN (SELECT pid FROM core) AND dst IN (SELECT pid FROM core)
+),
+walk(id, r) AS (
+  SELECT pid, pid FROM core
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN ce e ON e.src = w.r
+),
+cl AS (SELECT id AS pid, MIN(r) AS cluster_id FROM walk GROUP BY id),
+border AS (
+  SELECT pr.src AS pid, MIN(cl.cluster_id) AS border_cluster
+  FROM pairs pr JOIN cl ON cl.pid = pr.dst
+  WHERE pr.src NOT IN (SELECT pid FROM core)
+  GROUP BY pr.src
+)
+SELECT p.pid,
+       CASE WHEN cl.pid IS NOT NULL THEN 'core'
+            WHEN b.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cl.cluster_id, b.border_cluster) AS cluster_id
+FROM p
+LEFT JOIN cl ON cl.pid = p.pid
+LEFT JOIN border b ON b.pid = p.pid
+"""

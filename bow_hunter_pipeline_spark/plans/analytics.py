@@ -817,3 +817,136 @@ def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         holt["b"].alias("trend"),
         (holt["l"] + holt["b"]).alias("forecast_next"),
     )
+
+
+DBSCAN_EPS = 3       # neighborhood radius (also the blocking-cell side)
+DBSCAN_MIN_PTS = 4   # density gate, neighbors-within-eps INCLUDING self
+
+
+def _dbscan_neighbor_pairs(pts: DataFrame) -> DataFrame:
+    """Symmetric (src, dst) pairs within ``DBSCAN_EPS`` — the 3x3
+    grid-cell bucket join of :func:`radius_grid_join` (cells of side
+    eps bound every candidate set to 9 cells' occupancy; the exact
+    integer predicate decides), never points x points."""
+    eps = DBSCAN_EPS
+    cells = pts.select(
+        F.col("pid").alias("src"),
+        F.col("px").alias("sx"),
+        F.col("py").alias("sy"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), i -> "
+                f"transform(sequence(-1, 1), j -> struct("
+                f"cast(px div {eps} + i as bigint) AS cx, "
+                f"cast(py div {eps} + j as bigint) AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("src", "sx", "sy", "cell.cx", "cell.cy")
+    others = pts.select(
+        F.col("pid").alias("dst"),
+        F.col("px").alias("dx"),
+        F.col("py").alias("dy"),
+        (F.col("px") / eps).cast("bigint").alias("cx"),
+        (F.col("py") / eps).cast("bigint").alias("cy"),
+    )
+    ddx = F.col("sx") - F.col("dx")
+    ddy = F.col("sy") - F.col("dy")
+    return (
+        cells.join(others, ["cx", "cy"])
+        .filter(F.col("src") != F.col("dst"))
+        .filter(ddx * ddx + ddy * ddy <= F.lit(DBSCAN_EPS * DBSCAN_EPS))
+        .select("src", "dst")
+    )
+
+
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: DBSCAN, fully distributed and fully deterministic — the
+    density-clustering workhorse (anomaly zones, venue detection,
+    embedding-space cluster mining) built from the repo's own
+    primitives: the eps-neighborhood is the 3x3 grid-cell bucket join
+    (:func:`radius_grid_join`'s shape), and cluster formation is
+    min-label propagation over the core-core graph
+    (:func:`plans.dedup._min_label_propagate` — the same engine that
+    powers dedup clusters). Roles follow the textbook: CORE has
+    ≥ min_pts points within eps (self included); BORDER is non-core
+    with a core neighbor; everything else is NOISE. The one place
+    textbook DBSCAN is nondeterministic — a border point adjacent to
+    two clusters — is pinned by assigning the MINIMUM cluster id, so
+    the labeling is a pure function of the input and the oracle can
+    replay it with a recursive CTE.
+
+    Geometry is a DENSITY-SCALED deterministic grid: md5-derived
+    integer coordinates on a side ``ceil(sqrt(n · 23.5625))`` square,
+    which pins the expected eps-degree at ~1.8 at EVERY scale factor
+    (subcritical for random geometric graphs, so components stay
+    O(log n) and the clustering is meaningful rather than one
+    percolated blob). Every squared distance is an exact bigint;
+    23.5625 = 377/16 is binary-exact, so both engines derive the
+    identical side from the row count.
+
+    Scale: pair generation is cell-bounded (9 cells/point, AQE splits
+    skewed cells), the degree count and label rounds shuffle only the
+    edge list, and rounds = core-graph diameter — the
+    large-star/small-star rewrite slots into the same loop for
+    pathological diameters.
+    """
+    import math
+
+    from bow_hunter_pipeline_spark.functions.text import hash64
+    from bow_hunter_pipeline_spark.plans.dedup import _min_label_propagate
+
+    cust = read_table(spark, sf_dir, "customer")
+    n = cust.count()  # bounded scalar: sizes the grid
+    side = int(math.ceil(math.sqrt(n * 23.5625))) if n else 1
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (
+            hash64(F.concat(F.lit("dbx|"), F.col("c_custkey").cast("string")))
+            % F.lit(side)
+        ).alias("px"),
+        (
+            hash64(F.concat(F.lit("dby|"), F.col("c_custkey").cast("string")))
+            % F.lit(side)
+        ).alias("py"),
+    )
+    pairs = _dbscan_neighbor_pairs(pts).localCheckpoint()
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    core = deg.filter(
+        F.col("n_nbrs") + 1 >= F.lit(DBSCAN_MIN_PTS)
+    ).select(F.col("src").alias("pid"))
+    core_edges = (
+        pairs.join(core.withColumnRenamed("pid", "src"), "src", "semi")
+        .join(core.withColumnRenamed("pid", "dst"), "dst", "semi")
+        .select("src", "dst")
+    )
+    labels = _min_label_propagate(
+        core_edges,
+        core.select("pid").withColumn("cluster_id", F.col("pid"))
+        .withColumnRenamed("pid", "doc_id"),
+    ).withColumnRenamed("doc_id", "pid")
+    border = (
+        pairs.join(core.withColumnRenamed("pid", "src"), "src", "anti")
+        .join(
+            labels.select(
+                F.col("pid").alias("dst"),
+                F.col("cluster_id").alias("nbr_cluster"),
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("nbr_cluster").alias("border_cluster"))
+        .withColumnRenamed("src", "pid")
+    )
+    return (
+        pts.join(core.withColumn("is_core", F.lit(True)), "pid", "left")
+        .join(labels, "pid", "left")
+        .join(border, "pid", "left")
+        .select(
+            "pid",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("cluster_id", "border_cluster").alias("cluster_id"),
+        )
+    )

@@ -1660,6 +1660,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         structured.streaming_hll,
         oracles_h.STREAMING_HLL,
     ),
+    # G5: DBSCAN — eps-neighborhood as the 3x3 grid-cell join, core/
+    # border/noise roles, min-label clusters, deterministic ties
+    "g5_dbscan_clusters": (
+        analytics.dbscan_clusters,
+        oracles_h.DBSCAN_CLUSTERS,
+    ),
     # H2: radius (range) search — triangle-inequality cell pruning
     # over rep+covering-radius cells; oracle is the full scan
     "h2_ivf_radius_search": (
@@ -1709,6 +1715,7 @@ _DRIVER_ROTATION = [
     "h4_streaming_hll",
     "e2_tx_vacuum_retention",
     "mm_audio_energy_segments",
+    "g5_dbscan_clusters",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1824,6 +1831,7 @@ R10_NEW_IN_PREFIX = [
     "h4_streaming_hll",
     "e2_tx_vacuum_retention",
     "mm_audio_energy_segments",
+    "g5_dbscan_clusters",
 ]
 
 
