@@ -2101,3 +2101,19 @@ SELECT doc_id, CAST(MIN(win_idx) AS INT) AS seg_start,
        CAST(SUM(energy) AS BIGINT) AS seg_energy
 FROM i GROUP BY doc_id, seg_id
 """
+
+
+# E2+: partition-spec evolution is layout, never semantics — one
+# calendar-month window replayed off raw orders.
+TX_PARTITION_EVOLUTION = """
+WITH w AS (
+  SELECT COALESCE(date_trunc('month', MIN(o_orderdate)),
+                  TIMESTAMP '1970-01-01') AS lo
+  FROM orders
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+FROM orders, w
+WHERE o_orderdate >= lo AND o_orderdate < lo + INTERVAL 1 MONTH
+GROUP BY o_orderpriority
+"""

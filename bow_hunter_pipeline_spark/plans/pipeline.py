@@ -1855,6 +1855,87 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
 
 
+TX_PSPEC_PATH = "/tmp/bhps_tx_pspec"
+
+
+def tx_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+/A4+: ICEBERG-STYLE PARTITION SPECS WITH EVOLUTION — hidden
+    partitioning whose layout can change WITHOUT rewriting history.
+    Four eras land in one table: (0) pre-spec files, (1)
+    ``month(o_orderdate)``, (2) the spec EVOLVED to
+    ``(day(o_orderdate), bucket[4](o_custkey))`` — a metadata-only
+    commit — and (3) a plain append that ignores specs entirely. A
+    reader then asks for one calendar month BY THE SOURCE COLUMN
+    (never a partition column — users cannot "forget the partition
+    predicate", Iceberg's fix to hive tables): ``snapshot_pruned``
+    derives each era's partition-value range from the date range
+    (month ordinals for era 1, day ordinals for era 2; bucket is not
+    order-preserving and is skipped) and intersects them with the
+    logged per-file stats, so every era prunes under the spec it was
+    written with and unpartitioned files simply stay candidates.
+
+    Laws asserted in-plan: (1) hidden partitioning — the snapshot
+    schema never shows a ``__p_*`` column; (2) the pruned scan opened
+    strictly fewer files than the live set; (3) pruning is an I/O
+    optimization only — the result equals the oracle's full-table
+    replay.
+
+    Scale: partition values ride the SAME per-file stats the merge
+    find phase and Z-order deletes already consult — one pruning
+    machine, three write layouts; range-clustered placement keeps
+    per-file [lo, hi] tight where hash placement would span
+    everything.
+    """
+    import datetime
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    era = F.col("o_orderkey") % 4
+    tx.create_table(
+        spark, TX_PSPEC_PATH, base.filter(era == 0).repartition(4),
+        stats_cols=["o_orderkey"],
+    )
+    tx.set_partition_spec(TX_PSPEC_PATH, [("o_orderdate", "month")])
+    tx.append_partitioned(spark, TX_PSPEC_PATH, base.filter(era == 1))
+    tx.set_partition_spec(
+        TX_PSPEC_PATH,
+        [("o_orderdate", "day"), ("o_custkey", "bucket[4]")],
+    )
+    tx.append_partitioned(spark, TX_PSPEC_PATH, base.filter(era == 2))
+    tx.append(spark, TX_PSPEC_PATH, base.filter(era == 3))
+
+    b = orders.agg(
+        F.min("o_orderdate").alias("mn"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    mn = b.mn
+    if mn is None:  # zero-row fixture: any window is vacuously right
+        lo = datetime.date(1970, 1, 1)
+    else:
+        lo = mn.date().replace(day=1)
+    hi = (lo + datetime.timedelta(days=32)).replace(day=1)
+    frame, n_cand, n_live = tx.snapshot_pruned(
+        spark, TX_PSPEC_PATH, {"o_orderdate": (lo, hi)}
+    )
+    assert not [c for c in frame.columns if c.startswith("__p_")]  # law 1
+    if b.n >= 2000:  # law 2 needs eras big enough to range-split
+        assert n_cand < n_live, (n_cand, n_live)  # pruning fired
+    return (
+        frame.filter(
+            (F.col("o_orderdate") >= F.lit(str(lo)))
+            & (F.col("o_orderdate") < F.lit(str(hi)))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        )
+    )
+
+
 TX_VACUUM_PATH = "/tmp/bhps_tx_vacuum"
 
 

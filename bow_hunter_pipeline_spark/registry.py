@@ -1086,6 +1086,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_bloom_table_lookup,
         oracles_f.TX_BLOOM_TABLE_LOOKUP,
     ),
+    # E2+: Iceberg-style partition specs with evolution — hidden
+    # partitioning, metadata-only spec changes, per-era transform-
+    # aware pruning from SOURCE-column predicates
+    "e2_tx_partition_evolution": (
+        pipeline.tx_partition_evolution,
+        oracles_f.TX_PARTITION_EVOLUTION,
+    ),
     # E2+: VACUUM under a retention window — dry-run law, exact
     # reclaim count, in-window reads unchanged, below-window time
     # travel fails loudly (all asserted in-plan)
@@ -1716,6 +1723,7 @@ _DRIVER_ROTATION = [
     "e2_tx_vacuum_retention",
     "mm_audio_energy_segments",
     "g5_dbscan_clusters",
+    "e2_tx_partition_evolution",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1832,6 +1840,7 @@ R10_NEW_IN_PREFIX = [
     "e2_tx_vacuum_retention",
     "mm_audio_energy_segments",
     "g5_dbscan_clusters",
+    "e2_tx_partition_evolution",
 ]
 
 

@@ -3259,3 +3259,232 @@ def bloom_point_lookup(
     return _read_live(
         spark, table, read, dvs, schema=table_schema(table, version)
     ).filter(F.col(col).isin(values))
+
+
+# --- Iceberg-style partition specs with evolution ----------------------
+
+_SPEC_FILE = "_partition_spec.json"
+
+# transforms are EXACT integer derivations of a source column — the
+# hidden-partitioning contract: queries filter the SOURCE column and
+# pruning happens on the derived value, so a user can never "forget
+# the partition predicate" (Iceberg's core fix to hive tables)
+_P_TRANSFORMS = ("identity", "month", "day", "bucket", "truncate")
+
+
+def _pcol_name(src: str, transform: str, arg: int | None) -> str:
+    tag = transform if arg is None else f"{transform}{arg}"
+    return f"__p_{tag}_{src}"
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    if "[" in t:
+        base, arg = t[:-1].split("[", 1)
+        return base, int(arg)
+    return t, None
+
+
+def _ptransform_expr(src: str, transform: str) -> "F.Column":
+    """The derived partition value as a Column. month/day are epoch
+    ordinals (exact ints), bucket is the portable md5 hash64 mod N,
+    truncate is integer floor-division — every one replayable by the
+    SQL oracle bit-for-bit."""
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
+    base, arg = _parse_transform(transform)
+    c = F.col(src)
+    if base == "identity":
+        return c.cast("bigint")
+    if base == "month":
+        return (
+            (F.year(c) - F.lit(1970)) * 12 + F.month(c) - F.lit(1)
+        ).cast("bigint")
+    if base == "day":
+        return F.datediff(F.to_date(c), F.lit("1970-01-01")).cast("bigint")
+    if base == "bucket":
+        return F.pmod(
+            hash64(F.concat(F.lit("pbkt|"), c.cast("string"))), F.lit(arg)
+        ).cast("bigint")
+    if base == "truncate":
+        return F.expr(f"cast({src} div {arg} as bigint)")
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def set_partition_spec(
+    table: str, fields: list[tuple[str, str]]
+) -> int:
+    """Register a new partition spec — a METADATA-ONLY evolution (no
+    data rewrite, Iceberg's ``ALTER TABLE ... ADD PARTITION FIELD``):
+    files already written keep pruning under the spec they were
+    written with; files written after this carry the new spec's
+    derived-value stats. ``fields`` is ``[(source_col, transform)]``
+    with transforms ``identity | month | day | bucket[N] |
+    truncate[W]``. Returns the new spec id."""
+    history = partition_spec_history(table)
+    for src, t in fields:
+        base, arg = _parse_transform(t)
+        if base not in _P_TRANSFORMS:
+            raise ValueError(f"unknown partition transform {t!r}")
+        if base in ("bucket", "truncate") and not arg:
+            raise ValueError(f"{base} needs an argument: {base}[N]")
+    history.append({"spec_id": len(history), "fields": [
+        {"src": s, "transform": t} for s, t in fields
+    ]})
+    os.makedirs(table, exist_ok=True)
+    tmp = os.path.join(table, _SPEC_FILE + f".{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(history, fh)
+    os.replace(tmp, os.path.join(table, _SPEC_FILE))
+    return len(history) - 1
+
+
+def partition_spec_history(table: str) -> list[dict]:
+    path = os.path.join(table, _SPEC_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def append_partitioned(
+    spark: SparkSession, table: str, df: DataFrame, max_attempts: int = 5
+) -> int:
+    """INSERT INTO under the ACTIVE partition spec: rows are
+    range-clustered on the derived partition values (tight per-file
+    min/max, unlike hash placement) and the derived values are
+    written as extra PHYSICAL ``__p_*`` columns the logged schema
+    never mentions — :func:`_read_live` reads with the logged schema,
+    so readers can't see them, but the commit's per-file stats can:
+    that is hidden partitioning with the partition tuple riding in
+    the same stats machinery every pruner already consults
+    (:func:`_prune_candidates`, the DF find phase, Z-order deletes).
+    """
+    history = partition_spec_history(table)
+    if not history:
+        return append(spark, table, df)
+    spec = history[-1]
+    pcols = {
+        _pcol_name(f["src"], *_parse_transform(f["transform"])):
+            _ptransform_expr(f["src"], f["transform"])
+        for f in spec["fields"]
+    }
+    if not pcols:  # evolved BACK to unpartitioned: plain append
+        return append(spark, table, df)
+    aug = df
+    for name, expr in pcols.items():
+        aug = aug.withColumn(name, expr)
+    # EXPLICIT range-partition count: without it AQE coalesces small
+    # shuffles into one output file whose partition-value range spans
+    # everything — stats stay true but prune nothing. Range placement
+    # (not hash) is what makes per-file [lo, hi] tight.
+    n_rows = aug.count()  # bounded scalar, the sizing call every
+    # OPTIMIZE makes; production sizes by target file bytes instead
+    n_parts = max(1, min(256, -(-n_rows // 1000)))
+    aug = aug.repartitionByRange(n_parts, *pcols.keys())
+    read_v = _versions(table)[-1]
+    _, logged = _replay(table, read_v)
+    stat_cols = sorted(
+        {c for s in logged.values() for c in s} | set(pcols)
+    )
+    new_files, stats = _write_data(aug, table, read_v + 1, stat_cols)
+    last: RuntimeError | None = None
+    for _ in range(max_attempts):
+        next_v = _versions(table)[-1] + 1
+        try:
+            _commit(
+                table, next_v, add=new_files, remove=[], stats=stats,
+                op="APPEND_PARTITIONED",
+                props={"spec_id": spec["spec_id"]},
+            )
+            return next_v
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                _discard_uncommitted(table, new_files)
+                raise
+            last = e  # appends commute: re-aim at the next version
+    _discard_uncommitted(table, new_files)
+    raise RuntimeError(
+        f"append_partitioned lost {max_attempts} version races"
+    ) from last
+
+
+def _derive_partition_hints(
+    table: str, col_ranges: dict[str, tuple]
+) -> list[tuple[str, int, int]]:
+    """Source-column ranges → derived-column ranges for EVERY spec in
+    the table's history (old files prune under their own spec; a spec
+    whose transform is not order-preserving over ranges — bucket — is
+    skipped for range hints). Dates/datetimes map through the same
+    epoch ordinals as :func:`_ptransform_expr`."""
+    import datetime as _dt
+
+    def _as_date(v):
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        return _dt.date.fromisoformat(str(v)[:10])
+
+    hints: list[tuple[str, int, int]] = []
+    for spec in partition_spec_history(table):
+        for f in spec["fields"]:
+            src, t = f["src"], f["transform"]
+            if src not in col_ranges:
+                continue
+            lo, hi = col_ranges[src]
+            base, arg = _parse_transform(t)
+            if base == "bucket":
+                continue  # not monotone: range hints unsound
+            if base == "identity":
+                dlo, dhi = int(lo), int(hi)
+            elif base == "month":
+                dl, dh = _as_date(lo), _as_date(hi)
+                dlo = (dl.year - 1970) * 12 + dl.month - 1
+                dhi = (dh.year - 1970) * 12 + dh.month - 1
+            elif base == "day":
+                epoch = _dt.date(1970, 1, 1)
+                dlo = (_as_date(lo) - epoch).days
+                dhi = (_as_date(hi) - epoch).days
+            elif base == "truncate":
+                dlo, dhi = int(lo) // arg, int(hi) // arg
+            hints.append((_pcol_name(src, base, arg), dlo, dhi))
+    return hints
+
+
+def snapshot_pruned(
+    spark: SparkSession,
+    table: str,
+    col_ranges: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Snapshot scan with TRANSFORM-AWARE partition pruning: the
+    caller states ranges on SOURCE columns; every spec era's derived
+    hints plus the raw-column stats intersect the candidate set, and
+    files carrying neither stat stay candidates (no false negatives —
+    pruning can only skip a file PROVEN disjoint). Returns
+    ``(frame, n_candidates, n_live)``; the frame still needs the
+    exact row predicate — pruning is an I/O optimization, never a
+    filter. This is the read side of spec evolution: a query written
+    once keeps pruning correctly across re-partitionings."""
+    if version is None:
+        version = _versions(table)[-1]
+    rels, logged = _replay(table, version)
+    # raw-column stats join the intersection only for integer ranges
+    # (timestamp stats round-trip the JSON log as strings; the derived
+    # epoch ordinals carry date pruning instead)
+    hints = _derive_partition_hints(table, col_ranges) + [
+        (src, lo, hi)
+        for src, (lo, hi) in col_ranges.items()
+        if isinstance(lo, int) and isinstance(hi, int)
+    ]
+    cands = list(rels)
+    for col, lo, hi in hints:
+        cands = _prune_candidates(table, cands, logged, (col, lo, hi))
+    if cands:
+        frame = _read_live(
+            spark, table, cands, _replay_dvs(table, version),
+            schema=table_schema(table, version),
+        )
+    else:
+        frame = snapshot(spark, table, version).limit(0)
+    return frame, len(cands), len(rels)

@@ -2430,3 +2430,63 @@ def test_df_find_phase_matches_loop_planner(spark, tmp_path):
         spark, table, empty, keys, ["v"], bloom_index=index
     )
     assert (v2, n_rw2, n_s2) == (v, 0, 0)
+
+
+def test_partition_spec_evolution_laws(spark, tmp_path):
+    """Spec evolution is metadata-only; every era prunes under its own
+    spec from SOURCE-column predicates; bucket transforms never feed
+    range hints; pruning never changes answers; plain appends and
+    snapshot reads stay oblivious to partitioning."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(8000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4000).alias("ts_day"),
+        (F.col("id") % 7).alias("v"),
+    )
+    tx.create_table(spark, table, df.filter("k % 2 = 0").repartition(4))
+    v_before = tx._versions(table)[-1]
+    assert tx.set_partition_spec(table, [("ts_day", "truncate[500]")]) == 0
+    assert tx._versions(table)[-1] == v_before  # metadata-only: no commit
+    tx.append_partitioned(spark, table, df.filter("k % 4 = 1"))
+    assert tx.set_partition_spec(
+        table, [("ts_day", "identity"), ("v", "bucket[3]")]
+    ) == 1
+    tx.append_partitioned(spark, table, df.filter("k % 4 = 3"))
+
+    # logical schema untouched; snapshot equals the plain union
+    snap = tx.snapshot(spark, table)
+    assert snap.columns == ["k", "ts_day", "v"]
+    assert snap.count() == 8000
+
+    # pruning: a tight ts_day range opens fewer files, same answer
+    frame, n_cand, n_live = tx.snapshot_pruned(
+        spark, table, {"ts_day": (100, 120)}
+    )
+    assert n_cand < n_live
+    got = frame.filter("ts_day between 100 and 120").count()
+    want = df.filter("ts_day between 100 and 120").count()
+    assert got == want
+    # era hints: truncate era prunes via __p_truncate500_ts_day,
+    # identity era via __p_identity_ts_day — both stats logged
+    _, logged = tx._replay(table)
+    stat_cols = {c for s in logged.values() for c in s}
+    assert "__p_truncate500_ts_day" in stat_cols
+    assert "__p_identity_ts_day" in stat_cols
+    # bucket is not order-preserving: no range hint derived from it
+    hints = dict(
+        (c, (lo, hi))
+        for c, lo, hi in tx._derive_partition_hints(
+            table, {"ts_day": (100, 120), "v": (1, 2)}
+        )
+    )
+    assert "__p_bucket3_v" not in hints
+    assert hints["__p_truncate500_ts_day"] == (0, 0)
+    assert hints["__p_identity_ts_day"] == (100, 120)
+
+    # spec'd tables still take plain appends (stat machinery intact)
+    tx.append(spark, table, df.filter("k % 2 = 0").limit(0))
+    assert tx.snapshot(spark, table).count() == 8000
