@@ -2117,3 +2117,13 @@ FROM orders, w
 WHERE o_orderdate >= lo AND o_orderdate < lo + INTERVAL 1 MONTH
 GROUP BY o_orderpriority
 """
+
+
+# E2+: TIMESTAMP AS OF between commits serves the earlier commit —
+# the mid-history state is orders minus the %3 key band.
+TX_TIMETRAVEL_ASOF = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM.format(c="o_totalprice")} AS total_price
+FROM orders WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderpriority
+"""

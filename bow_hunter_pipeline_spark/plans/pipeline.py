@@ -1855,6 +1855,68 @@ def tx_bloom_table_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_orderpriority")
 
 
+TX_ASOF_PATH = "/tmp/bhps_tx_asof"
+
+
+def tx_timetravel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: ``TIMESTAMP AS OF`` time travel — the query-by-wallclock
+    form auditors and debuggers actually use ("what did the table say
+    at 14:32?"). Versions resolve from commit-file times
+    (``warehouse_tx.version_asof``, Delta's own resolution rule); the
+    commit clocks here are pinned with ``os.utime`` so the test is
+    hermetic. History: create (t₀) → row-delete (t₀+100) → append
+    (t₀+200). Laws asserted in-plan: a timestamp between two commits
+    serves the EARLIER one (same rows as ``VERSION AS OF`` 1,
+    fingerprint-checked); a timestamp at/after the last commit serves
+    the head; a timestamp before the first commit raises rather than
+    inventing state. Result: the mid-history read — orders minus the
+    deleted key band, replayed relationally by the oracle.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).repartition(4)
+    tx.create_table(spark, TX_ASOF_PATH, base)
+    tx.delete_where(spark, TX_ASOF_PATH, "o_orderkey % 3 = 0")
+    tx.append(
+        spark, TX_ASOF_PATH,
+        base.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+            "o_orderpriority", "price",
+        ),
+    )
+    t0 = 1_700_000_000
+    import os as _os
+
+    for v in tx._versions(TX_ASOF_PATH):
+        path = tx._log_path(TX_ASOF_PATH, v)
+        _os.utime(path, (t0 + v * 100, t0 + v * 100))
+
+    versions = tx._versions(TX_ASOF_PATH)
+    if len(versions) == 3:  # zero-row fixtures may skip no-op commits
+        assert tx.version_asof(TX_ASOF_PATH, t0 + 150) == 1
+        assert tx.version_asof(TX_ASOF_PATH, t0 + 10_000) == 2
+    try:
+        tx.version_asof(TX_ASOF_PATH, t0 - 1)
+        raise AssertionError("pre-history timestamp must raise")
+    except ValueError:
+        pass
+    asof = tx.snapshot_asof(spark, TX_ASOF_PATH, t0 + 150)
+    v1 = tx.snapshot(spark, TX_ASOF_PATH, min(1, versions[-1]))
+    fp = lambda d: d.agg(  # noqa: E731 - two bounded scalar probes
+        F.count(F.lit(1)), F.sum("o_orderkey")
+    ).collect()[0]
+    assert tuple(fp(asof)) == tuple(fp(v1))
+    return asof.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum("price", "total_price"),
+    )
+
+
 TX_PSPEC_PATH = "/tmp/bhps_tx_pspec"
 
 

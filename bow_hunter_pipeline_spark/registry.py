@@ -1086,6 +1086,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_bloom_table_lookup,
         oracles_f.TX_BLOOM_TABLE_LOOKUP,
     ),
+    # E2+: TIMESTAMP AS OF time travel — commit-clock resolution,
+    # between-commit reads serve the earlier commit (asserted in-plan)
+    "e2_tx_timetravel_asof": (
+        pipeline.tx_timetravel_asof,
+        oracles_f.TX_TIMETRAVEL_ASOF,
+    ),
     # E2+: Iceberg-style partition specs with evolution — hidden
     # partitioning, metadata-only spec changes, per-era transform-
     # aware pruning from SOURCE-column predicates
@@ -1724,6 +1730,7 @@ _DRIVER_ROTATION = [
     "mm_audio_energy_segments",
     "g5_dbscan_clusters",
     "e2_tx_partition_evolution",
+    "e2_tx_timetravel_asof",
     # --- plans changed in r10 (fingerprint-flagged by
     # tools/plan_fingerprints.py; re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
@@ -1841,6 +1848,7 @@ R10_NEW_IN_PREFIX = [
     "mm_audio_energy_segments",
     "g5_dbscan_clusters",
     "e2_tx_partition_evolution",
+    "e2_tx_timetravel_asof",
 ]
 
 

@@ -3488,3 +3488,39 @@ def snapshot_pruned(
     else:
         frame = snapshot(spark, table, version).limit(0)
     return frame, len(cands), len(rels)
+
+
+def version_asof(table: str, ts) -> int:
+    """``TIMESTAMP AS OF`` → version: the newest commit whose log
+    entry was written at or before ``ts`` (Delta resolves timestamp
+    travel from commit-file times the same way — the log file IS the
+    commit's clock). ``ts`` may be an epoch number or a datetime.
+    Raises ``ValueError`` for a timestamp older than the first commit
+    — there is no table state to serve there, and silently returning
+    v0 would claim one."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        epoch = float(ts)
+    else:
+        t = ts
+        if isinstance(t, _dt.date) and not isinstance(t, _dt.datetime):
+            t = _dt.datetime(t.year, t.month, t.day)
+        epoch = t.timestamp()
+    best = None
+    for v in _versions(table):
+        if os.path.getmtime(_log_path(table, v)) <= epoch:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts!r} predates the first commit of {table}"
+        )
+    return best
+
+
+def snapshot_asof(spark: SparkSession, table: str, ts) -> DataFrame:
+    """Read the table ``TIMESTAMP AS OF ts`` — version resolution via
+    :func:`version_asof`, then the ordinary snapshot scan (all
+    version-travel guarantees, including the vacuum-retention error,
+    apply unchanged)."""
+    return snapshot(spark, table, version_asof(table, ts))
