@@ -1710,16 +1710,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-9 prefix. The registry entered this round FULLY
-    # driver-proven (280/280 through r08), so the prefix is: the
-    # round-9 ADDITIONS first (their first driver rows), then every
-    # query whose PLAN CHANGED this round (a changed plan invalidates
-    # its old proof), then re-checks biased to the OLDEST surviving
-    # proofs (r02/r03 vintage — nothing has re-proven them since) and
-    # the bench headliners.
-    # --- new in r10 (pre-verified with tools/verify_driver.py AND
-    # tools/audit_oracle_types.py before taking a slot); mirrored in
-    # R10_NEW_IN_PREFIX below ---
+    # --- round-10 prefix. The registry entered this round fully
+    # driver-proven (297/297 through r09), so the prefix is: the
+    # round-10 ADDITIONS first (their first driver rows), then every
+    # query whose PLAN CHANGED this round (fingerprint-flagged by
+    # tools/plan_fingerprints.py and enforced into this prefix by
+    # tests/test_plan_fingerprints.py), then re-checks biased to the
+    # OLDEST surviving proofs (r04 vintage — r09 re-proved the
+    # r02/r03 set). Everything not listed follows in registry order —
+    # nothing is ever dropped, only reordered.
+    # --- new in r10 (each pre-verified with tools/verify_driver.py
+    # AND tools/audit_oracle_types.py, at sf0.1 too, before taking a
+    # slot); mirrored in R10_NEW_IN_PREFIX below ---
     "e2_tx_incremental_bloom_index",
     "e2_tx_df_planned_merge",
     "h3_dup_span_flags",
@@ -1731,99 +1733,54 @@ _DRIVER_ROTATION = [
     "g5_dbscan_clusters",
     "e2_tx_partition_evolution",
     "e2_tx_timetravel_asof",
-    # --- plans changed in r10 (fingerprint-flagged by
-    # tools/plan_fingerprints.py; re-proof required) ---
+    # --- plans changed in r10 (re-proof required) ---
     # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
-    # path owns the bit layout and the candidate law for full build,
+    # path owns the bit layout and candidate law for full build,
     # incremental refresh, probe join, and the DF find phase);
-    # merge_pruned_composite find/commit split into shared helpers
+    # merge_pruned_composite split into shared find/commit helpers
     "e2_tx_bloom_table_lookup",
     "e2_tx_bloom_pruned_lookup",
     "e2_tx_composite_pruned_merge",
     # stream-store compaction planner is now a DataFrame over the
     # listing; execution is one partitioned write, not per-cell jobs
     "h2_ivf_stream_compacted_search",
-    # --- r09 carry-over of the old prefix (proven r09; slots now
-    # re-check rotation below) ---
-    "h1_lsh_compacted_index",
-    "e2_tx_replace_where",
-    "e2_tx_column_rename",
-    "h4_streaming_countmin",
-    "h4_streaming_anomaly",
-    "e2_tx_generated_columns",
-    "g5_knn_grid_join",
-    "h3_sliding_window_chunks",
-    "g4_cusum_changepoint",
-    "h6_hashed_linear_classifier",
-    "f_sql_pipe_syntax",
-    "mm_frame_shot_boundaries",
-    "h1_incremental_dedup_clusters",
-    "h2_ivf_recluster_moves",
-    # --- plans changed in r09 (re-proof required) ---
-    # lander gained the compaction high-water replay guard
-    "h2_ivf_streaming_maintenance",
-    # batch CM refactored into shared cells/audit helpers (code
-    # motion; re-proven anyway per protocol)
-    "h5_countmin_heavy_hitters",
-    # batch anomaly refactored into shared cents/audit helpers
-    "h4_anomaly_outliers",
-    # feed trimmed to 3 contiguous year-chunk arrivals (same fold order)
-    "h4_streaming_ewma",
-    # --- core machinery re-checks: column mapping + generated columns
-    # threaded through _read_live/_write_data/append/merge this round;
-    # the no-op path is full-registry-verified, and these six tx rows
-    # re-prove it under the driver's hash too ---
-    "e2_tx_merge_timetravel",
-    "e2_tx_guarded_merge",
-    "e2_tx_dv_delete",
-    "e2_tx_delete_restore",
-    "e2_orders_upsert",
-    "e2_tx_merge_pruned",
-    # --- oldest surviving proofs: r02 vintage ---
-    "f_anti_join_inactive_customers",
-    "f_cube_flag_status",
-    "f_date_parts_monthly",
-    "f_date_spine_monthly",
-    "f_grouping_sets_orders",
-    "f_rollup_order_totals",
-    "f_semi_join_big_spenders",
-    "f_set_ops_repeat_buyers",
-    "f_stats_moments",
-    "g1_success_rate",
-    "g3_market_share_window",
-    "h1_dedup_clusters",
-    "h1_edit_distance_pairs",
-    "h1_embedding_near_dup",
-    "h1_jaccard_pairs",
-    "h1_simhash_near_dup",
-    "h1_simhash_signatures",
-    "h2_ann_bucketed_topk",
-    "h3_fingerprint_docs",
-    "h3_language_id",
-    "h3_language_profile",
-    "h3_quality_score",
-    "h3_regex_token_stats",
-    "h3_rolling_fingerprint",
-    # --- next-oldest: r03 vintage ---
-    "a5_csv_roundtrip",
-    "a5_json_roundtrip",
-    "a7_pending_work",
-    "c3_parse_unit",
-    "h2_ivf_topk",
-    "h2_pq_topk",
-    "h3_tfidf_top_terms",
-    "g4_moving_avg",
-    "f_range_join_value_bands",
-    "h1_containment_pairs",
-    # --- bench headliners (the two tx ones moved into the core-
-    # machinery section above) ---
-    "g2_revenue_by_nation",
-    "g3_top_k_per_group",
-    "h6_curation_pipeline",
-    "f_q9_product_profit",
-    "h4_attribution_first_last",
-    "h1_minhash_lsh_pairs",
-    "h2_ivf_compacted_search",
+    # --- oldest surviving proofs: r04 vintage (35 of 45; the rest
+    # lead the r11 re-check pool) ---
+    "a1_python_datasource",
+    "a4_zorder_layout",
+    "a5_xml_roundtrip",
+    "a6_schema_merge_scan",
+    "a8_sql_udf_roundtrip",
+    "c6_year_from_path",
+    "d2_posexplode_tokens",
+    "e5_incremental_rollup",
+    "f_q21_waiting_suppliers",
+    "f_q2_min_cost_supplier",
+    "f_salted_skew_join",
+    "g5_weather_correlation",
+    "h1_line_dedup_stats",
+    "h1_prefix_filter_join",
+    "h1_semdedup_kmeans",
+    "h2_ann_recall_audit",
+    "h2_int8_quantize",
+    "h2_mmr_rerank",
+    "h3_readability_score",
+    "h3_type_token_ratio",
+    "h4_funnel_stages",
+    "h4_lateness_audit",
+    "h4_streaming_funnel",
+    "h4_variant_props",
+    "h5_hll_partition_merge",
+    "h6_dataset_card",
+    "h6_mixture_weights",
+    "h6_pagerank_weights",
+    "h6_pii_redaction",
+    "h6_quality_rules",
+    "h6_rare_token_score",
+    "h6_tokenizer_vocab",
+    "h6_train_val_test_split",
+    "h6_url_strip",
+    "udf_arrow_scalar",
 ]
 
 

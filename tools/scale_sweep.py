@@ -84,6 +84,18 @@ QUERIES = [
     "h3_sliding_window_chunks",
     "g4_cusum_changepoint",
     "h6_hashed_linear_classifier",
+    # round-10 additions
+    "e2_tx_incremental_bloom_index",
+    "e2_tx_df_planned_merge",
+    "e2_tx_vacuum_retention",
+    "e2_tx_partition_evolution",
+    "e2_tx_timetravel_asof",
+    "h3_dup_span_flags",
+    "h3_repetition_filter",
+    "h2_ivf_radius_search",
+    "h4_streaming_hll",
+    "mm_audio_energy_segments",
+    "g5_dbscan_clusters",
 ]
 
 SCALE_MD = os.path.join(
