@@ -58,6 +58,13 @@ HEADLINE = [
     # bloom probe)
     "h2_ivf_stream_compacted_search",
     "e2_tx_composite_pruned_merge",
+    # round 10: the evolving-spec table lifecycle (four write eras +
+    # transform-aware pruned read), density-clustering over the grid
+    # join + label propagation, and the exact-substring dedup signal
+    # (rolling-span fingerprints + collision-sized self-join)
+    "e2_tx_partition_evolution",
+    "g5_dbscan_clusters",
+    "h3_dup_span_flags",
 ]
 
 

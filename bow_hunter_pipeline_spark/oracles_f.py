@@ -517,14 +517,28 @@ GROUP BY s_suppkey
 # G5: the two-phase grid kNN is EXACT (ring-resolve law + brute-force
 # remainder) — the oracle is plain brute-force row_number.
 KNN_GRID_JOIN = """
-WITH pts AS (
+WITH d AS (
+  SELECT GREATEST(CAST(ceil(sqrt(COUNT(*))) AS BIGINT), 1) AS side
+  FROM customer
+),
+pts AS (
   SELECT c_custkey,
-         (c_custkey * 13) % 100 AS px, (c_custkey * 29) % 100 AS py
+         CAST(('0x' || substr(md5('knx|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT)
+           % (SELECT side FROM d) AS px,
+         CAST(('0x' || substr(md5('kny|' || CAST(c_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT)
+           % (SELECT side FROM d) AS py
   FROM customer
 ),
 q AS (
   SELECT s_suppkey,
-         (s_suppkey * 17) % 100 AS qx, (s_suppkey * 41) % 100 AS qy
+         CAST(('0x' || substr(md5('kqx|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT)
+           % (SELECT side FROM d) AS qx,
+         CAST(('0x' || substr(md5('kqy|' || CAST(s_suppkey AS VARCHAR)),
+                              1, 15)) AS BIGINT)
+           % (SELECT side FROM d) AS qy
   FROM supplier
 ),
 scored AS (

@@ -614,7 +614,9 @@ def radius_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_K = 3
-KNN_CELL = 25  # grid cell side for the ring-1 resolve phase
+KNN_CELL = 3  # ring-1 cell side at unit density (ring = 81 units —
+# E[candidates] ≈ 81 ≫ k, so the resolve law fires for almost every
+# query and the brute remainder is the Poisson tail)
 
 
 def knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,13 +639,32 @@ def knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same resolve law per ring). Integer grid coordinates keep every
     distance² an exact bigint.
     """
+    import math
+
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
     cust = read_table(spark, sf_dir, "customer")
     supp = read_table(spark, sf_dir, "supplier")
+    # UNIT-DENSITY geometry: md5-derived coordinates on a
+    # ceil(sqrt(n))-sided domain, so expected points-per-unit-cell is
+    # 1 at EVERY scale factor and ring occupancy is Θ(k), never Θ(n).
+    # (The previous fixed 100-grid with (key·c) % 100 coordinates was
+    # doubly degenerate at sf1: px and py were functions of key mod
+    # 100 — the whole corpus on a 100-point 1-D curve — and a fixed
+    # 25-unit cell's ring covered ~9/16 of all points: the "grid
+    # join" measured 143× at 10× data, with 80% of queries falling
+    # to the brute remainder because their rings were EMPTY.)
+    n = cust.count()  # bounded scalar: sizes the domain
+    D = max(1, math.ceil(math.sqrt(n))) if n else 1
     S = KNN_CELL
+
+    def coord(tag: str, key) -> "F.Column":
+        return hash64(F.concat(F.lit(tag), key.cast("string"))) % F.lit(D)
+
     pts = cust.select(
         "c_custkey",
-        ((F.col("c_custkey") * 13) % 100).cast("bigint").alias("px"),
-        ((F.col("c_custkey") * 29) % 100).cast("bigint").alias("py"),
+        coord("knx|", F.col("c_custkey")).alias("px"),
+        coord("kny|", F.col("c_custkey")).alias("py"),
     ).select(
         "*",
         F.expr(f"px div {S}").alias("cx"),
@@ -651,8 +672,8 @@ def knn_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = supp.select(
         "s_suppkey",
-        ((F.col("s_suppkey") * 17) % 100).cast("bigint").alias("qx"),
-        ((F.col("s_suppkey") * 41) % 100).cast("bigint").alias("qy"),
+        coord("kqx|", F.col("s_suppkey")).alias("qx"),
+        coord("kqy|", F.col("s_suppkey")).alias("qy"),
     )
     neighbors = queries.select(
         "*",

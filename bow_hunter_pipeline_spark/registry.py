@@ -1744,6 +1744,9 @@ _DRIVER_ROTATION = [
     # stream-store compaction planner is now a DataFrame over the
     # listing; execution is one partitioned write, not per-cell jobs
     "h2_ivf_stream_compacted_search",
+    # kNN geometry fixed after the sf1 sweep measured 143x: unit-
+    # density md5 coordinates, ring occupancy now Theta(k) (1.5x)
+    "g5_knn_grid_join",
     # --- oldest surviving proofs: r04 vintage (35 of 45; the rest
     # lead the r11 re-check pool) ---
     "a1_python_datasource",
@@ -1779,7 +1782,6 @@ _DRIVER_ROTATION = [
     "h6_rare_token_score",
     "h6_tokenizer_vocab",
     "h6_train_val_test_split",
-    "h6_url_strip",
     "udf_arrow_scalar",
 ]
 
