@@ -47,7 +47,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_plan_fingerprints.py forces those queries into the
 # driver-checked prefix — the mechanical form of the rotation rule
 # "changed plan ⇒ re-proof" (VERDICT r09, What's-missing #1).
-ROUND = 10
+ROUND = 11
 
 # --- oracle SQL fragments (DuckDB dialect = ANSI here) -----------------
 
@@ -1710,81 +1710,69 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-10 prefix. The registry entered this round fully
-    # driver-proven (297/297 through r09), so the prefix is: the
-    # round-10 ADDITIONS first (their first driver rows), then every
-    # query whose PLAN CHANGED this round (fingerprint-flagged by
-    # tools/plan_fingerprints.py and enforced into this prefix by
-    # tests/test_plan_fingerprints.py), then re-checks biased to the
-    # OLDEST surviving proofs (r04 vintage — r09 re-proved the
-    # r02/r03 set). Everything not listed follows in registry order —
-    # nothing is ever dropped, only reordered.
-    # --- new in r10 (each pre-verified with tools/verify_driver.py
-    # AND tools/audit_oracle_types.py, at sf0.1 too, before taking a
-    # slot); mirrored in R10_NEW_IN_PREFIX below ---
-    "e2_tx_incremental_bloom_index",
-    "e2_tx_df_planned_merge",
-    "h3_dup_span_flags",
-    "h3_repetition_filter",
-    "h2_ivf_radius_search",
-    "h4_streaming_hll",
-    "e2_tx_vacuum_retention",
-    "mm_audio_energy_segments",
-    "g5_dbscan_clusters",
-    "e2_tx_partition_evolution",
-    "e2_tx_timetravel_asof",
-    # --- plans changed in r10 (re-proof required) ---
-    # _bloom_words_for_files + _bloom_hits_dfs extractions (one code
-    # path owns the bit layout and candidate law for full build,
-    # incremental refresh, probe join, and the DF find phase);
-    # merge_pruned_composite split into shared find/commit helpers
-    "e2_tx_bloom_table_lookup",
-    "e2_tx_bloom_pruned_lookup",
-    "e2_tx_composite_pruned_merge",
-    # stream-store compaction planner is now a DataFrame over the
-    # listing; execution is one partitioned write, not per-cell jobs
-    "h2_ivf_stream_compacted_search",
-    # kNN geometry fixed after the sf1 sweep measured 143x: unit-
-    # density md5 coordinates, ring occupancy now Theta(k) (1.5x)
-    "g5_knn_grid_join",
-    # --- oldest surviving proofs: r04 vintage (35 of 45; the rest
-    # lead the r11 re-check pool) ---
-    "a1_python_datasource",
-    "a4_zorder_layout",
-    "a5_xml_roundtrip",
-    "a6_schema_merge_scan",
-    "a8_sql_udf_roundtrip",
-    "c6_year_from_path",
-    "d2_posexplode_tokens",
-    "e5_incremental_rollup",
-    "f_q21_waiting_suppliers",
-    "f_q2_min_cost_supplier",
-    "f_salted_skew_join",
-    "g5_weather_correlation",
-    "h1_line_dedup_stats",
-    "h1_prefix_filter_join",
-    "h1_semdedup_kmeans",
-    "h2_ann_recall_audit",
-    "h2_int8_quantize",
-    "h2_mmr_rerank",
-    "h3_readability_score",
-    "h3_type_token_ratio",
-    "h4_funnel_stages",
-    "h4_lateness_audit",
-    "h4_streaming_funnel",
-    "h4_variant_props",
-    "h5_hll_partition_merge",
-    "h6_dataset_card",
-    "h6_mixture_weights",
-    "h6_pagerank_weights",
-    "h6_pii_redaction",
-    "h6_quality_rules",
-    "h6_rare_token_score",
-    "h6_tokenizer_vocab",
-    "h6_train_val_test_split",
-    "udf_arrow_scalar",
+    # --- round-11 prefix. The registry entered this round fully
+    # driver-proven (308/308 through r10: 304 hash-green + 4
+    # rows-only by design). Prefix = round-11 ADDITIONS first
+    # (first driver rows), then every query whose PLAN CHANGED
+    # this round (fingerprint-flagged by tools/plan_fingerprints.py
+    # and forced here by tests/test_plan_fingerprints.py), then
+    # re-checks biased to the OLDEST surviving proofs. Latest-green
+    # per query was recomputed from the CORRECTNESS_r*.json files
+    # this round: the true oldest pool is r02 (2 queries) + r03
+    # (34) — OLDER than the 10 r04 leftovers the r10 comment
+    # queued, so those r04 entries (f_map_functions,
+    # f_string_functions, f_try_arithmetic, f_higher_order_arrays,
+    # f_nested_struct_roundtrip, f_unpivot_metrics,
+    # f_window_distribution, f_recursive_hierarchy,
+    # f_q13_customer_distribution, f_q17_small_quantity,
+    # h6_url_strip) move to the head of the r12 pool instead.
+    # Everything not listed follows in registry order — nothing is
+    # ever dropped, only reordered.
+    # --- new in r11 (each pre-verified with tools/verify_driver.py
+    # AND tools/audit_oracle_types.py, at sf0.1 too, before taking
+    # a slot); mirrored in R11_NEW_IN_PREFIX below ---
+    # (filled as round-11 work lands)
+    # --- plans changed in r11 (re-proof required) ---
+    # (filled by the fingerprint gate as round-11 work lands)
+    # --- oldest surviving proofs: the full r02 set ---
+    "h3_regex_token_stats",
+    "h3_rolling_fingerprint",
+    # --- oldest surviving proofs: the r03 set (as many as fit) ---
+    "a5_csv_roundtrip",
+    "a5_json_roundtrip",
+    "a7_pending_work",
+    "c3_parse_unit",
+    "f_pivot_event_counts",
+    "f_range_join_value_bands",
+    "g4_moving_avg",
+    "h1_containment_pairs",
+    "h2_ivf_topk",
+    "h2_pq_topk",
+    "h3_tfidf_top_terms",
+    "h4_hourly_event_agg",
+    "h4_json_map_explode",
+    "h4_json_props_agg",
+    "h4_rolling_hour_counts",
+    "h4_session_window_builtin",
+    "h4_stream_static_join",
+    "h4_stream_stream_join",
+    "h4_streaming_dedup",
+    "h4_streaming_hourly_agg",
+    "h4_streaming_sessionize",
+    "h4_streaming_upsert",
+    "h5_exact_distinct_quantiles",
+    "h6_contamination_check",
+    "h6_domain_upsample",
+    "h6_repetition_filter",
+    "h6_sequence_packing",
+    "mm_audio_windows",
+    "mm_resize_media",
+    "udf_cogrouped_order_profile",
+    "udf_grouped_agg_floorsum",
+    "udf_grouped_map_neighbors",
+    "udf_scalar_token_stats",
+    "udf_table_function",
 ]
-
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
 # yet; they MUST lead the round-10 rotation prefix. The prefix test
@@ -1792,22 +1780,11 @@ _DRIVER_ROTATION = [
 PENDING_DRIVER_QUEUE = [
 ]
 
-# Round-10 additions given first-proof slots at the HEAD of the r10
+# Round-11 additions given first-proof slots at the HEAD of the r11
 # prefix (each pre-verified green with tools/verify_driver.py and
 # tools/audit_oracle_types.py before taking a slot; prefix membership
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
-R10_NEW_IN_PREFIX = [
-    "e2_tx_incremental_bloom_index",
-    "e2_tx_df_planned_merge",
-    "h3_dup_span_flags",
-    "h3_repetition_filter",
-    "h2_ivf_radius_search",
-    "h4_streaming_hll",
-    "e2_tx_vacuum_retention",
-    "mm_audio_energy_segments",
-    "g5_dbscan_clusters",
-    "e2_tx_partition_evolution",
-    "e2_tx_timetravel_asof",
+R11_NEW_IN_PREFIX = [
 ]
 
 

@@ -235,7 +235,7 @@ def test_driver_rotation_prefix_is_stable():
     # proofs (r02/r03 vintage) to catch drift. A red row never retires
     # a query: it must be re-queued until it proves green.
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:
@@ -266,8 +266,8 @@ def test_driver_rotation_prefix_is_stable():
     ]
     assert not stray, f"unproven queries outside prefix and queue: {stray}"
     # round-10 additions (first-ever driver rows) must LEAD the prefix
-    n_new = len(registry.R10_NEW_IN_PREFIX)
-    for must_lead in registry.R10_NEW_IN_PREFIX:
+    n_new = len(registry.R11_NEW_IN_PREFIX)
+    for must_lead in registry.R11_NEW_IN_PREFIX:
         assert names.index(must_lead) < n_new
     # every remaining prefix slot is a RE-CHECK of a proven row — the
     # registry entered r10 fully driver-proven, so no other unproven
@@ -574,7 +574,7 @@ def test_rotation_finishes_registry_this_round():
     from bow_hunter_pipeline_spark import registry
 
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09"):
+    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:

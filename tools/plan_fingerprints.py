@@ -269,6 +269,13 @@ def main(argv: list[str]) -> int:
         return 0
 
     if not d:
+        if "--update" in argv and manifest.get("round") != rnd:
+            # round rollover with zero plan drift: stamp the new round
+            # so test_manifest_round_not_stale sees a current manifest
+            manifest["round"] = rnd
+            with open(MANIFEST, "w") as fh:
+                json.dump(manifest, fh, indent=1, sort_keys=True)
+            print(f"round rolled to {rnd}; fingerprints unchanged")
         print(f"clean: {len(live)} fingerprints match the manifest")
         return 0
 
