@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bow_hunter_pipeline_spark import registry  # noqa: E402
+from bow_hunter_pipeline_spark import legtime, registry  # noqa: E402
 from bow_hunter_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: the heavy, representative plans (scan+agg, multi-join,
@@ -65,6 +65,11 @@ HEADLINE = [
     "e2_tx_partition_evolution",
     "g5_dbscan_clusters",
     "h3_dup_span_flags",
+    # round 11: the two remaining index-lifecycle composites, added so
+    # their build/serve legs land in the bench artifact (VERDICT r10
+    # asks #1-2: a serve-path regression must not hide in build noise)
+    "e2_tx_df_planned_merge",
+    "e2_tx_incremental_bloom_index",
 ]
 
 
@@ -101,21 +106,46 @@ def main() -> None:
     # under variable external load (±25% between identical passes; the
     # r07 bench read +19% uniformly on untouched code), and the
     # minimum is the standard noise-robust point estimate for a
-    # deterministic workload.
+    # deterministic workload. Each pass also records:
+    #   - the query's BUILD leg (one-time table/index creation and
+    #     in-plan verification proofs, marked via legtime.leg in the
+    #     composite plans) so the steady-state SERVE path
+    #     (wall - build) is visible on its own — a serve regression
+    #     can't hide under build noise;
+    #   - the max-min spread across passes, so host-load variance is
+    #     measured in the artifact instead of asserted in a comment.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    timings: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
+    builds: dict[str, list[float]] = {}
     for _ in range(passes):
         for name in HEADLINE:
             if name not in qs:
                 continue
+            legtime.reset()
             t0 = time.perf_counter()
             # count() materializes the full plan; results are small
             # enough that collect vs count makes no difference.
             qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
-            timings[name] = min(timings.get(name, dt), dt)
-    timings = {k: round(v, 4) for k, v in timings.items()}
+            walls.setdefault(name, []).append(dt)
+            build = legtime.legs().get("build", 0.0)
+            if build:
+                builds.setdefault(name, []).append(min(build, dt))
+    timings = {k: round(min(v), 4) for k, v in walls.items()}
     total = sum(timings.values())
+    spread = {k: round(max(v) - min(v), 4) for k, v in walls.items()}
+    legs = {
+        k: {
+            "build_s": round(min(b), 4),
+            # serve = wall - build, minimized pairwise per pass (the
+            # legs of ONE pass belong together; min(wall)-min(build)
+            # could pair legs from different passes)
+            "serve_s": round(
+                min(w - b for w, b in zip(walls[k], b)), 4
+            ),
+        }
+        for k, b in builds.items()
+    }
 
     print(
         json.dumps(
@@ -124,6 +154,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "legs": legs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

