@@ -2153,8 +2153,13 @@ def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, TX_DFMERGE_PATH, updates, keys, b, read_v, index,
             actions_path=actions,
         )
+        # driver-held state is O(candidates): the carry set comes back
+        # BY REFERENCE (a lazy anti-join plan, not a Python list) —
+        # only this proof leg ever materializes its names
+        assert isinstance(df_carry, DataFrame), type(df_carry)
         assert set(df_rw) == set(lp_rw), (df_rw, lp_rw)
-        assert set(df_carry) == set(lp_carry), (df_carry, lp_carry)
+        carried = {r.file for r in df_carry.collect()}
+        assert carried == set(lp_carry), (carried, lp_carry)
         assert df_stats == lp_stats, (df_stats, lp_stats)
 
     _, n_rw, _, n_stats = tx.merge_pruned_composite_df(

@@ -1740,6 +1740,23 @@ _DRIVER_ROTATION = [
     "e2_tx_df_planned_merge",
     "e2_tx_incremental_bloom_index",
     "h2_ivf_stream_compacted_search",
+    # ADVICE r10 fixes in warehouse_tx reach every tx-family plan:
+    # carry-by-reference find phase + stale-checkpoint guard + footer
+    # fold for stat-less files (_composite_find_df /
+    # write_actions_checkpoint), trunc-toward-zero partition hints
+    # (_derive_partition_hints), file-complete bloom part landing
+    # (_bloom_write_part), append_partitioned under append()'s schema
+    # contract (_align_to_table_schema)
+    "e2_tx_append_evolution",
+    "e2_tx_column_rename",
+    "e2_tx_generated_columns",
+    "e2_tx_manifest_export",
+    "e2_tx_partition_evolution",
+    "e2_tx_timetravel_asof",
+    "e2_tx_vacuum_retention",
+    "h1_incremental_lsh_index",
+    "h1_lsh_compacted_index",
+    "h4_streaming_tx_source",
     # --- oldest surviving proofs: the full r02 set ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",

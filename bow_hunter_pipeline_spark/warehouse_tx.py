@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -1507,11 +1508,35 @@ def write_actions_checkpoint(
     if version is None:
         version = _versions(table)[-1]
     rels, logged = _replay(table, version)
+    # integral columns of the snapshot schema, by PHYSICAL name — the
+    # footer fallback below reads these for stat-less legacy files
+    integral_cols = [
+        _physical_name(table, f.name, version)
+        for f in table_schema(table, version).fields
+        if isinstance(f.dataType, _INTEGRAL_TYPES)
+    ]
     rows: list[tuple] = [(r, None, None, None) for r in rels]
     for rel in rels:
-        for col, (lo, hi) in sorted(logged.get(rel, {}).items()):
-            if isinstance(lo, bool) or not isinstance(lo, int):
-                continue  # only integral stats serve range pruning
+        file_stats = {
+            col: (lo, hi)
+            for col, (lo, hi) in sorted(logged.get(rel, {}).items())
+            if isinstance(lo, int) and not isinstance(lo, bool)
+        }
+        if not file_stats and integral_cols:
+            # legacy commit without logged stats: the same one-time
+            # footer read the loop planner's _file_key_stats fallback
+            # pays, folded into the checkpoint so the DataFrame
+            # planner is genuinely EQUIVALENT on legacy tables (it
+            # has no per-file fallback of its own — a stat-less file
+            # would otherwise always stay a candidate there while the
+            # loop planner could prove it clean)
+            footer = _footer_stats(os.path.join(table, rel), integral_cols)
+            file_stats = {
+                col: (lo, hi)
+                for col, (lo, hi) in sorted(footer.items())
+                if isinstance(lo, int) and not isinstance(lo, bool)
+            }
+        for col, (lo, hi) in file_stats.items():
             rows.append((rel, col, int(lo), int(hi)))
     df = spark.createDataFrame(
         rows or [], "file string, col string, lo bigint, hi bigint"
@@ -1538,19 +1563,40 @@ def _composite_find_df(
     read_v: int,
     bloom_index: str | None,
     actions_path: str | None = None,
-) -> tuple[list[str], list[str], int]:
+) -> tuple[list[str], DataFrame, int]:
     """:func:`_composite_find_loop` AS A DATAFRAME over the actions
     checkpoint: the stats intersection is a filter+anti-join, the
     bloom stage joins the probe-hit frame — nothing per-file touches
     the driver until the final O(candidates) collect of the rewrite
-    LIST (bounded by what the merge must read anyway). Files without
-    stats for a key stay candidates (only a logged disjoint range
-    proves clean), and files absent from the bloom index stay
-    candidates — both laws inherited from the loop planner, which
-    this must match set-for-set (asserted in e2_tx_df_planned_merge).
+    LIST (bounded by what the merge must read anyway). The CARRY set
+    is returned BY REFERENCE — a lazy single-column ``file``
+    DataFrame (live files anti-joined against the rewrite set) — so
+    driver-held state stays O(candidates) even at 10⁷ live files;
+    callers that need the names (the equivalence proof, fixture-scale
+    tests) collect it themselves. Files without stats for a key stay
+    candidates (only a logged disjoint range proves clean), and files
+    absent from the bloom index stay candidates — both laws inherited
+    from the loop planner, which this must match set-for-set
+    (asserted in e2_tx_df_planned_merge).
+
+    A caller-supplied ``actions_path`` must checkpoint EXACTLY
+    ``read_v`` (the version is parsed from the ``actions-vNNNNNNNN``
+    name): a checkpoint older than the snapshot would silently miss
+    files added by intervening commits — matched rows in them would
+    neither rewrite nor carry.
     """
     if actions_path is None:
         actions_path = write_actions_checkpoint(spark, table, read_v)
+    else:
+        m = re.search(r"actions-v(\d{8})", os.path.basename(actions_path))
+        ck_v = int(m.group(1)) if m else None
+        if ck_v != read_v:
+            raise RuntimeError(
+                f"actions checkpoint is for version {ck_v}, but the "
+                f"merge reads version {read_v}: the table advanced "
+                "after the checkpoint was written — re-derive it "
+                "(write_actions_checkpoint) or pass actions_path=None"
+            )
     acts = spark.read.parquet(actions_path)
     files = acts.select("file").distinct()
     prunable = [
@@ -1578,11 +1624,17 @@ def _composite_find_df(
             survivors_df.join(indexed, "file", "left_anti")
         ).distinct()
     rewrite = sorted(r.file for r in cand_df.collect())
-    rset = set(rewrite)
-    carry = sorted(
-        r.file for r in files.collect() if r.file not in rset
+    # carry BY REFERENCE: the anti-join stays a plan, never a driver
+    # list — the commit doesn't enumerate carried files (it removes
+    # only the rewrite set), so nothing ever needs them materialized
+    carry_df = files.join(
+        spark.createDataFrame(
+            [(r,) for r in rewrite] or [], "file string"
+        ),
+        "file",
+        "left_anti",
     )
-    return rewrite, carry, n_stats
+    return rewrite, carry_df, n_stats
 
 
 def merge_pruned_composite_df(
@@ -1596,21 +1648,24 @@ def merge_pruned_composite_df(
 ) -> tuple[int, int, int, int]:
     """:func:`merge_pruned_composite` with the find phase as a
     DATAFRAME over the actions checkpoint — the 10⁷-file posture:
-    the driver never loops per-file stats; it holds only the final
-    rewrite list (O(candidates), which the merge reads anyway).
-    Same return contract."""
+    the driver never loops per-file stats AND never enumerates the
+    carry set (it stays a lazy anti-join; only its COUNT crosses to
+    the driver); driver-held state is the final rewrite list alone
+    (O(candidates), which the merge reads anyway). Same return
+    contract."""
     b = _updates_key_bounds(updates, keys)
     read_v = _versions(table)[-1]
     if all(b[f"__lo_{k}"] is None for k in keys):  # empty updates
         return read_v, 0, len(live_files(table, read_v)), 0
-    rewrite, carry, n_stats = _composite_find_df(
+    rewrite, carry_df, n_stats = _composite_find_df(
         spark, table, updates, keys, b, read_v, bloom_index, actions_path
     )
+    n_carry = carry_df.count()
     next_v = _merge_rewrite_commit(
         spark, table, rewrite, updates, keys, update_cols, read_v,
         "MERGE_PRUNED_COMPOSITE_DF",
     )
-    return next_v, len(rewrite), len(carry), n_stats
+    return next_v, len(rewrite), n_carry, n_stats
 
 
 def merge_with_constraints(
@@ -2207,39 +2262,18 @@ def change_feed(
     return inserts.unionByName(deletes)
 
 
-def append(
-    spark: SparkSession,
+def _align_to_table_schema(
     table: str,
     df: DataFrame,
-    max_attempts: int = 5,
+    read_v: int,
     evolve_schema: bool = False,
-    txn: tuple[str, int] | None = None,
-) -> int:
-    """Blind INSERT INTO — an append-only commit: new files added,
-    nothing removed, existing files untouched. The cheapest write the
-    protocol supports (no snapshot read, no join), and the commit
-    shape a streaming source can tail incrementally.
-
-    Appends never LOGICALLY conflict with other writers (they read no
-    snapshot), so a lost version claim retries by RE-COMMITTING the
-    same already-written files at the next version — no recompute, no
-    rewrite. This is Delta's conflict matrix in miniature: append vs
-    anything commutes; only the version number is contended.
-    ``txn=(app_id, txn_version)`` adds the exactly-once handshake for
-    callers that may REDELIVER the same batch (a different failure
-    mode than the version race): the check runs in-loop against the
-    version the commit serializes with, so a redelivered batch raises
-    :class:`TxnAlreadyApplied` instead of double-appending —
-    :func:`append_idempotent` wraps this as a (version, applied)
-    return.
-
-    SCHEMA ENFORCEMENT (Delta's write-time contract): against the
-    table's logged schema, a type mismatch always raises; an extra
-    column raises unless ``evolve_schema=True``, which appends it to
-    the table schema IN THE COMMIT — old files read NULL for it via
-    the logged-schema scan, no rewrite. Missing columns land as typed
-    NULLs."""
-    read_v = _versions(table)[-1]
+) -> tuple[DataFrame, str | None]:
+    """The shared write-time schema contract for every append path:
+    column-mapping translation (logical → physical names), generated-
+    column compute/enforce, type-mismatch and extra-column enforcement
+    (additive evolution only when ``evolve_schema``), missing-column
+    typed-NULL fill, and column ordering. Returns the aligned frame
+    plus the evolved schema JSON to log (None when unchanged)."""
     cmap = _column_mapping(table, read_v)
     if cmap:
         # column mapping: callers append LOGICAL-named frames; schema
@@ -2281,6 +2315,45 @@ def append(
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         df = df.select(*[f.name for f in new_schema.fields])
+    return df, schema_json
+
+
+def append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    max_attempts: int = 5,
+    evolve_schema: bool = False,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Blind INSERT INTO — an append-only commit: new files added,
+    nothing removed, existing files untouched. The cheapest write the
+    protocol supports (no snapshot read, no join), and the commit
+    shape a streaming source can tail incrementally.
+
+    Appends never LOGICALLY conflict with other writers (they read no
+    snapshot), so a lost version claim retries by RE-COMMITTING the
+    same already-written files at the next version — no recompute, no
+    rewrite. This is Delta's conflict matrix in miniature: append vs
+    anything commutes; only the version number is contended.
+    ``txn=(app_id, txn_version)`` adds the exactly-once handshake for
+    callers that may REDELIVER the same batch (a different failure
+    mode than the version race): the check runs in-loop against the
+    version the commit serializes with, so a redelivered batch raises
+    :class:`TxnAlreadyApplied` instead of double-appending —
+    :func:`append_idempotent` wraps this as a (version, applied)
+    return.
+
+    SCHEMA ENFORCEMENT (Delta's write-time contract): against the
+    table's logged schema, a type mismatch always raises; an extra
+    column raises unless ``evolve_schema=True``, which appends it to
+    the table schema IN THE COMMIT — old files read NULL for it via
+    the logged-schema scan, no rewrite. Missing columns land as typed
+    NULLs."""
+    read_v = _versions(table)[-1]
+    df, schema_json = _align_to_table_schema(
+        table, df, read_v, evolve_schema=evolve_schema
+    )
     _, stats = _replay(table, read_v)
     stat_cols = sorted({c for s in stats.values() for c in s})
     new_files, new_stats = _write_data(df, table, read_v + 1, stat_cols)
@@ -2882,12 +2955,22 @@ def _bloom_write_part(
 ) -> list[str]:
     """Land ``words`` as immutable part file(s) inside the parts dir
     (write to a temp dir, move under final names — readers never see
-    a partial part)."""
+    a partial part).
+
+    Parts are clustered BY FILE before landing: every data file's
+    words AND its coverage sentinel live in the same part, so the
+    one-``os.replace``-per-part move loop is crash-safe as a unit —
+    a crash mid-loop leaves each data file either fully indexed
+    (its part moved) or fully absent (rescanned by the next
+    refresh). Without the clustering, a sentinel could land without
+    its words and the file would read as covered-but-empty — a
+    probe false negative, breaking the 'stale is less effective,
+    never wrong' law (ADVICE r10)."""
     import glob as _glob
     import shutil
 
     tmp = idx_dir + f".{uuid.uuid4().hex}.tmp"
-    words.write.parquet(tmp)
+    words.repartition(F.col("file")).write.parquet(tmp)
     moved = []
     for i, part in enumerate(
         sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
@@ -2898,6 +2981,20 @@ def _bloom_write_part(
         os.replace(part, dest)
         moved.append(dest)
     shutil.rmtree(tmp, ignore_errors=True)
+    if not moved and not _glob.glob(os.path.join(idx_dir, "*.parquet")):
+        # empty frame can emit zero data parts under repartition;
+        # land one empty TYPED part so the parts dir stays readable
+        tmp2 = idx_dir + f".{uuid.uuid4().hex}.tmp"
+        spark.createDataFrame([], _BLOOM_WORDS_SCHEMA).coalesce(
+            1
+        ).write.parquet(tmp2)
+        for part in sorted(_glob.glob(os.path.join(tmp2, "*.parquet"))):
+            dest = os.path.join(
+                idx_dir, f"part-{uuid.uuid4().hex[:12]}-0.parquet"
+            )
+            os.replace(part, dest)
+            moved.append(dest)
+        shutil.rmtree(tmp2, ignore_errors=True)
     return moved
 
 
@@ -3370,6 +3467,13 @@ def append_partitioned(
     }
     if not pcols:  # evolved BACK to unpartitioned: plain append
         return append(spark, table, df)
+    read_v0 = _versions(table)[-1]
+    # the SAME write contract as append() (ADVICE r10: bypassing it
+    # let a typo'd column land as a physical column the logged schema
+    # never mentions — silently invisible to every read instead of a
+    # SchemaEnforcementError); alignment runs BEFORE the derived
+    # __p_* columns attach, so they stay hidden from enforcement
+    df, _ = _align_to_table_schema(table, df, read_v0)
     aug = df
     for name, expr in pcols.items():
         aug = aug.withColumn(name, expr)
@@ -3446,9 +3550,21 @@ def _derive_partition_hints(
                 dlo = (_as_date(lo) - epoch).days
                 dhi = (_as_date(hi) - epoch).days
             elif base == "truncate":
-                dlo, dhi = int(lo) // arg, int(hi) // arg
+                # Spark `div` (the write-side transform) truncates
+                # TOWARD ZERO; Python // floors. They differ on
+                # negatives (-1 div 500 = 0, -1 // 500 = -1), and a
+                # floored hi bound below a file's true stat would
+                # prune a file that contains matching rows — silent
+                # row loss. Derive with trunc-toward-zero to match.
+                dlo, dhi = _trunc_div(int(lo), arg), _trunc_div(int(hi), arg)
             hints.append((_pcol_name(src, base, arg), dlo, dhi))
     return hints
+
+
+def _trunc_div(x: int, d: int) -> int:
+    """Integer division truncating toward zero — Spark/SQL ``div``
+    semantics (Python ``//`` floors, diverging for negative x)."""
+    return -((-x) // d) if x < 0 else x // d
 
 
 def snapshot_pruned(

@@ -2353,6 +2353,48 @@ def test_incremental_bloom_index_laws(spark, tmp_path):
     assert got == [(150, 150 % 13)]
 
 
+def test_bloom_parts_land_file_complete(spark, tmp_path):
+    """Crash-safety law for the one-os.replace-per-part move loop
+    (ADVICE r10): every landed part must be SELF-CONTAINED per data
+    file — a file's words and its coverage sentinel share one part —
+    so an interrupted refresh leaves each file either fully indexed
+    or fully absent (rescanned next refresh), never covered-but-
+    under-indexed (a probe false negative)."""
+    import glob
+    import os
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(6)
+    tx.create_table(spark, table, df)
+    idx = tx.register_bloom_index(spark, table, "k", 1 << 15)
+    tx.append_indexed(
+        spark,
+        table,
+        spark.range(3000, 3400).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+        ).repartition(2),
+    )
+    parts_of: dict[str, set[str]] = defaultdict(set)
+    sentinel_parts: dict[str, set[str]] = defaultdict(set)
+    for part in glob.glob(os.path.join(idx, "*.parquet")):
+        rows = spark.read.parquet(part).collect()
+        for r in rows:
+            parts_of[r.file].add(os.path.basename(part))
+            if r.w == -1:
+                sentinel_parts[r.file].add(os.path.basename(part))
+    assert parts_of, "index is empty"
+    for f, parts in parts_of.items():
+        assert len(parts) == 1, (f, parts)  # one part owns the file
+        assert sentinel_parts[f] == parts, f  # sentinel rides along
+
+
 def test_build_bloom_index_auto_dispatch(spark, tmp_path):
     """Size-based convergence: small tables get the JSON sidecar,
     big file counts the parquet table — same lookup answers."""
@@ -2409,7 +2451,8 @@ def test_df_find_phase_matches_loop_planner(spark, tmp_path):
             spark, table, updates, keys, b, read_v, idx
         )
         assert set(dfp[0]) == set(lp[0])
-        assert set(dfp[1]) == set(lp[1])
+        # carry comes back by reference (lazy plan), not a driver list
+        assert {r.file for r in dfp[1].collect()} == set(lp[1])
         assert dfp[2] == lp[2]
     # the stats stage genuinely pruned (clustered layout)
     assert lp[2] < len(rels)
@@ -2430,6 +2473,116 @@ def test_df_find_phase_matches_loop_planner(spark, tmp_path):
         spark, table, empty, keys, ["v"], bloom_index=index
     )
     assert (v2, n_rw2, n_s2) == (v, 0, 0)
+
+
+def test_df_find_phase_at_ten_thousand_files(spark, tmp_path):
+    """The 10⁷-file posture at a testable 10⁴: the DataFrame planner
+    runs against a SYNTHETIC actions checkpoint describing 10,000
+    range-clustered files. Driver-held state after the find phase is
+    the tiny rewrite list alone — the carry set stays a lazy plan
+    whose count (not names) crosses to the driver."""
+    import os
+
+    from pyspark.sql import DataFrame as SparkDF
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    # a real (tiny) table supplies the schema/physical-name metadata
+    table = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("v")
+    )
+    tx.create_table(spark, table, df, stats_cols=["a"])
+    read_v = tx._versions(table)[-1]
+
+    # synthetic checkpoint: 10⁴ files, each covering a disjoint
+    # 1000-wide key range [i*1000, i*1000+999]
+    n_files = 10_000
+    acts = spark.range(n_files).select(
+        F.format_string("part-%05d.parquet", F.col("id")).alias("file"),
+        F.lit("a").alias("col"),
+        (F.col("id") * 1000).alias("lo"),
+        (F.col("id") * 1000 + 999).alias("hi"),
+    )
+    acts = acts.unionByName(
+        acts.select(
+            "file",
+            F.lit(None).cast("string").alias("col"),
+            F.lit(None).cast("bigint").alias("lo"),
+            F.lit(None).cast("bigint").alias("hi"),
+        )
+    )
+    ck = str(tmp_path / f"actions-v{read_v:08d}.parquet")
+    acts.write.parquet(ck)
+
+    updates = spark.createDataFrame(
+        [(1_500, -1), (7_654_321, -1)], "a bigint, v bigint"
+    )
+    b = tx._updates_key_bounds(updates, ["a"])
+    rewrite, carry_df, n_stats = tx._composite_find_df(
+        spark, table, updates, ["a"], b, read_v, None, actions_path=ck
+    )
+    # stats pruning: only files whose range intersects [1500, 7654321]
+    assert n_stats == 7654 - 1 + 1  # files 1..7654
+    assert rewrite == sorted(
+        f"part-{i:05d}.parquet" for i in range(1, 7655)
+    )
+    assert isinstance(carry_df, SparkDF)  # by reference, never a list
+    assert carry_df.count() == n_files - len(rewrite)
+
+    # a stale checkpoint (older version embedded in the name) is
+    # REFUSED: it would silently miss files added after it was written
+    stale = str(tmp_path / f"actions-v{read_v - 1:08d}.parquet")
+    acts.write.parquet(stale)
+    try:
+        tx._composite_find_df(
+            spark, table, updates, ["a"], b, read_v, None,
+            actions_path=stale,
+        )
+        raise AssertionError("stale checkpoint accepted")
+    except RuntimeError as e:
+        assert "advanced" in str(e)
+
+
+def test_df_find_phase_equivalent_on_legacy_stat_less_table(
+    spark, tmp_path
+):
+    """ADVICE r10: commits logged WITHOUT stats (legacy format) made
+    the two planners diverge — the loop planner falls back to a
+    per-file footer read while the DF planner kept every file a
+    candidate. write_actions_checkpoint now folds the same footer
+    stats into the checkpoint for stat-less files, so the planners
+    are equivalent on legacy tables too (narrow update bounds MUST
+    prune on both sides)."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(8, "a")
+    # stats_cols=[] writes commits with NO logged stats (legacy shape)
+    tx.create_table(spark, table, df, stats_cols=[])
+    read_v = tx._versions(table)[-1]
+    rels, logged = tx._replay(table, read_v)
+    assert not any(logged.get(r) for r in rels)  # genuinely stat-less
+
+    updates = spark.createDataFrame([(100, -1)], "a bigint, v bigint")
+    b = tx._updates_key_bounds(updates, ["a"])
+    lp_rw, lp_carry, lp_stats = tx._composite_find_loop(
+        spark, table, updates, ["a"], b, rels, logged, read_v, None
+    )
+    df_rw, df_carry, df_stats = tx._composite_find_df(
+        spark, table, updates, ["a"], b, read_v, None
+    )
+    assert set(df_rw) == set(lp_rw)
+    assert {r.file for r in df_carry.collect()} == set(lp_carry)
+    assert df_stats == lp_stats
+    # the footer fold genuinely pruned: narrow bounds on a range-
+    # clustered layout keep only the file(s) covering key 100
+    assert lp_stats < len(rels)
 
 
 def test_partition_spec_evolution_laws(spark, tmp_path):
@@ -2490,3 +2643,58 @@ def test_partition_spec_evolution_laws(spark, tmp_path):
     # spec'd tables still take plain appends (stat machinery intact)
     tx.append(spark, table, df.filter("k % 2 = 0").limit(0))
     assert tx.snapshot(spark, table).count() == 8000
+
+    # NEGATIVE source values (ADVICE r10): the write side derives
+    # truncate with Spark `div` (trunc toward zero: -1 div 500 = 0),
+    # so hint bounds must NOT floor (-1 // 500 = -1 would place hi
+    # below the file's true stat and prune a file that contains
+    # matching rows). Both the scalar law and end-to-end no-row-loss.
+    assert tx._trunc_div(-1, 500) == 0
+    assert tx._trunc_div(-500, 500) == -1
+    assert tx._trunc_div(-501, 500) == -1
+    assert tx._trunc_div(499, 500) == 0
+    neg_table = str(tmp_path / "neg")
+    neg = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") - 1000).alias("ts_day"),
+        (F.col("id") % 7).alias("v"),
+    )
+    tx.create_table(spark, neg_table, neg.limit(0))
+    tx.set_partition_spec(neg_table, [("ts_day", "truncate[500]")])
+    tx.append_partitioned(spark, neg_table, neg.repartitionByRange(4, "ts_day"))
+    nhints = dict(
+        (c, (lo, hi))
+        for c, lo, hi in tx._derive_partition_hints(
+            neg_table, {"ts_day": (-10, -1)}
+        )
+    )
+    # trunc-toward-zero: both bounds land in derived partition 0,
+    # matching what Spark `div` wrote into the files' stats
+    assert nhints["__p_truncate500_ts_day"] == (0, 0)
+    nframe, n_cand, n_live = tx.snapshot_pruned(
+        spark, neg_table, {"ts_day": (-10, -1)}
+    )
+    ngot = nframe.filter("ts_day between -10 and -1").count()
+    assert ngot == 10  # every matching row survived pruning
+    assert n_cand <= n_live
+
+    # append_partitioned enforces the SAME write contract as append()
+    # (ADVICE r10): a typo'd extra column raises instead of landing as
+    # a physically-present, logically-invisible column; a missing
+    # column null-fills
+    import pytest as _pytest
+
+    with _pytest.raises(tx.SchemaEnforcementError):
+        tx.append_partitioned(
+            spark, neg_table, neg.withColumn("typod", F.lit(1))
+        )
+    before_rows = tx.snapshot(spark, neg_table).count()
+    tx.append_partitioned(
+        spark,
+        neg_table,
+        spark.createDataFrame([(99999,)], "k bigint"),
+    )
+    filled = tx.snapshot(spark, neg_table).filter("k = 99999")
+    assert filled.count() == 1
+    assert filled.collect()[0].ts_day is None  # typed NULL fill
+    assert tx.snapshot(spark, neg_table).count() == before_rows + 1
