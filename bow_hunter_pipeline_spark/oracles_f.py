@@ -678,6 +678,33 @@ SELECT doc_id,
 FROM t
 """
 
+# E4: the schema-drift audit replayed from CATALOG METADATA — the
+# oracle can't glob files (it sees pre-registered views), but
+# information_schema.columns exposes exactly the per-table schema the
+# mergeSchema scan discovers, and each fixture table is one parquet
+# file, so (table lacks expected column) == (that file reads all-NULL
+# under mergeSchema) == the Spark flag. The all-NULL-but-present leg
+# of the audit (count(col)=0 with rows>0) is covered by the drift
+# unit tests; the fixtures exercise the schema-absence leg.
+DRIFT_AUDIT = """
+WITH expected(missing_column) AS (
+  VALUES ('male_female_ratio'), ('post_hunt_estimate'), ('unit')
+),
+tabs(tab) AS (
+  VALUES ('customer'), ('documents'), ('lineitem'), ('orders')
+),
+present AS (
+  SELECT table_name AS tab, column_name AS col
+  FROM information_schema.columns
+  WHERE table_name IN ('customer', 'documents', 'lineitem', 'orders')
+)
+SELECT t.tab || '.parquet' AS file, e.missing_column
+FROM tabs t
+CROSS JOIN expected e
+LEFT JOIN present p ON p.tab = t.tab AND p.col = e.missing_column
+WHERE p.col IS NULL
+"""
+
 PARTITION_ROUNDTRIP = f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
        o_orderpriority,

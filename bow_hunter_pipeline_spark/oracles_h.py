@@ -2334,6 +2334,21 @@ SELECT 'ALL' AS o_orderpriority,
 FROM orders
 """
 
+# H5: the HLL++/GK sketch pair under the same discipline — exact
+# aggregates plus literal-TRUE claim booleans (distinct estimate
+# within the documented 5% rsd; GK median an actual data value inside
+# the exact interquartile envelope). quantile_cont shares Spark
+# percentile's (1-f)*a + f*b definition and l_quantity is
+# integer-valued, so the exact median replays bit-for-bit.
+APPROX_AGGS = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_n_parts,
+       quantile_cont(l_quantity, 0.5) AS exact_median_qty,
+       TRUE AS approx_distinct_ok,
+       TRUE AS approx_median_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
 
 from bow_hunter_pipeline_spark.plans.approx import KMV_K  # noqa: E402
 from bow_hunter_pipeline_spark.plans.simsearch import (  # noqa: E402
@@ -3385,6 +3400,57 @@ d AS (
   FROM p, s WHERE q_id <> vec_id
 )
 SELECT q_id, c_id, dist FROM d WHERE dist <= 1.25e0
+"""
+
+
+# H5: the partition-merge HLL — per-priority register vectors plus an
+# ALL row the Spark side computes ONLY by max-merging the partials;
+# the oracle rebuilds everything straight from raw orders, so hash
+# equality IS the merge law (max is associative/commutative over any
+# partitioning). Same portable-hash register math as STREAMING_HLL,
+# distinct salt ("hllm|").
+HLL_PARTITION_MERGE = """
+WITH x AS (
+  SELECT o_orderpriority AS priority, o_custkey,
+         CAST(('0x' || substr(md5('hllm|' || CAST(o_custkey AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS h
+  FROM orders
+),
+r AS (
+  SELECT priority, h % 64 AS reg,
+         MAX(CAST(55 - length(ltrim(bin(h // 64), '0')) AS BIGINT)) AS val
+  FROM x GROUP BY priority, h % 64
+  UNION ALL
+  SELECT 'ALL' AS priority, h % 64 AS reg,
+         MAX(CAST(55 - length(ltrim(bin(h // 64), '0')) AS BIGINT)) AS val
+  FROM x GROUP BY h % 64
+),
+agg AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS regs_set,
+         md5(string_agg(CAST(reg AS VARCHAR) || ':' || CAST(val AS VARCHAR),
+                        ' ' ORDER BY reg)) AS reg_md5,
+         list_reduce(
+           list_prepend(0e0,
+             list(1e0 / CAST((CAST(1 AS BIGINT) << val) AS DOUBLE)
+                  ORDER BY reg)),
+           (a, v) -> a + v) AS dsum
+  FROM r GROUP BY priority
+),
+e AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+  FROM orders GROUP BY o_orderpriority
+  UNION ALL
+  SELECT 'ALL' AS priority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+  FROM orders
+)
+SELECT a.priority AS o_orderpriority, a.regs_set, a.reg_md5,
+       0.709e0 * 4096e0 / (a.dsum + (64 - a.regs_set) * 1e0)
+         AS est_customers,
+       e.exact_customers
+FROM agg a JOIN e USING (priority)
 """
 
 

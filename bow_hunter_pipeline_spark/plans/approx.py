@@ -47,57 +47,154 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H5 sketch path: HLL++ distinct counts and GK approximate
     percentiles next to their exact values, per group.
 
-    Registered rows-only (sketch estimates are engine-specific; see
-    module doc). tests assert |approx-exact|/exact ≤ 0.05 for the
-    distinct count and that the approximate median is an actual data
-    value within the exact p25..p75 envelope.
+    Value-level oracle via the ``hll_error_bound`` discipline
+    (upgraded from rows-only, VERDICT r10 ask #4): the estimates
+    themselves are engine-specific (Spark HLL++ vs DuckDB's sketch
+    give different numbers on identical input), but the CLAIMS that
+    make them usable are portable — |approx−exact|/exact ≤ 0.05 for
+    the distinct count (the documented rsd), and the GK median is an
+    ACTUAL data value inside the exact p25..p75 envelope. The checked
+    columns are the exact aggregates plus those claim booleans
+    computed from the live sketches; the oracle recomputes the exacts
+    and asserts TRUE — a broken sketch, a blown envelope, or an
+    interpolated (non-data) GK answer flips a boolean and fails the
+    hash.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_n_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("__ad"),
         F.countDistinct("l_partkey").alias("exact_n_parts"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.percentile_approx("l_quantity", 0.5).alias("__am"),
+        F.percentile("l_quantity", 0.25).alias("__p25"),
         F.percentile("l_quantity", 0.5).alias("exact_median_qty"),
+        F.percentile("l_quantity", 0.75).alias("__p75"),
     )
+    # GK returns an element of the data — prove membership by joining
+    # the distinct (flag, quantity) pairs back (tiny: ~50 per flag)
+    vals = li.select(
+        "l_returnflag", F.col("l_quantity").alias("__qval")
+    ).distinct()
+    memb = agg.join(
+        vals,
+        (agg["l_returnflag"] == vals["l_returnflag"])
+        & (agg["__am"] == vals["__qval"]),
+        "left",
+    ).select(agg["*"], vals["__qval"].isNotNull().alias("__is_member"))
+    return memb.select(
+        "l_returnflag",
+        "exact_n_parts",
+        "exact_median_qty",
+        (
+            F.abs(F.col("__ad") - F.col("exact_n_parts"))
+            / F.col("exact_n_parts")
+            <= F.lit(0.05)
+        ).alias("approx_distinct_ok"),
+        (
+            F.col("__is_member")
+            & (F.col("__am") >= F.col("__p25"))
+            & (F.col("__am") <= F.col("__p75"))
+        ).alias("approx_median_ok"),
+    )
+
+
+HLLM_M = 64        # registers (b = 6 index bits)
+HLLM_ALPHA = 0.709  # Flajolet et al. bias constant for m = 64
 
 
 def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H5: DataSketches HLL mergeability — the property that makes
-    sketches THE 100 TB distinct-count tool: build one sketch per
-    partition-of-the-data (here: order priority), store/ship the
-    binary sketches (bytes, not rows), and union them into the global
+    """H5: HLL mergeability — the property that makes sketches THE
+    100 TB distinct-count tool: build one sketch per
+    partition-of-the-data (here: order priority), persist the partial
+    registers (kilobytes, not rows), and MERGE them into the global
     estimate without ever re-touching the data.
 
-    Output per priority: the partial estimate + the exact count; plus
-    one ALL row whose estimate comes only from unioning the five
-    partial sketches. Registered rows-only (DataSketches binaries are
-    engine-specific; no SQL oracle can replay them) —
-    tests/test_extensions.py asserts the merge invariant (union of
-    partials == one-shot whole-data sketch, bit-identical estimate)
-    and the ≤5% error envelope vs the exact count.
+    Value-level oracle (upgraded from rows-only, VERDICT r10 ask #4)
+    via the first-principles portable HLL ``h4_streaming_hll``
+    proved: registers are md5-derived (hash64 discipline), the merge
+    is per-register MAX — idempotent/commutative/associative, so
+    merging the five per-priority partials IS the whole-data sketch,
+    bit for bit. The ALL row is computed ONLY from the partial
+    registers frame; the oracle rebuilds it straight from raw orders
+    — hash equality of the register fingerprint, the dyadic
+    harmonic-sum estimate (order-pinned fold), and the exact counts
+    is precisely the merge law. (The binary DataSketches variant of
+    this claim lives in ``hll_error_bound``, where only the envelope
+    is portable.)
 
     Scale: this is the incremental-rollup pattern (e5) for distinct
-    counts — nightly partials persist as kilobyte blobs; the global
-    number is a #partitions-row union, not a data scan.
+    counts — nightly partials persist as 64-register vectors; the
+    global number is a #partitions × m-row max-merge, not a data
+    scan.
     """
+    from bow_hunter_pipeline_spark.functions.text import hash64
+
     orders = read_table(spark, sf_dir, "orders")
-    per_part = orders.groupBy("o_orderpriority").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.count_distinct("o_custkey").alias("exact_customers"),
-    )
-    part_rows = per_part.select(
+    hashed = orders.select(
         "o_orderpriority",
-        F.hll_sketch_estimate("sk").alias("est_customers"),
+        hash64(
+            F.concat(F.lit("hllm|"), F.col("o_custkey").cast("string"))
+        ).alias("__h"),
+    )
+    prio_regs = hashed.select(
+        "o_orderpriority",
+        (F.col("__h") % HLLM_M).alias("reg"),
+        # rho = leading-zero count of the remaining 54 bits + 1
+        F.expr(
+            "cast(55 - length(ltrim('0', bin(__h div 64))) as bigint)"
+        ).alias("rho"),
+    ).groupBy("o_orderpriority", "reg").agg(F.max("rho").alias("val"))
+    # the MERGE: the ALL registers come from the PARTIALS alone —
+    # max over per-priority maxima, never a second pass over orders
+    merged_regs = prio_regs.groupBy("reg").agg(
+        F.max("val").alias("val")
+    ).select(F.lit("ALL").alias("o_orderpriority"), "reg", "val")
+    regs = prio_regs.unionByName(merged_regs).withColumn(
+        "dterm",
+        F.expr(
+            "1.0 / cast(shiftleft(cast(1 as bigint), cast(val as int))"
+            " as double)"
+        ),
+    )
+    packed = F.array_sort(F.collect_list(F.struct("reg", "val", "dterm")))
+    summary = regs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("regs_set"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    packed,
+                    lambda s: F.concat(
+                        s["reg"].cast("string"),
+                        F.lit(":"),
+                        s["val"].cast("string"),
+                    ),
+                ),
+                " ",
+            )
+        ).alias("reg_md5"),
+        F.aggregate(
+            F.transform(packed, lambda s: s["dterm"]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dsum"),
+    )
+    exact = orders.groupBy(
+        F.col("o_orderpriority")
+    ).agg(F.count_distinct("o_custkey").alias("exact_customers"))
+    exact = exact.unionByName(
+        orders.agg(
+            F.count_distinct("o_custkey").alias("exact_customers")
+        ).select(F.lit("ALL").alias("o_orderpriority"), "exact_customers")
+    )
+    est = (F.lit(HLLM_ALPHA) * F.lit(float(HLLM_M * HLLM_M))) / (
+        F.col("dsum") + (F.lit(HLLM_M) - F.col("regs_set")) * F.lit(1.0)
+    )
+    return summary.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "regs_set",
+        "reg_md5",
+        est.alias("est_customers"),
         "exact_customers",
     )
-    merged = per_part.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers")
-    ).select(
-        F.lit("ALL").alias("o_orderpriority"),
-        "est_customers",
-        F.lit(None).cast("bigint").alias("exact_customers"),
-    )
-    return part_rows.unionByName(merged)
 
 
 HLL_REL_ERROR = 0.05  # documented envelope for the default lgK sketch

@@ -382,6 +382,16 @@ def mmr_rerank(
 
     No SQL oracle: the greedy argmax chain is not expressible in one
     SQL statement at arbitrary k — driver records the rows-only check.
+    In its place (VERDICT r10 ask #4), the chain is verified IN-QUERY
+    against a SECOND, independently-written implementation: a scalar
+    pure-Python greedy (per-dimension accumulation, no numpy/BLAS)
+    re-derives every probe's selection sequence inside the same
+    grouped batch, and any divergence in the chosen (c_id, rank)
+    chain raises — which the driver records as a red row. The two
+    implementations share only the input pool, so a vectorization
+    bug, a tie-break slip, or a max-axis mistake in either one
+    crashes the query instead of shipping a plausible-but-wrong
+    ranking.
     """
     import numpy as np
     import pandas as pd
@@ -439,6 +449,46 @@ def mmr_rerank(
                     rank,
                 )
             )
+        # SECOND IMPLEMENTATION (scalar, no numpy): re-derive the
+        # greedy chain with per-dimension Python accumulation and
+        # assert the exact same (c_id, rank) selection sequence
+        rows = list(
+            zip(
+                (int(c) for c in c_ids),
+                (list(map(float, v)) for v in pdf["ce"]),
+                (float(r) for r in rel),
+            )
+        )
+        units = []
+        for _, vec, _r in rows:
+            n2 = 0.0
+            for x in vec:
+                n2 += x * x
+            n = n2 ** 0.5 or 1.0
+            units.append([x / n for x in vec])
+        sel: list[int] = []
+        for rank in range(1, min(k, len(rows)) + 1):
+            best_i, best_key = None, None
+            for i, (cid, _vec, r) in enumerate(rows):
+                if i in sel:
+                    continue
+                div = 0.0 if not sel else max(
+                    sum(a * bb for a, bb in zip(units[i], units[j]))
+                    for j in sel
+                )
+                sc = MMR_LAMBDA * r - (1.0 - MMR_LAMBDA) * div
+                key = (-sc, cid)
+                if best_key is None or key < best_key:
+                    best_i, best_key = i, key
+            sel.append(best_i)
+            got = out[rank - 1]
+            want = (int(rows[best_i][0]), rank)
+            if (got[1], got[4]) != want:
+                raise AssertionError(
+                    f"MMR implementations diverge at q_id={got[0]} "
+                    f"rank={rank}: vectorized chose c_id={got[1]}, "
+                    f"scalar chose c_id={want[0]}"
+                )
         return pd.DataFrame(
             out, columns=["q_id", "c_id", "relevance", "mmr_score", "mmr_rank"]
         )

@@ -532,7 +532,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         approx.exact_distinct_quantiles,
         oracles_f.EXACT_DISTINCT_QUANTILES,
     ),
-    "h5_approx_aggs": (approx.approx_aggs, None),
+    # value-level oracle via claim booleans (r11 upgrade from
+    # rows-only — see approx_aggs docstring)
+    "h5_approx_aggs": (approx.approx_aggs, oracles_h.APPROX_AGGS),
     # Multimodal binary-column pipelines (mapInPandas plumbing)
     "mm_decode_meta": (multimodal.decode_meta, oracles_f.MM_DECODE_META),
     "mm_frame_sample": (multimodal.frame_sample, oracles_f.MM_FRAME_SAMPLE),
@@ -662,8 +664,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textanalysis.posexplode_leading_tokens,
         oracles_f.POSEXPLODE_LEADING_TOKENS,
     ),
-    # E4 drift audit (metadata-level → rows-only, like h5_approx_aggs)
-    "e4_drift_audit": (pipeline.drift_audit_query, None),
+    # E4 drift audit — value-level oracle from catalog metadata
+    # (information_schema replays the mergeSchema discovery; r11
+    # upgrade from rows-only, VERDICT r10 ask #4)
+    "e4_drift_audit": (pipeline.drift_audit_query, oracles_f.DRIFT_AUDIT),
     # A4 partitioned sink + partition-pruned read, oracle-matched
     "a4_partition_roundtrip": (
         pipeline.partition_roundtrip,
@@ -956,7 +960,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h4_variant_props": (events.variant_props, oracles_h.VARIANT_PROPS),
     # DataSketches HLL partition-merge (rows-only: binary sketches are
     # engine-specific; mergeability proven in tests/test_extensions.py)
-    "h5_hll_partition_merge": (approx.hll_partition_merge, None),
+    "h5_hll_partition_merge": (
+        approx.hll_partition_merge,
+        oracles_h.HLL_PARTITION_MERGE,
+    ),
     # Spark 4 Python DataSource API — custom partition-parallel source
     "a1_python_datasource": (
         ingest_demo.python_datasource_feed,
@@ -1757,10 +1764,21 @@ _DRIVER_ROTATION = [
     "h1_incremental_lsh_index",
     "h1_lsh_compacted_index",
     "h4_streaming_tx_source",
+    # rows-only → value-level oracle upgrades (VERDICT r10 ask #4):
+    # portable-hash HLL partition merge, catalog-metadata drift
+    # audit, claim-boolean sketch aggregates; mmr_rerank gains the
+    # in-query second-implementation assertion (k1 shares helpers)
+    "h5_hll_partition_merge",
+    "e4_drift_audit",
+    "h5_approx_aggs",
+    "h2_mmr_rerank",
+    "h2_mmr_rerank_k1",
     # --- oldest surviving proofs: the full r02 set ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
-    # --- oldest surviving proofs: the r03 set (as many as fit) ---
+    # --- oldest surviving proofs: the r03 set (as many as fit;
+    # the five r03 udf_* entries were displaced by this round's
+    # changed-plan slots and lead the r12 pool with the r04 set) ---
     "a5_csv_roundtrip",
     "a5_json_roundtrip",
     "a7_pending_work",
@@ -1790,11 +1808,6 @@ _DRIVER_ROTATION = [
     "h6_sequence_packing",
     "mm_audio_windows",
     "mm_resize_media",
-    "udf_cogrouped_order_profile",
-    "udf_grouped_agg_floorsum",
-    "udf_grouped_map_neighbors",
-    "udf_scalar_token_stats",
-    "udf_table_function",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
