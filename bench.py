@@ -70,6 +70,10 @@ HEADLINE = [
     # asks #1-2: a serve-path regression must not hide in build noise)
     "e2_tx_df_planned_merge",
     "e2_tx_incremental_bloom_index",
+    # round 11: the composed nightly-maintenance cycle (stream-land →
+    # compact → recluster moved cells → search, exactly-once proven
+    # across the whole chain) — build/serve legs reported
+    "h2_ivf_nightly_maintenance",
 ]
 
 

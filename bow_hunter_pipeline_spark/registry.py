@@ -1346,6 +1346,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         simsearch.ivf_recluster_moves,
         oracles_h.IVF_RECLUSTER_MOVES,
     ),
+    # H2 × H4 (NEW r11): the nightly cycle COMPOSED — stream-maintain
+    # → compact (high-water mark) → recluster moved cells (into the
+    # packed sub-partition) → search; replayed arrival batches
+    # injected after BOTH compaction and recluster must be no-ops
+    # (file-listing asserts), one-row-per-vector integrity gate; the
+    # recluster oracle replays the answers (layout may never change
+    # them)
+    "h2_ivf_nightly_maintenance": (
+        simsearch.ivf_nightly_maintenance,
+        oracles_h.IVF_RECLUSTER_MOVES,
+    ),
     # H2 × H4: the streaming store's loop CLOSED — stream-maintain →
     # two-level binpack committed with a compacted-through high-water
     # mark → post-compaction replay (guard-skipped, asserted in-query)
@@ -1738,7 +1749,7 @@ _DRIVER_ROTATION = [
     # --- new in r11 (each pre-verified with tools/verify_driver.py
     # AND tools/audit_oracle_types.py, at sf0.1 too, before taking
     # a slot); mirrored in R11_NEW_IN_PREFIX below ---
-    # (filled as round-11 work lands)
+    "h2_ivf_nightly_maintenance",
     # --- plans changed in r11 (re-proof required) ---
     # build/serve leg markers (legtime.leg) wrapped around the one-time
     # table/index-build and in-plan-proof blocks of the four lifecycle
@@ -1773,6 +1784,9 @@ _DRIVER_ROTATION = [
     "h5_approx_aggs",
     "h2_mmr_rerank",
     "h2_mmr_rerank_k1",
+    # recluster shares the extracted retrain/reassign/serve helpers
+    # with the new nightly composite
+    "h2_ivf_recluster_moves",
     # --- oldest surviving proofs: the full r02 set ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
@@ -1821,6 +1835,7 @@ PENDING_DRIVER_QUEUE = [
 # tools/audit_oracle_types.py before taking a slot; prefix membership
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
 R11_NEW_IN_PREFIX = [
+    "h2_ivf_nightly_maintenance",
 ]
 
 

@@ -68,6 +68,7 @@ ALLOW: dict[str, set[str]] = {
         "h2_ivf_streaming_maintenance",  # same K-centroid broadcast assignment
         "h2_ivf_stream_compacted_search",  # same K-centroid broadcast assignment
         "h2_ivf_recluster_moves",  # K retrained-centroid broadcast argmin
+        "h2_ivf_nightly_maintenance",  # same K-centroid broadcasts
         "f_keyset_pagination",  # 1-row boundary token broadcast
         "h5_kmv_set_ops",  # 1-row sketch stats × 1-row exact audit
         "h6_bpe_train_merges",  # 1-row merge-rule winner broadcast per round

@@ -72,6 +72,7 @@ QUERIES = [
     "h4_streaming_ewma",
     # round-9 additions
     "h2_ivf_stream_compacted_search",
+    "h2_ivf_nightly_maintenance",
     "h1_lsh_compacted_index",
     "e2_tx_bloom_table_lookup",
     "e2_tx_composite_pruned_merge",
