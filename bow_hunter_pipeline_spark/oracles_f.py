@@ -2168,3 +2168,54 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM orders WHERE o_orderkey % 3 <> 0
 GROUP BY o_orderpriority
 """
+
+
+# E2+ declarative pipeline: the gold rollup replayed over ONLY the
+# rows passing every silver expectation, plus one row per DECLARED
+# expectation with its violation count (zero included; NOT(expr IS
+# TRUE) mirrors the NULL-counts-as-violation routing).
+TX_DECLARATIVE_PIPELINE = f"""
+WITH sl AS (
+  SELECT * FROM lineitem WHERE (l_quantity < 50) IS TRUE
+                           AND (l_tax >= 0) IS TRUE
+),
+so AS (
+  SELECT * FROM orders WHERE (o_totalprice < 400000) IS TRUE
+                         AND (o_orderpriority IS NOT NULL) IS TRUE
+),
+gold AS (
+  SELECT 'gold' AS section,
+         l_returnflag AS k1,
+         o_orderpriority AS k2,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {_DSUM.format(c='l_quantity')} AS sum_qty,
+         CAST(round(SUM({_REV}), 4) AS DOUBLE) AS revenue
+  FROM sl JOIN so ON l_orderkey = o_orderkey
+  GROUP BY l_returnflag, o_orderpriority
+),
+q AS (
+  SELECT 'silver_lineitem' AS k1, 'non_negative_tax' AS k2,
+         CAST(COUNT(*) FILTER (NOT ((l_tax >= 0) IS TRUE)) AS BIGINT)
+           AS n_rows
+  FROM lineitem
+  UNION ALL
+  SELECT 'silver_lineitem', 'qty_below_max',
+         CAST(COUNT(*) FILTER (NOT ((l_quantity < 50) IS TRUE)) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'silver_orders', 'has_priority',
+         CAST(COUNT(*) FILTER (NOT ((o_orderpriority IS NOT NULL) IS TRUE))
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'silver_orders', 'modest_price',
+         CAST(COUNT(*) FILTER (NOT ((o_totalprice < 400000) IS TRUE))
+              AS BIGINT)
+  FROM orders
+)
+SELECT * FROM gold
+UNION ALL
+SELECT 'quarantine' AS section, k1, k2, n_rows,
+       CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS revenue
+FROM q
+"""

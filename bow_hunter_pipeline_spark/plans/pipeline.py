@@ -2522,3 +2522,143 @@ def tx_composite_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         dsum("l_quantity", "sum_qty"),
     )
+
+
+DECL_PIPE_ROOT = "/tmp/bhps_decl_pipe"
+
+
+def tx_declarative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ (NEW r11): a DECLARED bronze→silver→gold pipeline with
+    expectations — the Delta Live Tables / Spark Declarative
+    Pipelines surface composed from this repo's own primitives
+    (:mod:`bow_hunter_pipeline_spark.declarative`): five tables
+    declared as pure transforms + named row contracts; the runner
+    owns topological order, per-table warehouse_tx commits, and
+    violation routing into ``__quarantine`` tables tagged per failed
+    expectation.
+
+    The DAG: bronze lineitem/orders (raw ingest) → silver twins under
+    two expectations each (one that real rows fail — ``l_quantity <
+    50`` / ``o_totalprice < 400000`` — and one that all pass, so both
+    routing outcomes are exercised) → gold revenue rollup joining
+    ONLY the silver survivors. In-plan reconciliation: bronze row
+    counts must equal silver + DISTINCT quarantined rows per table
+    (a row failing two expectations lands twice in quarantine but is
+    lost from silver once).
+
+    Output: the gold rows plus one row per DECLARED expectation with
+    its quarantine count (zero included) — the oracle replays both
+    from raw tables, so the expectation classification, the routing,
+    the DAG's join lineage, and the exact decimal rollup are all
+    hash-checked ("quarantine counts hash-matched", VERDICT r10 ask
+    #8).
+
+    Scale: expectation tagging is one codegen'd projection per table;
+    the DAG adds no shuffles beyond its declared transforms; each hop
+    is a bounded warehouse_tx commit, so the pipeline inherits the
+    lakehouse's 10⁷-file posture table by table.
+    """
+    import shutil
+
+    from bow_hunter_pipeline_spark.declarative import Pipeline
+    from bow_hunter_pipeline_spark.functions.exact import (
+        dsum_expr,
+        money,
+        one_minus,
+    )
+
+    shutil.rmtree(DECL_PIPE_ROOT, ignore_errors=True)
+    pipe = Pipeline(DECL_PIPE_ROOT)
+
+    @pipe.table()
+    def bronze_lineitem(s, up):
+        return read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        )
+
+    @pipe.table()
+    def bronze_orders(s, up):
+        return read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+
+    lineitem_expect = {
+        "qty_below_max": "l_quantity < 50",
+        "non_negative_tax": "l_tax >= 0",
+    }
+
+    @pipe.table(inputs=("bronze_lineitem",), expectations=lineitem_expect)
+    def silver_lineitem(s, up):
+        return up["bronze_lineitem"]
+
+    orders_expect = {
+        "modest_price": "o_totalprice < 400000",
+        "has_priority": "o_orderpriority IS NOT NULL",
+    }
+
+    @pipe.table(inputs=("bronze_orders",), expectations=orders_expect)
+    def silver_orders(s, up):
+        return up["bronze_orders"]
+
+    @pipe.table(inputs=("silver_lineitem", "silver_orders"))
+    def gold_revenue(s, up):
+        li, o = up["silver_lineitem"], up["silver_orders"]
+        return li.join(
+            o, li["l_orderkey"] == o["o_orderkey"]
+        ).groupBy("l_returnflag", "o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum("l_quantity", "sum_qty"),
+            dsum_expr(
+                money("l_extendedprice") * one_minus("l_discount"),
+                "revenue",
+            ),
+        )
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    stats = pipe.run(spark)
+    # reconciliation law: nothing is lost or invented by the routing
+    for bronze, silver in (
+        ("bronze_lineitem", "silver_lineitem"),
+        ("bronze_orders", "silver_orders"),
+    ):
+        qt = pipe.path(silver + "__quarantine")
+        qsnap = tx.snapshot(spark, qt)
+        n_bad_rows = qsnap.drop("failed_expectation").distinct().count()
+        assert (
+            stats[bronze]["rows"]
+            == stats[silver]["rows"] + n_bad_rows
+        ), (bronze, stats[bronze], stats[silver], n_bad_rows)
+
+    gold = tx.snapshot(spark, pipe.path("gold_revenue")).select(
+        F.lit("gold").alias("section"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n_rows",
+        "sum_qty",
+        "revenue",
+    )
+    q_rows = [
+        ("quarantine", table, exp, int(stats[table]["quarantined"].get(exp, 0)))
+        for table, exps in (
+            ("silver_lineitem", lineitem_expect),
+            ("silver_orders", orders_expect),
+        )
+        for exp in sorted(exps)
+    ]
+    quarantine = spark.createDataFrame(
+        q_rows, "section string, k1 string, k2 string, n_rows bigint"
+    ).select(
+        "section",
+        "k1",
+        "k2",
+        "n_rows",
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    return gold.unionByName(quarantine)

@@ -1130,6 +1130,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # E2+: the find phase AS A DATAFRAME over a parquet actions
     # checkpoint — planner equivalence with the driver-loop find
     # asserted set-for-set in-plan (the 10⁷-file posture)
+    # E2+ (NEW r11): declared bronze->silver->gold DAG with
+    # expectations - runner owns topo order, warehouse_tx commits,
+    # quarantine routing; gold rollup + per-expectation counts both
+    # hash-checked
+    "e2_tx_declarative_pipeline": (
+        pipeline.tx_declarative_pipeline,
+        oracles_f.TX_DECLARATIVE_PIPELINE,
+    ),
     "e2_tx_df_planned_merge": (
         pipeline.tx_df_planned_merge,
         oracles_f.TX_DF_PLANNED_MERGE,
@@ -1750,6 +1758,7 @@ _DRIVER_ROTATION = [
     # AND tools/audit_oracle_types.py, at sf0.1 too, before taking
     # a slot); mirrored in R11_NEW_IN_PREFIX below ---
     "h2_ivf_nightly_maintenance",
+    "e2_tx_declarative_pipeline",
     # --- plans changed in r11 (re-proof required) ---
     # build/serve leg markers (legtime.leg) wrapped around the one-time
     # table/index-build and in-plan-proof blocks of the four lifecycle
@@ -1836,6 +1845,7 @@ PENDING_DRIVER_QUEUE = [
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
 R11_NEW_IN_PREFIX = [
     "h2_ivf_nightly_maintenance",
+    "e2_tx_declarative_pipeline",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Declarative pipeline runner: DAG ordering, expectation routing,
+and re-run semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bow_hunter_pipeline_spark import warehouse_tx as tx
+from bow_hunter_pipeline_spark.declarative import (
+    ExpectationFailed,
+    Pipeline,
+)
+
+
+def _base(spark):
+    return spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_topological_order_and_lineage(spark, tmp_path):
+    """Tables declared out of order still run dependencies-first, and
+    every hop reads the committed upstream state."""
+    pipe = Pipeline(str(tmp_path / "p"))
+    ran = []
+
+    @pipe.table(inputs=("mid",))
+    def gold(s, up):
+        ran.append("gold")
+        return up["mid"].agg(
+            F.sum("v").cast("bigint").alias("total")
+        )
+
+    @pipe.table(inputs=("base",))
+    def mid(s, up):
+        ran.append("mid")
+        return up["base"].filter(F.col("k") < 5)
+
+    @pipe.table(name="base")
+    def _b(s, up):
+        ran.append("base")
+        return _base(spark)
+
+    stats = pipe.run(spark)
+    assert ran == ["base", "mid", "gold"]
+    assert stats["base"]["rows"] == 10
+    assert stats["mid"]["rows"] == 5
+    got = tx.snapshot(spark, pipe.path("gold")).collect()
+    assert got[0].total == sum(2 * k for k in range(5))
+
+
+def test_cycle_and_unknown_input_raise(spark, tmp_path):
+    pipe = Pipeline(str(tmp_path / "p"))
+
+    @pipe.table(inputs=("b",))
+    def a(s, up):
+        return up["b"]
+
+    @pipe.table(inputs=("a",))
+    def b(s, up):
+        return up["a"]
+
+    with pytest.raises(ValueError, match="cycle"):
+        pipe.run(spark)
+
+    pipe2 = Pipeline(str(tmp_path / "p2"))
+
+    @pipe2.table(inputs=("nope",))
+    def c(s, up):
+        return up["nope"]
+
+    with pytest.raises(ValueError, match="undeclared"):
+        pipe2.run(spark)
+
+    with pytest.raises(ValueError, match="twice"):
+
+        @pipe2.table(name="c")
+        def c2(s, up):
+            return None
+
+
+def test_quarantine_tags_every_failed_expectation(spark, tmp_path):
+    """A row failing two expectations lands twice in quarantine (once
+    per contract) but is lost from the table exactly once; NULL
+    verdicts count as violations."""
+    pipe = Pipeline(str(tmp_path / "p"))
+
+    @pipe.table(name="src")
+    def _s(s, up):
+        return spark.createDataFrame(
+            [(1, 5), (2, -1), (3, None), (4, 100)], "k int, v int"
+        )
+
+    @pipe.table(
+        inputs=("src",),
+        expectations={
+            "v_positive": "v > 0",      # fails k=2 (and NULL k=3)
+            "v_small": "v < 50",        # fails k=4 (and NULL k=3)
+        },
+    )
+    def clean(s, up):
+        return up["src"]
+
+    stats = pipe.run(spark)
+    assert stats["clean"]["rows"] == 1  # only k=1 passes both
+    assert stats["clean"]["quarantined"] == {
+        "v_positive": 2,  # k=2 and the NULL row
+        "v_small": 2,     # k=4 and the NULL row
+    }
+    q = tx.snapshot(spark, pipe.path("clean__quarantine"))
+    assert q.count() == 4  # k=3 appears once per failed expectation
+    assert q.filter("k = 3").count() == 2
+    assert set(q.columns) == {"failed_expectation", "k", "v"}
+
+
+def test_on_violation_fail_and_drop(spark, tmp_path):
+    import os
+
+    pipe = Pipeline(str(tmp_path / "p"))
+
+    @pipe.table(name="src")
+    def _s(s, up):
+        return spark.createDataFrame([(1,), (-1,)], "k int")
+
+    @pipe.table(
+        inputs=("src",),
+        expectations={"k_positive": "k > 0"},
+        on_violation="fail",
+    )
+    def strict(s, up):
+        return up["src"]
+
+    with pytest.raises(ExpectationFailed, match="k_positive"):
+        pipe.run(spark)
+    assert not os.path.isdir(pipe.path("strict"))  # left unwritten
+
+    pipe2 = Pipeline(str(tmp_path / "p2"))
+
+    @pipe2.table(name="src")
+    def _s2(s, up):
+        return spark.createDataFrame([(1,), (-1,)], "k int")
+
+    @pipe2.table(
+        inputs=("src",),
+        expectations={"k_positive": "k > 0"},
+        on_violation="drop",
+    )
+    def lax(s, up):
+        return up["src"]
+
+    stats = pipe2.run(spark)
+    assert stats["lax"] == {"rows": 1, "quarantined": {"k_positive": 1}}
+    assert not os.path.isdir(pipe2.path("lax__quarantine"))
+
+    with pytest.raises(ValueError, match="on_violation"):
+        pipe2.table(on_violation="explode")
+
+
+def test_rerun_replaces_tables(spark, tmp_path):
+    """run() is idempotent per source state: a second run replaces
+    each table at commit v0 rather than appending."""
+    pipe = Pipeline(str(tmp_path / "p"))
+
+    @pipe.table(name="base")
+    def _b(s, up):
+        return _base(spark)
+
+    s1 = pipe.run(spark)
+    s2 = pipe.run(spark)
+    assert s1 == s2
+    assert tx.snapshot(spark, pipe.path("base")).count() == 10
