@@ -907,32 +907,55 @@ def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     catching the loop-y doc whose vocabulary is diverse but whose
     phrasing cycles (high top-bigram share, ordinary TTR).
 
-    Scale shape: the token-distinct count is per-row JVM array math
-    (``array_distinct``, zero shuffle); only the top-bigram statistic
-    shuffles, grouped by (doc, bigram) with map-side partial
-    aggregation. No UDFs anywhere.
+    Scale shape: ZERO SHUFFLE — every statistic is per-row JVM array
+    math. The top-bigram count needs no (doc, bigram) groupBy at all:
+    a multiset's max multiplicity is the longest equal-run in its
+    SORTED array, so ``array_sort`` + one order-pinned fold computes
+    it inside the row (the r11 rewrite: the exploded-bigram shuffle
+    was the whole cost of this query — 43 s at the 10× probe — and
+    carried zero information across rows; the 30× SCALE1 probe
+    motivated replacing it with this map-only plan). No UDFs
+    anywhere.
     """
     from bow_hunter_pipeline_spark.functions.text import word_shingles
 
     docs = read_table(spark, sf_dir, "documents")
     toks = _toks()
-    base = docs.select(
+    sh = word_shingles(F.col("text"), 2)
+
+    def max_run(sorted_arr):
+        """Longest equal-run via an order-pinned integer fold."""
+        zero = F.lit(0).cast("bigint")
+        return F.aggregate(
+            sorted_arr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("run"),
+                zero.alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                    .otherwise(F.lit(1).cast("bigint")),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    per_doc = docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.explode_outer(word_shingles(F.col("text"), 2)).alias("bigram"),
-    )
-    per_bigram = base.groupBy("doc_id", "n_tokens", "n_distinct", "bigram").agg(
-        F.count(F.when(F.col("bigram").isNotNull(), 1)).alias("bn")
-    )
-    per_doc = per_bigram.groupBy("doc_id", "n_tokens", "n_distinct").agg(
-        F.max(F.when(F.col("bigram").isNotNull(), F.col("bn")))
-        .alias("top_bigram_n"),
-        F.sum(F.when(F.col("bigram").isNotNull(), F.col("bn")))
-        .alias("n_bigrams"),
+        max_run(F.array_sort(sh)).alias("top_bigram_n"),
+        F.size(sh).cast("bigint").alias("n_bigrams"),
     )
     top_n = F.coalesce("top_bigram_n", F.lit(0)).cast("bigint")
-    n_bi = F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+    n_bi = F.greatest(F.col("n_bigrams"), F.lit(0).cast("bigint"))
     return per_doc.select(
         "doc_id",
         "n_tokens",

@@ -1796,6 +1796,10 @@ _DRIVER_ROTATION = [
     # recluster shares the extracted retrain/reassign/serve helpers
     # with the new nightly composite
     "h2_ivf_recluster_moves",
+    # r11 sweep-driven rewrite: top-bigram count as per-row sorted
+    # max-run fold — the exploded-bigram shuffle (the whole cost,
+    # 139 s at the 30x probe) removed; now a zero-shuffle map
+    "h3_repetition_filter",
     # --- oldest surviving proofs: the full r02 set ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
