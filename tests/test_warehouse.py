@@ -2475,6 +2475,33 @@ def test_df_find_phase_matches_loop_planner(spark, tmp_path):
     assert (v2, n_rw2, n_s2) == (v, 0, 0)
 
 
+def test_merge_pruned_composite_auto_dispatch(spark, tmp_path):
+    """Size-gated planner dispatch (the build_bloom_index_auto
+    pattern): small tables take the driver loop, large ones the
+    DataFrame find phase — same committed result either way."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    for gate, name in ((10_000, "loop"), (0, "df")):
+        table = str(tmp_path / name)
+        df = spark.range(1000).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("v")
+        ).repartitionByRange(4, "a")
+        tx.create_table(spark, table, df, stats_cols=["a"])
+        updates = spark.createDataFrame(
+            [(5, -1), (-9, -9)], "a bigint, v bigint"
+        )
+        v, n_rw, n_carry, n_stats = tx.merge_pruned_composite_auto(
+            spark, table, updates, ["a"], ["v"], df_min_files=gate
+        )
+        assert n_rw + n_carry == 4
+        snap = tx.snapshot(spark, table, v)
+        assert snap.filter("v = -1").count() == 1
+        assert snap.filter("a = -9").count() == 1
+        assert snap.count() == 1001
+
+
 def test_df_find_phase_at_ten_thousand_files(spark, tmp_path):
     """The 10⁷-file posture at a testable 10⁴: the DataFrame planner
     runs against a SYNTHETIC actions checkpoint describing 10,000
