@@ -2219,3 +2219,46 @@ SELECT 'quarantine' AS section, k1, k2, n_rows,
        CAST(NULL AS DOUBLE) AS sum_qty, CAST(NULL AS DOUBLE) AS revenue
 FROM q
 """
+
+
+# E2+ tri-clause MERGE (mirror sync): non-URGENT rows untouched; the
+# URGENT region is replaced by the authoritative source batch (its
+# even-key rows updated + two inserts; odd-key rows deleted).
+TX_MERGE_SYNC = """
+WITH src AS (
+  SELECT o_orderkey, o_orderpriority, -o_custkey AS o_custkey,
+         o_totalprice
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(-1 AS BIGINT), '1-URGENT', CAST(-77 AS BIGINT), 111e0),
+    (CAST(-2 AS BIGINT), '1-URGENT', CAST(-88 AS BIGINT), 222e0)
+  ) v(o_orderkey, o_orderpriority, o_custkey, o_totalprice)
+),
+after AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice FROM src
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS total_price
+FROM after GROUP BY o_orderpriority
+"""
+
+
+# E2+ DV purge: the purge changes no answer, so the oracle is simply
+# the survivors of the two layered deletes.
+TX_DV_PURGE = """
+SELECT o_orderkey % 5 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS total_price
+FROM orders
+WHERE NOT (o_orderkey % 7 = 3 OR o_orderkey % 11 = 5)
+GROUP BY 1
+"""

@@ -2662,3 +2662,132 @@ def tx_declarative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("revenue"),
     )
     return gold.unionByName(quarantine)
+
+
+TX_SYNC_PATH = "/tmp/bhps_tx_merge_sync"
+
+
+def tx_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ (NEW r11): the FULL tri-clause MERGE — WHEN MATCHED
+    UPDATE, WHEN NOT MATCHED INSERT, WHEN NOT MATCHED BY SOURCE
+    DELETE scoped to a region (``warehouse_tx.merge_sync``): the
+    mirror-sync statement a CDC pipeline runs when the source batch
+    is AUTHORITATIVE for its region — rows the batch doesn't mention
+    must leave, but only inside the synced region (Delta's
+    ``whenNotMatchedBySourceDelete(condition)`` exists for exactly
+    this). Here the URGENT region syncs to a source holding its
+    even-key rows with negated customer keys plus two brand-new
+    orders: odd-key URGENT rows delete, even-key ones update, the
+    two inserts land, and every non-URGENT row is untouched —
+    in-plan audit counts assert each clause hit exactly its share.
+    Oracle: the tri-clause merge replayed relationally.
+    """
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    tx.create_table(spark, TX_SYNC_PATH, orders.repartition(8))
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    even = F.col("o_orderkey") % 2 == 0
+    src = orders.filter(urgent & even).withColumn(
+        "o_custkey", -F.col("o_custkey")
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (-1, "1-URGENT", -77, 111.0),
+                (-2, "1-URGENT", -88, 222.0),
+            ],
+            "o_orderkey bigint, o_orderpriority string, "
+            "o_custkey bigint, o_totalprice double",
+        )
+    )
+    v, n_up, n_ins, n_del = tx.merge_sync(
+        spark,
+        TX_SYNC_PATH,
+        src,
+        ["o_orderkey"],
+        ["o_custkey", "o_totalprice"],
+        scope="o_orderpriority = '1-URGENT'",
+    )
+    # each clause hit exactly its share (bounded audit scalars)
+    assert n_up == orders.filter(urgent & even).count(), n_up
+    assert n_ins == 2, n_ins
+    assert n_del == orders.filter(urgent & ~even).count(), n_del
+    return tx.snapshot(spark, TX_SYNC_PATH).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        dsum("o_totalprice", "total_price", cast="decimal(14,2)"),
+    )
+
+
+TX_PURGE_PATH = "/tmp/bhps_tx_dv_purge"
+
+
+def tx_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ (NEW r11): DELETION-VECTOR PURGE — the maintenance window
+    that closes the merge-on-read loop (Delta's ``REORG TABLE ...
+    APPLY (PURGE)``): two layered DV deletes land as metadata-only
+    commits (``delete_where_dv``), then
+    ``warehouse_tx.purge_deletion_vectors`` rewrites ONLY the files
+    carrying vectors, materializing the survivors; removing a file
+    drops its vector by replay rule, so the table reads plainly again
+    with zero per-read anti-joins.
+
+    In-plan laws: (1) the purge changes NO answer — the pre-purge
+    snapshot equals the post-purge snapshot, two-sided ``exceptAll``;
+    (2) the vector state is EMPTY after the purge; (3) every
+    vector-free file keeps byte-identical file identity (I/O was
+    O(files-with-vectors), never O(table)); (4) the dropped-row count
+    equals the union of the two delete predicates. Oracle: the
+    surviving rows replayed relationally.
+    """
+    import glob
+    import os
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tx.create_table(
+        spark,
+        TX_PURGE_PATH,
+        orders.repartitionByRange(8, "o_orderkey"),
+        stats_cols=["o_orderkey"],
+    )
+    tx.delete_where_dv(spark, TX_PURGE_PATH, "o_orderkey % 7 = 3")
+    tx.delete_where_dv(spark, TX_PURGE_PATH, "o_orderkey % 11 = 5")
+    pre = tx.snapshot(spark, TX_PURGE_PATH).localCheckpoint()
+    dv_files = set(tx._replay_dvs(TX_PURGE_PATH))
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(TX_PURGE_PATH, "**", "*.parquet"), recursive=True
+        )
+    }
+    clean_live = [
+        r for r in tx.live_files(TX_PURGE_PATH) if r not in dv_files
+    ]
+    v, n_files, n_dropped = tx.purge_deletion_vectors(spark, TX_PURGE_PATH)
+    assert n_files == len(dv_files), (n_files, len(dv_files))
+    expected_dropped = orders.filter(
+        (F.col("o_orderkey") % 7 == 3) | (F.col("o_orderkey") % 11 == 5)
+    ).count()
+    assert n_dropped == expected_dropped, (n_dropped, expected_dropped)
+    assert not tx._replay_dvs(TX_PURGE_PATH)  # law 2: vectors gone
+    for r in clean_live:  # law 3: vector-free files untouched
+        p = os.path.join(TX_PURGE_PATH, r)
+        assert os.path.getmtime(p) == before[p], r
+    post = tx.snapshot(spark, TX_PURGE_PATH)
+    assert pre.exceptAll(post).count() == 0  # law 1: no answer moved
+    assert post.exceptAll(pre).count() == 0
+    return post.groupBy((F.col("o_orderkey") % 5).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
+        dsum("o_totalprice", "total_price", cast="decimal(14,2)"),
+    )

@@ -1138,6 +1138,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_declarative_pipeline,
         oracles_f.TX_DECLARATIVE_PIPELINE,
     ),
+    # E2+ (NEW r11): tri-clause MERGE (matched update / not-matched
+    # insert / not-matched-by-source delete scoped to a region)
+    "e2_tx_merge_sync": (pipeline.tx_merge_sync, oracles_f.TX_MERGE_SYNC),
+    # E2+ (NEW r11): deletion-vector purge - rewrite only the files
+    # carrying vectors; answers, untouched files, and the emptied
+    # vector state all asserted in-plan
+    "e2_tx_dv_purge": (pipeline.tx_dv_purge, oracles_f.TX_DV_PURGE),
     "e2_tx_df_planned_merge": (
         pipeline.tx_df_planned_merge,
         oracles_f.TX_DF_PLANNED_MERGE,
@@ -1759,6 +1766,8 @@ _DRIVER_ROTATION = [
     # a slot); mirrored in R11_NEW_IN_PREFIX below ---
     "h2_ivf_nightly_maintenance",
     "e2_tx_declarative_pipeline",
+    "e2_tx_merge_sync",
+    "e2_tx_dv_purge",
     # --- plans changed in r11 (re-proof required) ---
     # build/serve leg markers (legtime.leg) wrapped around the one-time
     # table/index-build and in-plan-proof blocks of the four lifecycle
@@ -1850,6 +1859,8 @@ PENDING_DRIVER_QUEUE = [
 R11_NEW_IN_PREFIX = [
     "h2_ivf_nightly_maintenance",
     "e2_tx_declarative_pipeline",
+    "e2_tx_merge_sync",
+    "e2_tx_dv_purge",
 ]
 
 

@@ -1066,6 +1066,70 @@ def merge(
     return next_v
 
 
+def merge_sync(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    update_cols: list[str],
+    *,
+    scope: str | None = None,
+) -> tuple[int, int, int, int]:
+    """Full tri-clause MERGE — the mirror-sync statement:
+
+    * WHEN MATCHED → update ``update_cols`` from the source row;
+    * WHEN NOT MATCHED → insert the source row;
+    * WHEN NOT MATCHED BY SOURCE → DELETE, restricted to rows where
+      ``scope`` is TRUE (SQL semantics: a NULL scope keeps the row).
+
+    ``scope`` is what makes the delete clause usable in practice: a
+    CDC mirror syncs one region/day at a time, and rows outside the
+    synced region must never be deleted just because the source batch
+    doesn't mention them (Delta's ``whenNotMatchedBySourceDelete``
+    carries the same condition for the same reason).
+
+    Returns ``(new_version, n_updated, n_inserted, n_deleted)``. The
+    commit is the same pinned-read full rewrite as :func:`merge` —
+    OCC applies unchanged.
+
+    Scale: the delete clause is one anti-join of the scoped snapshot
+    against the source keys; counts are bounded audit aggregates. At
+    100 TB the scoped region is the unit of sync, so every leg is
+    O(region + batch), never O(table) beyond the rewrite the merge
+    already pays.
+    """
+    read_v = _versions(table)[-1]
+    current = snapshot(spark, table, read_v)
+    src_keys = source.select(*keys).distinct()
+    if scope is None:
+        in_scope = F.lit(True)
+    else:
+        in_scope = F.expr(scope).eqNullSafe(F.lit(True))
+    scoped = current.filter(in_scope)
+    kept = current.filter(~in_scope).unionByName(
+        scoped.join(F.broadcast(src_keys), keys, "semi")
+    )
+    # audit aggregates (bounded scalars)
+    n_deleted = scoped.join(F.broadcast(src_keys), keys, "left_anti").count()
+    n_updated = current.join(F.broadcast(src_keys), keys, "semi").count()
+    n_inserted = src_keys.join(
+        current.select(*keys).distinct(), keys, "left_anti"
+    ).count()
+    merged = upsert(kept, source, keys, update_cols)
+    next_v = read_v + 1
+    new_files, stats = _write_data(merged, table, next_v, keys)
+    try:
+        _commit(
+            table, next_v, add=new_files,
+            remove=live_files(table, read_v), stats=stats,
+            op="MERGE_SYNC",
+        )
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v, n_updated, n_inserted, n_deleted
+
+
 def merge_retrying(
     spark: SparkSession,
     table: str,
@@ -2485,6 +2549,55 @@ def append_idempotent(
         )
     except TxnAlreadyApplied:
         return _versions(table)[-1], False
+
+
+def purge_deletion_vectors(
+    spark: SparkSession, table: str
+) -> tuple[int, int, int]:
+    """The OPTIMIZE step that MATERIALIZES deletion vectors (Delta's
+    ``REORG TABLE ... APPLY (PURGE)``): rewrite ONLY the files
+    carrying vectors — read them vector-applied, land the survivors —
+    and commit add+remove in one version; removing a file drops its
+    vector by replay rule, so the post-purge snapshot reads plainly
+    again with zero per-read anti-joins. Every vector-free file is
+    untouched (callers assert byte identity).
+
+    This closes the merge-on-read loop ``delete_where_dv`` opens: the
+    GDPR delete pays a metadata-only commit at delete time, reads pay
+    the broadcast anti-join until the maintenance window, and THIS is
+    the maintenance window — I/O proportional to the files actually
+    carrying vectors, never the table.
+
+    Returns ``(new_version, n_files_purged, n_rows_dropped)``; a
+    vector-free table commits nothing.
+    """
+    read_v = _versions(table)[-1]
+    dvs = {r: ref for r, ref in _replay_dvs(table, read_v).items() if ref}
+    live = live_files(table, read_v)
+    targets = sorted(r for r in live if r in dvs)
+    if not targets:
+        return read_v, 0, 0
+    n_dropped = sum(
+        int(ref["n"]) if isinstance(ref, dict) else len(ref)
+        for r, ref in dvs.items()
+        if r in set(targets)
+    )
+    frame = _read_live(
+        spark, table, targets, dvs, schema=table_schema(table, read_v)
+    )
+    _, stats0 = _replay(table, read_v)
+    stat_cols = sorted({c for s in stats0.values() for c in s})
+    next_v = read_v + 1
+    new_files, stats = _write_data(frame, table, next_v, stat_cols)
+    try:
+        _commit(
+            table, next_v, add=new_files, remove=targets, stats=stats,
+            op="PURGE_DV",
+        )
+    except RuntimeError:
+        _discard_uncommitted(table, new_files)
+        raise
+    return next_v, len(targets), n_dropped
 
 
 def delete_where_dv(

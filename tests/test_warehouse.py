@@ -2725,3 +2725,86 @@ def test_partition_spec_evolution_laws(spark, tmp_path):
     assert filled.count() == 1
     assert filled.collect()[0].ts_day is None  # typed NULL fill
     assert tx.snapshot(spark, neg_table).count() == before_rows + 1
+
+
+def test_merge_sync_tri_clause(spark, tmp_path):
+    """Full MERGE semantics: matched update, unmatched insert,
+    not-matched-by-source delete restricted to the scope; NULL scope
+    rows are KEPT (SQL semantics)."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10),   # in scope, in source -> update
+            (2, "a", 20),   # in scope, NOT in source -> delete
+            (3, "b", 30),   # out of scope, not in source -> kept
+            (4, None, 40),  # NULL scope -> kept (not TRUE)
+        ],
+        "k bigint, region string, v bigint",
+    )
+    tx.create_table(spark, table, base)
+    src = spark.createDataFrame(
+        [(1, "a", -10), (9, "a", 90)], "k bigint, region string, v bigint"
+    )
+    v, n_up, n_ins, n_del = tx.merge_sync(
+        spark, table, src, ["k"], ["v"], scope="region = 'a'"
+    )
+    assert (n_up, n_ins, n_del) == (1, 1, 1)
+    got = {
+        r.k: (r.region, r.v)
+        for r in tx.snapshot(spark, table, v).collect()
+    }
+    assert got == {
+        1: ("a", -10),   # updated
+        3: ("b", 30),    # out of scope
+        4: (None, 40),   # NULL scope kept
+        9: ("a", 90),    # inserted
+    }
+    # scope=None: the source is authoritative for the WHOLE table
+    v2, n_up2, n_ins2, n_del2 = tx.merge_sync(
+        spark, table, src, ["k"], ["v"]
+    )
+    assert (n_up2, n_ins2, n_del2) == (2, 0, 2)
+    assert {
+        r.k for r in tx.snapshot(spark, table, v2).collect()
+    } == {1, 9}
+
+
+def test_purge_deletion_vectors(spark, tmp_path):
+    """Purge materializes DVs: answers unchanged, vector state empty,
+    only vector-carrying files rewritten, idempotent when clean."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartitionByRange(4, "k")
+    tx.create_table(spark, table, df, stats_cols=["k"])
+    # layered vectors, range-pruned to a subset of files
+    tx.delete_where_dv(spark, table, "k % 10 = 1", ("k", 0, 499))
+    tx.delete_where_dv(spark, table, "k % 10 = 2", ("k", 0, 499))
+    dv_files = set(tx._replay_dvs(table))
+    assert dv_files  # vectors exist
+    clean = [r for r in tx.live_files(table) if r not in dv_files]
+    assert clean  # and some files never saw one
+    pre = sorted(map(tuple, tx.snapshot(spark, table).collect()))
+    mtimes = {
+        r: os.path.getmtime(os.path.join(table, r)) for r in clean
+    }
+    v, n_files, n_dropped = tx.purge_deletion_vectors(spark, table)
+    assert n_files == len(dv_files)
+    assert n_dropped == 100  # k in [0,500) with k%10 in (1,2)
+    assert not tx._replay_dvs(table)
+    assert sorted(map(tuple, tx.snapshot(spark, table).collect())) == pre
+    for r in clean:
+        assert os.path.getmtime(os.path.join(table, r)) == mtimes[r]
+    # clean table: purge is a no-op at the same version
+    assert tx.purge_deletion_vectors(spark, table) == (v, 0, 0)

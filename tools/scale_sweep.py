@@ -89,6 +89,8 @@ QUERIES = [
     "e2_tx_incremental_bloom_index",
     "e2_tx_df_planned_merge",
     "e2_tx_declarative_pipeline",
+    "e2_tx_merge_sync",
+    "e2_tx_dv_purge",
     "e2_tx_vacuum_retention",
     "e2_tx_partition_evolution",
     "e2_tx_timetravel_asof",
