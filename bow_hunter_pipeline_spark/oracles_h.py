@@ -3264,6 +3264,53 @@ SELECT doc_id, CAST(MIN(n_frames) AS INT) AS n_frames,
 FROM b GROUP BY doc_id
 """
 
+# MM x H1: keyframe dedup replay — the shot detector's frames and
+# cuts via ascii()/substr (ASCII fixture: chars == bytes), keyframes =
+# frame 0 + post-cut frames, fingerprints = md5 of the 16-byte window
+# at each keyframe offset, corpus-duplicated iff >= 2 distinct docs.
+KEYFRAME_DEDUP = """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n_bytes,
+         CAST(strlen(text) % 5 + 1 AS BIGINT) AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, i,
+         ascii(substr(text,
+                      CAST(i * (n_bytes // n_frames) AS BIGINT) + 1,
+                      1)) AS feat,
+         md5(substr(text,
+                    CAST(i * (n_bytes // n_frames) AS BIGINT) + 1,
+                    16)) AS fp
+  FROM d, unnest(generate_series(0, n_frames - 1)) AS u(i)
+),
+b AS (
+  SELECT *, lag(feat) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM f
+),
+kf AS (
+  SELECT doc_id, i, fp FROM b
+  WHERE prev IS NULL OR abs(feat - prev) > 16
+),
+dup AS (
+  SELECT fp FROM kf GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_keyframes
+  FROM kf GROUP BY doc_id
+),
+per_dup AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_keyframes
+  FROM kf JOIN dup USING (fp) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_keyframes,
+       COALESCE(d2.n_dup_keyframes, 0) AS n_dup_keyframes,
+       CAST(COALESCE(d2.n_dup_keyframes, 0) AS DOUBLE)
+         / CAST(p.n_keyframes AS DOUBLE) AS dup_fraction
+FROM per_doc p LEFT JOIN per_dup d2 USING (doc_id)
+"""
+
+
 # H2: recluster replay — cosine seed assignment, per-cell floor-mean
 # integer centroids (embeddings are 64-dim), exact L2² re-assignment,
 # per-new-cell top-k by the same integer distance.

@@ -460,3 +460,100 @@ def audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "seg_start", "seg_end", "n_windows", "seg_energy"
     )
+
+
+KEYFRAME_FP_BYTES = 16  # fingerprint window at each keyframe offset
+
+
+def keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal × H1: CROSS-VIDEO KEYFRAME DEDUP — the pipeline a
+    video-training corpus runs between decode and packing: pick one
+    KEYFRAME per shot (the first frame, plus the frame after every
+    cut — the ``frame_shot_boundaries`` detector re-used), fingerprint
+    each keyframe, and find frames shared across distinct videos (re-
+    uploads, intro/outro cards, stock footage) so the packer can drop
+    repeats. Per video: keyframe count, how many of its keyframes are
+    corpus-duplicated (fingerprint in ≥2 distinct docs), and the
+    duplicated fraction as an exact single division.
+
+    The per-payload loop (offsets → features → cuts → keyframe
+    fingerprints) runs inside one Arrow batch in ``mapInPandas`` —
+    frames never explode into a shuffle; only the (keyframe,
+    fingerprint) rows shuffle, grouped by fingerprint exactly like
+    the span-dedup signal (``h3_dup_span_flags``): collision-sized,
+    never O(n²). The fake feature/fingerprint is byte arithmetic on
+    the payload (md5 of the KEYFRAME_FP_BYTES-byte window at the
+    frame offset), so the oracle replays the whole chain via
+    ascii()/substr/md5 over the ASCII fixture text — a real decoder
+    (ffmpeg + perceptual hash) drops into the same seam with the
+    same plan shape.
+    """
+    import hashlib
+
+    n_frame_mod = N_FRAME_MOD
+    tau = SHOT_THRESHOLD
+    w = KEYFRAME_FP_BYTES
+
+    def fake_keyframes(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "fp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_bytes = len(payload)
+                n_frames = n_bytes % n_frame_mod + 1
+                stride = n_bytes // n_frames
+                feats = [payload[i * stride] for i in range(n_frames)]
+                keys = [0] + [
+                    i
+                    for i in range(1, n_frames)
+                    if abs(feats[i] - feats[i - 1]) > tau
+                ]
+                for i in keys:
+                    window = payload[i * stride : i * stride + w]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["fp"].append(hashlib.md5(window).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "fp": pd.Series(out["fp"], dtype="object"),
+                }
+            )
+
+    docs = read_table(spark, sf_dir, "documents")
+    kf = with_payload(docs).mapInPandas(
+        fake_keyframes, "doc_id bigint, frame_idx int, fp string"
+    )
+    dup = (
+        kf.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    # no broadcast hint: the duplicate-fingerprint set is usually tiny
+    # but unbounded at corpus scale — let AQE pick the join strategy
+    flagged = kf.join(dup, "fp", "left_semi")
+    per_doc = kf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keyframes")
+    )
+    per_doc_dup = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_keyframes")
+    )
+    joined = per_doc.join(per_doc_dup, "doc_id", "left").select(
+        "doc_id",
+        "n_keyframes",
+        F.coalesce("n_dup_keyframes", F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_keyframes"),
+    )
+    return joined.select(
+        "doc_id",
+        "n_keyframes",
+        "n_dup_keyframes",
+        (
+            F.col("n_dup_keyframes").cast("double")
+            / F.col("n_keyframes").cast("double")
+        ).alias("dup_fraction"),
+    )

@@ -1498,6 +1498,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.frame_shot_boundaries,
         oracles_h.FRAME_SHOT_BOUNDARIES,
     ),
+    # MM x H1 (NEW r11): cross-video keyframe dedup — one keyframe
+    # per shot, md5 window fingerprints, corpus-duplicate flags via
+    # collision-sized fingerprint groupBy
+    "mm_keyframe_dedup": (
+        multimodal.keyframe_dedup,
+        oracles_h.KEYFRAME_DEDUP,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1768,6 +1775,7 @@ _DRIVER_ROTATION = [
     "e2_tx_declarative_pipeline",
     "e2_tx_merge_sync",
     "e2_tx_dv_purge",
+    "mm_keyframe_dedup",
     # --- plans changed in r11 (re-proof required) ---
     # build/serve leg markers (legtime.leg) wrapped around the one-time
     # table/index-build and in-plan-proof blocks of the four lifecycle
@@ -1861,6 +1869,7 @@ R11_NEW_IN_PREFIX = [
     "e2_tx_declarative_pipeline",
     "e2_tx_merge_sync",
     "e2_tx_dv_purge",
+    "mm_keyframe_dedup",
 ]
 
 
