@@ -2262,3 +2262,13 @@ FROM orders
 WHERE NOT (o_orderkey % 7 = 3 OR o_orderkey % 11 = 5)
 GROUP BY 1
 """
+
+
+# E2+ metadata-only DROP COLUMN: the drop never moves data, so the
+# post-drop table is simply every row without the dropped column.
+TX_DROP_COLUMN = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderpriority
+"""

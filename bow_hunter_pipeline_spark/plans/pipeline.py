@@ -2791,3 +2791,91 @@ def tx_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_custkey").cast("bigint").alias("sum_custkey"),
         dsum("o_totalprice", "total_price", cast="decimal(14,2)"),
     )
+
+
+TX_DROPCOL_PATH = "/tmp/bhps_tx_drop_column"
+
+
+def tx_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ (NEW r11): metadata-only DROP COLUMN
+    (``warehouse_tx.drop_column``) — the schema-action twin of the
+    r09 column RENAME: the commit publishes the logged schema minus
+    the column and RETIRES the physical name; zero data bytes move,
+    old files keep the column forever, and the logged-schema scan
+    prunes it at read time.
+
+    In-plan laws: (1) metadata-only — no data file is added, removed,
+    or touched by the drop commit (mtime-checked); (2) time travel
+    below the drop still reads the column, with the same sum it had;
+    (3) the append path REFUSES both a writer providing the dropped
+    column and additive evolution re-introducing it, and rename to
+    the retired name is refused — the resurrect guard
+    (``_retired_columns``) in action; (4) appends after the drop
+    land under the narrowed schema. Oracle: the post-drop rollup
+    replayed relationally (the appended batch included).
+    """
+    import glob
+    import os
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4)
+    late = orders.filter(F.col("o_orderkey") % 2 != 0).repartition(2)
+    tx.create_table(spark, TX_DROPCOL_PATH, base)
+    v1 = tx._versions(TX_DROPCOL_PATH)[-1]
+    pre_sum = tx.snapshot(spark, TX_DROPCOL_PATH).agg(
+        F.sum("o_custkey").alias("s")
+    ).collect()[0].s
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(TX_DROPCOL_PATH, "**", "*.parquet"),
+            recursive=True,
+        )
+    }
+    v2 = tx.drop_column(spark, TX_DROPCOL_PATH, "o_custkey")
+    # law 1: metadata-only
+    now = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(TX_DROPCOL_PATH, "**", "*.parquet"),
+            recursive=True,
+        )
+    }
+    assert now == before, "drop moved data bytes"
+    assert "o_custkey" not in tx.snapshot(spark, TX_DROPCOL_PATH).columns
+    # law 2: time travel below the drop still reads the column
+    tt = tx.snapshot(spark, TX_DROPCOL_PATH, v1)
+    assert "o_custkey" in tt.columns
+    tt_sum = tt.agg(F.sum("o_custkey").alias("s")).collect()[0].s
+    assert tt_sum == pre_sum, (tt_sum, pre_sum)
+    # law 3: the resurrect guards
+    for attempt in (
+        lambda: tx.append(spark, TX_DROPCOL_PATH, base.limit(1)),
+        lambda: tx.append(
+            spark, TX_DROPCOL_PATH, base.limit(1), evolve_schema=True
+        ),
+    ):
+        try:
+            attempt()
+            raise AssertionError("retired column accepted")
+        except tx.SchemaEnforcementError:
+            pass
+    try:
+        tx.rename_column(spark, TX_DROPCOL_PATH, "o_totalprice", "o_custkey")
+        raise AssertionError("rename to retired name accepted")
+    except ValueError:
+        pass
+    # law 4: appends land under the narrowed schema
+    tx.append(spark, TX_DROPCOL_PATH, late.drop("o_custkey"))
+    assert v2 == v1 + 1
+    return tx.snapshot(spark, TX_DROPCOL_PATH).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice", "total_price", cast="decimal(14,2)"),
+    )

@@ -1141,6 +1141,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # E2+ (NEW r11): tri-clause MERGE (matched update / not-matched
     # insert / not-matched-by-source delete scoped to a region)
     "e2_tx_merge_sync": (pipeline.tx_merge_sync, oracles_f.TX_MERGE_SYNC),
+    # E2+ (NEW r11): metadata-only DROP COLUMN with permanent name
+    # retirement (resurrect guards on append evolution and rename)
+    "e2_tx_drop_column": (
+        pipeline.tx_drop_column,
+        oracles_f.TX_DROP_COLUMN,
+    ),
     # E2+ (NEW r11): deletion-vector purge - rewrite only the files
     # carrying vectors; answers, untouched files, and the emptied
     # vector state all asserted in-plan
@@ -1751,107 +1757,69 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reordered.
 _DRIVER_ROTATION = [
     # --- round-11 prefix. The registry entered this round fully
-    # driver-proven (308/308 through r10: 304 hash-green + 4
-    # rows-only by design). Prefix = round-11 ADDITIONS first
-    # (first driver rows), then every query whose PLAN CHANGED
-    # this round (fingerprint-flagged by tools/plan_fingerprints.py
-    # and forced here by tests/test_plan_fingerprints.py), then
-    # re-checks biased to the OLDEST surviving proofs. Latest-green
-    # per query was recomputed from the CORRECTNESS_r*.json files
-    # this round: the true oldest pool is r02 (2 queries) + r03
-    # (34) — OLDER than the 10 r04 leftovers the r10 comment
-    # queued, so those r04 entries (f_map_functions,
-    # f_string_functions, f_try_arithmetic, f_higher_order_arrays,
-    # f_nested_struct_roundtrip, f_unpivot_metrics,
-    # f_window_distribution, f_recursive_hierarchy,
-    # f_q13_customer_distribution, f_q17_small_quantity,
-    # h6_url_strip) move to the head of the r12 pool instead.
-    # Everything not listed follows in registry order — nothing is
-    # ever dropped, only reordered.
-    # --- new in r11 (each pre-verified with tools/verify_driver.py
-    # AND tools/audit_oracle_types.py, at sf0.1 too, before taking
-    # a slot); mirrored in R11_NEW_IN_PREFIX below ---
+    # driver-proven (308/308 through r10). This round touched the
+    # transactional core (advice fixes + DROP COLUMN retirement in
+    # _commit/_align_to_table_schema), so the fingerprint gate
+    # flagged most of the tx family: the prefix is the 6 round-11
+    # ADDITIONS, then EVERY r11-stamped changed plan (each
+    # re-verified with tools/verify_driver.py +
+    # tools/audit_oracle_types.py), then the few oldest-proof
+    # re-checks that still fit — the r02/r03 re-check pool defers
+    # to r12 (changed-plan proofs outrank age re-checks; nothing
+    # is ever dropped, only reordered).
+    # --- new in r11 (mirrored in R11_NEW_IN_PREFIX below) ---
     "h2_ivf_nightly_maintenance",
     "e2_tx_declarative_pipeline",
     "e2_tx_merge_sync",
     "e2_tx_dv_purge",
     "mm_keyframe_dedup",
-    # --- plans changed in r11 (re-proof required) ---
-    # build/serve leg markers (legtime.leg) wrapped around the one-time
-    # table/index-build and in-plan-proof blocks of the four lifecycle
-    # composites, so bench reports the steady-state serve path alone
-    "e2_tx_composite_pruned_merge",
-    "e2_tx_df_planned_merge",
-    "e2_tx_incremental_bloom_index",
-    "h2_ivf_stream_compacted_search",
-    # ADVICE r10 fixes in warehouse_tx reach every tx-family plan:
-    # carry-by-reference find phase + stale-checkpoint guard + footer
-    # fold for stat-less files (_composite_find_df /
-    # write_actions_checkpoint), trunc-toward-zero partition hints
-    # (_derive_partition_hints), file-complete bloom part landing
-    # (_bloom_write_part), append_partitioned under append()'s schema
-    # contract (_align_to_table_schema)
+    "e2_tx_drop_column",
+    # --- plans changed in r11 (fingerprint-stamped; re-proof) ---
     "e2_tx_append_evolution",
+    "e2_tx_bloom_pruned_lookup",
+    "e2_tx_bloom_table_lookup",
     "e2_tx_column_rename",
+    "e2_tx_composite_pruned_merge",
+    "e2_tx_constraint_quarantine",
+    "e2_tx_delete_restore",
+    "e2_tx_df_planned_merge",
+    "e2_tx_dv_delete",
     "e2_tx_generated_columns",
+    "e2_tx_guarded_merge",
+    "e2_tx_incremental_bloom_index",
     "e2_tx_manifest_export",
+    "e2_tx_merge_pruned",
+    "e2_tx_merge_timetravel",
     "e2_tx_partition_evolution",
+    "e2_tx_replace_where",
+    "e2_tx_schema_evolution",
+    "e2_tx_shallow_clone",
     "e2_tx_timetravel_asof",
+    "e2_tx_update_change_feed",
     "e2_tx_vacuum_retention",
+    "e2_tx_zorder_pruned_delete",
+    "e4_drift_audit",
     "h1_incremental_lsh_index",
     "h1_lsh_compacted_index",
-    "h4_streaming_tx_source",
-    # rows-only → value-level oracle upgrades (VERDICT r10 ask #4):
-    # portable-hash HLL partition merge, catalog-metadata drift
-    # audit, claim-boolean sketch aggregates; mmr_rerank gains the
-    # in-query second-implementation assertion (k1 shares helpers)
-    "h5_hll_partition_merge",
-    "e4_drift_audit",
-    "h5_approx_aggs",
+    "h2_ivf_recluster_moves",
+    "h2_ivf_stream_compacted_search",
     "h2_mmr_rerank",
     "h2_mmr_rerank_k1",
-    # recluster shares the extracted retrain/reassign/serve helpers
-    # with the new nightly composite
-    "h2_ivf_recluster_moves",
-    # r11 sweep-driven rewrite: top-bigram count as per-row sorted
-    # max-run fold — the exploded-bigram shuffle (the whole cost,
-    # 139 s at the 30x probe) removed; now a zero-shuffle map
     "h3_repetition_filter",
-    # --- oldest surviving proofs: the full r02 set ---
+    "h4_streaming_cdc_stateful",
+    "h4_streaming_cdf_apply",
+    "h4_streaming_cdf_change_files",
+    "h4_streaming_cdf_ivm",
+    "h4_streaming_tx_merge",
+    "h4_streaming_tx_source",
+    "h5_approx_aggs",
+    "h5_hll_partition_merge",
+    # --- oldest surviving proofs (r02 vintage) ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
-    # --- oldest surviving proofs: the r03 set (as many as fit;
-    # the five r03 udf_* entries were displaced by this round's
-    # changed-plan slots and lead the r12 pool with the r04 set) ---
     "a5_csv_roundtrip",
     "a5_json_roundtrip",
     "a7_pending_work",
-    "c3_parse_unit",
-    "f_pivot_event_counts",
-    "f_range_join_value_bands",
-    "g4_moving_avg",
-    "h1_containment_pairs",
-    "h2_ivf_topk",
-    "h2_pq_topk",
-    "h3_tfidf_top_terms",
-    "h4_hourly_event_agg",
-    "h4_json_map_explode",
-    "h4_json_props_agg",
-    "h4_rolling_hour_counts",
-    "h4_session_window_builtin",
-    "h4_stream_static_join",
-    "h4_stream_stream_join",
-    "h4_streaming_dedup",
-    "h4_streaming_hourly_agg",
-    "h4_streaming_sessionize",
-    "h4_streaming_upsert",
-    "h5_exact_distinct_quantiles",
-    "h6_contamination_check",
-    "h6_domain_upsample",
-    "h6_repetition_filter",
-    "h6_sequence_packing",
-    "mm_audio_windows",
-    "mm_resize_media",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1870,6 +1838,7 @@ R11_NEW_IN_PREFIX = [
     "e2_tx_merge_sync",
     "e2_tx_dv_purge",
     "mm_keyframe_dedup",
+    "e2_tx_drop_column",
 ]
 
 

@@ -246,6 +246,7 @@ def _commit(
     cdc: dict | None = None,
     props: dict | None = None,
     rename: dict | None = None,
+    retire: str | None = None,
 ) -> None:
     """Atomic commit: temp write + ``os.link`` to the final name.
     link(2) fails with EEXIST if the version file already exists, so
@@ -294,6 +295,8 @@ def _commit(
         entry["op"] = op
     if rename is not None:
         entry["rename"] = {"old": rename["old"], "new": rename["new"]}
+    if retire is not None:
+        entry["retire"] = retire
     if schema_json is not None:
         entry["schema"] = schema_json
     if cdc is not None:
@@ -710,10 +713,82 @@ def rename_column(spark: SparkSession, table: str, old: str, new: str) -> int:
             f"{new!r} collides with an existing logical or physical "
             f"column name of {table}"
         )
+    if new in _retired_columns(table, read_v):
+        raise ValueError(
+            f"{new!r} was retired by DROP COLUMN on {table}: old data "
+            "files still carry values under the name"
+        )
     next_v = read_v + 1
     _commit(
         table, next_v, add=[], remove=[], op="RENAME_COLUMN",
         rename={"old": old, "new": new},
+    )
+    return next_v
+
+
+def _retired_columns(table: str, version: int | None = None) -> set[str]:
+    """Physical names retired by DROP COLUMN commits at or below
+    ``version``. Retirement is PERMANENT: the name still exists in
+    old data files, so letting a later append re-introduce it would
+    silently RESURRECT pre-drop values under the logged-schema scan
+    (Delta avoids this with numeric field ids; this protocol uses
+    names as ids, so the name is simply never reusable). O(versions)
+    metadata replay, like the rename map."""
+    versions = _versions(table)
+    if not versions:
+        return set()
+    upto = versions[-1] if version is None else version
+    out: set[str] = set()
+    for v in versions:
+        if v > upto:
+            break
+        with open(_log_path(table, v)) as f:
+            entry = json.load(f)
+        r = entry.get("retire")
+        if r:
+            out.add(r)
+    return out
+
+
+def drop_column(spark: SparkSession, table: str, col: str) -> int:
+    """Delta's column-mapping DROP COLUMN: a METADATA-ONLY commit —
+    zero data bytes move at any table size. The commit publishes the
+    logged schema MINUS the column (schema actions version like any
+    other, so time travel below the drop still sees it) and RETIRES
+    the physical name. Data files keep the column forever; the
+    logged-schema scan simply never reads it — parquet column
+    pruning makes the drop free at read time too.
+
+    Retirement is what keeps the drop sound: the append path's
+    additive evolution and :func:`rename_column` both refuse a
+    retired name, because old files still carry values under it and
+    re-introducing the name would resurrect them (see
+    :func:`_retired_columns`). A full-rewrite merge with
+    ``evolve_schema`` may reuse the name safely — it removes every
+    old file in the same commit — but the uniform refusal keeps the
+    rule auditable.
+
+    ``ValueError`` on unknown column or dropping the last column.
+    """
+    read_v = _versions(table)[-1]
+    sch = table_schema(table, read_v)
+    if sch is None:
+        raise ValueError(f"{table} has no logged schema to drop from")
+    p = _physical_name(table, col, read_v)
+    names = [f.name for f in sch.fields]
+    if p not in names:
+        m = _column_mapping(table, read_v)
+        raise ValueError(
+            f"no column {col!r} in {table} "
+            f"(have {[m.get(n, n) for n in names]})"
+        )
+    if len(names) == 1:
+        raise ValueError(f"cannot drop the only column of {table}")
+    new_schema = T.StructType([f for f in sch.fields if f.name != p])
+    next_v = read_v + 1
+    _commit(
+        table, next_v, add=[], remove=[], op="DROP_COLUMN",
+        schema_json=new_schema.json(), retire=p,
     )
     return next_v
 
@@ -2402,6 +2477,19 @@ def _align_to_table_schema(
                 f"of {table}; pass evolve_schema=True for additive "
                 "evolution"
             )
+        if extra:
+            resurrected = [
+                f.name
+                for f in extra
+                if f.name in _retired_columns(table, read_v)
+            ]
+            if resurrected:
+                raise SchemaEnforcementError(
+                    f"columns {resurrected} were retired by DROP COLUMN "
+                    f"on {table}: old data files still carry values "
+                    "under the name, and additive evolution would "
+                    "resurrect them — use a new column name"
+                )
         new_schema = target
         if extra:
             new_schema = T.StructType(list(target.fields) + list(extra))

@@ -2808,3 +2808,62 @@ def test_purge_deletion_vectors(spark, tmp_path):
         assert os.path.getmtime(os.path.join(table, r)) == mtimes[r]
     # clean table: purge is a no-op at the same version
     assert tx.purge_deletion_vectors(spark, table) == (v, 0, 0)
+
+
+def test_drop_column_metadata_only_and_retirement(spark, tmp_path):
+    """DROP COLUMN is a schema action: zero data movement, versioned
+    visibility (time travel below the drop sees the column), and the
+    retired name can never return through append evolution or rename
+    — old files still carry values under it. Chained with RENAME:
+    dropping a renamed column retires the PHYSICAL name."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 7).alias("w"),
+    )
+    tx.create_table(spark, table, df)
+    # rename first: drop must resolve the logical name to physical
+    tx.rename_column(spark, table, "v", "val")
+    v_before = tx._versions(table)[-1]
+    v_drop = tx.drop_column(spark, table, "val")
+    assert v_drop == v_before + 1
+    assert tx.snapshot(spark, table).columns == ["k", "w"]
+    assert tx._retired_columns(table) == {"v"}  # the physical name
+    # time travel below the drop (and below the rename)
+    assert tx.snapshot(spark, table, v_before).columns == ["k", "val"] or \
+        set(tx.snapshot(spark, table, v_before).columns) == {"k", "val", "w"}
+    # resurrect guards: physical OR logical reuse refused
+    with _pytest.raises(tx.SchemaEnforcementError, match="retired"):
+        tx.append(
+            spark, table,
+            spark.createDataFrame([(1, 2, 3)], "k bigint, w bigint, v bigint"),
+            evolve_schema=True,
+        )
+    with _pytest.raises(ValueError, match="retired"):
+        tx.rename_column(spark, table, "w", "v")
+    # a FRESH name evolves fine
+    tx.append(
+        spark, table,
+        spark.createDataFrame([(1000, 3, 9)], "k bigint, w bigint, u bigint"),
+        evolve_schema=True,
+    )
+    snap = tx.snapshot(spark, table)
+    assert set(snap.columns) == {"k", "w", "u"}
+    assert snap.count() == 101
+    # dropped values never leak into reads
+    assert snap.filter("k < 100").select("u").distinct().collect() == [
+        snap.sparkSession.createDataFrame([(None,)], "u bigint").collect()[0]
+    ]
+    # can't drop the last column / unknown column
+    with _pytest.raises(ValueError, match="no column"):
+        tx.drop_column(spark, table, "nope")
+    t2 = str(tmp_path / "one")
+    tx.create_table(spark, t2, spark.range(3).select(F.col("id").alias("x")))
+    with _pytest.raises(ValueError, match="only column"):
+        tx.drop_column(spark, t2, "x")
