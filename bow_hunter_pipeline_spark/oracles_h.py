@@ -3596,3 +3596,28 @@ FROM p
 LEFT JOIN cl ON cl.pid = p.pid
 LEFT JOIN border b ON b.pid = p.pid
 """
+
+
+# H4: MATCH_RECOGNIZE-lite replay — identical symbol construction
+# (string_agg ORDER BY ts, event_id), RE2/Java regexes agree on
+# leftmost-first non-overlapping counts for these patterns, and the
+# first-match position is derived engine-symmetrically via
+# strpos(s, regexp_extract(...)).
+EVENT_PATTERN_MATCH = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, md5(s) AS seq_md5, n_events,
+       CAST(len(regexp_extract_all(s, 'v+cp')) AS BIGINT)
+         AS n_funnel_matches,
+       CASE WHEN len(regexp_extract_all(s, 'v+cp')) > 0
+            THEN CAST(strpos(s, regexp_extract(s, 'v+cp')) AS INT)
+       END AS first_match_pos,
+       CAST(len(regexp_extract_all(s, 'e[^p]*p')) AS BIGINT)
+         AS n_error_recoveries
+FROM seq
+"""

@@ -739,3 +739,63 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 (NEW r11): MATCH_RECOGNIZE-lite — regular-expression pattern
+    matching over per-user EVENT SEQUENCES, the row-pattern
+    recognition operator (SQL:2016 MATCH_RECOGNIZE; Flink CEP) that
+    funnels and sessionization approximate but don't subsume: each
+    user's events collapse into an ordered symbol string (first letter
+    of the event type, order pinned by (ts, event_id)), and patterns
+    run as real regexes — ``v+cp`` (one or more views, a click, then a
+    purchase: the strict funnel with NO intervening symbols) counted
+    non-overlapping leftmost-first, plus ``e[^p]*p`` (recovery:
+    purchase after an error with no purchase between). The sequence
+    fingerprint (md5) is itself a checked value, so the symbol
+    construction — not just the counts — is oracle-proven.
+
+    First-match position is derived engine-symmetrically as
+    ``instr(s, regexp_extract(s, pattern))``: both engines return the
+    leftmost match, and an earlier occurrence of the matched string
+    would itself contain a leftmost-er match, so the instr find IS the
+    match start.
+
+    Scale: one groupBy builds the per-user string (collect_list +
+    array_sort — the same order-pinning discipline every fold query
+    uses); the regexes run per-row inside whole-stage codegen, JVM
+    regex on strings bounded by per-user event counts. At 100 TB the
+    symbol string is built per (user, session) — the session window
+    operators here feed exactly that grain — so state stays bounded
+    regardless of history length.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    funnel_n = F.regexp_count("s", F.lit("v+cp")).cast("bigint")
+    return seq.select(
+        "user_id",
+        F.md5("s").alias("seq_md5"),
+        "n_events",
+        funnel_n.alias("n_funnel_matches"),
+        F.when(
+            funnel_n > 0,
+            F.instr(F.col("s"), F.regexp_extract("s", "v+cp", 0)),
+        ).cast("int").alias("first_match_pos"),
+        F.regexp_count("s", F.lit("e[^p]*p"))
+        .cast("bigint")
+        .alias("n_error_recoveries"),
+    )

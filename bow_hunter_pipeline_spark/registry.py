@@ -1511,6 +1511,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.keyframe_dedup,
         oracles_h.KEYFRAME_DEDUP,
     ),
+    # H4 (NEW r11): MATCH_RECOGNIZE-lite - regex row-pattern matching
+    # over per-user ordered event-symbol strings; sequence md5,
+    # non-overlapping funnel + error-recovery counts, first-match pos
+    "h4_event_pattern_match": (
+        events.event_pattern_match,
+        oracles_h.EVENT_PATTERN_MATCH,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1774,6 +1781,7 @@ _DRIVER_ROTATION = [
     "e2_tx_dv_purge",
     "mm_keyframe_dedup",
     "e2_tx_drop_column",
+    "h4_event_pattern_match",
     # --- plans changed in r11 (fingerprint-stamped; re-proof) ---
     "e2_tx_append_evolution",
     "e2_tx_bloom_pruned_lookup",
@@ -1814,12 +1822,12 @@ _DRIVER_ROTATION = [
     "h4_streaming_tx_source",
     "h5_approx_aggs",
     "h5_hll_partition_merge",
-    # --- oldest surviving proofs (r02 vintage) ---
+    # --- oldest surviving proofs (r02/r03 vintage; exactly the
+    # slots the changed-plan set leaves free) ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
     "a5_csv_roundtrip",
     "a5_json_roundtrip",
-    "a7_pending_work",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1839,6 +1847,7 @@ R11_NEW_IN_PREFIX = [
     "e2_tx_dv_purge",
     "mm_keyframe_dedup",
     "e2_tx_drop_column",
+    "h4_event_pattern_match",
 ]
 
 

@@ -93,6 +93,7 @@ QUERIES = [
     "e2_tx_dv_purge",
     "mm_keyframe_dedup",
     "e2_tx_drop_column",
+    "h4_event_pattern_match",
     "e2_tx_vacuum_retention",
     "e2_tx_partition_evolution",
     "e2_tx_timetravel_asof",
