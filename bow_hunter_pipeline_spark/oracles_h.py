@@ -3621,3 +3621,35 @@ SELECT user_id, md5(s) AS seq_md5, n_events,
          AS n_error_recoveries
 FROM seq
 """
+
+
+# G4: classical decomposition replay — DECIMAL window sums, single
+# IEEE divisions, deviations folded in month order.
+STL_DECOMPOSITION = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT m, rev,
+         CAST(round(SUM(rev) OVER w1, 4) AS DOUBLE) AS s1,
+         COUNT(*) OVER w1 AS c1,
+         CAST(round(SUM(rev) OVER w2, 4) AS DOUBLE) AS s2,
+         COUNT(*) OVER w2 AS c2
+  FROM monthly
+  WINDOW w1 AS (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+         w2 AS (ORDER BY m ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+),
+dev AS (
+  SELECT m, CAST(EXTRACT(month FROM m) AS INT) AS cal_month,
+         CAST(round(rev, 4) AS DOUBLE)
+           - (s1 / 12e0 + s2 / 12e0) / 2e0 AS dev
+  FROM t WHERE c1 = 12 AND c2 = 12
+)
+SELECT cal_month, CAST(COUNT(*) AS BIGINT) AS n_complete,
+       list_reduce(list_prepend(0e0, list(dev ORDER BY m)),
+                   (a, v) -> a + v)
+         / CAST(COUNT(*) AS DOUBLE) AS seasonal_index
+FROM dev GROUP BY cal_month
+"""

@@ -971,3 +971,63 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", "border_cluster").alias("cluster_id"),
         )
     )
+
+
+def stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 (NEW r11): CLASSICAL SEASONAL DECOMPOSITION — the 2×12
+    centered-moving-average trend + per-calendar-month seasonal
+    indices (the additive X-11/STL first pass), completing the trend
+    family (EWMA, Holt, seasonal-naive, CUSUM report; this DECOMPOSES).
+    Monthly revenue from orders; the trend at month t averages the two
+    12-month windows [t−6, t+5] and [t−5, t+6] (the standard even-
+    period centering), kept only where both windows are complete; the
+    seasonal index per calendar month is the mean deviation from
+    trend, folded in month order so the double sum replays bit-for-bit
+    (order-pinned-fold discipline).
+
+    Exactness: window sums stay DECIMAL (associative, engine-exact);
+    each /12.0 and the /2.0 centering are single IEEE divisions;
+    deviations are exact subtractions; the only multi-term double sum
+    (the per-month deviation mean) is an ordered fold.
+
+    Scale: the windowed stage runs over the MONTH-grain aggregate —
+    bounded by the calendar (84 rows for 7 years at any sf), which is
+    why the unpartitioned window is safe (ALLOW_GLOBAL_WINDOW); at
+    100 TB the same plan runs per (series_id) with the window
+    partitioned by series.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("m")
+    ).agg(F.sum(money("o_totalprice")).alias("rev"))
+    w1 = Window.orderBy("m").rowsBetween(-6, 5)
+    w2 = Window.orderBy("m").rowsBetween(-5, 6)
+    t = monthly.select(
+        "m",
+        "rev",
+        to_double(F.sum("rev").over(w1)).alias("s1"),
+        F.count(F.lit(1)).over(w1).alias("c1"),
+        to_double(F.sum("rev").over(w2)).alias("s2"),
+        F.count(F.lit(1)).over(w2).alias("c2"),
+    ).filter((F.col("c1") == 12) & (F.col("c2") == 12))
+    dev = t.select(
+        "m",
+        F.month("m").alias("cal_month"),
+        (
+            to_double(F.col("rev"))
+            - (F.col("s1") / F.lit(12.0) + F.col("s2") / F.lit(12.0))
+            / F.lit(2.0)
+        ).alias("dev"),
+    )
+    packed = F.array_sort(F.collect_list(F.struct("m", "dev")))
+    return dev.groupBy("cal_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_complete"),
+        (
+            F.aggregate(
+                F.transform(packed, lambda x: x["dev"]),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_index"),
+    )

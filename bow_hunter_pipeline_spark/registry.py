@@ -1518,6 +1518,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         events.event_pattern_match,
         oracles_h.EVENT_PATTERN_MATCH,
     ),
+    # G4 (NEW r11): classical seasonal decomposition - 2x12 centered
+    # MA trend + order-pinned per-calendar-month seasonal indices
+    "g4_stl_decomposition": (
+        analytics.stl_decomposition,
+        oracles_h.STL_DECOMPOSITION,
+    ),
     # F: equi-depth (quantile) histogram via keyed ntile
     "f_equi_depth_histogram": (
         relational.equi_depth_histogram,
@@ -1782,6 +1788,7 @@ _DRIVER_ROTATION = [
     "mm_keyframe_dedup",
     "e2_tx_drop_column",
     "h4_event_pattern_match",
+    "g4_stl_decomposition",
     # --- plans changed in r11 (fingerprint-stamped; re-proof) ---
     "e2_tx_append_evolution",
     "e2_tx_bloom_pruned_lookup",
@@ -1827,7 +1834,6 @@ _DRIVER_ROTATION = [
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
     "a5_csv_roundtrip",
-    "a5_json_roundtrip",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1848,6 +1854,7 @@ R11_NEW_IN_PREFIX = [
     "mm_keyframe_dedup",
     "e2_tx_drop_column",
     "h4_event_pattern_match",
+    "g4_stl_decomposition",
 ]
 
 

@@ -103,6 +103,7 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "h6_token_budget_curriculum": "source-grain greedy cumsum (~20 rows)",
     "f_equi_depth_histogram": "documented non-goal; at-scale path is h5",
     "h4_lateness_audit": "docstring: batch replay over a bounded slice",
+    "g4_stl_decomposition": "month-grain series (calendar-bounded, 84 rows)",
 }
 
 

@@ -94,6 +94,7 @@ QUERIES = [
     "mm_keyframe_dedup",
     "e2_tx_drop_column",
     "h4_event_pattern_match",
+    "g4_stl_decomposition",
     "e2_tx_vacuum_retention",
     "e2_tx_partition_evolution",
     "e2_tx_timetravel_asof",
