@@ -2272,3 +2272,24 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
             AS DOUBLE) AS total_price
 FROM orders GROUP BY o_orderpriority
 """
+
+
+# F: skyline / Pareto frontier — direct full-data window formulation
+# (the Spark side prefilters at month grain first; same final rows).
+PARETO_FRONTIER = """
+WITH pts AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_orderdate,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS price,
+         date_diff('day', DATE '1992-01-01', o.o_orderdate) AS day_idx
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), f AS (
+  SELECT segment, o_orderkey, o_orderdate, price,
+         MAX(price) OVER (PARTITION BY segment ORDER BY day_idx
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS past_max,
+         MAX(price) OVER (PARTITION BY segment, day_idx) AS same_date_max
+  FROM pts
+)
+SELECT segment, o_orderkey, o_orderdate, price
+FROM f
+WHERE price = same_date_max AND (past_max IS NULL OR price > past_max)
+"""

@@ -3653,3 +3653,29 @@ SELECT cal_month, CAST(COUNT(*) AS BIGINT) AS n_complete,
          / CAST(COUNT(*) AS DOUBLE) AS seasonal_index
 FROM dev GROUP BY cal_month
 """
+
+
+# H6: Efraimidis–Spirakis weighted sample replay — one md5 ticket per
+# token position, doc key = integer MAX over tickets, top-k per lang.
+WEIGHTED_SAMPLE = r"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+           AS n_tokens
+  FROM documents
+), k AS (
+  SELECT doc_id, lang, n_tokens,
+         list_max(list_transform(range(0, n_tokens), i ->
+           CAST(('0x' || substr(md5('ws|' || doc_id || '|' || i), 1, 15))
+             AS BIGINT))) AS es_key
+  FROM d
+), r AS (
+  SELECT lang, doc_id, n_tokens, es_key,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY es_key DESC, doc_id) AS INT)
+           AS sample_rank
+  FROM k
+)
+SELECT lang, sample_rank, doc_id, n_tokens, es_key
+FROM r WHERE sample_rank <= 4
+"""

@@ -1171,3 +1171,99 @@ def lsh_compacted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             assert not applied and v == v_now, (table, bid)
     return tx.snapshot(spark, pairs).select("doc_a", "doc_b").distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One LARGE-STAR round over a canonical (src < dst) edge set:
+    every node connects its STRICTLY LARGER neighbors to the minimum
+    of its closed neighborhood. Emitted pairs are (m, v) with
+    m <= u < v, so the output is canonical by construction and free of
+    self-loops."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("m").alias("src"), F.col("dst").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One SMALL-STAR round: orient each edge toward its larger
+    endpoint (canonical (src < dst) already is that orientation —
+    node dst owns smaller-neighbor set {src}); connect every smaller
+    neighbor AND the node itself to the minimum of that set."""
+    mins = edges.groupBy("dst").agg(F.min("src").alias("m"))
+    leaves = (
+        edges.join(mins, "dst")
+        .filter(F.col("src") != F.col("m"))
+        .select(F.col("m").alias("src"), F.col("src").alias("dst"))
+    )
+    centers = mins.select(F.col("m").alias("src"), F.col("dst").alias("dst"))
+    return leaves.unionByName(centers).distinct()
+
+
+def cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 (NEW r11): connected components via ALTERNATING LARGE-STAR /
+    SMALL-STAR rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the scale-path CC algorithm the
+    ``dedup_clusters`` docstring points at for big-diameter graphs.
+    Same input pair graph (MinHash+LSH candidates), same contract
+    (node → component-minimum label), same oracle (DuckDB recursive
+    closure) — a second, independently-derived algorithm hash-matching
+    the first is the strongest equivalence proof the driver can record.
+
+    Why this exists next to min-label propagation: propagation needs
+    diameter-many rounds (fine for dedup cliques, diameter 2-3); the
+    alternating rewrite provably converges in O(log^2 n) rounds on ANY
+    graph shape — chains, lattices, social graphs — because each
+    large-star halves tree heights and each small-star contracts them.
+    At 100 TB the per-round cost is identical to propagation (one
+    groupBy min + one join on the edge list), so the rewrite is a
+    strict upgrade once diameter exceeds a handful.
+
+    Execution notes: the edge set stays CANONICAL (src < dst) between
+    rounds — large-star emits (m, v) with m <= u < v and small-star
+    emits (m, x) with m < x, so canonicality is free, no re-sorting
+    pass. ``localCheckpoint`` truncates lineage per round (reliable
+    ``checkpoint`` on a real cluster). Convergence = edge-set
+    fixpoint, tested with a count + one-sided ``exceptAll`` (equal
+    cardinality + empty difference == set equality); at scale swap the
+    exceptAll for a cheap sum-of-hash checksum with a periodic exact
+    confirm. The final fixpoint is a star forest centered at component
+    minima, so labels fall out of one last groupBy min."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("src"),
+            F.greatest("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERS):
+        stepped = _small_star(_large_star(edges)).localCheckpoint()
+        same_count = stepped.count() == edges.count()
+        if same_count and stepped.exceptAll(edges).count() == 0:
+            edges = stepped
+            break
+        edges = stepped
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("mn", "src").alias("cluster_id"),
+        )
+    )

@@ -1514,3 +1514,91 @@ def smb_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F (NEW r11): SKYLINE / PARETO-FRONTIER operator — the orders
+    per market segment that no other order dominates (earlier-or-equal
+    date AND higher-or-equal price, strict in at least one). The
+    classic preference query (Börzsönyi et al., "The Skyline
+    Operator", ICDE'01), absent from SQL engines as a primitive but
+    expressible as windows once the 2-D case is exploited: sort by
+    date, and the frontier is exactly the strict running-max records
+    of price.
+
+    TWO-PHASE plan (the 100 TB shape):
+    1. PREFILTER at month grain: per (segment, month) max price, then
+       the running max over strictly-earlier months (a window over
+       ~84×5 rows). Any order priced <= its segment's earlier-month
+       running max is dominated by that earlier max-point (strictly
+       earlier date, >= price) — at uniform data this discards ~all
+       rows while provably keeping every frontier point AND at least
+       one dominator for every dominated survivor (the prefix-record
+       points all survive: a record beats every earlier price, hence
+       beats its month's prefilter bound too).
+    2. EXACT windows on the SURVIVORS (collision-sized: records +
+       same-month near-records): per segment ordered by day index,
+       strict-past max via RANGE .. 1 PRECEDING, same-date max via a
+       date-partitioned window; keep rows that equal their same-date
+       max and strictly exceed the strict-past max. Survivor-sized
+       window is the repo's fence-verified ≤k-row pattern.
+
+    Dominance ties: two orders on the same date at the same price do
+    NOT dominate each other (nothing is strict) — both stay, which the
+    same-date-max equality check preserves.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    pts = orders.join(cust, "o_custkey").select(
+        "segment",
+        "o_orderkey",
+        "o_orderdate",
+        money("o_totalprice").alias("price"),
+        F.datediff(
+            F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+        ).alias("day_idx"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+            "month_idx"
+        ),
+    )
+    month_max = pts.groupBy("segment", "month_idx").agg(
+        F.max("price").alias("mmax")
+    )
+    w_prev_month = (
+        Window.partitionBy("segment")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bound = month_max.select(
+        "segment",
+        "month_idx",
+        F.max("mmax").over(w_prev_month).alias("prev_bound"),
+    )
+    survivors = pts.join(bound, ["segment", "month_idx"]).filter(
+        (F.col("prev_bound").isNull())
+        | (F.col("price") > F.col("prev_bound"))
+    )
+    w_past = (
+        Window.partitionBy("segment")
+        .orderBy("day_idx")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same_date = Window.partitionBy("segment", "day_idx")
+    flagged = survivors.select(
+        "segment",
+        "o_orderkey",
+        "o_orderdate",
+        "price",
+        F.max("price").over(w_past).alias("past_max"),
+        F.max("price").over(w_same_date).alias("same_date_max"),
+    )
+    return flagged.filter(
+        (F.col("price") == F.col("same_date_max"))
+        & (
+            F.col("past_max").isNull()
+            | (F.col("price") > F.col("past_max"))
+        )
+    ).select("segment", "o_orderkey", "o_orderdate", "price")

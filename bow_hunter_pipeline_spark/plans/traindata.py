@@ -1250,3 +1250,68 @@ def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score") > 0).cast("int").alias("keep"),
         )
     )
+
+
+# Weighted sampling: docs kept per language stratum, chosen WITHOUT
+# replacement with probability proportional to token count.
+WEIGHTED_SAMPLE_K = 4
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 (NEW r11): WEIGHTED sampling without replacement per stratum
+    — the Efraimidis–Spirakis reservoir scheme (Inf. Proc. Letters
+    2006: rank items by u_i^(1/w_i), keep the top k), which is how a
+    corpus pipeline draws a token-budget-proportional subsample (docs
+    picked ∝ token count) for mixture tuning, eval carve-outs, and
+    inspection panels without a second pass.
+
+    INTEGER-EXACT formulation: ranking by u^(1/w) is distributionally
+    identical to ranking by the MAXIMUM of w iid uniforms (the max of
+    w uniforms IS Beta(w,1) = u^(1/w)) — so each doc draws one
+    deterministic 60-bit ticket per TOKEN POSITION (md5 of
+    'ws|doc_id|pos', the hash64 discipline) and its sampling key is
+    the integer MAX over its tickets. No pow(), no ln(), no float in
+    the ordering — the selection replays bit-for-bit in any engine,
+    which a float E-S key cannot guarantee (libm pow/log differ by
+    ulps across engines and an ulp can flip a rank).
+
+    Scale: the ticket max is computed INSIDE one projection —
+    ``array_max(transform(sequence(0, n-1), i → hash64(...)))`` — so
+    the corpus pass is map-side-only (md5 per token, the same cost as
+    any signature pass); the only shuffle is the per-stratum top-k
+    over the DOC-grain frame (one row per doc, k tiny). row_number
+    partitions by lang (bounded strata): at 100 TB swap in the
+    two-phase top-k (per-partition prune to k, then final) if strata
+    counts ever exceed a few hundred.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("int").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.array_max(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tokens") - 1),
+                lambda i: hash64(
+                    F.concat_ws(
+                        "|",
+                        F.lit("ws"),
+                        F.col("doc_id").cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+            )
+        ).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        per_doc.withColumn(
+            "sample_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .select("lang", "sample_rank", "doc_id", "n_tokens", "es_key")
+    )

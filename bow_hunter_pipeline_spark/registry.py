@@ -1749,6 +1749,27 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.dedup_method_agreement,
         oracles_h.DEDUP_METHOD_AGREEMENT,
     ),
+    # H1 (NEW r11): connected components via alternating large-star/
+    # small-star rounds (Kiveris et al. SoCC'14) - the O(log^2 n)
+    # scale path; same recursive-closure oracle as h1_dedup_clusters,
+    # so two independently-derived algorithms must hash-match
+    "h1_cc_alternating_star": (
+        dedup.cc_alternating_star,
+        oracles_h.DEDUP_CLUSTERS,
+    ),
+    # H6 (NEW r11): Efraimidis-Spirakis weighted sampling without
+    # replacement per stratum - integer-exact via the max-of-w-tickets
+    # duality (no float pow/ln in the ordering)
+    "h6_weighted_sample": (
+        traindata.weighted_sample,
+        oracles_h.WEIGHTED_SAMPLE,
+    ),
+    # F (NEW r11): skyline / Pareto frontier - month-grain prefilter
+    # + exact survivor windows (the 2-D skyline as running-max records)
+    "f_pareto_frontier": (
+        relational.pareto_frontier,
+        oracles_f.PARETO_FRONTIER,
+    ),
 }
 
 
@@ -1773,13 +1794,13 @@ _DRIVER_ROTATION = [
     # driver-proven (308/308 through r10). This round touched the
     # transactional core (advice fixes + DROP COLUMN retirement in
     # _commit/_align_to_table_schema), so the fingerprint gate
-    # flagged most of the tx family: the prefix is the 6 round-11
+    # flagged most of the tx family: the prefix is the 11 round-11
     # ADDITIONS, then EVERY r11-stamped changed plan (each
     # re-verified with tools/verify_driver.py +
-    # tools/audit_oracle_types.py), then the few oldest-proof
-    # re-checks that still fit — the r02/r03 re-check pool defers
-    # to r12 (changed-plan proofs outrank age re-checks; nothing
-    # is ever dropped, only reordered).
+    # tools/audit_oracle_types.py). Age re-checks defer to r12 —
+    # new first-proof rows and changed-plan re-proofs outrank
+    # re-checking a never-red registry; nothing is ever dropped,
+    # only reordered.
     # --- new in r11 (mirrored in R11_NEW_IN_PREFIX below) ---
     "h2_ivf_nightly_maintenance",
     "e2_tx_declarative_pipeline",
@@ -1789,6 +1810,9 @@ _DRIVER_ROTATION = [
     "e2_tx_drop_column",
     "h4_event_pattern_match",
     "g4_stl_decomposition",
+    "h1_cc_alternating_star",
+    "h6_weighted_sample",
+    "f_pareto_frontier",
     # --- plans changed in r11 (fingerprint-stamped; re-proof) ---
     "e2_tx_append_evolution",
     "e2_tx_bloom_pruned_lookup",
@@ -1831,9 +1855,6 @@ _DRIVER_ROTATION = [
     "h5_hll_partition_merge",
     # --- oldest surviving proofs (r02/r03 vintage; exactly the
     # slots the changed-plan set leaves free) ---
-    "h3_regex_token_stats",
-    "h3_rolling_fingerprint",
-    "a5_csv_roundtrip",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1855,6 +1876,9 @@ R11_NEW_IN_PREFIX = [
     "e2_tx_drop_column",
     "h4_event_pattern_match",
     "g4_stl_decomposition",
+    "h1_cc_alternating_star",
+    "h6_weighted_sample",
+    "f_pareto_frontier",
 ]
 
 

@@ -848,3 +848,122 @@ def test_python_sink_commit_is_manifest_scoped(spark, tmp_path):
             "path", bad
         ).mode("append").save()
     assert not os.path.exists(os.path.join(bad, "_manifest.json"))
+
+
+def test_cc_alternating_star_equals_propagation(spark):
+    """Two independently-derived CC algorithms (alternating star vs
+    min-label propagation) must produce the identical labeling on the
+    same candidate-pair graph."""
+    from bow_hunter_pipeline_spark.plans import dedup
+
+    star = dedup.cc_alternating_star(spark, SF_SMOKE)
+    prop = dedup.dedup_clusters(spark, SF_SMOKE)
+    assert star.count() == prop.count()
+    assert star.exceptAll(prop).count() == 0
+
+
+def test_cc_alternating_star_chain_graph(spark):
+    """A path graph (diameter = n-1) is the propagation worst case and
+    the alternating rewrite's home turf — every node must still land
+    on the chain minimum, via the star steps alone."""
+    from bow_hunter_pipeline_spark.plans.dedup import (
+        _large_star,
+        _small_star,
+    )
+    from pyspark.sql import functions as F
+
+    n = 33
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    ).localCheckpoint()
+    for _ in range(20):
+        stepped = _small_star(_large_star(edges)).localCheckpoint()
+        if (
+            stepped.count() == edges.count()
+            and stepped.exceptAll(edges).count() == 0
+        ):
+            edges = stepped
+            break
+        edges = stepped
+    # fixpoint is the single star centered at 0
+    rows = sorted(
+        (r.src, r.dst) for r in edges.select("src", "dst").collect()
+    )
+    assert rows == [(0, i) for i in range(1, n)]
+
+
+def test_weighted_sample_matches_bruteforce(spark):
+    """The integer E-S key (max ticket per token position) recomputed
+    row-by-row in Python must select the same docs per stratum."""
+    import hashlib
+    from collections import defaultdict
+
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans import traindata
+
+    docs = read_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    brute = defaultdict(list)
+    for r in docs:
+        n = len(r.text.strip().split())
+        key = max(
+            int(
+                hashlib.md5(f"ws|{r.doc_id}|{i}".encode()).hexdigest()[:15],
+                16,
+            )
+            for i in range(n)
+        )
+        brute[r.lang].append((-key, r.doc_id, n))
+    expect = set()
+    for lang, items in brute.items():
+        for rank, (negk, doc_id, n) in enumerate(sorted(items)[:4], 1):
+            expect.add((lang, rank, doc_id, n, -negk))
+    got = {
+        (r.lang, r.sample_rank, r.doc_id, r.n_tokens, r.es_key)
+        for r in traindata.weighted_sample(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """O(n^2) dominance check per segment on the smoke fixture: the
+    two-phase windowed skyline must return exactly the non-dominated
+    orders."""
+    from bow_hunter_pipeline_spark.io.readers import read_table
+    from bow_hunter_pipeline_spark.plans import relational
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    cust = read_table(spark, SF_SMOKE, "customer")
+    pts = (
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        )
+        .collect()
+    )
+    by_seg = {}
+    for r in pts:
+        by_seg.setdefault(r.seg, []).append(r)
+    expect = set()
+    for seg, rows in by_seg.items():
+        for p in rows:
+            dominated = any(
+                q.o_orderdate <= p.o_orderdate
+                and q.price >= p.price
+                and (q.o_orderdate < p.o_orderdate or q.price > p.price)
+                for q in rows
+            )
+            if not dominated:
+                expect.add((seg, p.o_orderkey))
+    got = {
+        (r.segment, r.o_orderkey)
+        for r in relational.pareto_frontier(spark, SF_SMOKE).collect()
+    }
+    assert got == expect

@@ -95,6 +95,9 @@ QUERIES = [
     "e2_tx_drop_column",
     "h4_event_pattern_match",
     "g4_stl_decomposition",
+    "h1_cc_alternating_star",
+    "h6_weighted_sample",
+    "f_pareto_frontier",
     "e2_tx_vacuum_retention",
     "e2_tx_partition_evolution",
     "e2_tx_timetravel_asof",
