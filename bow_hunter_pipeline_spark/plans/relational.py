@@ -1577,7 +1577,12 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_idx",
         F.max("mmax").over(w_prev_month).alias("prev_bound"),
     )
-    survivors = pts.join(bound, ["segment", "month_idx"]).filter(
+    # bound is calendar-bounded (#segments × #months) at ANY data
+    # volume — broadcasting it deletes the fact-side exchange the
+    # static planner would otherwise insert for a sort-merge join
+    # (verified in the formatted plan: one full-data shuffle remains,
+    # the one the survivor windows genuinely need)
+    survivors = pts.join(F.broadcast(bound), ["segment", "month_idx"]).filter(
         (F.col("prev_bound").isNull())
         | (F.col("price") > F.col("prev_bound"))
     )

@@ -1279,10 +1279,11 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_max(transform(sequence(0, n-1), i → hash64(...)))`` — so
     the corpus pass is map-side-only (md5 per token, the same cost as
     any signature pass); the only shuffle is the per-stratum top-k
-    over the DOC-grain frame (one row per doc, k tiny). row_number
-    partitions by lang (bounded strata): at 100 TB swap in the
-    two-phase top-k (per-partition prune to k, then final) if strata
-    counts ever exceed a few hundred.
+    over the DOC-grain frame (one row per doc, k tiny) — and the
+    formatted plan shows Catalyst inserts ``WindowGroupLimit`` BELOW
+    that exchange, so each input partition ships at most k rows per
+    stratum: the two-phase top-k is automatic, the shuffle carries
+    O(partitions x strata x k), never O(docs).
     """
     docs = read_table(spark, sf_dir, "documents")
     per_doc = docs.select(
