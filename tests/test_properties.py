@@ -441,3 +441,130 @@ def test_bpe_fold_matches_pure_python_greedy(spark, toks, rule):
         ).alias("out")
     ).collect()[0].out
     assert got == reference(toks), (toks, rule, got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cc_alternating_star_matches_union_find(spark, raw_edges):
+    """Alternating large-star/small-star on ARBITRARY random graphs
+    (self-loops and duplicates included in the raw input) must label
+    every node with its component minimum — checked against a pure
+    Python union-find."""
+    from bow_hunter_pipeline_spark.plans.dedup import (
+        _large_star,
+        _small_star,
+    )
+
+    edges_py = sorted(
+        {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    )
+    if not edges_py:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+
+    edges = spark.createDataFrame(
+        edges_py, "src bigint, dst bigint"
+    ).localCheckpoint()
+    for _ in range(25):
+        stepped = _small_star(_large_star(edges)).localCheckpoint()
+        if (
+            stepped.count() == edges.count()
+            and stepped.exceptAll(edges).count() == 0
+        ):
+            edges = stepped
+            break
+        edges = stepped
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got_rows = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("lbl"))
+        .collect()
+    )
+    got = {r.src: r.lbl for r in got_rows}
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_phases_match_bruteforce(spark, pts):
+    """The two-phase skyline (bucket prefilter + survivor windows) on
+    random (x=date-index, y=price) points must equal the O(n²)
+    dominance definition — including duplicate points, which are
+    mutually non-dominating and must BOTH survive."""
+    rows = [(1, x, y) for x, y in pts]
+    df = spark.createDataFrame(rows, "seg int, x int, y int")
+    bucket = (F.col("x") / F.lit(5)).cast("int")
+    month_max = df.groupBy("seg", bucket.alias("b")).agg(
+        F.max("y").alias("mmax")
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("seg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bound = month_max.select(
+        "seg", "b", F.max("mmax").over(w_prev).alias("pb")
+    )
+    surv = (
+        df.withColumn("b", bucket)
+        .join(F.broadcast(bound), ["seg", "b"])
+        .filter(F.col("pb").isNull() | (F.col("y") > F.col("pb")))
+    )
+    w_past = (
+        Window.partitionBy("seg")
+        .orderBy("x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("seg", "x")
+    got_rows = (
+        surv.select(
+            "x",
+            "y",
+            F.max("y").over(w_past).alias("pm"),
+            F.max("y").over(w_same).alias("sm"),
+        )
+        .filter(
+            (F.col("y") == F.col("sm"))
+            & (F.col("pm").isNull() | (F.col("y") > F.col("pm")))
+        )
+        .select("x", "y")
+        .collect()
+    )
+    got = sorted((r.x, r.y) for r in got_rows)
+    expect = sorted(
+        (x, y)
+        for x, y in pts
+        if not any(
+            qx <= x and qy >= y and (qx < x or qy > y) for qx, qy in pts
+        )
+    )
+    assert got == expect
