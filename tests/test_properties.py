@@ -221,7 +221,8 @@ def test_tx_model_based_history_and_checkpoints(
         st.tuples(
             st.sampled_from(
                 ["merge", "append", "cow_delete", "dv_delete",
-                 "update", "compact", "binpack", "restore"]
+                 "update", "compact", "binpack", "restore",
+                 "merge_sync", "dv_purge"]
             ),
             st.lists(
                 st.integers(min_value=0, max_value=60),
@@ -302,6 +303,43 @@ def test_tx_model_based_row_ops_and_restore(spark, tmp_path_factory, ops):
             for k in keys:
                 if k in model:
                     model[k] += 0.5
+        elif op == "merge_sync":
+            # tri-clause MERGE: source is authoritative for the
+            # k % 3 == 0 region — rows there and absent from the
+            # source are deleted; everywhere else matched-update /
+            # not-matched-insert apply
+            rows = [(k, float(7000 + step)) for k in sorted(keys)]
+            src = spark.createDataFrame(
+                rows or [(-1, 0.0)], "k bigint, v double"
+            )
+            if not rows:
+                src = src.filter("k >= 0")
+            _, n_u, n_i, n_d = tx.merge_sync(
+                spark, table, src, ["k"], ["v"], scope="k % 3 = 0"
+            )
+            src_keys = {k for k, _ in rows}
+            expect_del = [
+                k
+                for k in model
+                if k % 3 == 0 and k not in src_keys
+            ]
+            assert n_d == len(expect_del), (n_d, expect_del)
+            for k in expect_del:
+                model.pop(k)
+            model.update({k: v for k, v in rows})
+        elif op == "dv_purge":
+            v_purge, n_files, n_rows = tx.purge_deletion_vectors(
+                spark, table
+            )
+            # model untouched: purge is pure reorganization — and the
+            # post-purge live set must carry ZERO vectors
+            live_now = set(tx.live_files(table))
+            dv_now = {
+                r
+                for r, ref in tx._replay_dvs(table).items()
+                if ref and r in live_now
+            }
+            assert not dv_now, dv_now
         got = {r.k: r.v for r in tx.snapshot(spark, table).collect()}
         assert got == model, f"diverged after step {step} ({op})"
         model_at[tx._versions(table)[-1]] = dict(model)
