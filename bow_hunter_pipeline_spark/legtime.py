@@ -20,17 +20,32 @@ import time
 from contextlib import contextmanager
 from typing import Iterator
 
-_LEGS: dict[str, float] = {}
+
+class _Accumulator:
+    """Holds the leg timings behind an OPAQUE object on purpose: the
+    plan-fingerprint walker (tools/plan_fingerprints.py) hashes
+    module-level dict/list constants BY VALUE, so a bare module dict
+    that plans mutate at run time would make fingerprints depend on
+    whether a query has executed in-process (the round-11 full-suite
+    flake: five composite fingerprints 'drifted' after
+    test_registry_oracle ran them). An instance attribute is tokenized
+    by type only — stable however much state accumulates."""
+
+    def __init__(self) -> None:
+        self.data: dict[str, float] = {}
+
+
+_ACC = _Accumulator()
 
 
 def reset() -> None:
     """Clear recorded legs (bench calls this before each query run)."""
-    _LEGS.clear()
+    _ACC.data.clear()
 
 
 def legs() -> dict[str, float]:
     """Snapshot of leg-name -> accumulated seconds since reset()."""
-    return dict(_LEGS)
+    return dict(_ACC.data)
 
 
 @contextmanager
@@ -40,4 +55,6 @@ def leg(name: str) -> Iterator[None]:
     try:
         yield
     finally:
-        _LEGS[name] = _LEGS.get(name, 0.0) + (time.perf_counter() - t0)
+        _ACC.data[name] = _ACC.data.get(name, 0.0) + (
+            time.perf_counter() - t0
+        )
