@@ -3657,18 +3657,28 @@ FROM dev GROUP BY cal_month
 
 # H6: Efraimidis–Spirakis weighted sample replay — one md5 ticket per
 # token position, doc key = integer MAX over tickets, top-k per lang.
-WEIGHTED_SAMPLE = r"""
+# Weight-0 docs (empty/whitespace text) are never sampled; k tracks
+# the plan constant (deferred import, the _strata_case pattern).
+
+
+def _weighted_sample_sql() -> str:
+    from bow_hunter_pipeline_spark.plans.traindata import (
+        WEIGHTED_SAMPLE_K,
+    )
+
+    return rf"""
 WITH d AS (
   SELECT doc_id, lang,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
-           AS n_tokens
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS INT) AS n_tokens
   FROM documents
 ), k AS (
   SELECT doc_id, lang, n_tokens,
          list_max(list_transform(range(0, n_tokens), i ->
            CAST(('0x' || substr(md5('ws|' || doc_id || '|' || i), 1, 15))
              AS BIGINT))) AS es_key
-  FROM d
+  FROM d WHERE n_tokens > 0
 ), r AS (
   SELECT lang, doc_id, n_tokens, es_key,
          CAST(ROW_NUMBER() OVER (
@@ -3677,5 +3687,8 @@ WITH d AS (
   FROM k
 )
 SELECT lang, sample_rank, doc_id, n_tokens, es_key
-FROM r WHERE sample_rank <= 4
+FROM r WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
 """
+
+
+WEIGHTED_SAMPLE = _weighted_sample_sql()

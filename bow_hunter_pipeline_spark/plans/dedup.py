@@ -1210,6 +1210,51 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return leaves.unionByName(centers).distinct()
 
 
+def alternating_star_labels(
+    edges: DataFrame, max_rounds: int = MAX_CC_ITERS
+) -> DataFrame:
+    """Run alternating large-star/small-star rounds on a CANONICAL
+    (src < dst, no self-loops, distinct) edge set to the fixpoint and
+    return (src=node, lbl=component minimum). Shared by the registry
+    plan and the graph-shape tests so they exercise ONE loop, not
+    copies.
+
+    Convergence = edge-set fixpoint, tested with a count + one-sided
+    ``exceptAll`` (equal cardinality + empty difference == set
+    equality); the previous round's count is carried in a local, so
+    each round pays ONE count job, not two. The fixpoint labeling
+    (groupBy min over the symmetric closure) is only correct on a
+    star forest, so exhausting ``max_rounds`` without converging
+    RAISES instead of silently mislabeling — the O(log² n) bound
+    makes that a can't-happen on healthy inputs, and an error beats a
+    wrong answer if a step function ever regresses into oscillation.
+    """
+    edges = edges.localCheckpoint()
+    n_edges = edges.count()
+    converged = False
+    for _ in range(max_rounds):
+        stepped = _small_star(_large_star(edges)).localCheckpoint()
+        n_stepped = stepped.count()
+        if n_stepped == n_edges and stepped.exceptAll(edges).count() == 0:
+            edges = stepped
+            converged = True
+            break
+        edges, n_edges = stepped, n_stepped
+    if not converged:
+        raise RuntimeError(
+            f"alternating-star did not reach a fixpoint in {max_rounds} "
+            "rounds — refusing to label a non-star edge set"
+        )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("lbl"))
+    )
+
+
 def cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1 (NEW r11): connected components via ALTERNATING LARGE-STAR /
     SMALL-STAR rounds (Kiveris et al., "Connected Components in
@@ -1233,12 +1278,10 @@ def cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds — large-star emits (m, v) with m <= u < v and small-star
     emits (m, x) with m < x, so canonicality is free, no re-sorting
     pass. ``localCheckpoint`` truncates lineage per round (reliable
-    ``checkpoint`` on a real cluster). Convergence = edge-set
-    fixpoint, tested with a count + one-sided ``exceptAll`` (equal
-    cardinality + empty difference == set equality); at scale swap the
-    exceptAll for a cheap sum-of-hash checksum with a periodic exact
-    confirm. The final fixpoint is a star forest centered at component
-    minima, so labels fall out of one last groupBy min."""
+    ``checkpoint`` on a real cluster); at scale swap the exceptAll in
+    the fixpoint check for a cheap sum-of-hash checksum with a
+    periodic exact confirm. Non-convergence raises rather than
+    mislabeling (see :func:`alternating_star_labels`)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = (
         pairs.select(
@@ -1247,23 +1290,7 @@ def cc_alternating_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
-    for _ in range(MAX_CC_ITERS):
-        stepped = _small_star(_large_star(edges)).localCheckpoint()
-        same_count = stepped.count() == edges.count()
-        if same_count and stepped.exceptAll(edges).count() == 0:
-            edges = stepped
-            break
-        edges = stepped
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select(
-            F.col("src").alias("doc_id"),
-            F.least("mn", "src").alias("cluster_id"),
-        )
+    return alternating_star_labels(edges).select(
+        F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

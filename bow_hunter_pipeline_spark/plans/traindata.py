@@ -1286,11 +1286,18 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(partitions x strata x k), never O(docs).
     """
     docs = read_table(spark, sf_dir, "documents")
+    # weight-0 docs (empty/whitespace-only text) are NEVER sampled —
+    # E-S semantics — so count tokens as 0 there (a bare split of
+    # trimmed-empty text would yield [""], i.e. a phantom weight of 1)
+    # and drop them before the ranking window
     per_doc = docs.select(
         "doc_id",
         "lang",
-        F.size(tokens(F.col("text"))).cast("int").alias("n_tokens"),
-    ).select(
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(tokens(F.col("text"))))
+        .cast("int")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0).select(
         "doc_id",
         "lang",
         "n_tokens",

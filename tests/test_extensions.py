@@ -865,31 +865,19 @@ def test_cc_alternating_star_equals_propagation(spark):
 def test_cc_alternating_star_chain_graph(spark):
     """A path graph (diameter = n-1) is the propagation worst case and
     the alternating rewrite's home turf — every node must still land
-    on the chain minimum, via the star steps alone."""
+    on the chain minimum, via the PRODUCTION fixpoint loop."""
     from bow_hunter_pipeline_spark.plans.dedup import (
-        _large_star,
-        _small_star,
+        alternating_star_labels,
     )
-    from pyspark.sql import functions as F
 
     n = 33
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
-    ).localCheckpoint()
-    for _ in range(20):
-        stepped = _small_star(_large_star(edges)).localCheckpoint()
-        if (
-            stepped.count() == edges.count()
-            and stepped.exceptAll(edges).count() == 0
-        ):
-            edges = stepped
-            break
-        edges = stepped
-    # fixpoint is the single star centered at 0
-    rows = sorted(
-        (r.src, r.dst) for r in edges.select("src", "dst").collect()
     )
-    assert rows == [(0, i) for i in range(1, n)]
+    got = {
+        (r.src, r.lbl) for r in alternating_star_labels(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
 
 
 def test_weighted_sample_matches_bruteforce(spark):
@@ -907,6 +895,8 @@ def test_weighted_sample_matches_bruteforce(spark):
     brute = defaultdict(list)
     for r in docs:
         n = len(r.text.strip().split())
+        if n == 0:  # weight-0 docs are never sampled (E-S semantics)
+            continue
         key = max(
             int(
                 hashlib.md5(f"ws|{r.doc_id}|{i}".encode()).hexdigest()[:15],
@@ -915,9 +905,10 @@ def test_weighted_sample_matches_bruteforce(spark):
             for i in range(n)
         )
         brute[r.lang].append((-key, r.doc_id, n))
+    k = traindata.WEIGHTED_SAMPLE_K
     expect = set()
     for lang, items in brute.items():
-        for rank, (negk, doc_id, n) in enumerate(sorted(items)[:4], 1):
+        for rank, (negk, doc_id, n) in enumerate(sorted(items)[:k], 1):
             expect.add((lang, rank, doc_id, n, -negk))
     got = {
         (r.lang, r.sample_rank, r.doc_id, r.n_tokens, r.es_key)

@@ -492,11 +492,10 @@ def test_bpe_fold_matches_pure_python_greedy(spark, toks, rule):
 def test_cc_alternating_star_matches_union_find(spark, raw_edges):
     """Alternating large-star/small-star on ARBITRARY random graphs
     (self-loops and duplicates included in the raw input) must label
-    every node with its component minimum — checked against a pure
-    Python union-find."""
+    every node with its component minimum — the PRODUCTION fixpoint
+    loop checked against a pure Python union-find."""
     from bow_hunter_pipeline_spark.plans.dedup import (
-        _large_star,
-        _small_star,
+        alternating_star_labels,
     )
 
     edges_py = sorted(
@@ -518,28 +517,10 @@ def test_cc_alternating_star_matches_union_find(spark, raw_edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {x: find(x) for x in parent}
 
-    edges = spark.createDataFrame(
-        edges_py, "src bigint, dst bigint"
-    ).localCheckpoint()
-    for _ in range(25):
-        stepped = _small_star(_large_star(edges)).localCheckpoint()
-        if (
-            stepped.count() == edges.count()
-            and stepped.exceptAll(edges).count() == 0
-        ):
-            edges = stepped
-            break
-        edges = stepped
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    got_rows = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("mn"))
-        .select("src", F.least("mn", "src").alias("lbl"))
-        .collect()
-    )
-    got = {r.src: r.lbl for r in got_rows}
+    edges = spark.createDataFrame(edges_py, "src bigint, dst bigint")
+    got = {
+        r.src: r.lbl for r in alternating_star_labels(edges).collect()
+    }
     assert got == expect
 
 

@@ -57,10 +57,17 @@ if len(sys.argv) > 1:  # filter: names, "first:N", or "sample:K[:seed[:skip]]"
         seed = int(parts[2]) if len(parts) > 2 else 0
         skip = int(parts[3]) if len(parts) > 3 else 0
         pool = list(qs)[skip:]
+        if not pool:
+            print(f"sample: skip={skip} >= registry size {len(qs)} — "
+                  "nothing to verify", file=sys.stderr)
+            sys.exit(2)
         keep = sorted(random.Random(seed).sample(pool, min(k, len(pool))))
     else:
         keep = sys.argv[1:]
     qs = {k: qs[k] for k in keep}
+    if not qs:
+        print("no queries selected — nothing verified", file=sys.stderr)
+        sys.exit(2)
 fails = []
 for name, fn in qs.items():
     try:
