@@ -133,8 +133,11 @@ def main() -> None:
             dt = time.perf_counter() - t0
             walls.setdefault(name, []).append(dt)
             build = legtime.legs().get("build", 0.0)
-            if build:
-                builds.setdefault(name, []).append(min(build, dt))
+            # append UNCONDITIONALLY: a pass recording build == 0.0
+            # must still hold its positional slot, or the per-pass
+            # zip pairing below matches walls and builds from
+            # DIFFERENT passes
+            builds.setdefault(name, []).append(min(build, dt))
     timings = {k: round(min(v), 4) for k, v in walls.items()}
     total = sum(timings.values())
     spread = {k: round(max(v) - min(v), 4) for k, v in walls.items()}
@@ -149,6 +152,7 @@ def main() -> None:
             ),
         }
         for k, b in builds.items()
+        if any(b)  # legs only for queries that recorded a build leg
     }
 
     print(

@@ -87,6 +87,15 @@ class Pipeline:
             tname = name or fn.__name__
             if tname in self._specs:
                 raise ValueError(f"table {tname!r} declared twice")
+            # quarantine outputs live at <table>__quarantine in the
+            # same root: a declared table in that reserved namespace
+            # would silently clobber (or be clobbered by) the routing
+            # output of its base table — refuse at declaration time
+            if tname.endswith("__quarantine"):
+                raise ValueError(
+                    f"table name {tname!r} is reserved for quarantine "
+                    "routing output (<table>__quarantine)"
+                )
             self._specs[tname] = TableSpec(
                 name=tname,
                 transform=fn,

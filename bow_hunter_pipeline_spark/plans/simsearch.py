@@ -480,15 +480,36 @@ def mmr_rerank(
                 key = (-sc, cid)
                 if best_key is None or key < best_key:
                     best_i, best_key = i, key
-            sel.append(best_i)
             got = out[rank - 1]
             want = (int(rows[best_i][0]), rank)
             if (got[1], got[4]) != want:
-                raise AssertionError(
-                    f"MMR implementations diverge at q_id={got[0]} "
-                    f"rank={rank}: vectorized chose c_id={got[1]}, "
-                    f"scalar chose c_id={want[0]}"
+                # The two sides accumulate dots/norms in different
+                # orders (BLAS pairwise vs sequential), so candidates
+                # whose EXACT scores sit within a few ulps can
+                # legitimately swap. A real greedy-chain bug produces
+                # a macroscopic divergence; only raise when the
+                # scalar-side score gap exceeds the rounding band.
+                got_i = next(
+                    i for i, (cid, _v, _r) in enumerate(rows)
+                    if cid == got[1] and i not in sel
                 )
+                div_g = 0.0 if not sel else max(
+                    sum(a * bb for a, bb in zip(units[got_i], units[j]))
+                    for j in sel
+                )
+                sc_got = MMR_LAMBDA * rows[got_i][2] - (
+                    1.0 - MMR_LAMBDA
+                ) * div_g
+                if abs(sc_got - (-best_key[0])) > 1e-9:
+                    raise AssertionError(
+                        f"MMR implementations diverge at q_id={got[0]} "
+                        f"rank={rank}: vectorized chose c_id={got[1]}, "
+                        f"scalar chose c_id={want[0]}"
+                    )
+                # tie-band: follow the production side's choice so the
+                # remainder of the chain is compared on the same state
+                best_i = got_i
+            sel.append(best_i)
         return pd.DataFrame(
             out, columns=["q_id", "c_id", "relevance", "mmr_score", "mmr_rank"]
         )
@@ -2369,6 +2390,33 @@ def _recluster_moved_cells(
         # the session's file-status cache still lists the replaced
         # files — drop it before the serving read
         spark.catalog.refreshByPath(store)
+        if stream_layout:
+            # The dynamic overwrite REPLACED the mark-listed pack
+            # files of every affected cell with fresh part files the
+            # mark does not name — republish the mark over the
+            # post-move pack set, or the NEXT compaction's recovery
+            # step would unlink the moved rows as crash leftovers
+            # (silent data loss on the second nightly cycle). Same
+            # atomic tmp+replace pivot as the compactor; the window
+            # between overwrite and republish is the documented
+            # single-writer maintenance-window trade.
+            import json
+
+            mark = _stream_store_mark(store)
+            mark["packs"] = sorted(
+                os.path.relpath(f, store)
+                for f in glob.glob(
+                    os.path.join(
+                        store, "cell_id=*", "arrival=-1", "*.parquet"
+                    )
+                )
+            )
+            tmp_mark = os.path.join(store, IVF_COMPACTION_MARK + ".tmp")
+            with open(tmp_mark, "w") as fh:
+                json.dump(mark, fh)
+            os.replace(
+                tmp_mark, os.path.join(store, IVF_COMPACTION_MARK)
+            )
     # untouched cells keep their exact file identity across the move
     for d, files in files_before.items():
         cell = int(os.path.basename(d).split("=", 1)[1])

@@ -633,6 +633,17 @@ def _column_mapping(
             old, new = r["old"], r["new"]
             phys = next((p for p, l in m.items() if l == old), old)
             m[phys] = new
+        retired = entry.get("retire")
+        if retired:
+            # DROP COLUMN removes the physical column from the logged
+            # schema; its mapping entry must go with it, or the stale
+            # logical name stays claimable AND a later rename chain
+            # (`next(p for p, l ...)`) can resolve onto the dropped
+            # physical — committing a rename of a nonexistent column
+            # (silent no-op) and leaving two physicals mapped to one
+            # logical name. Versioned like the renames: time travel
+            # below the drop still sees the old mapping.
+            m.pop(retired, None)
     return {p: l for p, l in m.items() if p != l}
 
 
@@ -1149,6 +1160,7 @@ def merge_sync(
     update_cols: list[str],
     *,
     scope: str | None = None,
+    write_cdc: bool | None = None,
 ) -> tuple[int, int, int, int]:
     """Full tri-clause MERGE — the mirror-sync statement:
 
@@ -1163,16 +1175,26 @@ def merge_sync(
     doesn't mention them (Delta's ``whenNotMatchedBySourceDelete``
     carries the same condition for the same reason).
 
+    ``write_cdc`` follows :func:`merge`'s contract exactly — default
+    ``None`` consults the table's ``cdc`` property, so a streamed
+    table gets change files on THIS rewrite too (a cdc table whose
+    most natural op — the mirror sync — skipped change files would
+    silently push CDF consumers onto the read-time diff fallback).
+
     Returns ``(new_version, n_updated, n_inserted, n_deleted)``. The
     commit is the same pinned-read full rewrite as :func:`merge` —
     OCC applies unchanged.
 
     Scale: the delete clause is one anti-join of the scoped snapshot
-    against the source keys; counts are bounded audit aggregates. At
-    100 TB the scoped region is the unit of sync, so every leg is
-    O(region + batch), never O(table) beyond the rewrite the merge
-    already pays.
+    against the source keys; the three audit scalars come out of ONE
+    conditional aggregate over a single left-join pass (plus an
+    O(batch) count of the distinct source keys), not a scan per
+    clause. At 100 TB the scoped region is the unit of sync, so the
+    sync-specific legs are O(region + batch); the audit pass and the
+    rewrite scan the snapshot once each, which the merge pays anyway.
     """
+    if write_cdc is None:
+        write_cdc = bool(table_properties(table).get("cdc", False))
     read_v = _versions(table)[-1]
     current = snapshot(spark, table, read_v)
     src_keys = source.select(*keys).distinct()
@@ -1184,20 +1206,37 @@ def merge_sync(
     kept = current.filter(~in_scope).unionByName(
         scoped.join(F.broadcast(src_keys), keys, "semi")
     )
-    # audit aggregates (bounded scalars)
-    n_deleted = scoped.join(F.broadcast(src_keys), keys, "left_anti").count()
-    n_updated = current.join(F.broadcast(src_keys), keys, "semi").count()
-    n_inserted = src_keys.join(
-        current.select(*keys).distinct(), keys, "left_anti"
-    ).count()
+    # audit scalars: one conditional aggregate over one left join
+    flagged = current.join(
+        F.broadcast(src_keys.withColumn("_m", F.lit(1))), keys, "left"
+    )
+    audit = flagged.agg(
+        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0)).alias("n_upd"),
+        F.sum(
+            F.when(in_scope & F.col("_m").isNull(), 1).otherwise(0)
+        ).alias("n_del"),
+        F.count_distinct(
+            F.when(F.col("_m") == 1, F.struct(*keys))
+        ).alias("n_matched_keys"),
+    ).collect()[0]
+    n_updated = int(audit.n_upd or 0)
+    n_deleted = int(audit.n_del or 0)
+    n_inserted = src_keys.count() - int(audit.n_matched_keys or 0)
     merged = upsert(kept, source, keys, update_cols)
     next_v = read_v + 1
-    new_files, stats = _write_data(merged, table, next_v, keys)
+    cdc = (
+        _write_cdc(table, next_v, _diff_changes(current, merged))
+        if write_cdc
+        else None
+    )
+    new_files, stats = _write_data_or_discard_cdc(
+        merged, table, next_v, keys, cdc
+    )
     try:
         _commit(
             table, next_v, add=new_files,
             remove=live_files(table, read_v), stats=stats,
-            op="MERGE_SYNC",
+            op="MERGE_SYNC", cdc=cdc,
         )
     except RuntimeError:
         _discard_uncommitted(table, new_files)
@@ -1661,20 +1700,23 @@ def write_actions_checkpoint(
             for col, (lo, hi) in sorted(logged.get(rel, {}).items())
             if isinstance(lo, int) and not isinstance(lo, bool)
         }
-        if not file_stats and integral_cols:
-            # legacy commit without logged stats: the same one-time
-            # footer read the loop planner's _file_key_stats fallback
-            # pays, folded into the checkpoint so the DataFrame
-            # planner is genuinely EQUIVALENT on legacy tables (it
-            # has no per-file fallback of its own — a stat-less file
-            # would otherwise always stay a candidate there while the
-            # loop planner could prove it clean)
-            footer = _footer_stats(os.path.join(table, rel), integral_cols)
-            file_stats = {
-                col: (lo, hi)
-                for col, (lo, hi) in sorted(footer.items())
-                if isinstance(lo, int) and not isinstance(lo, bool)
-            }
+        missing = [c for c in integral_cols if c not in file_stats]
+        if missing:
+            # PER-COLUMN footer fallback, matching the loop planner's
+            # `pk in logged[rel]` granularity exactly: a file with
+            # PARTIAL logged stats (stats_cols narrower than the
+            # merge keys) still footer-reads the missing columns, or
+            # the two planners diverge on it (loop proves it clean on
+            # an unlogged column, DF keeps it a candidate) and the
+            # in-plan set-for-set equivalence assert fails. Cost: ONE
+            # footer read per file per checkpoint write, only for
+            # files whose logged stats don't already cover every
+            # integral column — zero on tables whose stats_cols span
+            # the schema's integral columns.
+            footer = _footer_stats(os.path.join(table, rel), missing)
+            for col, (lo, hi) in sorted(footer.items()):
+                if isinstance(lo, int) and not isinstance(lo, bool):
+                    file_stats[col] = (lo, hi)
         for col, (lo, hi) in file_stats.items():
             rows.append((rel, col, int(lo), int(hi)))
     df = spark.createDataFrame(
@@ -2665,10 +2707,10 @@ def purge_deletion_vectors(
     targets = sorted(r for r in live if r in dvs)
     if not targets:
         return read_v, 0, 0
+    # _replay_dvs keys are live by replay rule, so dvs == targets
     n_dropped = sum(
         int(ref["n"]) if isinstance(ref, dict) else len(ref)
-        for r, ref in dvs.items()
-        if r in set(targets)
+        for ref in dvs.values()
     )
     frame = _read_live(
         spark, table, targets, dvs, schema=table_schema(table, read_v)

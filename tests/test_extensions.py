@@ -958,3 +958,65 @@ def test_pareto_frontier_matches_bruteforce(spark):
         for r in relational.pareto_frontier(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_recluster_survives_second_compaction(spark):
+    """Night-2 regression: the stream-layout recluster dynamic-
+    overwrites mark-listed pack files; the republished mark must keep
+    the NEXT compaction's recovery step from deleting the moved rows
+    as uncommitted leftovers."""
+    import shutil
+
+    from bow_hunter_pipeline_spark.plans import simsearch as ss
+
+    work = "/tmp/bhps_ivf_2cycle_t"
+    shutil.rmtree(work, ignore_errors=True)
+    emb, store = ss._ivf_stream_build(spark, SF_SMOKE, work)
+    ss.compact_stream_cell_store(spark, store)
+    ss._recluster_moved_cells(
+        spark, store, ss.IVF_STREAM_SCHEMA, stream_layout=True
+    )
+    spark.catalog.refreshByPath(store)
+    at_rest = spark.read.schema(ss.IVF_STREAM_SCHEMA).parquet(store)
+    rows_before = sorted(r.vec_id for r in at_rest.select("vec_id").collect())
+    assert rows_before, "fixture built empty"
+    # night 2: recovery must NOT unlink the reclustered packs
+    ss.compact_stream_cell_store(spark, store)
+    spark.catalog.refreshByPath(store)
+    at_rest2 = spark.read.schema(ss.IVF_STREAM_SCHEMA).parquet(store)
+    rows_after = sorted(r.vec_id for r in at_rest2.select("vec_id").collect())
+    assert rows_after == rows_before
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_drop_column_clears_mapping(spark, tmp_path):
+    """DROP COLUMN of a RENAMED column must clear its mapping entry:
+    the logical name becomes re-bindable to a different physical
+    column, and a later rename of the re-bound name resolves onto the
+    LIVE physical, not the dropped one."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") * 3).alias("w"),
+    )
+    tx.create_table(spark, table, df)
+    tx.rename_column(spark, table, "v", "val")
+    tx.drop_column(spark, table, "val")
+    assert tx._column_mapping(table) == {}  # stale entry cleared
+    # the logical name is re-bindable (physical 'v' stays retired)
+    tx.rename_column(spark, table, "w", "val")
+    cols = set(tx.snapshot(spark, table).columns)
+    assert cols == {"k", "val"}
+    # and a further rename resolves onto the LIVE physical column
+    tx.rename_column(spark, table, "val", "z")
+    cols = set(tx.snapshot(spark, table).columns)
+    assert cols == {"k", "z"}
+    got = {(r.k, r.z) for r in tx.snapshot(spark, table).collect()}
+    assert got == {(i, 3 * i) for i in range(6)}  # w's values, not v's
+    # time travel below the drop still sees the old mapping
+    assert tx._column_mapping(table, 1) == {"v": "val"}
