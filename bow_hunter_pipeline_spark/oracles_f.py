@@ -2278,7 +2278,8 @@ FROM orders GROUP BY o_orderpriority
 # (the Spark side prefilters at month grain first; same final rows).
 PARETO_FRONTIER = """
 WITH pts AS (
-  SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_orderdate,
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS o_orderdate,
          CAST(o.o_totalprice AS DECIMAL(12,2)) AS price,
          date_diff('day', DATE '1992-01-01', o.o_orderdate) AS day_idx
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey

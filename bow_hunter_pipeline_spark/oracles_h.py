@@ -2250,7 +2250,9 @@ FROM grid GROUP BY source
 
 from bow_hunter_pipeline_spark.plans.simsearch import (  # noqa: E402
     FILTER_LANG,
+    MMR_K,
     MMR_LAMBDA,
+    MMR_POOL,
 )
 
 MMR_RERANK_K1 = f"""
@@ -2275,6 +2277,83 @@ FROM (
   ) AS rn
   FROM scored
 ) WHERE rn = 1
+"""
+
+# H2 (NEW r12): full MMR re-rank at k = MMR_K — the registry's last
+# rows-only row, retired. The greedy argmax chain is a bounded
+# sequential fold, so a RECURSIVE CTE replays it: each iteration
+# scores every unselected pool candidate as
+# λ·rel − (1−λ)·max_{s∈sel} sim(c, s) and keeps the per-probe argmax
+# (score DESC, c_id ASC — the production tie-break). Bit-exactness
+# discipline: unit norms / dots are the same strict left folds as the
+# production scalar greedy (list_sum over a generate_series transform
+# folds left-to-right, matching Python's sum), divisions and the
+# λ-combination are single IEEE ops in the same order, and literals
+# use e-notation so DuckDB parses doubles, not decimals.
+MMR_RERANK = f"""
+WITH RECURSIVE probes AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+cands AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+),
+pairs AS (
+  SELECT p.q_id, c.c_id, p.qe, c.ce
+  FROM probes p CROSS JOIN cands c WHERE p.q_id <> c.c_id
+),
+scored AS (SELECT q_id, c_id, ce, {_COSINE} AS cosine FROM pairs),
+pool AS (
+  SELECT q_id, c_id, ce, cosine,
+         CASE WHEN sqrt({_NORM.format(col='ce')}) = 0e0 THEN 1e0
+              ELSE sqrt({_NORM.format(col='ce')}) END AS nrm
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id
+    ) AS rn FROM scored
+  ) WHERE rn <= {MMR_POOL}
+),
+sims AS (
+  SELECT a.q_id, a.c_id AS ca, b.c_id AS cb,
+         list_sum(list_transform(generate_series(1, {DIM}),
+           i -> (CAST(a.ce[i] AS DOUBLE) / a.nrm)
+              * (CAST(b.ce[i] AS DOUBLE) / b.nrm))) AS sim
+  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+),
+mmr AS (
+  SELECT q_id, c_id, cosine AS relevance,
+         {MMR_LAMBDA}e0 * cosine
+           - (1e0 - {MMR_LAMBDA}e0) * 0e0 AS mmr_score,
+         1 AS mmr_rank, [c_id] AS sel
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, c_id
+    ) AS rn FROM pool
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT q_id, c_id, relevance, mmr_score, mmr_rank, sel FROM (
+    SELECT q_id, c_id, relevance, mmr_score, mmr_rank, sel,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY mmr_score DESC, c_id
+           ) AS rn
+    FROM (
+      SELECT prev.q_id, p.c_id, p.cosine AS relevance,
+             {MMR_LAMBDA}e0 * p.cosine - (1e0 - {MMR_LAMBDA}e0) * (
+               SELECT MAX(s.sim) FROM sims s
+               WHERE s.q_id = prev.q_id AND s.ca = p.c_id
+                 AND list_contains(prev.sel, s.cb)
+             ) AS mmr_score,
+             prev.mmr_rank + 1 AS mmr_rank,
+             list_append(prev.sel, p.c_id) AS sel
+      FROM mmr prev JOIN pool p ON p.q_id = prev.q_id
+      WHERE prev.mmr_rank < {MMR_K}
+        AND NOT list_contains(prev.sel, p.c_id)
+    )
+  ) WHERE rn = 1
+)
+SELECT q_id, c_id, relevance, mmr_score,
+       CAST(mmr_rank AS INT) AS mmr_rank
+FROM mmr
 """
 
 _IVF_ASSIGNED_CTES = f"""

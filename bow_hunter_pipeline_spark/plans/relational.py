@@ -1600,10 +1600,20 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("price").over(w_past).alias("past_max"),
         F.max("price").over(w_same_date).alias("same_date_max"),
     )
+    # o_orderdate is emitted as DATE, not the fixture's raw
+    # timestamp[us]: date32 has no timezone/encoding surface for the
+    # external comparator to canonicalize (r11's only red row was a
+    # hash-only mismatch on this column that no local repr- or
+    # arrow-level check could reproduce; the oracle casts the same).
     return flagged.filter(
         (F.col("price") == F.col("same_date_max"))
         & (
             F.col("past_max").isNull()
             | (F.col("price") > F.col("past_max"))
         )
-    ).select("segment", "o_orderkey", "o_orderdate", "price")
+    ).select(
+        "segment",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "price",
+    )

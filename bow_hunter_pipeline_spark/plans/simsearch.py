@@ -380,18 +380,27 @@ def mmr_rerank(
     c_id. This is the canonical "distribute the recall, localize the
     re-rank" retrieval split.
 
-    No SQL oracle: the greedy argmax chain is not expressible in one
-    SQL statement at arbitrary k — driver records the rows-only check.
-    In its place (VERDICT r10 ask #4), the chain is verified IN-QUERY
-    against a SECOND, independently-written implementation: a scalar
-    pure-Python greedy (per-dimension accumulation, no numpy/BLAS)
-    re-derives every probe's selection sequence inside the same
-    grouped batch, and any divergence in the chosen (c_id, rank)
-    chain raises — which the driver records as a red row. The two
-    implementations share only the input pool, so a vectorization
-    bug, a tie-break slip, or a max-axis mistake in either one
-    crashes the query instead of shipping a plausible-but-wrong
-    ranking.
+    SQL oracle (NEW r12 — retires the registry's last rows-only row):
+    the greedy chain at bounded k is a sequential fold, replayed by a
+    DuckDB recursive CTE (``oracles_h.MMR_RERANK``) that picks one
+    argmax row per probe per iteration. For the hash to be BIT-exact
+    the two engines must perform the same float ops in the same
+    order, so the PRODUCTION side of this UDF is the deterministic
+    scalar greedy: norms and dots are strict left folds in double
+    (the module's dot_fold discipline — ``list_sum`` over a
+    transform in DuckDB folds identically), unit division and the
+    λ·rel − (1−λ)·max-sim combination are single IEEE ops. The
+    numpy/BLAS vectorized greedy is retained as the IN-QUERY
+    cross-check (VERDICT r10 ask #4's dual-implementation property,
+    roles swapped): any divergence in the (c_id, rank) chain raises
+    unless the vectorized-side score gap is within the BLAS
+    pairwise-reduction band (0 < gap ≤ 1e-9); an EXACT tie (gap == 0)
+    must agree on the smallest c_id — a tie-break slip is precisely
+    what the second implementation exists to catch (ADVICE r11 #1).
+    The two implementations share only the input pool, so a
+    vectorization bug, a tie-break slip, or a max-axis mistake in
+    either one crashes the query instead of shipping a
+    plausible-but-wrong ranking.
     """
     import numpy as np
     import pandas as pd
@@ -419,44 +428,20 @@ def mmr_rerank(
     )
 
     def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         pdf = pdf.sort_values(["cosine", "c_id"], ascending=[False, True])
-        vecs = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0.0] = 1.0
-        unit = vecs / norms[:, None]
-        rel = pdf["cosine"].to_numpy()
+        q_id = int(pdf["q_id"].iloc[0])
         c_ids = pdf["c_id"].to_numpy()
-        chosen: list[int] = []
-        out = []
-        for rank in range(1, min(k, len(pdf)) + 1):
-            if chosen:
-                div = (unit @ unit[chosen].T).max(axis=1)
-            else:
-                div = np.zeros(len(pdf))
-            score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * div
-            score[chosen] = -np.inf
-            # deterministic: highest score, then smallest c_id
-            best = min(
-                range(len(pdf)), key=lambda i: (-score[i], c_ids[i])
-            )
-            chosen.append(best)
-            out.append(
-                (
-                    int(pdf["q_id"].iloc[0]),
-                    int(c_ids[best]),
-                    float(rel[best]),
-                    float(score[best]),
-                    rank,
-                )
-            )
-        # SECOND IMPLEMENTATION (scalar, no numpy): re-derive the
-        # greedy chain with per-dimension Python accumulation and
-        # assert the exact same (c_id, rank) selection sequence
+        rel_col = pdf["cosine"].to_numpy()
+        # PRODUCTION: deterministic scalar greedy. Every float op is a
+        # strict left fold / single IEEE op so the recursive-CTE
+        # oracle reproduces each emitted double bit-for-bit.
         rows = list(
             zip(
                 (int(c) for c in c_ids),
                 (list(map(float, v)) for v in pdf["ce"]),
-                (float(r) for r in rel),
+                (float(r) for r in rel_col),
             )
         )
         units = []
@@ -464,11 +449,12 @@ def mmr_rerank(
             n2 = 0.0
             for x in vec:
                 n2 += x * x
-            n = n2 ** 0.5 or 1.0
+            n = math.sqrt(n2) or 1.0
             units.append([x / n for x in vec])
         sel: list[int] = []
+        out = []
         for rank in range(1, min(k, len(rows)) + 1):
-            best_i, best_key = None, None
+            best_i, best_key, best_sc = None, None, None
             for i, (cid, _vec, r) in enumerate(rows):
                 if i in sel:
                     continue
@@ -479,37 +465,44 @@ def mmr_rerank(
                 sc = MMR_LAMBDA * r - (1.0 - MMR_LAMBDA) * div
                 key = (-sc, cid)
                 if best_key is None or key < best_key:
-                    best_i, best_key = i, key
-            got = out[rank - 1]
-            want = (int(rows[best_i][0]), rank)
-            if (got[1], got[4]) != want:
-                # The two sides accumulate dots/norms in different
-                # orders (BLAS pairwise vs sequential), so candidates
-                # whose EXACT scores sit within a few ulps can
-                # legitimately swap. A real greedy-chain bug produces
-                # a macroscopic divergence; only raise when the
-                # scalar-side score gap exceeds the rounding band.
-                got_i = next(
-                    i for i, (cid, _v, _r) in enumerate(rows)
-                    if cid == got[1] and i not in sel
-                )
-                div_g = 0.0 if not sel else max(
-                    sum(a * bb for a, bb in zip(units[got_i], units[j]))
-                    for j in sel
-                )
-                sc_got = MMR_LAMBDA * rows[got_i][2] - (
-                    1.0 - MMR_LAMBDA
-                ) * div_g
-                if abs(sc_got - (-best_key[0])) > 1e-9:
-                    raise AssertionError(
-                        f"MMR implementations diverge at q_id={got[0]} "
-                        f"rank={rank}: vectorized chose c_id={got[1]}, "
-                        f"scalar chose c_id={want[0]}"
-                    )
-                # tie-band: follow the production side's choice so the
-                # remainder of the chain is compared on the same state
-                best_i = got_i
+                    best_i, best_key, best_sc = i, key, sc
             sel.append(best_i)
+            out.append(
+                (q_id, rows[best_i][0], rows[best_i][2], best_sc, rank)
+            )
+        # CROSS-CHECK: independently-written numpy/BLAS greedy must
+        # re-derive the same (c_id, rank) chain. BLAS reduces dots
+        # pairwise, so scores within ~1e-9 may legitimately swap —
+        # but an EXACT tie (gap == 0) has no rounding excuse: both
+        # sides must then break it to the smallest c_id (ADVICE r11).
+        vecs = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        chosen: list[int] = []
+        for rank in range(1, min(k, len(rows)) + 1):
+            if chosen:
+                div_v = (unit @ unit[chosen].T).max(axis=1)
+            else:
+                div_v = np.zeros(len(rows))
+            score = MMR_LAMBDA * rel_col - (1.0 - MMR_LAMBDA) * div_v
+            score[chosen] = -np.inf
+            best_v = min(
+                range(len(rows)), key=lambda i: (-score[i], c_ids[i])
+            )
+            prod_i = sel[rank - 1]
+            if best_v != prod_i:
+                gap = float(score[best_v] - score[prod_i])
+                if gap == 0.0 or gap > 1e-9:
+                    raise AssertionError(
+                        f"MMR implementations diverge at q_id={q_id} "
+                        f"rank={rank}: scalar chose "
+                        f"c_id={rows[prod_i][0]}, vectorized chose "
+                        f"c_id={int(c_ids[best_v])} (gap={gap!r})"
+                    )
+            # follow the production choice so the rest of the chain
+            # is compared on the same selected-set state
+            chosen.append(prod_i)
         return pd.DataFrame(
             out, columns=["q_id", "c_id", "relevance", "mmr_score", "mmr_rank"]
         )

@@ -47,7 +47,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_plan_fingerprints.py forces those queries into the
 # driver-checked prefix — the mechanical form of the rotation rule
 # "changed plan ⇒ re-proof" (VERDICT r09, What's-missing #1).
-ROUND = 11
+ROUND = 12
 
 # --- oracle SQL fragments (DuckDB dialect = ANSI here) -----------------
 
@@ -897,7 +897,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "h4_funnel_stages": (events.funnel_stages, oracles_h.FUNNEL_STAGES),
     "h2_int8_quantize": (simsearch.int8_quantize, oracles_h.INT8_QUANTIZE),
     # greedy argmax chain — not one-statement SQL; rows-only check
-    "h2_mmr_rerank": (simsearch.mmr_rerank, None),
+    "h2_mmr_rerank": (simsearch.mmr_rerank, oracles_h.MMR_RERANK),
     # SemDeDup: fixed-point k-means + within-cluster cosine dedup
     "h1_semdedup_kmeans": (
         simsearch.semdedup_kmeans,

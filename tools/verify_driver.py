@@ -28,6 +28,29 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
 
+def arrow_hash(tbl):
+    """Canonical value hash of an arrow table: sort columns by name,
+    sort rows by all columns, hash str(scalar) per cell. Stricter than
+    repr-of-collect — arrow scalars carry tz / decimal-scale / date-vs-
+    timestamp distinctions that Python-object repr can flatten."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    cols = sorted(tbl.schema.names)
+    tbl = tbl.select(cols).combine_chunks()
+    if tbl.num_rows:
+        idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in cols])
+        tbl = tbl.take(idx)
+    h = hashlib.sha256()
+    h.update(("|".join(f"{c}:{tbl.schema.field(c).type}" for c in cols)).encode())
+    for c in cols:
+        for v in tbl[c]:
+            h.update(str(v).encode())
+            h.update(b"\x00")
+    return h.hexdigest()
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -112,6 +135,23 @@ for name, fn in qs.items():
         if sn != on:
             diff = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b][:3]
             fails.append((name, f"value mismatch at sorted-rows {diff}; e.g. {sn[diff[0]]} vs {on[diff[0]]}"))
+            continue
+        # ARROW-CANONICAL HASH second: a stricter twin of the external
+        # driver's value hash. repr() equality can mask an encoding
+        # difference the driver's canonicalization sees (the r11
+        # f_pareto_frontier red row matched repr AND arrow schema yet
+        # hash-diverged) — so also compare a hash of the arrow-level
+        # canonical form: columns sorted by name, rows sorted, every
+        # cell rendered from the arrow scalar (type-faithful: tz,
+        # decimal scale, date-vs-timestamp all surface here).
+        try:
+            ah_s = arrow_hash(sdf.toArrow())
+            ah_o = arrow_hash(at)
+        except Exception as ae:  # noqa: BLE001 — arrow conversion gaps
+            print(f"{name}: OK ({len(s_rows)} rows) [arrow-hash skipped: {type(ae).__name__}]")
+            continue
+        if ah_s != ah_o:
+            fails.append((name, f"ARROW-HASH mismatch (repr equal!): {ah_s[:16]} vs {ah_o[:16]}"))
             continue
         print(f"{name}: OK ({len(s_rows)} rows)")
     except Exception as e:  # noqa: BLE001
