@@ -1677,6 +1677,24 @@ IVF_STREAM_SCHEMA = (
     "vec_id bigint, embedding array<float>, cell_id bigint, arrival int"
 )
 IVF_COMPACTION_MARK = "_compaction.json"
+IVF_RECLUSTER_INTENT = "_recluster.intent"
+
+
+def _write_recluster_intent(store: str) -> None:
+    """Drop the recluster intent marker inside the store root (an
+    underscore name, invisible to Spark's file listing). It declares
+    'a recluster's dynamic overwrite may be in flight': while it
+    exists, pack files not named by the committed compaction mark are
+    POST-OVERWRITE COMMITTED DATA awaiting the mark republish, not
+    crashed-compaction leftovers, and recovery must adopt rather than
+    unlink them (ADVICE r11 #2)."""
+    import json
+    import os
+
+    tmp = os.path.join(store, IVF_RECLUSTER_INTENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"writer": "recluster"}, fh)
+    os.replace(tmp, os.path.join(store, IVF_RECLUSTER_INTENT))
 
 
 def ivf_streaming_maintenance(
@@ -1849,6 +1867,27 @@ def compact_stream_cell_store(
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
     mark = _stream_store_mark(store)
+    intent = os.path.join(store, IVF_RECLUSTER_INTENT)
+    if os.path.exists(intent):
+        # A recluster crashed between its dynamic overwrite and its
+        # mark republish (ADVICE r11 #2): pack files the mark does
+        # not name are COMMITTED post-move data, not leftovers of a
+        # crashed compaction. Heal by adopting the current pack set
+        # as the committed one (exactly the republish the recluster
+        # would have performed — content-equivalent because the
+        # overwrite replaced whole arrival=-1 sub-partitions), then
+        # retire the intent and continue normally.
+        mark["packs"] = sorted(
+            os.path.relpath(f, store)
+            for f in glob.glob(
+                os.path.join(store, "cell_id=*", "arrival=-1", "*.parquet")
+            )
+        )
+        tmp_mark = os.path.join(store, IVF_COMPACTION_MARK + ".tmp")
+        with open(tmp_mark, "w") as fh:
+            json.dump(mark, fh)
+        os.replace(tmp_mark, os.path.join(store, IVF_COMPACTION_MARK))
+        os.unlink(intent)
     committed = set(mark["packs"])
     # recovery: discard uncommitted packs from a crashed round …
     for f in glob.glob(
@@ -2358,6 +2397,15 @@ def _recluster_moved_cells(
                 "arrival", F.lit(-1).cast("int")
             )
             pcols = ["cell_id", "arrival"]
+            # INTENT MARKER before the overwrite (ADVICE r11 #2): a
+            # crash between the dynamic overwrite and the mark
+            # republish below leaves pack files the committed mark
+            # does not name. Without this marker the NEXT
+            # compaction's recovery would unlink them as crashed-
+            # round leftovers — deleting committed data. While the
+            # marker exists, recovery instead ADOPTS the current
+            # pack set (see compact_stream_cell_store).
+            _write_recluster_intent(store)
         sess_key = "spark.sql.sources.partitionOverwriteMode"
         old_mode = spark.conf.get(sess_key, None)
         spark.conf.set(sess_key, "dynamic")
@@ -2390,9 +2438,10 @@ def _recluster_moved_cells(
             # post-move pack set, or the NEXT compaction's recovery
             # step would unlink the moved rows as crash leftovers
             # (silent data loss on the second nightly cycle). Same
-            # atomic tmp+replace pivot as the compactor; the window
-            # between overwrite and republish is the documented
-            # single-writer maintenance-window trade.
+            # atomic tmp+replace pivot as the compactor; a crash
+            # inside the overwrite→republish window is covered by
+            # the intent marker written above (recovery adopts the
+            # current pack set instead of GC'ing it).
             import json
 
             mark = _stream_store_mark(store)
@@ -2410,6 +2459,9 @@ def _recluster_moved_cells(
             os.replace(
                 tmp_mark, os.path.join(store, IVF_COMPACTION_MARK)
             )
+            # mark republished over the post-move pack set — the
+            # crash window is closed, retire the intent marker
+            os.unlink(os.path.join(store, IVF_RECLUSTER_INTENT))
     # untouched cells keep their exact file identity across the move
     for d, files in files_before.items():
         cell = int(os.path.basename(d).split("=", 1)[1])

@@ -1206,17 +1206,23 @@ def merge_sync(
     kept = current.filter(~in_scope).unionByName(
         scoped.join(F.broadcast(src_keys), keys, "semi")
     )
-    # audit scalars: one conditional aggregate over one left join
+    # audit scalars: one conditional aggregate over one left join.
+    # The match-flag helper column gets a collision-proof name — a
+    # table that legitimately owns a column named "_m" would make a
+    # bare F.col("_m") ambiguous and fail the merge (ADVICE r11 #3).
+    mcol = "_m"
+    while mcol in current.columns:
+        mcol = "_" + mcol
     flagged = current.join(
-        F.broadcast(src_keys.withColumn("_m", F.lit(1))), keys, "left"
+        F.broadcast(src_keys.withColumn(mcol, F.lit(1))), keys, "left"
     )
     audit = flagged.agg(
-        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0)).alias("n_upd"),
+        F.sum(F.when(F.col(mcol) == 1, 1).otherwise(0)).alias("n_upd"),
         F.sum(
-            F.when(in_scope & F.col("_m").isNull(), 1).otherwise(0)
+            F.when(in_scope & F.col(mcol).isNull(), 1).otherwise(0)
         ).alias("n_del"),
         F.count_distinct(
-            F.when(F.col("_m") == 1, F.struct(*keys))
+            F.when(F.col(mcol) == 1, F.struct(*keys))
         ).alias("n_matched_keys"),
     ).collect()[0]
     n_updated = int(audit.n_upd or 0)

@@ -989,6 +989,43 @@ def test_recluster_survives_second_compaction(spark):
     shutil.rmtree(work, ignore_errors=True)
 
 
+def test_recluster_crash_window_recovery(spark):
+    """A crash BETWEEN the recluster's dynamic overwrite and its mark
+    republish leaves pack files the committed mark does not name. The
+    intent marker written before the overwrite must make the next
+    compaction's recovery ADOPT those files (they are committed data)
+    instead of unlinking them as crashed-round leftovers."""
+    import glob
+    import os
+    import shutil
+
+    from bow_hunter_pipeline_spark.plans import simsearch as ss
+
+    work = "/tmp/bhps_ivf_crashwin_t"
+    shutil.rmtree(work, ignore_errors=True)
+    emb, store = ss._ivf_stream_build(spark, SF_SMOKE, work)
+    ss.compact_stream_cell_store(spark, store)
+    at_rest = spark.read.schema(ss.IVF_STREAM_SCHEMA).parquet(store)
+    rows_before = sorted(r.vec_id for r in at_rest.select("vec_id").collect())
+    assert rows_before, "fixture built empty"
+    # simulate the interrupted recluster: intent is down, the
+    # overwrite has produced a fresh part file the mark does not name
+    ss._write_recluster_intent(store)
+    a_pack = sorted(
+        glob.glob(os.path.join(store, "cell_id=*", "arrival=-1", "*.parquet"))
+    )[0]
+    renamed = os.path.join(os.path.dirname(a_pack), "part-postmove.parquet")
+    os.rename(a_pack, renamed)
+    # night 2: recovery must adopt the post-overwrite pack set
+    ss.compact_stream_cell_store(spark, store)
+    assert not os.path.exists(os.path.join(store, ss.IVF_RECLUSTER_INTENT))
+    spark.catalog.refreshByPath(store)
+    at_rest2 = spark.read.schema(ss.IVF_STREAM_SCHEMA).parquet(store)
+    rows_after = sorted(r.vec_id for r in at_rest2.select("vec_id").collect())
+    assert rows_after == rows_before  # zero loss through the window
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def test_drop_column_clears_mapping(spark, tmp_path):
     """DROP COLUMN of a RENAMED column must clear its mapping entry:
     the logical name becomes re-bindable to a different physical

@@ -2773,6 +2773,29 @@ def test_merge_sync_tri_clause(spark, tmp_path):
     } == {1, 9}
 
 
+def test_merge_sync_m_column_collision(spark, tmp_path):
+    """A table that legitimately owns a column named "_m" must not
+    collide with merge_sync's internal match-flag helper column."""
+    from bow_hunter_pipeline_spark import warehouse_tx as tx
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200)], "k bigint, _m bigint, v bigint"
+    )
+    tx.create_table(spark, table, base)
+    src = spark.createDataFrame(
+        [(1, 11, -100), (3, 33, 300)], "k bigint, _m bigint, v bigint"
+    )
+    v, n_up, n_ins, n_del = tx.merge_sync(
+        spark, table, src, ["k"], ["_m", "v"]
+    )
+    assert (n_up, n_ins, n_del) == (1, 1, 1)
+    got = {
+        r.k: (r._m, r.v) for r in tx.snapshot(spark, table, v).collect()
+    }
+    assert got == {1: (11, -100), 3: (33, 300)}
+
+
 def test_purge_deletion_vectors(spark, tmp_path):
     """Purge materializes DVs: answers unchanged, vector state empty,
     only vector-carrying files rewritten, idempotent when clean."""
