@@ -48,6 +48,20 @@ def legs() -> dict[str, float]:
     return dict(_ACC.data)
 
 
+def proofs_enabled() -> bool:
+    """Gate for in-plan PROOF legs (planner-equivalence replays,
+    full-rebuild bit-equality) — verification work a production run
+    never pays. VERDICT r11 ask #4: registry/bench runs execute the
+    production shape so BENCH legs measure what a user pays; pytest
+    sets ``BHPS_PROOF_LEGS=1`` (tests/test_proof_legs.py) so every
+    law still crashes the suite on violation. Read from the
+    environment AT CALL TIME — a module-level constant would bake the
+    test environment into the plan fingerprints."""
+    import os
+
+    return os.environ.get("BHPS_PROOF_LEGS", "0") == "1"
+
+
 @contextmanager
 def leg(name: str) -> Iterator[None]:
     """Accumulate wall-clock spent in this block under ``name``."""

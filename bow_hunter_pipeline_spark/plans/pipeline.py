@@ -2089,13 +2089,17 @@ def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python per-file loop (fine at 10⁵) becomes the planner
     bottleneck (VERDICT r09 watch-item a).
 
-    The PLANNER-EQUIVALENCE law is asserted in-plan: on the same
-    snapshot, bounds, and bloom index, the DataFrame planner's
-    (rewrite, carry, stats-survivors) must equal the driver-loop
-    planner's set-for-set — pruning strategy can never change
-    answers, only cost. Then the DF-planned merge commits: bump the
-    MAX composite key's quantity and insert a ``(-2, 1)`` row.
-    Oracle: the merge replayed relationally over lineitem.
+    The PLANNER-EQUIVALENCE law — on the same snapshot, bounds, and
+    bloom index, the DataFrame planner's (rewrite, carry,
+    stats-survivors) must equal the driver-loop planner's
+    set-for-set; pruning strategy can never change answers, only
+    cost — is a PROOF LEG behind ``legtime.proofs_enabled()``:
+    pytest runs it with ``BHPS_PROOF_LEGS=1``
+    (tests/test_proof_legs.py), while driver/bench runs execute the
+    production shape a user pays for (VERDICT r11 ask #4). Then the
+    DF-planned merge commits: bump the MAX composite key's quantity
+    and insert a ``(-2, 1)`` row. Oracle: the merge replayed
+    relationally over lineitem.
     """
     from bow_hunter_pipeline_spark import warehouse_tx as tx
     from bow_hunter_pipeline_spark.functions.exact import dsum
@@ -2134,20 +2138,25 @@ def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
     )
 
-    # planner equivalence: DataFrame find == driver-loop find. This is
-    # a verification leg (a production merge runs ONE planner) plus the
-    # checkpoint write, which a real pipeline maintains incrementally —
-    # both build-leg costs, not the steady-state merge path.
+    # the actions checkpoint is the DF planner's input — a real
+    # pipeline maintains it incrementally, so it's a build-leg cost
     with legtime.leg("build"):
-        b = tx._updates_key_bounds(updates, keys)
         read_v = tx._versions(TX_DFMERGE_PATH)[-1]
+        actions = tx.write_actions_checkpoint(
+            spark, TX_DFMERGE_PATH, read_v
+        )
+
+    # PROOF LEG (pytest-only — legtime.proofs_enabled): planner
+    # equivalence, DataFrame find == driver-loop find. A production
+    # merge runs ONE planner; benching this replay hid the real
+    # build/serve split (VERDICT r11 ask #4). tests/test_proof_legs.py
+    # runs it with BHPS_PROOF_LEGS=1 so a violated law still fails CI.
+    if legtime.proofs_enabled():
+        b = tx._updates_key_bounds(updates, keys)
         rels, logged = tx._replay(TX_DFMERGE_PATH, read_v)
         lp_rw, lp_carry, lp_stats = tx._composite_find_loop(
             spark, TX_DFMERGE_PATH, updates, keys, b, rels, logged,
             read_v, index,
-        )
-        actions = tx.write_actions_checkpoint(
-            spark, TX_DFMERGE_PATH, read_v
         )
         df_rw, df_carry, df_stats = tx._composite_find_df(
             spark, TX_DFMERGE_PATH, updates, keys, b, read_v, index,
@@ -2187,15 +2196,20 @@ def tx_incremental_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts-directory sidecar, so arrivals are pre-indexed the moment
     they land and pruning never re-pays a table scan.
 
-    Three laws are asserted in-plan (a violated law crashes the
-    query, which the driver records as red):
+    Three laws protect it:
 
     1. O(new) maintenance — the post-append refresh hashed exactly
-       the files that commit added, and a second refresh hashes 0;
+       the files that commit added, and a second refresh hashes 0
+       (asserted in-plan: the scalars are free);
     2. bit-equality — the incremental parts union equals a
        from-scratch full build over the same snapshot (per-file
        filters are file-local, so carry-old ∪ hash-new IS the full
-       index), checked with a two-sided ``exceptAll``;
+       index), checked with a two-sided ``exceptAll``. The full
+       rebuild is verification work a production table never pays,
+       so it is a PROOF LEG behind ``legtime.proofs_enabled()`` —
+       pytest runs it with ``BHPS_PROOF_LEGS=1``
+       (tests/test_proof_legs.py); driver/bench run the production
+       shape (VERDICT r11 ask #4);
     3. exactness under deletes — the max key is DV-deleted after
        indexing; its probe returns nothing while pruning stays
        sound (a vectored row only ever ADDS false positives).
@@ -2231,9 +2245,12 @@ def tx_incremental_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rescanned == 0, rescanned  # law 1: refresh is idempotent
 
-    # build leg: the from-scratch full build exists only to prove law 2
-    # (bit-equality) — a production table never pays it
-    with legtime.leg("build"):
+    # PROOF LEG (pytest-only — legtime.proofs_enabled): the
+    # from-scratch full build exists only to prove law 2
+    # (bit-equality) — a production table never pays it, so neither
+    # do the driver/bench runs (VERDICT r11 ask #4);
+    # tests/test_proof_legs.py runs it with BHPS_PROOF_LEGS=1.
+    if legtime.proofs_enabled():
         full = tx.build_bloom_index_table(
             spark, TX_IBLOOM_PATH, "o_orderkey", bits=bits
         )

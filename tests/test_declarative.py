@@ -168,3 +168,37 @@ def test_rerun_replaces_tables(spark, tmp_path):
     s2 = pipe.run(spark)
     assert s1 == s2
     assert tx.snapshot(spark, pipe.path("base")).count() == 10
+
+
+def test_single_materialization_per_table(spark, tmp_path):
+    """The runner must evaluate each declared transform ONCE (VERDICT
+    r11 ask #5): the quarantine split, the per-expectation counts, and
+    the clean write all read one pinned evaluation — pinned by an
+    accumulator UDF that ticks per evaluated row."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("bigint")
+    def tick(k):
+        acc.add(1)
+        return k
+
+    pipe = Pipeline(str(tmp_path / "p"))
+
+    @pipe.table(
+        name="src",
+        expectations={"k_small": "k < 8"},
+        on_violation="quarantine",
+    )
+    def _src(s, up):
+        return (
+            s.range(10)
+            .select(tick(F.col("id")).alias("k"))
+            .withColumn("v", F.col("k") * 2)
+        )
+
+    stats = pipe.run(spark)
+    assert stats["src"] == {"rows": 8, "quarantined": {"k_small": 2}}
+    assert tx.snapshot(spark, pipe.path("src__quarantine")).count() == 2
+    # one evaluation: 10 input rows -> exactly 10 UDF calls. Before
+    # the pin, the three consumers re-ran the transform (30 ticks).
+    assert acc.value == 10, acc.value
