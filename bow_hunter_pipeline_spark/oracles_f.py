@@ -2221,6 +2221,30 @@ FROM q
 """
 
 
+# E2+ cross-table atomic pipeline: run 2's published gold (full
+# corpus through the qty_cap expectation and the silver filter) plus
+# the mid-run observer's bronze count, which all-or-none visibility
+# pins to RUN 1's half-corpus bronze — the atomicity evidence rides
+# inside the hashed row values.
+TX_ATOMIC_PIPELINE = """
+WITH b2 AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_quantity <= 45
+),
+s2 AS (SELECT * FROM b2 WHERE l_orderkey % 4 <> 1),
+b1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+  WHERE l_orderkey % 2 = 0 AND l_quantity <= 45
+)
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS sum_price,
+       (SELECT c FROM b1) AS mid_run_bronze_rows
+FROM s2 GROUP BY l_linenumber
+"""
+
+
 # E2+ tri-clause MERGE (mirror sync): non-URGENT rows untouched; the
 # URGENT region is replaced by the authoritative source batch (its
 # even-key rows updated + two inserts; odd-key rows deleted).

@@ -1138,6 +1138,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_declarative_pipeline,
         oracles_f.TX_DECLARATIVE_PIPELINE,
     ),
+    # E2+ (NEW r12): cross-table atomic commit for the declarative
+    # DAG — unpublished per-table versions + one manifest swap; the
+    # mid-pipeline reader proof is in-query (all-or-none visibility)
+    "e2_tx_atomic_pipeline": (
+        pipeline.tx_atomic_pipeline,
+        oracles_f.TX_ATOMIC_PIPELINE,
+    ),
     # E2+ (NEW r11): tri-clause MERGE (matched update / not-matched
     # insert / not-matched-by-source delete scoped to a region)
     "e2_tx_merge_sync": (pipeline.tx_merge_sync, oracles_f.TX_MERGE_SYNC),
@@ -1790,71 +1797,71 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-11 prefix. The registry entered this round fully
-    # driver-proven (308/308 through r10). This round touched the
-    # transactional core (advice fixes + DROP COLUMN retirement in
-    # _commit/_align_to_table_schema), so the fingerprint gate
-    # flagged most of the tx family: the prefix is the 11 round-11
-    # ADDITIONS, then EVERY r11-stamped changed plan (each
-    # re-verified with tools/verify_driver.py +
-    # tools/audit_oracle_types.py). Age re-checks defer to r12 —
-    # new first-proof rows and changed-plan re-proofs outrank
-    # re-checking a never-red registry; nothing is ever dropped,
+    # --- round-12 prefix. Lead item: f_pareto_frontier — r11's only
+    # red row (hash-only; repr/arrow-identical locally) re-proved
+    # after shrinking its encoding surface to DATE on both sides.
+    # Then the round's one ADDITION, then every r12-stamped changed
+    # plan (MMR production-scalar swap + recursive-CTE oracle,
+    # recluster crash-window intent, merge_sync collision fix,
+    # proof-legs-behind-flag, single-materialization declarative
+    # runner), then the AGE RE-CHECKS the r10/r11 verdicts deferred:
+    # the 39 oldest surviving proofs (r02/r03/r04 vintage — every
+    # slot the changed-plan set leaves free). The 8 remaining
+    # r04-vintage rows lead the r13 tail. Nothing is ever dropped,
     # only reordered.
-    # --- new in r11 (mirrored in R11_NEW_IN_PREFIX below) ---
-    "h2_ivf_nightly_maintenance",
-    "e2_tx_declarative_pipeline",
-    "e2_tx_merge_sync",
-    "e2_tx_dv_purge",
-    "mm_keyframe_dedup",
-    "e2_tx_drop_column",
-    "h4_event_pattern_match",
-    "g4_stl_decomposition",
-    "h1_cc_alternating_star",
-    "h6_weighted_sample",
+    # --- new in r12 (mirrored in R12_NEW_IN_PREFIX below) ---
+    "e2_tx_atomic_pipeline",
+    # --- plans changed in r12 (fingerprint-stamped; re-proof) ---
     "f_pareto_frontier",
-    # --- plans changed in r11 (fingerprint-stamped; re-proof) ---
-    "e2_tx_append_evolution",
-    "e2_tx_bloom_pruned_lookup",
-    "e2_tx_bloom_table_lookup",
-    "e2_tx_column_rename",
-    "e2_tx_composite_pruned_merge",
-    "e2_tx_constraint_quarantine",
-    "e2_tx_delete_restore",
+    "e2_tx_declarative_pipeline",
     "e2_tx_df_planned_merge",
-    "e2_tx_dv_delete",
-    "e2_tx_generated_columns",
-    "e2_tx_guarded_merge",
     "e2_tx_incremental_bloom_index",
-    "e2_tx_manifest_export",
-    "e2_tx_merge_pruned",
-    "e2_tx_merge_timetravel",
-    "e2_tx_partition_evolution",
-    "e2_tx_replace_where",
-    "e2_tx_schema_evolution",
-    "e2_tx_shallow_clone",
-    "e2_tx_timetravel_asof",
-    "e2_tx_update_change_feed",
-    "e2_tx_vacuum_retention",
-    "e2_tx_zorder_pruned_delete",
-    "e4_drift_audit",
-    "h1_incremental_lsh_index",
-    "h1_lsh_compacted_index",
+    "e2_tx_merge_sync",
+    "h2_ivf_nightly_maintenance",
     "h2_ivf_recluster_moves",
     "h2_ivf_stream_compacted_search",
     "h2_mmr_rerank",
     "h2_mmr_rerank_k1",
-    "h3_repetition_filter",
-    "h4_streaming_cdc_stateful",
-    "h4_streaming_cdf_apply",
-    "h4_streaming_cdf_change_files",
-    "h4_streaming_cdf_ivm",
-    "h4_streaming_tx_merge",
-    "h4_streaming_tx_source",
-    "h5_approx_aggs",
-    "h5_hll_partition_merge",
-    # --- oldest surviving proofs (r02/r03 vintage; exactly the
-    # slots the changed-plan set leaves free) ---
+    # --- oldest surviving proofs (r02/r03/r04 vintage) ---
+    "h3_regex_token_stats",
+    "h3_rolling_fingerprint",
+    "a5_csv_roundtrip",
+    "a5_json_roundtrip",
+    "a7_pending_work",
+    "c3_parse_unit",
+    "f_pivot_event_counts",
+    "f_range_join_value_bands",
+    "g4_moving_avg",
+    "h1_containment_pairs",
+    "h2_ivf_topk",
+    "h2_pq_topk",
+    "h3_tfidf_top_terms",
+    "h4_hourly_event_agg",
+    "h4_json_map_explode",
+    "h4_json_props_agg",
+    "h4_rolling_hour_counts",
+    "h4_session_window_builtin",
+    "h4_stream_static_join",
+    "h4_stream_stream_join",
+    "h4_streaming_dedup",
+    "h4_streaming_hourly_agg",
+    "h4_streaming_sessionize",
+    "h4_streaming_upsert",
+    "h5_exact_distinct_quantiles",
+    "h6_contamination_check",
+    "h6_domain_upsample",
+    "h6_repetition_filter",
+    "h6_sequence_packing",
+    "mm_audio_windows",
+    "mm_resize_media",
+    "udf_cogrouped_order_profile",
+    "udf_grouped_agg_floorsum",
+    "udf_grouped_map_neighbors",
+    "udf_scalar_token_stats",
+    "udf_table_function",
+    "f_higher_order_arrays",
+    "f_map_functions",
+    "f_nested_struct_roundtrip",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1863,22 +1870,12 @@ _DRIVER_ROTATION = [
 PENDING_DRIVER_QUEUE = [
 ]
 
-# Round-11 additions given first-proof slots at the HEAD of the r11
+# Round-12 additions given first-proof slots at the HEAD of the r12
 # prefix (each pre-verified green with tools/verify_driver.py and
 # tools/audit_oracle_types.py before taking a slot; prefix membership
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
-R11_NEW_IN_PREFIX = [
-    "h2_ivf_nightly_maintenance",
-    "e2_tx_declarative_pipeline",
-    "e2_tx_merge_sync",
-    "e2_tx_dv_purge",
-    "mm_keyframe_dedup",
-    "e2_tx_drop_column",
-    "h4_event_pattern_match",
-    "g4_stl_decomposition",
-    "h1_cc_alternating_star",
-    "h6_weighted_sample",
-    "f_pareto_frontier",
+R12_NEW_IN_PREFIX = [
+    "e2_tx_atomic_pipeline",
 ]
 
 

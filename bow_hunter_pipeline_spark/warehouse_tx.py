@@ -2164,6 +2164,40 @@ def delete_where(
     return next_v, n_deleted
 
 
+def overwrite_table(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Full-content replace as a NEW COMMIT (op=OVERWRITE): the next
+    version adds the rewritten files and removes every live file.
+    Unlike :func:`create_table` (rmtree + fresh v0), history survives
+    — time travel, CDF diffs, and concurrent readers of older
+    versions keep working, and the new version stays INVISIBLE to any
+    reader pinned to an older one. The multi-table pipeline publisher
+    (``declarative.Pipeline.run_atomic``) is built on exactly this
+    property: each DAG output lands as an unpublished next version,
+    and one manifest swap publishes the whole set.
+
+    Schema is enforced against the logged schema (same contract as
+    :func:`append`: missing columns land as typed NULLs, extra or
+    mistyped columns raise). Returns the new version."""
+    read_v = _versions(table)[-1]
+    df, _ = _align_to_table_schema(table, df, read_v)
+    new_files, stats = _write_data(df, table, read_v + 1, stats_cols)
+    try:
+        _commit(
+            table, read_v + 1, add=new_files,
+            remove=live_files(table, read_v), stats=stats,
+            op="OVERWRITE",
+        )
+    except Exception:
+        _discard_uncommitted(table, new_files)
+        raise
+    return read_v + 1
+
+
 def replace_where(
     spark: SparkSession,
     table: str,

@@ -202,3 +202,100 @@ def test_single_materialization_per_table(spark, tmp_path):
     # one evaluation: 10 input rows -> exactly 10 UDF calls. Before
     # the pin, the three consumers re-ran the transform (30 ticks).
     assert acc.value == 10, acc.value
+
+
+def test_run_atomic_all_or_none(spark, tmp_path):
+    """Mid-pipeline, a manifest-routed reader must see the PREVIOUS
+    run's state for every table — even ones this run has already
+    committed — and the new state everywhere only after the final
+    manifest swap."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table(name="base")
+        def _b(s, up):
+            return s.range(n).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            )
+
+        @pipe.table(inputs=("base",))
+        def gold(s, up):
+            return up["base"].agg(
+                F.sum("v").cast("bigint").alias("total")
+            )
+
+        return pipe
+
+    build(10).run_atomic(spark)
+    assert pipeline_snapshot(spark, root, "gold").collect()[0].total == 90
+    seen = {}
+
+    def observe(name):
+        # after EACH commit of run 2, the published world is run 1
+        seen[name] = (
+            pipeline_snapshot(spark, root, "base").count(),
+            pipeline_snapshot(spark, root, "gold").collect()[0].total,
+        )
+
+    build(20).run_atomic(spark, on_table_committed=observe)
+    assert seen == {"base": (10, 90), "gold": (10, 90)}
+    assert pipeline_snapshot(spark, root, "base").count() == 20
+    assert pipeline_snapshot(spark, root, "gold").collect()[0].total == 380
+
+
+def test_run_atomic_crash_leaves_old_state(spark, tmp_path):
+    """A crash mid-run must leave the manifest on the previous
+    complete set; a re-run converges to the new state."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table(name="base")
+        def _b(s, up):
+            return s.range(n).select(F.col("id").alias("k"))
+
+        @pipe.table(inputs=("base",))
+        def gold(s, up):
+            return up["base"].agg(F.count(F.lit(1)).alias("n"))
+
+        return pipe
+
+    build(5).run_atomic(spark)
+
+    def boom(name):
+        raise RuntimeError("crash after first table")
+
+    with pytest.raises(RuntimeError, match="crash"):
+        build(50).run_atomic(spark, on_table_committed=boom)
+    # base's v1 is durable but UNPUBLISHED: readers still see run 1
+    assert pipeline_snapshot(spark, root, "base").count() == 5
+    assert pipeline_snapshot(spark, root, "gold").collect()[0].n == 5
+    build(50).run_atomic(spark)
+    assert pipeline_snapshot(spark, root, "base").count() == 50
+    assert pipeline_snapshot(spark, root, "gold").collect()[0].n == 50
+
+
+def test_overwrite_table_preserves_history(spark, tmp_path):
+    """overwrite_table commits a full replace as the NEXT version:
+    old versions stay readable (unlike create_table's rmtree)."""
+    table = str(tmp_path / "t")
+    df1 = spark.range(4).select(F.col("id").alias("k"))
+    tx.create_table(spark, table, df1)
+    v = tx.overwrite_table(
+        spark, table, spark.range(7).select(F.col("id").alias("k"))
+    )
+    assert v == 1
+    assert tx.snapshot(spark, table, 0).count() == 4  # time travel
+    assert tx.snapshot(spark, table, 1).count() == 7
+    # schema contract: mistyped column raises, nothing committed
+    bad = spark.range(2).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(Exception):
+        tx.overwrite_table(spark, table, bad)
+    assert tx.snapshot(spark, table).count() == 7

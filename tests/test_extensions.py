@@ -291,9 +291,10 @@ def test_driver_rotation_prefix_is_stable():
         if names.index(n) >= 50 and n not in registry.PENDING_DRIVER_QUEUE
     ]
     assert not stray, f"unproven queries outside prefix and queue: {stray}"
-    # round-10 additions (first-ever driver rows) must LEAD the prefix
-    n_new = len(registry.R11_NEW_IN_PREFIX)
-    for must_lead in registry.R11_NEW_IN_PREFIX:
+    # this round's additions (first-ever driver rows) must LEAD the
+    # prefix
+    n_new = len(registry.R12_NEW_IN_PREFIX)
+    for must_lead in registry.R12_NEW_IN_PREFIX:
         assert names.index(must_lead) < n_new
     # every remaining prefix slot is a RE-CHECK of a proven row — the
     # registry entered r10 fully driver-proven, so no other unproven
