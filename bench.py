@@ -74,6 +74,10 @@ HEADLINE = [
     # compact → recluster moved cells → search, exactly-once proven
     # across the whole chain) — build/serve legs reported
     "h2_ivf_nightly_maintenance",
+    # round 12: the cross-table atomic pipeline update (build leg =
+    # run-1 baseline publish; serve leg = the full-corpus update run
+    # with per-table observer reads + the manifest swap)
+    "e2_tx_atomic_pipeline",
 ]
 
 

@@ -34,7 +34,10 @@ Semantics:
   transaction: every output lands as an unpublished next version of
   its table, and a single atomic manifest swap publishes the set —
   a :func:`pipeline_snapshot` reader sees all of the update or none
-  of it (the DLT "pipeline as one update" semantics).
+  of it (the DLT "pipeline as one update" semantics). The manifest
+  keeps its publish history, so ``pipeline_snapshot(..., version=k)``
+  resolves the CONSISTENT cross-table state of any earlier publish
+  (cross-table time travel).
 
 Scale: expectation classification is one codegen'd projection over
 the table's frame (the ``merge_with_constraints`` discipline —
@@ -289,8 +292,22 @@ class Pipeline:
             if on_table_committed is not None:
                 on_table_committed(spec.name)
         manifest = _read_manifest(self.root)
-        manifest["version"] += 1
-        manifest["tables"].update(versions)
+        published = dict(manifest["tables"])
+        published.update(versions)
+        # the manifest carries its own history: every prior publish's
+        # full table->version map, so a reader can resolve a
+        # CONSISTENT CROSS-TABLE snapshot at any earlier pipeline
+        # version (cross-table time travel; O(runs x tables) JSON)
+        history = manifest.get("history", [])
+        if manifest["version"] >= 0:
+            history = history + [
+                {"version": manifest["version"], "tables": manifest["tables"]}
+            ]
+        manifest = {
+            "version": manifest["version"] + 1,
+            "tables": published,
+            "history": history,
+        }
         tmp = os.path.join(self.root, PIPELINE_MANIFEST + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -310,15 +327,30 @@ def _read_manifest(root: str) -> dict:
 
 
 def pipeline_snapshot(
-    spark: SparkSession, root: str, name: str
+    spark: SparkSession, root: str, name: str, version: int | None = None
 ) -> DataFrame:
     """MANIFEST-ROUTED read of a pipeline output table: resolves the
     table's version through ``root/_pipeline.json`` — the read side
     of :meth:`Pipeline.run_atomic`'s all-or-none contract. Raises
-    ``KeyError`` for a table the manifest has never published."""
+    ``KeyError`` for a table the manifest has never published.
+
+    ``version`` selects an earlier PIPELINE version (the manifest
+    keeps its full history): every table read at the same pipeline
+    version is the consistent cross-table state that publish made
+    visible — cross-table time travel, the multi-table analogue of
+    ``tx.snapshot(..., version)``."""
     m = _read_manifest(root)
-    if name not in m["tables"]:
+    tables = m["tables"]
+    if version is not None and version != m["version"]:
+        past = [h for h in m.get("history", []) if h["version"] == version]
+        if not past:
+            raise KeyError(
+                f"pipeline at {root!r} has no published version {version}"
+            )
+        tables = past[0]["tables"]
+    if name not in tables:
         raise KeyError(
             f"table {name!r} not published by pipeline at {root!r}"
+            + (f" as of version {version}" if version is not None else "")
         )
-    return tx.snapshot(spark, os.path.join(root, name), m["tables"][name])
+    return tx.snapshot(spark, os.path.join(root, name), tables[name])

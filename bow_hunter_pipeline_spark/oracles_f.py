@@ -1100,7 +1100,7 @@ feed AS (
 SELECT state, year, COUNT(*) AS n_units,
        CAST(SUM(harvest) AS BIGINT) AS total_harvest,
        CAST(SUM(hunters) AS BIGINT) AS total_hunters,
-       MAX(harvest) AS max_unit_harvest
+       CAST(MAX(harvest) AS INT) AS max_unit_harvest
 FROM feed GROUP BY state, year
 """
 
@@ -2232,6 +2232,7 @@ WITH b2 AS (
   FROM lineitem WHERE l_quantity <= 45
 ),
 s2 AS (SELECT * FROM b2 WHERE l_orderkey % 4 <> 1),
+s1 AS (SELECT * FROM s2 WHERE l_orderkey % 2 = 0),
 b1 AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
   WHERE l_orderkey % 2 = 0 AND l_quantity <= 45
@@ -2240,8 +2241,17 @@ SELECT l_linenumber,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
             AS DOUBLE) AS sum_price,
+       CAST(1 AS INT) AS pipeline_version,
        (SELECT c FROM b1) AS mid_run_bronze_rows
 FROM s2 GROUP BY l_linenumber
+UNION ALL
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS sum_price,
+       CAST(0 AS INT) AS pipeline_version,
+       (SELECT c FROM b1) AS mid_run_bronze_rows
+FROM s1 GROUP BY l_linenumber
 """
 
 

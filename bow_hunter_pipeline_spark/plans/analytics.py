@@ -216,10 +216,17 @@ def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative so the frames compare bit-exact.
     """
     orders = read_table(spark, sf_dir, "orders")
+    # NTZ discipline: a derived timestamp (date_trunc) is Spark
+    # TIMESTAMP and exports to arrow as tz=UTC, while the DuckDB
+    # oracle is naive — same wall-clock, different encoding for a
+    # type-faithful comparator (the r11 pareto red-row class). Cast
+    # to TIMESTAMP_NTZ at the source; UTC session ⇒ values unchanged.
     monthly = (
         orders.groupBy(
             F.col("o_orderpriority").alias("priority"),
-            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("timestamp_ntz")
+            .alias("month_start"),
         )
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("tp_dec")

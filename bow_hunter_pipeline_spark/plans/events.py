@@ -31,9 +31,13 @@ def hourly_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     — date_trunc is the window start, which is also what Spark's
     window().start yields."""
     ev = read_events(spark, sf_dir)
+    # NTZ discipline (see plans.analytics.moving_avg_revenue): derived
+    # timestamps export tz-aware; cast so arrow matches the oracle
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.date_trunc("hour", F.col("ts"))
+            .cast("timestamp_ntz")
+            .alias("hour_start"),
             "event_type",
         )
         .agg(

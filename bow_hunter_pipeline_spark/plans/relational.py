@@ -284,8 +284,9 @@ def date_spine_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(month.alias("month_start")).agg(
         F.count(F.lit(1)).alias("__n")
     )
+    # NTZ discipline (see plans.analytics.moving_avg_revenue)
     return spine.join(monthly, "month_start", "left").select(
-        "month_start",
+        F.col("month_start").cast("timestamp_ntz").alias("month_start"),
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
     )
 
@@ -485,7 +486,8 @@ def date_parts_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
         .select(
-            "month_start",
+            # NTZ discipline (see plans.analytics.moving_avg_revenue)
+            F.col("month_start").cast("timestamp_ntz").alias("month_start"),
             F.quarter("month_start").alias("qtr"),
             (F.dayofweek("month_start") - F.lit(1)).alias("first_dow"),
             "n_orders",
@@ -655,7 +657,10 @@ def multi_distinct_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+            # NTZ discipline (see plans.analytics.moving_avg_revenue)
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("timestamp_ntz")
+            .alias("month_start")
         )
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),

@@ -103,7 +103,7 @@ WITH per_part AS (
   GROUP BY p_brand, p_partkey
 )
 SELECT p_brand, p_partkey, revenue, rnk FROM (
-  SELECT *, RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+  SELECT *, CAST(RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rnk
   FROM per_part
 ) WHERE rnk <= 3
 """
@@ -1804,11 +1804,11 @@ _DRIVER_ROTATION = [
     # plan (MMR production-scalar swap + recursive-CTE oracle,
     # recluster crash-window intent, merge_sync collision fix,
     # proof-legs-behind-flag, single-materialization declarative
-    # runner), then the AGE RE-CHECKS the r10/r11 verdicts deferred:
-    # the 38 oldest surviving proofs (r02/r03/r04 vintage — every
-    # slot the changed-plan set leaves free). The 9 remaining
-    # r04-vintage rows lead the r13 tail. Nothing is ever dropped,
-    # only reordered.
+    # runner), then the NTZ/int-width normalization re-proofs, then
+    # the AGE RE-CHECKS the r10/r11 verdicts deferred: the 32 oldest
+    # surviving proofs (r02/r03 vintage — every slot the changed-plan
+    # set leaves free). The 15 remaining r03/r04-vintage rows lead
+    # the r13 tail. Nothing is ever dropped, only reordered.
     # --- new in r12 (mirrored in R12_NEW_IN_PREFIX below) ---
     "e2_tx_atomic_pipeline",
     # --- plans changed in r12 (fingerprint-stamped; re-proof) ---
@@ -1823,6 +1823,15 @@ _DRIVER_ROTATION = [
     "h2_mmr_rerank",
     "h2_mmr_rerank_k1",
     "h3_dup_span_flags",
+    # --- r12 NTZ/int-width normalization (the arrow-canonical hash
+    # sweep found 8 repr-equal/arrow-divergent rows — the pareto
+    # red-row class; every one re-proved under the stricter hash) ---
+    "a1_python_datasource",
+    "a1_python_stream_datasource",
+    "f_date_parts_monthly",
+    "f_date_spine_monthly",
+    "f_multi_distinct_monthly",
+    "g3_top_k_per_group",
     # --- oldest surviving proofs (r02/r03/r04 vintage) ---
     "h3_regex_token_stats",
     "h3_rolling_fingerprint",
@@ -1856,12 +1865,6 @@ _DRIVER_ROTATION = [
     "mm_audio_windows",
     "mm_resize_media",
     "udf_cogrouped_order_profile",
-    "udf_grouped_agg_floorsum",
-    "udf_grouped_map_neighbors",
-    "udf_scalar_token_stats",
-    "udf_table_function",
-    "f_higher_order_arrays",
-    "f_map_functions",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row

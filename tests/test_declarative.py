@@ -299,3 +299,38 @@ def test_overwrite_table_preserves_history(spark, tmp_path):
     with pytest.raises(Exception):
         tx.overwrite_table(spark, table, bad)
     assert tx.snapshot(spark, table).count() == 7
+
+
+def test_pipeline_cross_table_time_travel(spark, tmp_path):
+    """The manifest keeps its publish history: a reader can resolve a
+    CONSISTENT cross-table snapshot at any earlier pipeline version."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table(name="base")
+        def _b(s, up):
+            return s.range(n).select(F.col("id").alias("k"))
+
+        @pipe.table(inputs=("base",))
+        def gold(s, up):
+            return up["base"].agg(F.count(F.lit(1)).alias("n"))
+
+        return pipe
+
+    for n in (3, 7, 11):
+        build(n).run_atomic(spark)
+    # latest
+    assert pipeline_snapshot(spark, root, "gold").collect()[0].n == 11
+    # consistent cross-table state at each earlier pipeline version
+    for v, n in ((0, 3), (1, 7), (2, 11)):
+        assert pipeline_snapshot(spark, root, "base", version=v).count() == n
+        assert (
+            pipeline_snapshot(spark, root, "gold", version=v).collect()[0].n
+            == n
+        )
+    with pytest.raises(KeyError, match="no published version"):
+        pipeline_snapshot(spark, root, "gold", version=9)
