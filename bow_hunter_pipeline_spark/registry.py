@@ -1809,10 +1809,12 @@ _DRIVER_ROTATION = [
     # surviving proofs (r02/r03 vintage — every slot the changed-plan
     # set leaves free). The 15 remaining r03/r04-vintage rows lead
     # the r13 tail. Nothing is ever dropped, only reordered.
-    # --- new in r12 (mirrored in R12_NEW_IN_PREFIX below) ---
+    # --- first-proof rows (mirrored in R12_NEW_IN_PREFIX below):
+    # the r12 addition, and the skyline whose only prior row was
+    # r11's red — no green row exists yet for either ---
     "e2_tx_atomic_pipeline",
-    # --- plans changed in r12 (fingerprint-stamped; re-proof) ---
     "f_pareto_frontier",
+    # --- plans changed in r12 (fingerprint-stamped; re-proof) ---
     "e2_tx_declarative_pipeline",
     "e2_tx_df_planned_merge",
     "e2_tx_incremental_bloom_index",
@@ -1879,6 +1881,10 @@ PENDING_DRIVER_QUEUE = [
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
 R12_NEW_IN_PREFIX = [
     "e2_tx_atomic_pipeline",
+    # a red row never retires a query: the skyline re-queues as a
+    # first-proof row until it proves green (its r11 row was the
+    # hash-only red; the DATE cast closed the encoding surface)
+    "f_pareto_frontier",
 ]
 
 

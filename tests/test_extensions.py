@@ -261,7 +261,10 @@ def test_driver_rotation_prefix_is_stable():
     # proofs (r02/r03 vintage) to catch drift. A red row never retires
     # a query: it must be re-queued until it proves green.
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"):
+    for rnd in (
+        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08",
+        "r09", "r10", "r11",
+    ):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:
@@ -601,7 +604,10 @@ def test_rotation_finishes_registry_this_round():
     from bow_hunter_pipeline_spark import registry
 
     checked: set[str] = set()
-    for rnd in ("r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08", "r09", "r10"):
+    for rnd in (
+        "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08",
+        "r09", "r10", "r11",
+    ):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
             with open(path) as f:

@@ -107,6 +107,8 @@ QUERIES = [
     "h4_streaming_hll",
     "mm_audio_energy_segments",
     "g5_dbscan_clusters",
+    # round-12 addition
+    "e2_tx_atomic_pipeline",
 ]
 
 SCALE_MD = os.path.join(
