@@ -23,6 +23,20 @@ _ORACLES = registry.oracle_sql()
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
+    # NTZ DISCIPLINE (r12): no registry query may emit a tz-aware
+    # TIMESTAMP — derived timestamps (date_trunc, window().start)
+    # must be cast to TIMESTAMP_NTZ so the arrow export matches the
+    # naive-timestamp SQL oracle encoding (the r11 pareto red-row
+    # class; 8 latent rows found and normalized by the r12 sweep).
+    from pyspark.sql.types import TimestampType
+
+    tz_aware = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)
+    ]
+    assert not tz_aware, (
+        f"{name} emits tz-aware TIMESTAMP columns {tz_aware}; cast to "
+        "timestamp_ntz (see plans.analytics.moving_avg_revenue)"
+    )
     if name not in _ORACLES:
         assert df.count() >= 0  # rows-only check, like the driver
         return
