@@ -38,6 +38,15 @@ Semantics:
   keeps its publish history, so ``pipeline_snapshot(..., version=k)``
   resolves the CONSISTENT cross-table state of any earlier publish
   (cross-table time travel).
+* ``mode="append"`` declares an INCREMENTAL table (the streaming
+  bronze/silver shape a 100 TB pipeline needs — gold must not be a
+  full rewrite per update): under ``run_atomic`` its inputs arrive
+  as DELTAS (rows added since the previous publish, resolved through
+  the manifest cursor via ``change_feed``'s file-diff — scan cost
+  tracks churn, not table size) and its output APPENDS, stamped with
+  a per-publish txn so a crashed run's unpublished increment is
+  REUSED on retry, never doubled. Valid when the transform
+  distributes over union; aggregations stay ``"replace"``.
 
 Scale: expectation classification is one codegen'd projection over
 the table's frame (the ``merge_with_constraints`` discipline —
@@ -72,6 +81,15 @@ class TableSpec:
     inputs: tuple[str, ...] = ()
     expectations: dict[str, str] = field(default_factory=dict)
     on_violation: str = "quarantine"
+    # "replace": the transform states the table's FULL contents each
+    # run (materialized-view semantics). "append": the transform
+    # states an INCREMENT — under run_atomic its inputs arrive as
+    # DELTAS (rows added to each input since the pipeline's previous
+    # publish) and its output APPENDS; valid when the transform
+    # distributes over union (row-wise maps/filters — the streaming
+    # bronze/silver shape). Aggregating tables stay "replace" (or use
+    # the IVM machinery in plans.pipeline for retractable rollups).
+    mode: str = "replace"
 
 
 class Pipeline:
@@ -87,10 +105,13 @@ class Pipeline:
         inputs: tuple[str, ...] | list[str] = (),
         expectations: dict[str, str] | None = None,
         on_violation: str = "quarantine",
+        mode: str = "replace",
     ):
         """Decorator declaring one table of the DAG."""
         if on_violation not in ("quarantine", "drop", "fail"):
             raise ValueError(f"unknown on_violation {on_violation!r}")
+        if mode not in ("replace", "append"):
+            raise ValueError(f"unknown mode {mode!r}")
 
         def deco(fn):
             tname = name or fn.__name__
@@ -111,6 +132,7 @@ class Pipeline:
                 inputs=tuple(inputs),
                 expectations=dict(expectations or {}),
                 on_violation=on_violation,
+                mode=mode,
             )
             return fn
 
@@ -204,22 +226,48 @@ class Pipeline:
         self,
         spark: SparkSession,
         spec: TableSpec,
-        writer: Callable[[str, DataFrame], int],
+        writer: Callable[[str, DataFrame, str], int],
         stats: dict[str, dict],
         versions: dict[str, int],
+        prev_tables: dict[str, int] | None = None,
     ) -> None:
         """Run one spec's transform, route expectations, write the
         clean and quarantine outputs through ``writer`` (which
-        returns the committed version), and record stats."""
-        upstream = {
-            i: tx.snapshot(spark, self.path(i)) for i in spec.inputs
-        }
+        returns the committed version), and record stats.
+
+        Upstream resolution: a REPLACE table reads each input's full
+        committed snapshot. An APPEND table reads each input as a
+        DELTA — the rows added between the input's version at the
+        pipeline's previous publish (``prev_tables``) and the version
+        this run committed (topological order guarantees it exists) —
+        via ``tx.change_feed``'s file-diff, whose scan cost tracks
+        the churn, not the table size. First publish (input not in
+        ``prev_tables``): the full snapshot is the first increment.
+        Upstream deletes are out of scope for append tables by
+        contract (retractable rollups live in plans.pipeline's IVM)."""
+        upstream: dict[str, DataFrame] = {}
+        for i in spec.inputs:
+            path_i = self.path(i)
+            if (
+                spec.mode == "append"
+                and prev_tables is not None
+                and i in prev_tables
+            ):
+                upstream[i] = (
+                    tx.change_feed(
+                        spark, path_i, prev_tables[i], versions[i]
+                    )
+                    .filter(F.col("_change_type") == "insert")
+                    .drop("_change_type")
+                )
+            else:
+                upstream[i] = tx.snapshot(spark, path_i)
         frame = spec.transform(spark, upstream)
         clean, q_counts, quarantined, pinned = self._split(spec, frame)
         if quarantined is not None:
             qname = spec.name + "__quarantine"
-            versions[qname] = writer(self.path(qname), quarantined)
-        versions[spec.name] = writer(self.path(spec.name), clean)
+            versions[qname] = writer(self.path(qname), quarantined, spec.mode)
+        versions[spec.name] = writer(self.path(spec.name), clean, spec.mode)
         if pinned is not None:
             pinned.unpersist()
         # the post-write count reads the COMMITTED parquet (a
@@ -236,10 +284,17 @@ class Pipeline:
         Returns per-table stats. Tables REPLACE at v0 per run
         (idempotent re-run); readers get per-table read-committed
         visibility — see :meth:`run_atomic` for the all-or-none
-        cross-table variant."""
+        cross-table variant. APPEND-mode tables require the manifest
+        cursor and are refused here."""
+        appenders = [s.name for s in self._specs.values() if s.mode == "append"]
+        if appenders:
+            raise ValueError(
+                f"append-mode tables {appenders} need run_atomic (the "
+                "pipeline manifest is the incremental cursor)"
+            )
         stats: dict[str, dict] = {}
 
-        def writer(path: str, frame: DataFrame) -> int:
+        def writer(path: str, frame: DataFrame, mode: str) -> int:
             tx.create_table(spark, path, frame)
             return 0
 
@@ -280,15 +335,42 @@ class Pipeline:
         """
         stats: dict[str, dict] = {}
         versions: dict[str, int] = {}
+        manifest0 = _read_manifest(self.root)
+        prev_tables = dict(manifest0["tables"])
+        target_publish = manifest0["version"] + 1
 
-        def writer(path: str, frame: DataFrame) -> int:
+        published_paths = {self.path(n) for n in prev_tables}
+
+        def writer(path: str, frame: DataFrame, mode: str) -> int:
             if os.path.isdir(path) and tx._versions(path):
+                if mode == "append" and path not in published_paths:
+                    # the table exists but NO publish references it —
+                    # a first-create crashed before its manifest swap.
+                    # Rebuild wholesale (appending would double the
+                    # crashed attempt's rows).
+                    return tx.overwrite_table(spark, path, frame)
+                if mode == "append":
+                    # exactly-once per publish: a run that crashed
+                    # AFTER this table's append but BEFORE the
+                    # manifest swap left a committed-but-unpublished
+                    # increment; the retry's txn stamp
+                    # (table, target publish number) makes append
+                    # recognize and REUSE it instead of doubling —
+                    # downstream deltas then read the reused rows,
+                    # keeping the whole publish consistent.
+                    v, _applied = tx.append_idempotent(
+                        spark, path, frame,
+                        txn=(f"pipeline:{path}", target_publish),
+                    )
+                    return v
                 return tx.overwrite_table(spark, path, frame)
             tx.create_table(spark, path, frame)
             return 0
 
         for spec in self._topo_order():
-            self._materialize(spark, spec, writer, stats, versions)
+            self._materialize(
+                spark, spec, writer, stats, versions, prev_tables
+            )
             if on_table_committed is not None:
                 on_table_committed(spec.name)
         manifest = _read_manifest(self.root)

@@ -2255,6 +2255,38 @@ FROM s1 GROUP BY l_linenumber
 """
 
 
+# E2+ incremental pipeline: publish 1's gold over BOTH appended
+# chunks and publish 0's over chunk 1 alone (read back via manifest
+# history), plus the delta cardinality run 2's silver observed — the
+# incremental law's evidence rides inside the hashed row values.
+TX_INCREMENTAL_PIPELINE = """
+WITH b AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_quantity <= 45
+),
+s AS (SELECT * FROM b WHERE l_linenumber <= 5),
+s1 AS (SELECT * FROM s WHERE l_orderkey % 2 = 0),
+d2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM b WHERE l_orderkey % 2 = 1
+)
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS sum_price,
+       CAST(1 AS INT) AS pipeline_version,
+       (SELECT c FROM d2) AS silver_delta_rows
+FROM s GROUP BY l_linenumber
+UNION ALL
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS sum_price,
+       CAST(0 AS INT) AS pipeline_version,
+       (SELECT c FROM d2) AS silver_delta_rows
+FROM s1 GROUP BY l_linenumber
+"""
+
+
 # E2+ tri-clause MERGE (mirror sync): non-URGENT rows untouched; the
 # URGENT region is replaced by the authoritative source batch (its
 # even-key rows updated + two inserts; odd-key rows deleted).

@@ -2812,6 +2812,108 @@ def tx_atomic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECL_INCR_ROOT = "/tmp/bhps_decl_incr"
+
+
+def tx_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ (NEW r12): INCREMENTAL tables under the atomic manifest —
+    ``mode="append"`` declarative tables, the steady-state shape a
+    100 TB pipeline needs (gold must not be a full rewrite per
+    update). Bronze and silver are APPEND tables: each
+    ``run_atomic`` hands silver only the rows bronze gained since
+    the previous publish (resolved through the manifest cursor via
+    ``change_feed``'s file-diff — scan cost tracks churn, not table
+    size), both outputs append with a per-publish txn stamp (a
+    crashed run's unpublished increment is reused on retry, never
+    doubled), and gold stays a replace-mode rollup. The manifest
+    swap still publishes the whole update atomically.
+
+    The INCREMENTAL LAW is asserted in-plan: run 2's silver
+    transform must receive exactly the clean chunk-2 bronze rows —
+    no replay of chunk 1, no rows missing (a violated law crashes
+    the query → red driver row). The observed delta cardinality also
+    rides the hashed output, and the superseded publish is read back
+    via manifest history (cross-table time travel) as a second
+    hash-checked leg — same proof shape as ``tx_atomic_pipeline``.
+
+    Scale: per update, bronze/silver write O(increment) and gold one
+    bounded rollup; nothing rewrites history. Reference parity: the
+    reference recomputes everything per script run.
+    """
+    import shutil
+
+    from bow_hunter_pipeline_spark.declarative import (
+        Pipeline,
+        pipeline_snapshot,
+    )
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+
+    shutil.rmtree(DECL_INCR_ROOT, ignore_errors=True)
+    li_all = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    expected_delta2 = li_all.filter(
+        (F.col("l_orderkey") % 2 == 1) & (F.col("l_quantity") <= 45)
+    ).count()
+    seen: list[int] = []
+
+    def build(parity: int) -> Pipeline:
+        pipe = Pipeline(DECL_INCR_ROOT)
+
+        @pipe.table(
+            mode="append", expectations={"qty_cap": "l_quantity <= 45"}
+        )
+        def bronze(s, up):
+            return li_all.filter(F.col("l_orderkey") % 2 == parity)
+
+        @pipe.table(mode="append", inputs=("bronze",))
+        def silver(s, up):
+            delta = up["bronze"]
+            seen.append(delta.count())
+            return delta.filter(F.col("l_linenumber") <= 5)
+
+        @pipe.table(inputs=("silver",))
+        def gold(s, up):
+            return up["silver"].groupBy("l_linenumber").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("l_extendedprice", "sum_price"),
+            )
+
+        return pipe
+
+    with legtime.leg("build"):
+        build(0).run_atomic(spark)
+    build(1).run_atomic(spark)
+    # incremental law: run 2's silver saw chunk 2 and ONLY chunk 2
+    assert len(seen) == 2 and seen[1] == expected_delta2, (
+        seen, expected_delta2,
+    )
+
+    cur = pipeline_snapshot(spark, DECL_INCR_ROOT, "gold").select(
+        "l_linenumber",
+        "n_rows",
+        "sum_price",
+        F.lit(1).cast("int").alias("pipeline_version"),
+    )
+    old = pipeline_snapshot(
+        spark, DECL_INCR_ROOT, "gold", version=0
+    ).select(
+        "l_linenumber",
+        "n_rows",
+        "sum_price",
+        F.lit(0).cast("int").alias("pipeline_version"),
+    )
+    return cur.unionByName(old).select(
+        "l_linenumber",
+        "n_rows",
+        "sum_price",
+        "pipeline_version",
+        F.lit(int(expected_delta2)).cast("bigint").alias(
+            "silver_delta_rows"
+        ),
+    )
+
+
 TX_SYNC_PATH = "/tmp/bhps_tx_merge_sync"
 
 

@@ -1145,6 +1145,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_atomic_pipeline,
         oracles_f.TX_ATOMIC_PIPELINE,
     ),
+    # E2+ (NEW r12): append-mode declarative tables — inputs arrive
+    # as manifest-cursor deltas, outputs append exactly-once per
+    # publish; the incremental law is asserted in-plan
+    "e2_tx_incremental_pipeline": (
+        pipeline.tx_incremental_pipeline,
+        oracles_f.TX_INCREMENTAL_PIPELINE,
+    ),
     # E2+ (NEW r11): tri-clause MERGE (matched update / not-matched
     # insert / not-matched-by-source delete scoped to a region)
     "e2_tx_merge_sync": (pipeline.tx_merge_sync, oracles_f.TX_MERGE_SYNC),
@@ -1805,14 +1812,15 @@ _DRIVER_ROTATION = [
     # recluster crash-window intent, merge_sync collision fix,
     # proof-legs-behind-flag, single-materialization declarative
     # runner), then the NTZ/int-width normalization re-proofs, then
-    # the AGE RE-CHECKS the r10/r11 verdicts deferred: the 32 oldest
+    # the AGE RE-CHECKS the r10/r11 verdicts deferred: the 31 oldest
     # surviving proofs (r02/r03 vintage — every slot the changed-plan
-    # set leaves free). The 15 remaining r03/r04-vintage rows lead
+    # set leaves free). The 16 remaining r03/r04-vintage rows lead
     # the r13 tail. Nothing is ever dropped, only reordered.
     # --- first-proof rows (mirrored in R12_NEW_IN_PREFIX below):
-    # the r12 addition, and the skyline whose only prior row was
-    # r11's red — no green row exists yet for either ---
+    # the r12 additions, and the skyline whose only prior row was
+    # r11's red — no green row exists yet for any ---
     "e2_tx_atomic_pipeline",
+    "e2_tx_incremental_pipeline",
     "f_pareto_frontier",
     # --- plans changed in r12 (fingerprint-stamped; re-proof) ---
     "e2_tx_declarative_pipeline",
@@ -1866,7 +1874,6 @@ _DRIVER_ROTATION = [
     "h6_sequence_packing",
     "mm_audio_windows",
     "mm_resize_media",
-    "udf_cogrouped_order_profile",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1881,6 +1888,7 @@ PENDING_DRIVER_QUEUE = [
 # of every changed plan is enforced by tests/test_plan_fingerprints.py).
 R12_NEW_IN_PREFIX = [
     "e2_tx_atomic_pipeline",
+    "e2_tx_incremental_pipeline",
     # a red row never retires a query: the skyline re-queues as a
     # first-proof row until it proves green (its r11 row was the
     # hash-only red; the DATE cast closed the encoding surface)

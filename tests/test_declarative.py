@@ -334,3 +334,98 @@ def test_pipeline_cross_table_time_travel(spark, tmp_path):
         )
     with pytest.raises(KeyError, match="no published version"):
         pipeline_snapshot(spark, root, "gold", version=9)
+
+
+def test_append_mode_incremental(spark, tmp_path):
+    """Append-mode tables consume DELTAS and append their output:
+    run 2's silver transform must see only the rows bronze gained
+    since the previous publish, and totals accumulate."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+    seen_by_silver = []
+
+    def build(lo, hi):
+        pipe = Pipeline(root)
+
+        @pipe.table(mode="append")
+        def bronze(s, up):
+            return s.range(lo, hi).select(F.col("id").alias("k"))
+
+        @pipe.table(mode="append", inputs=("bronze",))
+        def silver(s, up):
+            delta = up["bronze"]
+            seen_by_silver.append(sorted(r.k for r in delta.collect()))
+            return delta.filter(F.col("k") % 2 == 0)
+
+        @pipe.table(inputs=("silver",))
+        def gold(s, up):
+            return up["silver"].agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").cast("bigint").alias("total"),
+            )
+
+        return pipe
+
+    build(0, 6).run_atomic(spark)   # bronze {0..5}, silver {0,2,4}
+    build(6, 10).run_atomic(spark)  # delta {6..9}, silver +{6,8}
+    assert seen_by_silver == [list(range(0, 6)), list(range(6, 10))]
+    assert pipeline_snapshot(spark, root, "bronze").count() == 10
+    got = {r.k for r in pipeline_snapshot(spark, root, "silver").collect()}
+    assert got == {0, 2, 4, 6, 8}
+    g = pipeline_snapshot(spark, root, "gold").collect()[0]
+    assert (g.n, g.total) == (5, 20)
+    # cross-table time travel still consistent at publish 0
+    g0 = pipeline_snapshot(spark, root, "gold", version=0).collect()[0]
+    assert (g0.n, g0.total) == (3, 6)
+    assert pipeline_snapshot(spark, root, "bronze", version=0).count() == 6
+
+
+def test_append_mode_crash_retry_exactly_once(spark, tmp_path):
+    """A run that crashes AFTER an append table committed but BEFORE
+    the manifest swap must not double that increment when retried:
+    the per-publish txn stamp makes the retry reuse it."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(lo, hi):
+        pipe = Pipeline(root)
+
+        @pipe.table(mode="append")
+        def bronze(s, up):
+            return s.range(lo, hi).select(F.col("id").alias("k"))
+
+        @pipe.table(inputs=("bronze",))
+        def gold(s, up):
+            return up["bronze"].agg(F.count(F.lit(1)).alias("n"))
+
+        return pipe
+
+    build(0, 4).run_atomic(spark)
+
+    def boom(name):
+        if name == "bronze":
+            raise RuntimeError("crash before publish")
+
+    with pytest.raises(RuntimeError, match="crash"):
+        build(4, 9).run_atomic(spark, on_table_committed=boom)
+    # unpublished: readers still see publish 0
+    assert pipeline_snapshot(spark, root, "bronze").count() == 4
+    # retry the same update: the crashed increment is reused, not doubled
+    build(4, 9).run_atomic(spark)
+    assert pipeline_snapshot(spark, root, "bronze").count() == 9
+    assert pipeline_snapshot(spark, root, "gold").collect()[0].n == 9
+
+
+def test_run_refuses_append_mode(spark, tmp_path):
+    pipe = Pipeline(str(tmp_path / "p"))
+
+    @pipe.table(mode="append")
+    def base(s, up):
+        return _base(spark)
+
+    with pytest.raises(ValueError, match="append-mode"):
+        pipe.run(spark)
+    with pytest.raises(ValueError, match="mode"):
+        pipe.table(mode="merge")
