@@ -4,12 +4,20 @@
 set -u
 cd /root/repo
 fail=0
+# stale /tmp/bhps_* fixture state from an interrupted run corrupts the
+# next phase (observed r11: phantom value mismatches) — clean between
+# phases; phases themselves already serialize (one Spark at a time)
+clean() { rm -rf /tmp/bhps_tx* /tmp/bhps_ivf* /tmp/bhps_decl* /tmp/bhps_stream* /tmp/bhps_empty* 2>/dev/null; }
+clean
 echo "== driver prefix (first:50) =="
 python tools/verify_driver.py first:50 2>/dev/null | tail -2 || fail=1
-echo "== full registry vs oracles (sf0.01) =="
+clean
+echo "== full registry vs oracles (sf0.01, arrow-canonical hash) =="
 python tools/verify_driver.py 2>/dev/null | tail -2 || fail=1
+clean
 echo "== bench (sf0.1) =="
 python bench.py 2>/dev/null | tail -1 || fail=1
+clean
 echo "== pytest =="
 python -m pytest tests/ -q 2>&1 | tail -1 || fail=1
 for arg in "$@"; do
