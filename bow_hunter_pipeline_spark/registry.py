@@ -47,7 +47,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_plan_fingerprints.py forces those queries into the
 # driver-checked prefix — the mechanical form of the rotation rule
 # "changed plan ⇒ re-proof" (VERDICT r09, What's-missing #1).
-ROUND = 12
+ROUND = 13
 
 # --- oracle SQL fragments (DuckDB dialect = ANSI here) -----------------
 
@@ -1804,76 +1804,72 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-12 prefix. Lead item: f_pareto_frontier — r11's only
-    # red row (hash-only; repr/arrow-identical locally) re-proved
-    # after shrinking its encoding surface to DATE on both sides.
-    # Then the round's one ADDITION, then every r12-stamped changed
-    # plan (MMR production-scalar swap + recursive-CTE oracle,
-    # recluster crash-window intent, merge_sync collision fix,
-    # proof-legs-behind-flag, single-materialization declarative
-    # runner), then the NTZ/int-width normalization re-proofs, then
-    # the AGE RE-CHECKS the r10/r11 verdicts deferred: the 31 oldest
-    # surviving proofs (r02/r03 vintage — every slot the changed-plan
-    # set leaves free). The 16 remaining r03/r04-vintage rows lead
-    # the r13 tail. Nothing is ever dropped, only reordered.
-    # --- first-proof rows (mirrored in R12_NEW_IN_PREFIX below):
-    # the r12 additions, and the skyline whose only prior row was
-    # r11's red — no green row exists yet for any ---
+    # --- round-13 prefix. Lead item: f_pareto_frontier — the
+    # registry's only never-green row (r11/r12 hash-only reds that
+    # were bit-identical to DuckDB locally, including under the strict
+    # arrow-canonical hash). r13 deletes its conversion surfaces
+    # entirely: output is (segment string, o_orderkey bigint,
+    # day_idx int, price double) — no DATE, no DECIMAL — on BOTH
+    # sides, and every exported query now runs under the
+    # registry-level session pin (UTC + inferTimestampNTZ).
+    # Then every r13-stamped changed plan, then the 16 remaining
+    # r03/r04-vintage age re-checks the r12 verdict queued (task 4),
+    # then the oldest r05-vintage proofs fill the rest. Nothing is
+    # ever dropped, only reordered.
+    # --- first-proof row (mirrored in NEW_IN_PREFIX below) ---
+    "f_pareto_frontier",
+    # --- plans changed in r13 (fingerprint-stamped; re-proof) ---
+    "a2_a3_pdf_ingest",
     "e2_tx_atomic_pipeline",
     "e2_tx_incremental_pipeline",
-    "f_pareto_frontier",
-    # --- plans changed in r12 (fingerprint-stamped; re-proof) ---
     "e2_tx_declarative_pipeline",
-    "e2_tx_df_planned_merge",
-    "e2_tx_incremental_bloom_index",
-    "e2_tx_merge_sync",
-    "h2_ivf_nightly_maintenance",
-    "h2_ivf_recluster_moves",
-    "h2_ivf_stream_compacted_search",
-    "h2_mmr_rerank",
-    "h2_mmr_rerank_k1",
-    "h3_dup_span_flags",
-    # --- r12 NTZ/int-width normalization (the arrow-canonical hash
-    # sweep found 8 repr-equal/arrow-divergent rows — the pareto
-    # red-row class; every one re-proved under the stricter hash) ---
-    "a1_python_datasource",
-    "a1_python_stream_datasource",
-    "f_date_parts_monthly",
-    "f_date_spine_monthly",
-    "f_multi_distinct_monthly",
-    "g3_top_k_per_group",
-    # --- oldest surviving proofs (r02/r03/r04 vintage) ---
-    "h3_regex_token_stats",
-    "h3_rolling_fingerprint",
-    "a5_csv_roundtrip",
-    "a5_json_roundtrip",
-    "a7_pending_work",
-    "c3_parse_unit",
-    "f_pivot_event_counts",
-    "f_range_join_value_bands",
-    "g4_moving_avg",
-    "h1_containment_pairs",
-    "h2_ivf_topk",
-    "h2_pq_topk",
-    "h3_tfidf_top_terms",
-    "h4_hourly_event_agg",
-    "h4_json_map_explode",
-    "h4_json_props_agg",
-    "h4_rolling_hour_counts",
-    "h4_session_window_builtin",
-    "h4_stream_static_join",
-    "h4_stream_stream_join",
-    "h4_streaming_dedup",
-    "h4_streaming_hourly_agg",
-    "h4_streaming_sessionize",
-    "h4_streaming_upsert",
-    "h5_exact_distinct_quantiles",
-    "h6_contamination_check",
-    "h6_domain_upsample",
-    "h6_repetition_filter",
-    "h6_sequence_packing",
-    "mm_audio_windows",
-    "mm_resize_media",
+    # --- age re-checks: the 16 remaining r03/r04-vintage proofs ---
+    "udf_cogrouped_order_profile",
+    "udf_grouped_agg_floorsum",
+    "udf_grouped_map_neighbors",
+    "udf_scalar_token_stats",
+    "udf_table_function",
+    "f_higher_order_arrays",
+    "f_map_functions",
+    "f_nested_struct_roundtrip",
+    "f_q13_customer_distribution",
+    "f_q17_small_quantity",
+    "f_recursive_hierarchy",
+    "f_string_functions",
+    "f_try_arithmetic",
+    "f_unpivot_metrics",
+    "f_window_distribution",
+    "h6_url_strip",
+    # --- next-oldest surviving proofs (r05 vintage) ---
+    "a5_orc_roundtrip",
+    "f_above_avg_orders",
+    "f_argmin_cheapest_per_brand",
+    "f_argminmax_per_customer",
+    "f_array_agg_years",
+    "f_array_set_ops",
+    "f_bitwise_ops",
+    "f_conditional_agg",
+    "f_conditional_scalars",
+    "f_corr_qty_price",
+    "f_date_arithmetic",
+    "f_disjunctive_join",
+    "f_full_outer_reconciliation",
+    "f_histogram_order_values",
+    "f_null_safe_join",
+    "f_paginated_top_orders",
+    "f_q10_returned_items",
+    "f_q11_important_stock",
+    "f_q14_promo_revenue",
+    "f_q16_supplier_part_counts",
+    "f_q18_large_volume",
+    "f_q20_majority_shippers",
+    "f_q22_sales_opportunity",
+    "f_q3_shipping_priority",
+    "f_q4_priority_exists",
+    "f_q5_local_supplier_volume",
+    "f_q6_forecast_revenue",
+    "f_q7_volume_shipping",
+    "f_q8_market_share",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1882,16 +1878,15 @@ _DRIVER_ROTATION = [
 PENDING_DRIVER_QUEUE = [
 ]
 
-# Round-12 additions given first-proof slots at the HEAD of the r12
-# prefix (each pre-verified green with tools/verify_driver.py and
-# tools/audit_oracle_types.py before taking a slot; prefix membership
-# of every changed plan is enforced by tests/test_plan_fingerprints.py).
-R12_NEW_IN_PREFIX = [
-    "e2_tx_atomic_pipeline",
-    "e2_tx_incremental_pipeline",
+# Rows with no green driver proof yet, given first-proof slots at the
+# HEAD of the current prefix (each pre-verified green with
+# tools/verify_driver.py and tools/audit_oracle_types.py before taking
+# a slot; prefix membership of every changed plan is enforced by
+# tests/test_plan_fingerprints.py). Reset each round.
+NEW_IN_PREFIX = [
     # a red row never retires a query: the skyline re-queues as a
-    # first-proof row until it proves green (its r11 row was the
-    # hash-only red; the DATE cast closed the encoding surface)
+    # first-proof row until it proves green (r11/r12 rows were
+    # hash-only reds; r13 deletes the DATE/DECIMAL surfaces entirely)
     "f_pareto_frontier",
 ]
 
@@ -1902,8 +1897,43 @@ def _ordered_names() -> list[str]:
     return rotated + rest
 
 
+def _pin_session(fn: QueryFn) -> QueryFn:
+    """Session normalization applied to every exported query.
+
+    ``session.get_spark`` already pins UTC, but the external driver
+    builds its OWN SparkSession; two of its confs are load-bearing for
+    value identity with the DuckDB oracles:
+
+    - ``spark.sql.session.timeZone=UTC`` — the fixtures store date-like
+      columns as ``timestamp[us] isAdjustedToUTC=false`` at midnight;
+      any plan that reads one under LTZ inference in a non-UTC session
+      shifts EVERY row's date by up to a day (exactly the hash-only,
+      rows/schema-green failure class of r11's `f_pareto_frontier`).
+    - ``spark.sql.parquet.inferTimestampNTZ.enabled=true`` — keeps
+      those columns TIMESTAMP_NTZ (wall-clock), so `to_date`/`year`/
+      `datediff` are session-zone-independent to begin with.
+
+    This is ENVIRONMENT pinning, not plan logic: it sets the confs the
+    repo's own session builder always sets, so plan fingerprints
+    (which hash plan semantics) are deliberately unaffected. Applied
+    here — the single seam every driver-invoked query passes through —
+    rather than inside ``io.readers.read_table``, whose transitive
+    fingerprint reaches all 321 queries.
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__qualname__ = getattr(fn, "__qualname__", wrapped.__name__)
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: _REGISTRY[name][0] for name in _ordered_names()}
+    return {name: _pin_session(_REGISTRY[name][0]) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

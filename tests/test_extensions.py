@@ -263,7 +263,7 @@ def test_driver_rotation_prefix_is_stable():
     checked: set[str] = set()
     for rnd in (
         "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08",
-        "r09", "r10", "r11",
+        "r09", "r10", "r11", "r12",
     ):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
@@ -296,8 +296,8 @@ def test_driver_rotation_prefix_is_stable():
     assert not stray, f"unproven queries outside prefix and queue: {stray}"
     # this round's additions (first-ever driver rows) must LEAD the
     # prefix
-    n_new = len(registry.R12_NEW_IN_PREFIX)
-    for must_lead in registry.R12_NEW_IN_PREFIX:
+    n_new = len(registry.NEW_IN_PREFIX)
+    for must_lead in registry.NEW_IN_PREFIX:
         assert names.index(must_lead) < n_new
     # every remaining prefix slot is a RE-CHECK of a proven row — the
     # registry entered r10 fully driver-proven, so no other unproven
@@ -606,7 +606,7 @@ def test_rotation_finishes_registry_this_round():
     checked: set[str] = set()
     for rnd in (
         "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08",
-        "r09", "r10", "r11",
+        "r09", "r10", "r11", "r12",
     ):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
@@ -942,7 +942,9 @@ def test_pareto_frontier_matches_bruteforce(spark):
             F.col("c_mktsegment").alias("seg"),
             "o_orderkey",
             "o_orderdate",
-            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            # raw double — the r13 plan compares (and emits) the
+            # unrounded parquet value; no decimal quantization anywhere
+            F.col("o_totalprice").alias("price"),
         )
         .collect()
     )

@@ -71,7 +71,7 @@ def test_changed_plans_hold_prefix_slots():
     assert not outside, (
         f"queries with round-{registry.ROUND} plan changes lack prefix "
         f"slots: {outside}. Add them to _DRIVER_ROTATION's head (and "
-        "R12_NEW_IN_PREFIX if new) — a changed plan invalidates its old "
+        "NEW_IN_PREFIX if new) — a changed plan invalidates its old "
         "driver proof."
     )
 
