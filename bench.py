@@ -142,7 +142,7 @@ def main() -> None:
             # zip pairing below matches walls and builds from
             # DIFFERENT passes
             builds.setdefault(name, []).append(min(build, dt))
-    timings = {k: round(min(v), 4) for k, v in walls.items()}
+    timings = {k: round(min(v), 3) for k, v in walls.items()}
     total = sum(timings.values())
     spread = {k: round(max(v) - min(v), 4) for k, v in walls.items()}
     legs = {
@@ -159,17 +159,41 @@ def main() -> None:
         if any(b)  # legs only for queries that recorded a build leg
     }
 
+    # Diagnostics (per-pass walls, spread, build/serve legs) go to a
+    # SIDECAR file: the external driver captures only a bounded tail
+    # of stdout, and the r11 artifact proved the single line outgrows
+    # that window once spread/legs ride along (BENCH_r11/r12 recorded
+    # "parsed": null — two rounds of unparseable perf data). The final
+    # stdout line stays the compact driver contract: per-query best-of
+    # wall (the noise-robust point estimate every prior round's series
+    # used — comparability preserved) + total.
+    details = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "passes": passes,
+        "walls": {k: [round(x, 4) for x in v] for k, v in walls.items()},
+        "median": {
+            k: round(sorted(v)[len(v) // 2], 4) for k, v in walls.items()
+        },
+        "spread": spread,
+        "legs": legs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=1)
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_sec",
-                "value": round(total, 4),
+                "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "legs": legs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -74,6 +74,12 @@ class ExpectationFailed(RuntimeError):
     """A table declared ``on_violation='fail'`` saw violating rows."""
 
 
+class ConcurrentPipelineUpdate(RuntimeError):
+    """Another ``run_atomic`` published while this one was executing;
+    the manifest swap was abandoned (see :meth:`Pipeline.run_atomic`'s
+    CONCURRENCY note). Retry against the new baseline."""
+
+
 @dataclass(frozen=True)
 class TableSpec:
     name: str
@@ -241,16 +247,24 @@ class Pipeline:
         pipeline's previous publish (``prev_tables``) and the version
         this run committed (topological order guarantees it exists) —
         via ``tx.change_feed``'s file-diff, whose scan cost tracks
-        the churn, not the table size. First publish (input not in
-        ``prev_tables``): the full snapshot is the first increment.
-        Upstream deletes are out of scope for append tables by
-        contract (retractable rollups live in plans.pipeline's IVM)."""
+        the churn, not the table size. Deltas apply only once the
+        append table ITSELF has a published baseline: on its first
+        publish (``spec.name not in prev_tables`` — a brand-new
+        pipeline, or an append table added to one that has already
+        published) it reads each input's FULL snapshot, else every
+        input row from before the pipeline's last publish would be
+        silently and permanently absent from the new table. Likewise
+        an input with no published baseline contributes its full
+        snapshot as the first increment. Upstream deletes are out of
+        scope for append tables by contract (retractable rollups live
+        in plans.pipeline's IVM)."""
         upstream: dict[str, DataFrame] = {}
         for i in spec.inputs:
             path_i = self.path(i)
             if (
                 spec.mode == "append"
                 and prev_tables is not None
+                and spec.name in prev_tables
                 and i in prev_tables
             ):
                 upstream[i] = (
@@ -264,12 +278,19 @@ class Pipeline:
                 upstream[i] = tx.snapshot(spark, path_i)
         frame = spec.transform(spark, upstream)
         clean, q_counts, quarantined, pinned = self._split(spec, frame)
-        if quarantined is not None:
-            qname = spec.name + "__quarantine"
-            versions[qname] = writer(self.path(qname), quarantined, spec.mode)
-        versions[spec.name] = writer(self.path(spec.name), clean, spec.mode)
-        if pinned is not None:
-            pinned.unpersist()
+        try:
+            if quarantined is not None:
+                qname = spec.name + "__quarantine"
+                versions[qname] = writer(
+                    self.path(qname), quarantined, spec.mode
+                )
+            versions[spec.name] = writer(self.path(spec.name), clean, spec.mode)
+        finally:
+            # unpersist even when a write raises (schema enforcement,
+            # commit conflict): a long-lived session must not
+            # accumulate pinned evaluations of failed tables
+            if pinned is not None:
+                pinned.unpersist()
         # the post-write count reads the COMMITTED parquet (a
         # footer-cheap scan of what was just written), never the
         # transform lineage
@@ -306,6 +327,7 @@ class Pipeline:
         self,
         spark: SparkSession,
         on_table_committed: Callable[[str], None] | None = None,
+        evolve_schema: bool = False,
     ) -> dict[str, dict]:
         """Execute the DAG as ONE CROSS-TABLE TRANSACTION — the DLT
         "pipeline as one update" semantics (VERDICT r11 ask #8): a
@@ -332,6 +354,23 @@ class Pipeline:
         (unpublished) commit — the seam the mid-pipeline-reader
         proof drives. Direct ``tx.snapshot`` reads bypass the
         manifest and get per-table read-committed, as documented.
+
+        ``evolve_schema=True`` lets a transform ADD columns to an
+        already-published replace/append table (additive evolution,
+        the same contract ``tx.append``'s flag gives): without it a
+        widened transform raises ``SchemaEnforcementError`` under
+        ``run_atomic`` — schemas are frozen by default because a
+        silent widening changes every downstream reader's contract.
+
+        CONCURRENCY: the pipeline manifest is SINGLE-WRITER by
+        design (per-table commits are OCC-safe, but two concurrent
+        ``run_atomic`` calls would share one txn stamp and race the
+        manifest swap). The publish is guarded by compare-and-swap:
+        if another publish landed since this run began, the swap is
+        abandoned and :class:`ConcurrentPipelineUpdate` raises — no
+        partial state is visible (the manifest still names a
+        complete set), and a plain retry re-runs against the new
+        baseline with a fresh txn stamp.
         """
         stats: dict[str, dict] = {}
         versions: dict[str, int] = {}
@@ -361,9 +400,12 @@ class Pipeline:
                     v, _applied = tx.append_idempotent(
                         spark, path, frame,
                         txn=(f"pipeline:{path}", target_publish),
+                        evolve_schema=evolve_schema,
                     )
                     return v
-                return tx.overwrite_table(spark, path, frame)
+                return tx.overwrite_table(
+                    spark, path, frame, evolve_schema=evolve_schema
+                )
             tx.create_table(spark, path, frame)
             return 0
 
@@ -374,6 +416,19 @@ class Pipeline:
             if on_table_committed is not None:
                 on_table_committed(spec.name)
         manifest = _read_manifest(self.root)
+        # COMPARE-AND-SWAP publish guard: the whole run computed its
+        # delta cursors and txn stamps against manifest0; if another
+        # publish landed meanwhile, swapping now would (a) last-writer-
+        # wins away that publish's version set and (b) leave this
+        # run's increments stamped with an already-consumed txn. Abort
+        # instead — the manifest still names the interloper's complete
+        # consistent set, and a retry re-reads the new baseline.
+        if manifest["version"] != manifest0["version"]:
+            raise ConcurrentPipelineUpdate(
+                f"pipeline at {self.root!r} published version "
+                f"{manifest['version']} while this run (baseline "
+                f"{manifest0['version']}) was executing; retry"
+            )
         published = dict(manifest["tables"])
         published.update(versions)
         # the manifest carries its own history: every prior publish's

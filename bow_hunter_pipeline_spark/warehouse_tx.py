@@ -2169,6 +2169,7 @@ def overwrite_table(
     table: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Full-content replace as a NEW COMMIT (op=OVERWRITE): the next
     version adds the rewritten files and removes every live file.
@@ -2182,15 +2183,19 @@ def overwrite_table(
 
     Schema is enforced against the logged schema (same contract as
     :func:`append`: missing columns land as typed NULLs, extra or
-    mistyped columns raise). Returns the new version."""
+    mistyped columns raise unless ``evolve_schema=True``, which logs
+    the additively-evolved schema in the commit). Returns the new
+    version."""
     read_v = _versions(table)[-1]
-    df, _ = _align_to_table_schema(table, df, read_v)
+    df, schema_json = _align_to_table_schema(
+        table, df, read_v, evolve_schema=evolve_schema
+    )
     new_files, stats = _write_data(df, table, read_v + 1, stats_cols)
     try:
         _commit(
             table, read_v + 1, add=new_files,
             remove=live_files(table, read_v), stats=stats,
-            op="OVERWRITE",
+            op="OVERWRITE", schema_json=schema_json,
         )
     except Exception:
         _discard_uncommitted(table, new_files)

@@ -429,3 +429,261 @@ def test_run_refuses_append_mode(spark, tmp_path):
         pipe.run(spark)
     with pytest.raises(ValueError, match="mode"):
         pipe.table(mode="merge")
+
+
+def test_append_table_added_to_published_pipeline_reads_full_history(
+    spark, tmp_path
+):
+    """An append table INTRODUCED into a pipeline that has already
+    published must materialize from its inputs' FULL snapshots on its
+    first publish — not from the manifest-cursor deltas — or every
+    input row from before the last publish is silently lost forever
+    (ADVICE r12, medium)."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(lo, hi, with_silver):
+        pipe = Pipeline(root)
+
+        @pipe.table(mode="append")
+        def bronze(s, up):
+            return s.range(lo, hi).select(F.col("id").alias("k"))
+
+        if with_silver:
+
+            @pipe.table(mode="append", inputs=("bronze",))
+            def silver(s, up):
+                return up["bronze"].filter(F.col("k") % 2 == 0)
+
+        return pipe
+
+    build(0, 6, False).run_atomic(spark)   # publish 0: bronze {0..5}
+    # publish 1 INTRODUCES silver while bronze also gains {6..9}:
+    # silver's first materialization must cover all of {0..9}
+    build(6, 10, True).run_atomic(spark)
+    got = {r.k for r in pipeline_snapshot(spark, root, "silver").collect()}
+    assert got == {0, 2, 4, 6, 8}
+    # publish 2: silver has a baseline now — consumes only the delta
+    build(10, 14, True).run_atomic(spark)
+    got = {r.k for r in pipeline_snapshot(spark, root, "silver").collect()}
+    assert got == {0, 2, 4, 6, 8, 10, 12}
+
+
+def test_concurrent_run_atomic_publish_cas_aborts(spark, tmp_path):
+    """The manifest publish is guarded by compare-and-swap: a run that
+    raced another publish must abort (never last-writer-wins the
+    interloper's version set away) and succeed on plain retry."""
+    from bow_hunter_pipeline_spark.declarative import (
+        ConcurrentPipelineUpdate,
+        pipeline_snapshot,
+    )
+
+    root = str(tmp_path / "p")
+
+    def build(tag):
+        pipe = Pipeline(root)
+
+        @pipe.table()
+        def base(s, up):
+            return s.range(5).select(
+                F.col("id").alias("k"), F.lit(tag).alias("src")
+            )
+
+        return pipe
+
+    build("a").run_atomic(spark)  # publish 0
+
+    def interlope(name):
+        # a competing writer publishes while the outer run executes
+        build("b").run_atomic(spark)
+
+    with pytest.raises(ConcurrentPipelineUpdate):
+        build("c").run_atomic(spark, on_table_committed=interlope)
+    # the interloper's publish is intact, not overwritten
+    assert (
+        pipeline_snapshot(spark, root, "base").select("src").first().src
+        == "b"
+    )
+    # plain retry against the new baseline works
+    build("c").run_atomic(spark)
+    assert (
+        pipeline_snapshot(spark, root, "base").select("src").first().src
+        == "c"
+    )
+
+
+def test_run_atomic_schema_evolution_flag(spark, tmp_path):
+    """Replace-mode tables under run_atomic freeze their schema by
+    default; evolve_schema=True allows additive widening (ADVICE
+    r12)."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+    from bow_hunter_pipeline_spark.warehouse_tx import (
+        SchemaEnforcementError,
+    )
+
+    root = str(tmp_path / "p")
+
+    def build(wide):
+        pipe = Pipeline(root)
+
+        @pipe.table()
+        def base(s, up):
+            df = s.range(4).select(F.col("id").alias("k"))
+            if wide:
+                df = df.withColumn("extra", F.col("k") * 10)
+            return df
+
+        return pipe
+
+    build(False).run_atomic(spark)
+    with pytest.raises(SchemaEnforcementError, match="evolve_schema"):
+        build(True).run_atomic(spark)
+    build(True).run_atomic(spark, evolve_schema=True)
+    snap = pipeline_snapshot(spark, root, "base")
+    assert set(snap.columns) == {"k", "extra"}
+    assert snap.filter(F.col("extra") == 30).count() == 1
+    # the pre-evolution publish still reads with its own schema
+    assert pipeline_snapshot(spark, root, "base", version=0).columns == ["k"]
+
+
+def test_failed_write_unpersists_pinned_evaluation(spark, tmp_path):
+    """A writer failure (here: frozen-schema enforcement) must not
+    leak the pinned expectation evaluation in a long-lived session
+    (ADVICE r12)."""
+    root = str(tmp_path / "p")
+
+    def build(wide):
+        pipe = Pipeline(root)
+
+        @pipe.table(expectations={"k_nonneg": "k >= 0"})
+        def base(s, up):
+            df = s.range(4).select(F.col("id").alias("k"))
+            if wide:
+                df = df.withColumn("extra", F.lit("x"))
+            return df
+
+        return pipe
+
+    build(False).run_atomic(spark)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with pytest.raises(Exception, match="evolve_schema"):
+        build(True).run_atomic(spark)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, "pinned evaluation leaked after failed write"
+
+
+def test_run_atomic_crash_at_every_step_wide_dag(spark, tmp_path):
+    """Crash-at-every-step property at DAG width 3 with mixed
+    append/replace tables: wherever the run dies, (a) manifest readers
+    see the previous publish's complete consistent state for EVERY
+    table, and (b) one retry lands the update exactly once — append
+    increments stamped by the crashed attempt are reused, never
+    doubled (VERDICT r12 task 7)."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+    # topo order: bronze; s1, s2, s3; gold
+    names = ["bronze", "s1", "s2", "s3", "gold"]
+
+    def build(lo, hi):
+        pipe = Pipeline(root)
+
+        @pipe.table(mode="append")
+        def bronze(s, up):
+            return s.range(lo, hi).select(F.col("id").alias("k"))
+
+        @pipe.table(mode="append", inputs=("bronze",))
+        def s1(s, up):
+            return up["bronze"].filter(F.col("k") % 2 == 0)
+
+        @pipe.table(inputs=("bronze",))
+        def s2(s, up):
+            return up["bronze"].agg(F.count(F.lit(1)).alias("n"))
+
+        @pipe.table(mode="append", inputs=("bronze",))
+        def s3(s, up):
+            return up["bronze"].select((F.col("k") * 10).alias("k10"))
+
+        @pipe.table(inputs=("s1", "s2", "s3"))
+        def gold(s, up):
+            return up["s2"].crossJoin(
+                up["s1"].agg(F.count(F.lit(1)).alias("n1"))
+            ).crossJoin(
+                up["s3"].agg(F.count(F.lit(1)).alias("n3"))
+            )
+
+        return pipe
+
+    build(0, 4).run_atomic(spark)  # baseline publish: bronze {0..3}
+
+    def expect_state(n_bronze, n_s1, n_s3, gold_row):
+        assert pipeline_snapshot(spark, root, "bronze").count() == n_bronze
+        assert pipeline_snapshot(spark, root, "s1").count() == n_s1
+        assert pipeline_snapshot(spark, root, "s3").count() == n_s3
+        g = pipeline_snapshot(spark, root, "gold").collect()[0]
+        assert (g.n, g.n1, g.n3) == gold_row
+
+    lo = 4
+    for crash_after in names:
+        hi = lo + 4
+
+        def boom(name, stop=crash_after):
+            if name == stop:
+                raise RuntimeError(f"crash after {stop}")
+
+        with pytest.raises(RuntimeError, match="crash"):
+            build(lo, hi).run_atomic(spark, on_table_committed=boom)
+        # reader consistency: still the PREVIOUS publish, all tables
+        expect_state(lo, lo // 2, lo, (lo, lo // 2, lo))
+        # retry lands exactly once
+        build(lo, hi).run_atomic(spark)
+        expect_state(hi, hi // 2, hi, (hi, hi // 2, hi))
+        lo = hi
+
+
+def test_run_atomic_reader_during_swap_sees_consistent_set(
+    spark, tmp_path
+):
+    """A manifest-routed reader interleaved with a run_atomic in
+    progress resolves the OLD publish for every table — including
+    after some tables' (unpublished) commits have landed (VERDICT r12
+    task 7)."""
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table()
+        def base(s, up):
+            return s.range(n).select(F.col("id").alias("k"))
+
+        @pipe.table(inputs=("base",))
+        def agg(s, up):
+            return up["base"].agg(F.count(F.lit(1)).alias("n"))
+
+        return pipe
+
+    build(3).run_atomic(spark)
+    observed = []
+
+    def observe(name):
+        observed.append(
+            (
+                name,
+                pipeline_snapshot(spark, root, "base").count(),
+                pipeline_snapshot(spark, root, "agg").first().n,
+            )
+        )
+
+    build(7).run_atomic(spark, on_table_committed=observe)
+    # mid-run reads (after base committed, after agg committed — both
+    # pre-swap) both resolve the old consistent pair (3, 3)
+    assert observed == [("agg", 3, 3), ("base", 3, 3)] or observed == [
+        ("base", 3, 3),
+        ("agg", 3, 3),
+    ]
+    assert pipeline_snapshot(spark, root, "base").count() == 7
+    assert pipeline_snapshot(spark, root, "agg").first().n == 7
