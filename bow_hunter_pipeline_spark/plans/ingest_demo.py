@@ -6,12 +6,14 @@ row pivot with cross-page offsets → header sanitize → footer drop →
 numeric parse (``ingest_harvest_data.py:132-294``). The Spark engine
 runs the same chain as ONE lazy plan over the sources.pdf_tables
 adapter. To make it verifiable by the SQL oracle (which can't run
-mapInPandas), the driver query synthesizes each document's "scanned
-table" deterministically from the documents fixture: every cell value
-is a pure function of (doc_id, row ordinal), so DuckDB can recompute
-the expected post-parse rows directly while Spark must earn them by
-actually extracting, pivoting, offsetting, sanitizing, filtering and
-parsing the simulated page grids.
+mapInPandas), the driver query renders each document's "scanned
+table" as REAL PDF BYTES deterministically from the documents fixture
+(``sources.minipdf.write_pdf`` in an Arrow-batched pandas UDF): every
+cell value is a pure function of (doc_id, row ordinal), so DuckDB can
+recompute the expected post-parse rows directly while Spark must earn
+them by actually PARSING the PDF bytes (the default extractor chain —
+no injected fake since r13), pivoting, offsetting, sanitizing,
+filtering and parsing the page grids.
 
 The simulated document for doc_id = d (two pages, demonstrating the
 cross-page row-offset logic the population ingester famously lacks —
@@ -30,6 +32,7 @@ rendered as digits (C2 double parse). Units carry a leading zero (C3).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,47 +51,41 @@ from bow_hunter_pipeline_spark.sources.pdf_tables import (
 HEADERS = ("Unit #", "Total Harvest", "Percent Success")
 
 
-def _payload_expr() -> F.Column:
-    """The simulated scan payload for one document, as a pipe/newline
-    text the fake extractor parses: lines of ``page|row|col|text``."""
-    d = F.col("doc_id")
+def _render_pdf_udf() -> F.Column:
+    """Arrow-batched pandas UDF: doc_id → REAL PDF bytes for that
+    document's two-page scanned table (page 1: header + data rows
+    i=0,1; page 2: data row i=2 + a footer — page 2's rows restart at
+    1, so the grid assembler must re-offset them, the cross-page logic
+    the reference's population ingester famously lacks
+    (``ingest_population_data.py:125``))."""
+    from pyspark.sql.functions import pandas_udf
 
-    def unit(i: int) -> F.Column:
-        return F.concat(F.lit("0"), (d * 10 + F.lit(i)).cast("string"))
+    @pandas_udf("binary")
+    def render(doc_id: pd.Series) -> pd.Series:
+        # imported inside the UDF so the serialized task resolves the
+        # module on the executor
+        from bow_hunter_pipeline_spark.sources.minipdf import write_pdf
 
-    def harvest(i: int) -> F.Column:
-        h = (d * 37 + F.lit(i * 11)) % 9000 + 1000
-        return F.concat(
-            (h / 1000).cast("int").cast("string"),
-            F.lit(","),
-            F.lpad((h % 1000).cast("string"), 3, "0"),
-        )
+        def row(d: int, i: int) -> list[str]:
+            h = (d * 37 + i * 11) % 9000 + 1000
+            s = (d + i) % 1000
+            return [
+                f"0{d * 10 + i}",
+                f"{h // 1000},{h % 1000:03d}",
+                f"{s // 10}.{s % 10}",
+            ]
 
-    def success(i: int) -> F.Column:
-        s = (d + F.lit(i)) % 1000
-        return F.concat(
-            (s / 10).cast("int").cast("string"),
-            F.lit("."),
-            (s % 10).cast("string"),
-        )
+        def doc(d: int) -> bytes:
+            return write_pdf(
+                [
+                    [list(HEADERS), row(d, 0), row(d, 1)],
+                    [row(d, 2), ["Total", "9,999", "n/a"]],
+                ]
+            )
 
-    lines = [
-        F.lit(f"1|1|{c}|{h}") for c, h in enumerate(HEADERS, start=1)
-    ]
-    # page 1 carries data rows 2-3 (i = 0, 1); page 2 restarts its row
-    # numbering at 1 (i = 2) — the grid assembler must re-offset it.
-    for i, (page, row) in enumerate([(1, 2), (1, 3), (2, 1)]):
-        lines += [
-            F.concat(F.lit(f"{page}|{row}|1|"), unit(i)),
-            F.concat(F.lit(f"{page}|{row}|2|"), harvest(i)),
-            F.concat(F.lit(f"{page}|{row}|3|"), success(i)),
-        ]
-    lines += [
-        F.lit("2|2|1|Total"),
-        F.lit("2|2|2|9,999"),
-        F.lit("2|2|3|n/a"),
-    ]
-    return F.concat_ws("\n", *lines)
+        return doc_id.map(doc)
+
+    return render(F.col("doc_id"))
 
 
 def pdf_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,18 +100,12 @@ def pdf_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
-        F.encode(_payload_expr(), "UTF-8").alias("content"),
+        _render_pdf_udf().alias("content"),
     )
 
-    # Nested closure: crosses the serialization boundary by value.
-    def parse_payload(path: str, content: bytes) -> list[tuple[int, int, int, str]]:
-        out = []
-        for line in bytes(content).decode("utf-8").split("\n"):
-            page, row, col, text = line.split("|", 3)
-            out.append((int(page), int(row), int(col), text))
-        return out
-
-    cells = extract_cells(docs, extractor=parse_payload)
+    # DEFAULT extractor chain (pdfplumber → minipdf): real byte-level
+    # PDF parsing on the executors, no injected fake.
+    cells = extract_cells(docs)
     table = grid_to_table(cells_to_grid(cells))
 
     # C1 row-level header sanitize: lower, trim, ' '→'_', drop other

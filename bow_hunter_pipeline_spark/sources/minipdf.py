@@ -1,0 +1,207 @@
+"""Minimal pure-Python PDF writer + table-text extractor.
+
+The reference's ingest actually OCRs PDF bytes (Textract async job +
+block fetch — ``/root/reference/src/etl/ingest_harvest_data.py:
+132-174``); every prior round of this repo exercised the downstream
+grid/normalize chain against an INJECTED extractor because no PDF
+library ships in this container. This module closes that seam with
+public-spec code only (PDF 1.4, ISO 32000 subset):
+
+* :func:`write_pdf` renders a list of per-page cell tables as a valid
+  PDF — uncompressed content streams, one ``BT/Td/Tj/ET`` text object
+  per cell, Helvetica, fixed column x-positions and descending row
+  y-positions. Small enough to hand-check with a text editor, real
+  enough that any conforming viewer or parser reads it.
+* :func:`extract_pdf_cells` parses PDF BYTES back into
+  ``(page, row_index, col_index, text)`` tuples: it walks the page
+  tree (``/Type /Catalog`` → ``/Pages`` → ``Kids`` order → each
+  page's ``/Contents`` stream), tokenizes the uncompressed content
+  stream's ``Td``/``Tj`` operators, unescapes literal strings, and
+  clusters text positions into a row/column grid (distinct y
+  descending → rows, distinct x ascending → columns) — the same
+  geometric binning every real PDF table extractor performs after
+  decoding.
+
+Scope is explicit and checked: compressed (``/Filter``) streams and
+non-``Tj`` text operators raise :class:`UnsupportedPdfError` rather
+than mis-extract — pdfplumber remains the preferred extractor when
+importable (sources.pdf_tables tries it first), and the injection
+seam stays for environments with neither.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class UnsupportedPdfError(NotImplementedError):
+    """The bytes are a PDF outside this extractor's subset
+    (compressed streams, unsupported text operators)."""
+
+
+# --- writer -------------------------------------------------------------
+
+_COL_X0 = 72.0  # left margin (1 inch)
+_COL_DX = 150.0  # column pitch
+_ROW_Y0 = 720.0  # first baseline
+_ROW_DY = 20.0  # row pitch
+
+
+def _escape(text: str) -> str:
+    return (
+        text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    )
+
+
+def _page_stream(rows: list[list[str]]) -> bytes:
+    """One uncompressed content stream: a text object per cell."""
+    ops = []
+    for r, row in enumerate(rows):
+        y = _ROW_Y0 - r * _ROW_DY
+        for c, cell in enumerate(row):
+            if cell is None or cell == "":
+                continue  # absent cell, like a sparse scanned table
+            x = _COL_X0 + c * _COL_DX
+            ops.append(
+                f"BT /F1 10 Tf {x:.1f} {y:.1f} Td ({_escape(cell)}) Tj ET"
+            )
+    return ("\n".join(ops) + "\n").encode("latin-1")
+
+
+def write_pdf(pages: list[list[list[str]]]) -> bytes:
+    """Render ``pages`` (page → rows → cell strings) as PDF bytes.
+
+    Object layout: 1=Catalog, 2=Pages, then (page, contents) pairs,
+    last=Font. The xref table is byte-exact, so strict parsers accept
+    the file; streams are uncompressed (``/Length`` only, no
+    ``/Filter``) so :func:`extract_pdf_cells` and text editors can
+    read them back.
+    """
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    ]
+    for i, rows in enumerate(pages):
+        page_num, contents_num = 3 + 2 * i, 4 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {contents_num} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        stream = _page_stream(rows)
+        objects.append(
+            f"<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream
+            + b"endstream"
+        )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]  # object 0 is the xref free head
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# --- extractor ----------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.DOTALL)
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+# one text object of the supported subset: absolute Td then Tj
+_TEXT_RE = re.compile(
+    rb"BT\s+(?:/\w+\s+[\d.]+\s+Tf\s+)?(-?[\d.]+)\s+(-?[\d.]+)\s+Td\s*"
+    rb"\((.*?(?<!\\))\)\s*Tj\s*ET",
+    re.DOTALL,
+)
+
+
+def _unescape(raw: bytes) -> str:
+    out, i = [], 0
+    while i < len(raw):
+        b = raw[i : i + 1]
+        if b == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in (b"(", b")", b"\\"):
+                out.append(nxt)
+                i += 2
+                continue
+        out.append(b)
+        i += 1
+    return b"".join(out).decode("latin-1")
+
+
+def _objects(content: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)}
+
+
+def extract_pdf_cells(content: bytes) -> list[tuple[int, int, int, str]]:
+    """PDF bytes → ``(page, row_index, col_index, text)``, 1-based,
+    rows numbered PER PAGE (the grid assembler owns cross-page
+    offsets, mirroring Textract's per-page RowIndex).
+    """
+    if not content.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF (missing %PDF header)")
+    objs = _objects(content)
+    # page order = Kids order under the page tree root
+    kids: list[int] = []
+    for body in objs.values():
+        if b"/Type /Pages" in body or b"/Type/Pages" in body:
+            m = _KIDS_RE.search(body)
+            if m:
+                kids = [int(r) for r in _REF_RE.findall(m.group(1))]
+            break
+    if not kids:
+        raise UnsupportedPdfError("no /Pages tree with /Kids found")
+
+    cells: list[tuple[int, int, int, str]] = []
+    for pageno, page_obj in enumerate(kids, start=1):
+        m = _CONTENTS_RE.search(objs.get(page_obj, b""))
+        if not m:
+            continue  # blank page
+        body = objs.get(int(m.group(1)), b"")
+        if b"/Filter" in body.split(b"stream", 1)[0]:
+            raise UnsupportedPdfError(
+                "compressed content stream — use pdfplumber"
+            )
+        s = body.find(b"stream")
+        e = body.rfind(b"endstream")
+        if s < 0 or e < 0:
+            raise UnsupportedPdfError("contents object carries no stream")
+        stream = body[s + len(b"stream") : e].strip(b"\r\n")
+        spans = [
+            (float(m.group(2)), float(m.group(1)), _unescape(m.group(3)))
+            for m in _TEXT_RE.finditer(stream)
+        ]
+        leftover = _TEXT_RE.sub(b"", stream).strip()
+        if leftover and re.search(rb"\b(TJ|Tj|Tm|TD)\b", leftover):
+            raise UnsupportedPdfError(
+                "text operators outside the Td/Tj subset — use pdfplumber"
+            )
+        # geometric binning: distinct baselines descending = rows,
+        # distinct x ascending = columns (per page)
+        ys = sorted({y for y, _, _ in spans}, reverse=True)
+        xs = sorted({x for _, x, _ in spans})
+        row_of = {y: i for i, y in enumerate(ys, start=1)}
+        col_of = {x: i for i, x in enumerate(xs, start=1)}
+        for y, x, text in sorted(spans, key=lambda t: (-t[0], t[1])):
+            cells.append((pageno, row_of[y], col_of[x], text))
+    return cells

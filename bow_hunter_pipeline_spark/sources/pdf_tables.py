@@ -9,12 +9,18 @@ extracts tables locally (no async job, no polling, no service
 round-trip), and the output is a cell-grid DataFrame the normalize
 layer consumes.
 
-The actual PDF parser is pluggable. ``pdfplumber`` (pinned by the
-reference's requirements.txt but never imported there) is used when
-importable; this container doesn't ship it, so the default extractor
-raises NotImplementedError and tests inject a deterministic fake. The
-Spark-side plumbing — binary scan, Arrow batch shapes, cell schema,
-grid pivot, multi-page row offsets — is real and tested.
+The actual PDF parser is pluggable, with a three-level default chain:
+``pdfplumber`` (pinned by the reference's requirements.txt but never
+imported there) when importable; else the in-repo pure-Python
+extractor (``sources.minipdf`` — real byte-level parsing of the
+uncompressed-``Tj`` PDF subset, page tree → content streams →
+geometric row/column binning); else the bytes are outside both
+parsers' scope and ``UnsupportedPdfError`` raises. Tests may still
+inject extractors (the seam the Textract-equivalent would plug into).
+The Spark-side plumbing — binary scan, Arrow batch shapes, cell
+schema, grid pivot, multi-page row offsets — runs on REAL PDF bytes
+end-to-end (tests/test_pdf_tables.py writes PDFs with
+``minipdf.write_pdf`` and drives binaryFile → mapInPandas → grid).
 
 Scale: one PDF = one row = one task unit; extraction parallelizes per
 file with no stragglers from oversized batches
@@ -53,27 +59,33 @@ def extract_cells(
     else:
 
         def ex(path: str, content: bytes) -> list[tuple[int, int, int, str]]:
-            # pdfplumber: the parser the reference pinned in
-            # requirements.txt but never imported; absent here, so
-            # tests inject deterministic fakes and this path stays an
-            # explicit stub
+            # preferred parser: pdfplumber (pinned by the reference's
+            # requirements.txt but never imported there) — full PDF
+            # coverage including compressed streams
             try:
-                import pdfplumber  # noqa: F401
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "No PDF parser available in this environment; "
-                    "inject an extractor (tests show the contract)"
-                ) from exc
-            import io
+                import pdfplumber
+            except ImportError:
+                pdfplumber = None
+            if pdfplumber is not None:
+                import io
 
-            cells = []
-            with pdfplumber.open(io.BytesIO(content)) as pdf:
-                for pageno, page in enumerate(pdf.pages, start=1):
-                    for table in page.extract_tables():
-                        for r, row in enumerate(table, start=1):
-                            for c, cell in enumerate(row, start=1):
-                                cells.append((pageno, r, c, cell or ""))
-            return cells
+                cells = []
+                with pdfplumber.open(io.BytesIO(content)) as pdf:
+                    for pageno, page in enumerate(pdf.pages, start=1):
+                        for table in page.extract_tables():
+                            for r, row in enumerate(table, start=1):
+                                for c, cell in enumerate(row, start=1):
+                                    cells.append((pageno, r, c, cell or ""))
+                return cells
+            # fallback: the in-repo pure-Python byte-level extractor
+            # (uncompressed-Tj subset; raises UnsupportedPdfError for
+            # PDFs outside it). Imported inside the closure so the
+            # serialized task resolves it on the executor.
+            from bow_hunter_pipeline_spark.sources.minipdf import (
+                extract_pdf_cells,
+            )
+
+            return extract_pdf_cells(bytes(content))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -80,3 +80,94 @@ def test_per_document_isolation_of_column_counts(spark):
     grid = cells_to_grid(_cells_df(spark, cells))
     widths = {r.path: len(r.cells) for r in grid.collect()}
     assert widths == {"d1": 3, "d2": 1}
+
+
+# --- real-bytes path (r13): minipdf writer/extractor + binaryFile ------
+
+
+def _tables():
+    return [
+        [
+            ["Unit #", "Total Harvest", "Percent Success"],
+            ["001", "1,037", "10.0"],
+            ["002", "1,048", "10.1"],
+        ],
+        [["003", "1,059", "10.2"], ["Total", "9,999", "n/a (50%)"]],
+    ]
+
+
+def test_minipdf_roundtrip_with_escapes():
+    from bow_hunter_pipeline_spark.sources.minipdf import (
+        extract_pdf_cells,
+        write_pdf,
+    )
+
+    pages = _tables()
+    pages[1][1][2] = r"n/a \ (50%)"  # backslash + parens escape path
+    pdf = write_pdf(pages)
+    assert pdf.startswith(b"%PDF-1.4") and pdf.endswith(b"%%EOF\n")
+    got = extract_pdf_cells(pdf)
+    expect = [
+        (p + 1, r + 1, c + 1, v)
+        for p, pg in enumerate(pages)
+        for r, row in enumerate(pg)
+        for c, v in enumerate(row)
+    ]
+    assert got == expect
+
+
+def test_minipdf_rejects_out_of_subset_bytes():
+    import pytest
+
+    from bow_hunter_pipeline_spark.sources.minipdf import (
+        UnsupportedPdfError,
+        extract_pdf_cells,
+        write_pdf,
+    )
+
+    with pytest.raises(UnsupportedPdfError, match="%PDF"):
+        extract_pdf_cells(b"not a pdf at all")
+    compressed = write_pdf(_tables()).replace(
+        b"<< /Length", b"<< /Filter /FlateDecode /Length"
+    )
+    with pytest.raises(UnsupportedPdfError, match="compressed"):
+        extract_pdf_cells(compressed)
+
+
+def test_binaryfile_scan_to_grid_on_real_pdf_bytes(spark, tmp_path):
+    """The full reference-shaped ingest on REAL bytes with the DEFAULT
+    extractor chain (no injection): write PDFs to disk with
+    minipdf.write_pdf, scan them with the binaryFile source, extract
+    via mapInPandas, pivot with cross-page offsets (VERDICT r12 task
+    6)."""
+    from pyspark.sql import functions as F
+
+    from bow_hunter_pipeline_spark.sources.minipdf import write_pdf
+
+    for d in range(3):
+        pages = [
+            [
+                ["Unit #", "Harvest"],
+                [f"0{d}1", f"{d},100"],
+                [f"0{d}2", f"{d},200"],
+            ],
+            [[f"0{d}3", f"{d},300"]],  # page 2 rows restart at 1
+        ]
+        (tmp_path / f"doc{d}.pdf").write_bytes(write_pdf(pages))
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.pdf")
+        .load(str(tmp_path))
+    )
+    grid = cells_to_grid(extract_cells(binary))
+    rows = {
+        (r.path.rsplit("/", 1)[-1], r.abs_row): list(r.cells)
+        for r in grid.collect()
+    }
+    assert len(rows) == 12  # 3 docs x (header + 3 data rows)
+    for d in range(3):
+        name = f"doc{d}.pdf"
+        assert rows[(name, 1)] == ["Unit #", "Harvest"]
+        # page-2 row lands at abs_row 4 via the cross-page offset
+        assert rows[(name, 4)] == [f"0{d}3", f"{d},300"]
