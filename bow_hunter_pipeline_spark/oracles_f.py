@@ -2364,3 +2364,18 @@ SELECT segment, o_orderkey, day_idx, price
 FROM f
 WHERE price = same_date_max AND (past_max IS NULL OR price > past_max)
 """
+
+
+# E2+ (r13): pipeline-level multi-writer OCC — the published history
+# after A(residue 0) -> B(residue 1, interloper wins) -> C(residue 2,
+# CAS-aborted then retried): gold at pipeline versions 0/1/2.
+TX_CONCURRENT_PIPELINE_OCC = """
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS sum_price,
+       CAST(v.pipeline_version AS INT) AS pipeline_version
+FROM lineitem, (SELECT unnest(generate_series(0, 2)) AS pipeline_version) v
+WHERE l_orderkey % 3 = v.pipeline_version
+GROUP BY l_linenumber, v.pipeline_version
+"""

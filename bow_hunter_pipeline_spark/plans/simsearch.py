@@ -1423,6 +1423,21 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the int8 cosine is one double divide of exact quantities; the
     refine cosine is the order-pinned double fold shared with
     ``cosine_topk``.
+
+    30× probe (r13, the steep-entry discipline): 2.29 s → 12.19 s →
+    42.07 s across sf0.1/10×/30× — the 10×→30× step read 3.45× for
+    3× the data. The physical plan shows why, and why it is NOT a
+    cliff: the rank exchange is already bounded (``WindowGroupLimit
+    Partial`` keeps ≤C rows per (q_id, map partition) before the
+    shuffle — plan-verified), so the only super-linear term is the
+    MAP-SIDE sort feeding it, which grows with PARTITION SIZE, not
+    volume. Locally the 30× fixture still fits a handful of scan
+    partitions, so each local sort is 30× bigger; in production
+    ``spark.sql.files.maxPartitionBytes`` bounds partition size, so
+    per-row sort cost is a constant (log of a fixed 128 MB). Probed:
+    re-running the sweep with partitions bounded at 1 MB reads
+    2.48 s → 11.93 s → 35.68 s — the 10×→30× step is 2.99×, exactly
+    volume-proportional. No plan change to make.
     """
     emb = read_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))

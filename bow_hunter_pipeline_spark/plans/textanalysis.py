@@ -254,6 +254,15 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-token docs produce a 0-length slice on both engines (Spark
     slice with length size-1, DuckDB generate_series(1, len-1) = []),
     so there is no empty-edge flap.
+
+    30× probe (r13, the steep-entry discipline — SCALE1 read 4.3× at
+    10×): 0.66 s → 2.72 s → 6.61 s across sf0.1/10×/30× documents —
+    the 10×→30× step is 2.43× for 3× the data, SUB-linear with no
+    knee. The token-grain explode + count is Θ(total tokens) map work
+    plus one hash exchange over distinct bigrams (whose cardinality
+    grows sub-linearly in corpus size under any Zipfian text); the
+    sf0.1→10× jump in SCALE1 is fixed costs amortizing, not a plan
+    term. No change to make.
     """
     docs = read_table(spark, sf_dir, "documents")
     arr = _toks()
@@ -710,6 +719,15 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle each; scoring is three token-keyed joins back (AQE
     handles head-word skew) + one shuffle per doc, one per source.
     Nothing is corpus².
+
+    30× probe (r13, the steep-entry discipline — SCALE1 read 4.1× at
+    10×): 1.34 s → 6.49 s → 17.93 s across sf0.1/10×/30× documents —
+    the 10×→30× step is 2.76× for 3× the data, SUB-linear. The
+    volume-proportional part is the transition explode + the
+    token-keyed score joins (Θ(total tokens), map-side after AQE
+    broadcasts the model tables); the model-build shuffles shrink
+    relative to volume as the distinct-bigram table saturates. No
+    change to make.
     """
     docs = read_table(spark, sf_dir, "documents")
     base = docs.select(

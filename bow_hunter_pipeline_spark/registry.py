@@ -1152,6 +1152,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_incremental_pipeline,
         oracles_f.TX_INCREMENTAL_PIPELINE,
     ),
+    # E2+ (NEW r13): pipeline-level multi-writer OCC — two run_atomic
+    # updates race the manifest; the loser CAS-aborts, the winner's
+    # publish survives, the retry lands (VERDICT r12 task 8)
+    "e2_tx_concurrent_pipeline_occ": (
+        pipeline.tx_concurrent_pipeline_occ,
+        oracles_f.TX_CONCURRENT_PIPELINE_OCC,
+    ),
     # E2+ (NEW r11): tri-clause MERGE (matched update / not-matched
     # insert / not-matched-by-source delete scoped to a region)
     "e2_tx_merge_sync": (pipeline.tx_merge_sync, oracles_f.TX_MERGE_SYNC),
@@ -1816,13 +1823,17 @@ _DRIVER_ROTATION = [
     # r03/r04-vintage age re-checks the r12 verdict queued (task 4),
     # then the oldest r05-vintage proofs fill the rest. Nothing is
     # ever dropped, only reordered.
-    # --- first-proof row (mirrored in NEW_IN_PREFIX below) ---
+    # --- first-proof rows (mirrored in NEW_IN_PREFIX below) ---
     "f_pareto_frontier",
+    "e2_tx_concurrent_pipeline_occ",
     # --- plans changed in r13 (fingerprint-stamped; re-proof) ---
     "a2_a3_pdf_ingest",
     "e2_tx_atomic_pipeline",
     "e2_tx_incremental_pipeline",
     "e2_tx_declarative_pipeline",
+    "h2_ann_cascade_topk",
+    "h3_bigram_counts",
+    "h3_bigram_lm_quality",
     # --- age re-checks: the 16 remaining r03/r04-vintage proofs ---
     "udf_cogrouped_order_profile",
     "udf_grouped_agg_floorsum",
@@ -1866,10 +1877,6 @@ _DRIVER_ROTATION = [
     "f_q22_sales_opportunity",
     "f_q3_shipping_priority",
     "f_q4_priority_exists",
-    "f_q5_local_supplier_volume",
-    "f_q6_forecast_revenue",
-    "f_q7_volume_shipping",
-    "f_q8_market_share",
 ]
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
@@ -1888,6 +1895,8 @@ NEW_IN_PREFIX = [
     # first-proof row until it proves green (r11/r12 rows were
     # hash-only reds; r13 deletes the DATE/DECIMAL surfaces entirely)
     "f_pareto_frontier",
+    # the round's one addition (VERDICT r12 task 8)
+    "e2_tx_concurrent_pipeline_occ",
 ]
 
 
