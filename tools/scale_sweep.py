@@ -109,6 +109,12 @@ QUERIES = [
     "g5_dbscan_clusters",
     # round-12 addition
     "e2_tx_atomic_pipeline",
+    # round-13 additions: the incremental/append pipeline and the
+    # multi-writer OCC race (manifest CAS cost is O(tables) JSON —
+    # the sweep pins that the retry-loser path stays volume-linear)
+    "e2_tx_incremental_pipeline",
+    "e2_tx_concurrent_pipeline_occ",
+    "a2_a3_pdf_ingest",
 ]
 
 SCALE_MD = os.path.join(
