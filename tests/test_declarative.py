@@ -687,3 +687,35 @@ def test_run_atomic_reader_during_swap_sees_consistent_set(
     ]
     assert pipeline_snapshot(spark, root, "base").count() == 7
     assert pipeline_snapshot(spark, root, "agg").first().n == 7
+
+
+def test_overwrite_table_evolve_schema_logs_new_column(spark, tmp_path):
+    """overwrite_table(evolve_schema=True) logs the additively-evolved
+    schema in its commit: later appends see the new column, earlier
+    versions keep the old schema, and the default stays frozen."""
+    from bow_hunter_pipeline_spark.warehouse_tx import (
+        SchemaEnforcementError,
+    )
+
+    table = str(tmp_path / "t")
+    tx.create_table(
+        spark, table, spark.range(3).select(F.col("id").alias("k"))
+    )
+    wide = spark.range(2).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    )
+    with pytest.raises(SchemaEnforcementError, match="evolve_schema"):
+        tx.overwrite_table(spark, table, wide)
+    v = tx.overwrite_table(spark, table, wide, evolve_schema=True)
+    assert v == 1
+    assert set(tx.snapshot(spark, table, 1).columns) == {"k", "extra"}
+    # the evolved schema is LOGGED: a plain append (no flag) of the
+    # widened shape now passes enforcement, and a narrow append lands
+    # the missing column as typed NULL
+    tx.append(
+        spark, table, spark.range(1).select(F.col("id").alias("k"))
+    )
+    snap = tx.snapshot(spark, table)
+    assert snap.filter(F.col("extra").isNull()).count() == 1
+    # time travel reads the pre-evolution schema
+    assert tx.snapshot(spark, table, 0).columns == ["k"]
