@@ -371,6 +371,22 @@ class Pipeline:
         partial state is visible (the manifest still names a
         complete set), and a plain retry re-runs against the new
         baseline with a fresh txn stamp.
+
+        Scope of that guarantee, stated exactly: the per-publish txn
+        stamp ``(pipeline:<table>, N+1)`` is deliberately SHARED by
+        every attempt at publish N+1 so a crash retry REUSES its own
+        increment instead of doubling it. Two racing runs of the SAME
+        pipeline definition are therefore safe end-to-end (a
+        double-fired scheduler): append increments are deterministic
+        functions of the same baseline, so whichever run's increment
+        landed is the increment, the loser CAS-aborts, and the winner
+        publishes a correct set. Racing DIFFERENT definitions over
+        append-mode tables on the same root is a MISCONFIGURATION the
+        stamp cannot distinguish from a crash retry (the winner could
+        absorb the loser's differently-computed increment); use
+        separate pipeline roots for genuinely different pipelines.
+        Replace-mode tables are immune either way — each run commits
+        its own full version and CAS picks exactly one publish.
         """
         stats: dict[str, dict] = {}
         versions: dict[str, int] = {}

@@ -126,19 +126,27 @@ NOTES_HEADER = "## Reading the steepest entries"
 
 
 def _read_baseline() -> tuple[dict[str, float], str]:
-    """(query -> previous ratio, carried-forward notes section)."""
+    """(query -> previous ratio, carried-forward notes section).
+
+    Baselines parse ONLY the machine-written main table (everything
+    BEFORE the hand-written notes header): note sections legitimately
+    contain their own markdown tables — probe series, drift confirms —
+    whose per-query ratio columns would otherwise override the real
+    baselines (the r13 slip: a drift table's `0.90×` became
+    `h3_bigram_counts`'s prev, flagging 20 phantom regressions)."""
     if not os.path.exists(SCALE_MD):
         return {}, ""
     text = open(SCALE_MD).read()
+    notes = ""
+    if NOTES_HEADER in text:
+        notes = text[text.index(NOTES_HEADER):].rstrip() + "\n"
+        text = text[: text.index(NOTES_HEADER)]
     base = {
         m.group(1): float(m.group(2))
         for m in re.finditer(
             r"^\| (\S+) \| [\d.]+ \| [\d.]+ \| ([\d.]+)", text, re.M
         )
     }
-    notes = ""
-    if NOTES_HEADER in text:
-        notes = text[text.index(NOTES_HEADER):].rstrip() + "\n"
     return base, notes
 
 PASSES = 2
