@@ -328,6 +328,7 @@ class Pipeline:
         spark: SparkSession,
         on_table_committed: Callable[[str], None] | None = None,
         evolve_schema: bool = False,
+        app_txn: tuple[str, int] | None = None,
     ) -> dict[str, dict]:
         """Execute the DAG as ONE CROSS-TABLE TRANSACTION — the DLT
         "pipeline as one update" semantics (VERDICT r11 ask #8): a
@@ -387,6 +388,19 @@ class Pipeline:
         separate pipeline roots for genuinely different pipelines.
         Replace-mode tables are immune either way — each run commits
         its own full version and CAS picks exactly one publish.
+
+        ``app_txn=(app_id, chunk_version)`` strengthens append-mode
+        delivery from per-publish to APPLICATION-level exactly-once
+        (Delta's ``foreachBatch txnVersion`` pattern): append tables
+        stamp with the caller's update identity instead of the publish
+        number, so REDELIVERY of the same update — a double-fired
+        scheduler where the loser blindly retries after its twin
+        already published, or an at-least-once upstream queue — is
+        recognized and skipped even though the retry targets a LATER
+        publish number. Without it, a source-style append table
+        (transform fabricates its chunk from outside the DAG) would
+        re-land the chunk on such a retry; input-tracked append tables
+        are safe either way (their post-publish deltas are empty).
         """
         stats: dict[str, dict] = {}
         versions: dict[str, int] = {}
@@ -412,10 +426,18 @@ class Pipeline:
                     # (table, target publish number) makes append
                     # recognize and REUSE it instead of doubling —
                     # downstream deltas then read the reused rows,
-                    # keeping the whole publish consistent.
+                    # keeping the whole publish consistent. With
+                    # app_txn, the stamp is the CALLER's update
+                    # identity instead, so redelivery of the same
+                    # update dedupes across publish numbers too.
+                    txn = (
+                        (f"pipeline:{path}", target_publish)
+                        if app_txn is None
+                        else (f"{app_txn[0]}:{path}", app_txn[1])
+                    )
                     v, _applied = tx.append_idempotent(
                         spark, path, frame,
-                        txn=(f"pipeline:{path}", target_publish),
+                        txn=txn,
                         evolve_schema=evolve_schema,
                     )
                     return v

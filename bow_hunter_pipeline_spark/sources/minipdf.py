@@ -126,10 +126,15 @@ _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-# one text object of the supported subset: absolute Td then Tj
+# one text object of the supported subset: absolute Td then Tj. The
+# literal string consumes escape PAIRS atomically ((?:[^()\\]|\\.)*):
+# a naive lazy-dot with a (?<!\\) lookbehind mis-rejects content
+# ENDING in an escaped backslash, where the char before ')' is a
+# backslash that is itself escaped (found by the hypothesis
+# round-trip property on the cell "\\").
 _TEXT_RE = re.compile(
     rb"BT\s+(?:/\w+\s+[\d.]+\s+Tf\s+)?(-?[\d.]+)\s+(-?[\d.]+)\s+Td\s*"
-    rb"\((.*?(?<!\\))\)\s*Tj\s*ET",
+    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj\s*ET",
     re.DOTALL,
 )
 

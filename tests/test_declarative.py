@@ -719,3 +719,60 @@ def test_overwrite_table_evolve_schema_logs_new_column(spark, tmp_path):
     assert snap.filter(F.col("extra").isNull()).count() == 1
     # time travel reads the pre-evolution schema
     assert tx.snapshot(spark, table, 0).columns == ["k"]
+
+
+def test_double_fired_append_pipeline_never_doubles(spark, tmp_path):
+    """The documented concurrency scope, end-to-end: two racing runs
+    of the SAME definition delivering the SAME update (a double-fired
+    scheduler) over append-mode tables. With ``app_txn`` — the
+    application-level update identity (Delta's foreachBatch
+    txnVersion pattern) — exactly one increment lands no matter who
+    wins, the loser CAS-aborts, and even a BLIND retry of the lost
+    run (targeting a later publish number) is recognized as a
+    redelivery and skipped: no path doubles a row, including for a
+    source-style append table whose transform fabricates its chunk
+    from outside the DAG."""
+    from bow_hunter_pipeline_spark.declarative import (
+        ConcurrentPipelineUpdate,
+        Pipeline,
+        pipeline_snapshot,
+    )
+
+    root = str(tmp_path / "p")
+
+    def build(lo, hi):
+        pipe = Pipeline(root)
+
+        @pipe.table(mode="append")
+        def bronze(s, up):
+            # source-style: the chunk comes from outside the DAG, so
+            # only the txn stamp can dedupe a redelivery
+            return s.range(lo, hi).select(F.col("id").alias("k"))
+
+        @pipe.table(mode="append", inputs=("bronze",))
+        def silver(s, up):
+            return up["bronze"].filter(F.col("k") % 2 == 0)
+
+        return pipe
+
+    build(0, 4).run_atomic(spark, app_txn=("feed", 1))
+
+    def interlope(name):
+        if name == "silver":  # after the outer run's LAST commit
+            build(4, 10).run_atomic(spark, app_txn=("feed", 2))
+
+    with pytest.raises(ConcurrentPipelineUpdate):
+        build(4, 10).run_atomic(
+            spark, on_table_committed=interlope, app_txn=("feed", 2)
+        )
+    # exactly one increment landed, whoever won
+    assert pipeline_snapshot(spark, root, "bronze").count() == 10
+    assert pipeline_snapshot(spark, root, "silver").count() == 5
+    # the loser's BLIND retry of the same update: bronze's fabricated
+    # chunk is skipped by the app-level stamp, silver's delta is empty
+    build(4, 10).run_atomic(spark, app_txn=("feed", 2))
+    assert pipeline_snapshot(spark, root, "bronze").count() == 10
+    assert pipeline_snapshot(spark, root, "silver").count() == 5
+    # the NEXT genuine update still lands
+    build(10, 12).run_atomic(spark, app_txn=("feed", 3))
+    assert pipeline_snapshot(spark, root, "bronze").count() == 12

@@ -171,3 +171,59 @@ def test_binaryfile_scan_to_grid_on_real_pdf_bytes(spark, tmp_path):
         assert rows[(name, 1)] == ["Unit #", "Harvest"]
         # page-2 row lands at abs_row 4 via the cross-page offset
         assert rows[(name, 4)] == [f"0{d}3", f"{d},300"]
+
+
+def test_minipdf_roundtrip_property():
+    """Hypothesis: write_pdf → extract_pdf_cells is the identity on
+    arbitrary non-empty printable cell grids (escapes, ragged rows,
+    multi-page)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bow_hunter_pipeline_spark.sources.minipdf import (
+        extract_pdf_cells,
+        write_pdf,
+    )
+
+    # printable latin-1 minus control chars; must be non-empty after
+    # strip (the writer skips empty cells by design) and not contain
+    # surrogates. Parens and backslashes ARE included — the escape
+    # path is the point.
+    cell = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20, max_codepoint=0xFF,
+            blacklist_characters="\x7f\xad",
+        ),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda s: s.strip() == s and s != "")
+
+    pages = st.lists(  # a document
+        st.lists(  # a page: rows
+            st.lists(cell, min_size=1, max_size=4),  # a row: cells
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @given(pages)
+    @settings(max_examples=60, deadline=None)
+    def run(pgs):
+        got = extract_pdf_cells(write_pdf(pgs))
+        # expected: row/col indices are PER-PAGE geometric ranks — a
+        # row is indexed among the page's non-empty rows, a column
+        # among x-positions that appear anywhere on the page
+        expect = []
+        for p, pg in enumerate(pgs, start=1):
+            cols_used = sorted(
+                {c for row in pg for c, v in enumerate(row)}
+            )
+            col_rank = {c: i for i, c in enumerate(cols_used, start=1)}
+            for r, row in enumerate(pg, start=1):
+                for c, v in enumerate(row):
+                    expect.append((p, r, col_rank[c], v))
+        assert got == expect
+
+    run()
