@@ -78,6 +78,12 @@ HEADLINE = [
     # run-1 baseline publish; serve leg = the full-corpus update run
     # with per-table observer reads + the manifest swap)
     "e2_tx_atomic_pipeline",
+    # round 13: the multi-writer OCC race (CAS abort + retry — the
+    # loser's re-run cost IS the metric) and the real-bytes PDF
+    # ingest (render + parse per document in Arrow batches — the
+    # Python-side cost center the injected fake used to hide)
+    "e2_tx_concurrent_pipeline_occ",
+    "a2_a3_pdf_ingest",
 ]
 
 

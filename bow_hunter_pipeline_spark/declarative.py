@@ -501,6 +501,79 @@ def _read_manifest(root: str) -> dict:
         return json.load(fh)
 
 
+def pipeline_vacuum(
+    spark: SparkSession,
+    root: str,
+    keep_publishes: int = 1,
+    dry_run: bool = False,
+) -> dict[str, int]:
+    """Catalog-level VACUUM for a pipeline root: trim the manifest's
+    publish history to the newest ``keep_publishes`` and delete each
+    table's data files unreachable from what the trimmed manifest
+    still references — the cleanup step for the orphaned next
+    versions that aborted/superseded ``run_atomic`` attempts leave
+    behind ("ordinary unreferenced history for vacuum").
+
+    Retention per table, chosen so vacuum is safe to run between
+    updates without any coordination beyond the documented
+    single-active-writer assumption:
+
+    * every version named by a RETAINED publish (cross-table time
+      travel inside the kept window keeps working;
+      ``pipeline_snapshot(..., version=k)`` below it raises KeyError
+      because the manifest history is what was trimmed);
+    * every version ABOVE the table's latest published one — those
+      are the crash-retry REUSE surface (a committed-but-unpublished
+      increment must survive so the retry's txn stamp can adopt it,
+      never re-compute it). An abandoned attempt's orphans fall
+      below the published frontier at the next successful publish
+      and become collectible then — the collector converges without
+      ever racing a legitimate retry.
+
+    Returns ``{table: files_deleted}`` (``dry_run`` counts only).
+    Do not run concurrently with an in-flight ``run_atomic`` — same
+    discipline as Delta's VACUUM vs active writers.
+    """
+    m = _read_manifest(root)
+    if m["version"] < 0:
+        return {}
+    publishes = m.get("history", []) + [
+        {"version": m["version"], "tables": m["tables"]}
+    ]
+    retained_pubs = publishes[-max(keep_publishes, 1):]
+    keep_by_table: dict[str, set[int]] = {}
+    for p in retained_pubs:
+        for t, v in p["tables"].items():
+            keep_by_table.setdefault(t, set()).add(v)
+    latest_pub = {t: v for t, v in m["tables"].items()}
+
+    deleted: dict[str, int] = {}
+    for t, keep in sorted(keep_by_table.items()):
+        path = os.path.join(root, t)
+        above_frontier = [
+            v
+            for v in tx._versions(path)
+            if v > latest_pub.get(t, -1)
+        ]
+        deleted[t] = tx.vacuum(
+            spark,
+            path,
+            dry_run=dry_run,
+            keep_exact=sorted(keep) + above_frontier,
+        )
+    if not dry_run and len(retained_pubs) < len(publishes):
+        trimmed = {
+            "version": m["version"],
+            "tables": m["tables"],
+            "history": retained_pubs[:-1],
+        }
+        tmp = os.path.join(root, PIPELINE_MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(trimmed, fh)
+        os.replace(tmp, os.path.join(root, PIPELINE_MANIFEST))
+    return deleted
+
+
 def pipeline_snapshot(
     spark: SparkSession, root: str, name: str, version: int | None = None
 ) -> DataFrame:

@@ -1834,6 +1834,7 @@ _DRIVER_ROTATION = [
     "h2_ann_cascade_topk",
     "h3_bigram_counts",
     "h3_bigram_lm_quality",
+    "e2_tx_vacuum_retention",
     # --- age re-checks: the 16 remaining r03/r04-vintage proofs ---
     "udf_cogrouped_order_profile",
     "udf_grouped_agg_floorsum",

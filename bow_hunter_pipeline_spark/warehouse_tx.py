@@ -1365,6 +1365,7 @@ def vacuum(
     table: str,
     keep_versions: int = 1,
     dry_run: bool = False,
+    keep_exact: list[int] | None = None,
 ) -> int:
     """VACUUM: delete data files unreachable from the retained version
     window (the newest ``keep_versions`` commits). Time travel below
@@ -1372,11 +1373,26 @@ def vacuum(
     retention trade. The log entries stay (history metadata is cheap);
     only data files go. Returns the number of files deleted.
 
+    ``keep_exact`` replaces the newest-window rule with an EXPLICIT
+    retained-version list (files live at ANY listed version survive) —
+    the retention shape a catalog-level collector needs, where the
+    versions worth keeping are the ones a pipeline manifest still
+    references, not a contiguous tail (``declarative.pipeline_vacuum``
+    is the caller). Versions not in the table's log are ignored.
+
     ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) counts the
     files the delete WOULD remove and touches nothing — the
     look-before-you-leap a 100 TB table owner runs first."""
     versions = _versions(table)
-    retained = versions[-keep_versions:]
+    if keep_exact is not None:
+        retained = sorted(set(keep_exact) & set(versions))
+        if not retained:
+            raise ValueError(
+                f"keep_exact {sorted(set(keep_exact))} retains no "
+                f"version of {table} (log has {versions})"
+            )
+    else:
+        retained = versions[-keep_versions:]
     keep: set[str] = set()
     keep_dv_dirs: set[str] = set()
     for v in retained:

@@ -776,3 +776,72 @@ def test_double_fired_append_pipeline_never_doubles(spark, tmp_path):
     # the NEXT genuine update still lands
     build(10, 12).run_atomic(spark, app_txn=("feed", 3))
     assert pipeline_snapshot(spark, root, "bronze").count() == 12
+
+
+def test_pipeline_vacuum_trims_history_and_orphans(spark, tmp_path):
+    """pipeline_vacuum: publishes outside the retained window lose
+    their data files AND their manifest history (below-window
+    cross-table time travel raises KeyError; direct table-version
+    reads raise VersionVacuumedError); the retained window keeps
+    working; versions above the published frontier — the crash-retry
+    reuse surface — survive until superseded."""
+    from bow_hunter_pipeline_spark.declarative import (
+        Pipeline,
+        pipeline_snapshot,
+        pipeline_vacuum,
+    )
+    from bow_hunter_pipeline_spark.warehouse_tx import (
+        VersionVacuumedError,
+    )
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table()
+        def base(s, up):
+            return s.range(n).select(F.col("id").alias("k"))
+
+        @pipe.table(inputs=("base",))
+        def agg(s, up):
+            return up["base"].agg(F.count(F.lit(1)).alias("n"))
+
+        return pipe
+
+    for n in (3, 5, 7):  # publishes 0, 1, 2
+        build(n).run_atomic(spark)
+    # an ABORTED attempt leaves an orphan next version above the
+    # published frontier (simulate: commit a next version directly,
+    # never swap the manifest)
+    tx.overwrite_table(
+        spark,
+        str(tmp_path / "p" / "base"),
+        spark.range(9).select(F.col("id").alias("k")),
+    )
+
+    dry = pipeline_vacuum(spark, root, keep_publishes=2, dry_run=True)
+    assert sum(dry.values()) > 0
+    # dry run deleted nothing
+    assert pipeline_snapshot(spark, root, "base", version=0).count() == 3
+
+    deleted = pipeline_vacuum(spark, root, keep_publishes=2)
+    assert deleted == dry
+    # retained window: publishes 1 and 2 fully readable
+    assert pipeline_snapshot(spark, root, "base", version=2).count() == 7
+    assert pipeline_snapshot(spark, root, "base", version=1).count() == 5
+    assert pipeline_snapshot(spark, root, "agg", version=1).first().n == 5
+    # below the window: manifest history is trimmed
+    with pytest.raises(KeyError):
+        pipeline_snapshot(spark, root, "base", version=0)
+    # the dropped publish's table version is really vacuumed
+    with pytest.raises(VersionVacuumedError):
+        tx.snapshot(spark, str(tmp_path / "p" / "base"), 0).count()
+    # the orphan above the frontier SURVIVED (crash-retry surface)
+    assert tx.snapshot(spark, str(tmp_path / "p" / "base")).count() == 9
+    # after the next real publish supersedes it, it becomes collectible
+    build(11).run_atomic(spark)
+    pipeline_vacuum(spark, root, keep_publishes=1)
+    with pytest.raises(VersionVacuumedError):
+        tx.snapshot(spark, str(tmp_path / "p" / "base"), 3).count()
+    assert pipeline_snapshot(spark, root, "base").count() == 11
