@@ -1579,6 +1579,16 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month_idx"
         ),
     )
+    return _skyline(pts)
+
+
+def _skyline(pts: DataFrame) -> DataFrame:
+    """The two-phase skyline over a prepared point frame
+    ``(segment, o_orderkey, price, day_idx, month_idx)`` — split out
+    of :func:`pareto_frontier` so the hypothesis property test can
+    drive the EXACT production plan with adversarial generated points
+    (same-day price ties, duplicate points, monotone runs) against an
+    O(n²) dominance oracle."""
     month_max = pts.groupBy("segment", "month_idx").agg(
         F.max("price").alias("mmax")
     )

@@ -1066,3 +1066,54 @@ def test_drop_column_clears_mapping(spark, tmp_path):
     assert got == {(i, 3 * i) for i in range(6)}  # w's values, not v's
     # time travel below the drop still sees the old mapping
     assert tx._column_mapping(table, 1) == {"v": "val"}
+
+
+def test_skyline_property_vs_bruteforce(spark):
+    """Hypothesis: the two-phase windowed skyline (_skyline — the
+    exact production plan) equals the O(n²) dominance definition on
+    adversarial generated point sets: same-day price ties (both must
+    survive), duplicated points, monotone runs, and clustered
+    month_idx values that stress the prefilter's frontier-preservation
+    argument."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bow_hunter_pipeline_spark.plans.relational import _skyline
+
+    point = st.tuples(
+        st.sampled_from(["A", "B"]),          # segment
+        st.integers(0, 60),                   # day_idx
+        st.sampled_from(                      # price: small domain
+            [1.0, 2.0, 2.5, 3.0, 3.0, 10.0]   # forces exact ties
+        ),
+    )
+
+    @given(st.lists(point, min_size=1, max_size=25))
+    @settings(max_examples=25, deadline=None)
+    def run(raw):
+        rows = [
+            (seg, k, float(price), day, day // 30)
+            for k, (seg, day, price) in enumerate(raw)
+        ]
+        pts = spark.createDataFrame(
+            rows, "segment string, o_orderkey long, price double,"
+            " day_idx int, month_idx int"
+        )
+        got = {
+            (r.segment, r.o_orderkey)
+            for r in _skyline(pts).collect()
+        }
+        expect = set()
+        for seg, k, price, day, _m in rows:
+            dominated = any(
+                s2 == seg
+                and d2 <= day
+                and p2 >= price
+                and (d2 < day or p2 > price)
+                for s2, _k2, p2, d2, _m2 in rows
+            )
+            if not dominated:
+                expect.add((seg, k))
+        assert got == expect
+
+    run()
