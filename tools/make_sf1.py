@@ -18,9 +18,9 @@ Usage: python tools/make_sf1.py [out_dir] [copies] [tables...]
 
 from __future__ import annotations
 
+import argparse
 import os
 import shutil
-import sys
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -49,9 +49,19 @@ COPY_AS_IS = ["region", "nation"]
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bhps_sf1"
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
-    only = set(sys.argv[3:])  # empty = every table
+    # Real argparse (not bare sys.argv): a stray ``--help`` used to be
+    # taken as the output dir and materialized 124 MB of fixtures into
+    # a directory literally named ``--help`` (ADVICE r13).
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("out_dir", nargs="?", default="/tmp/bhps_sf1")
+    ap.add_argument("copies", nargs="?", type=int, default=COPIES)
+    ap.add_argument("tables", nargs="*", help="subset of tables (default: all)")
+    ns = ap.parse_args()
+    if ns.out_dir.startswith("-"):
+        ap.error(f"output dir looks like an option: {ns.out_dir!r}")
+    out = ns.out_dir
+    copies = ns.copies
+    only = set(ns.tables)  # empty = every table
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
 
