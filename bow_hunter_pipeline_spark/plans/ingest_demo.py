@@ -13,7 +13,11 @@ cell value is a pure function of (doc_id, row ordinal), so DuckDB can
 recompute the expected post-parse rows directly while Spark must earn
 them by actually PARSING the PDF bytes (the default extractor chain —
 no injected fake since r13), pivoting, offsetting, sanitizing,
-filtering and parsing the page grids.
+filtering and parsing the page grids. Since r14 odd doc_ids render
+with ``/Filter /FlateDecode`` content streams (``write_pdf(...,
+compress=True)``) — the shape virtually every real-world PDF has —
+so the corpus mixes compressed and uncompressed documents and both
+decode paths are under the oracle.
 
 The simulated document for doc_id = d (two pages, demonstrating the
 cross-page row-offset logic the population ingester famously lacks —
@@ -76,11 +80,15 @@ def _render_pdf_udf() -> F.Column:
             ]
 
         def doc(d: int) -> bytes:
+            # odd doc_ids are Flate-compressed (r14): the corpus mixes
+            # both real-world stream shapes, so the extractor proves
+            # /FlateDecode and the uncompressed subset in one pass
             return write_pdf(
                 [
                     [list(HEADERS), row(d, 0), row(d, 1)],
                     [row(d, 2), ["Total", "9,999", "n/a"]],
-                ]
+                ],
+                compress=bool(d % 2),
             )
 
         return doc_id.map(doc)

@@ -22,9 +22,14 @@ public-spec code only (PDF 1.4, ISO 32000 subset):
   geometric binning every real PDF table extractor performs after
   decoding.
 
-Scope is explicit and checked: compressed (``/Filter``) streams and
-non-``Tj`` text operators raise :class:`UnsupportedPdfError` rather
-than mis-extract — pdfplumber remains the preferred extractor when
+Scope is explicit and checked: ``/Filter /FlateDecode`` content
+streams are decoded with stdlib ``zlib`` (the compression virtually
+every real-world PDF applies — the r13 verdict's remaining ingest
+gap, since the reference's corpus is arbitrary agency PDFs); any
+OTHER filter, a corrupt deflate payload, or a text operator outside
+the ``Td``/``Tj`` subset (including the ``'``/``"`` show-text
+operators) raises :class:`UnsupportedPdfError` rather than
+mis-extract — pdfplumber remains the preferred extractor when
 importable (sources.pdf_tables tries it first), and the injection
 seam stays for environments with neither.
 """
@@ -32,6 +37,7 @@ seam stays for environments with neither.
 from __future__ import annotations
 
 import re
+import zlib
 
 
 class UnsupportedPdfError(NotImplementedError):
@@ -68,14 +74,17 @@ def _page_stream(rows: list[list[str]]) -> bytes:
     return ("\n".join(ops) + "\n").encode("latin-1")
 
 
-def write_pdf(pages: list[list[list[str]]]) -> bytes:
+def write_pdf(
+    pages: list[list[list[str]]], compress: bool = False
+) -> bytes:
     """Render ``pages`` (page → rows → cell strings) as PDF bytes.
 
     Object layout: 1=Catalog, 2=Pages, then (page, contents) pairs,
     last=Font. The xref table is byte-exact, so strict parsers accept
-    the file; streams are uncompressed (``/Length`` only, no
-    ``/Filter``) so :func:`extract_pdf_cells` and text editors can
-    read them back.
+    the file. ``compress=True`` Flate-compresses each content stream
+    (``/Filter /FlateDecode``) — the shape virtually every real-world
+    PDF has; the default stays uncompressed so the output remains
+    hand-checkable in a text editor.
     """
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -94,10 +103,14 @@ def write_pdf(pages: list[list[list[str]]]) -> bytes:
             ).encode()
         )
         stream = _page_stream(rows)
+        filt = ""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = "/Filter /FlateDecode "
         objects.append(
-            f"<< /Length {len(stream)} >>\nstream\n".encode()
+            f"<< {filt}/Length {len(stream)} >>\nstream\n".encode()
             + stream
-            + b"endstream"
+            + b"\nendstream"
         )
     objects.append(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -158,6 +171,61 @@ def _objects(content: bytes) -> dict[int, bytes]:
     return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)}
 
 
+_LEN_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_LEN_INDIRECT_RE = re.compile(rb"/Length\s+(\d+)\s+0\s+R")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
+
+
+def _stream_payload(body: bytes, objs: dict[int, bytes]) -> bytes:
+    """Extract (and if Flate-compressed, decode) a stream object's
+    payload. ``/Length`` — direct or an indirect integer object —
+    bounds the payload exactly when present; that matters for
+    FlateDecode, whose bytes may legitimately END in EOL characters
+    the uncompressed-era ``strip`` heuristic would eat. Any filter
+    other than a single ``/FlateDecode``, or a corrupt deflate
+    payload, raises :class:`UnsupportedPdfError` (never
+    mis-extracts)."""
+    s = body.find(b"stream")
+    e = body.rfind(b"endstream")
+    if s < 0 or e < 0:
+        raise UnsupportedPdfError("contents object carries no stream")
+    head = body[:s]
+    payload = body[s + len(b"stream") : e]
+    # exactly one EOL follows the 'stream' keyword (ISO 32000 7.3.8.1)
+    if payload.startswith(b"\r\n"):
+        payload = payload[2:]
+    elif payload[:1] in (b"\n", b"\r"):
+        payload = payload[1:]
+    length = None
+    im = _LEN_INDIRECT_RE.search(head)
+    dm = _LEN_DIRECT_RE.search(head)
+    if im is not None:
+        ref = objs.get(int(im.group(1)), b"").strip()
+        if ref.isdigit():
+            length = int(ref)
+    elif dm is not None:
+        length = int(dm.group(1))
+    if length is not None and length <= len(payload):
+        payload = payload[:length]
+    else:
+        payload = payload.rstrip(b"\r\n")
+    fm = _FILTER_RE.search(head)
+    if fm is None:
+        return payload
+    filters = re.findall(rb"/(\w+)", fm.group(1))
+    if filters != [b"FlateDecode"]:
+        raise UnsupportedPdfError(
+            f"unsupported stream filter chain {filters!r} — "
+            "use pdfplumber"
+        )
+    try:
+        return zlib.decompress(payload)
+    except zlib.error as exc:
+        raise UnsupportedPdfError(
+            f"corrupt FlateDecode content stream: {exc}"
+        )
+
+
 def extract_pdf_cells(content: bytes) -> list[tuple[int, int, int, str]]:
     """PDF bytes → ``(page, row_index, col_index, text)``, 1-based,
     rows numbered PER PAGE (the grid assembler owns cross-page
@@ -183,21 +251,20 @@ def extract_pdf_cells(content: bytes) -> list[tuple[int, int, int, str]]:
         if not m:
             continue  # blank page
         body = objs.get(int(m.group(1)), b"")
-        if b"/Filter" in body.split(b"stream", 1)[0]:
-            raise UnsupportedPdfError(
-                "compressed content stream — use pdfplumber"
-            )
-        s = body.find(b"stream")
-        e = body.rfind(b"endstream")
-        if s < 0 or e < 0:
-            raise UnsupportedPdfError("contents object carries no stream")
-        stream = body[s + len(b"stream") : e].strip(b"\r\n")
+        stream = _stream_payload(body, objs)
         spans = [
             (float(m.group(2)), float(m.group(1)), _unescape(m.group(3)))
             for m in _TEXT_RE.finditer(stream)
         ]
         leftover = _TEXT_RE.sub(b"", stream).strip()
-        if leftover and re.search(rb"\b(TJ|Tj|Tm|TD)\b", leftover):
+        # the quote show-text operators ' and " are non-word chars,
+        # so \b can't see them — detect a literal string followed by
+        # a quote separately (ADVICE r13: '(text) '' must raise, not
+        # silently drop the text)
+        if leftover and (
+            re.search(rb"\b(TJ|Tj|Tm|TD)\b", leftover)
+            or re.search(rb"\)\s*['\"]", leftover)
+        ):
             raise UnsupportedPdfError(
                 "text operators outside the Td/Tj subset — use pdfplumber"
             )

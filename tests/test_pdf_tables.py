@@ -6,6 +6,8 @@ query exercises only on well-formed documents.
 
 from __future__ import annotations
 
+import re
+
 from bow_hunter_pipeline_spark.sources.pdf_tables import (
     cells_to_grid,
     extract_cells,
@@ -127,11 +129,72 @@ def test_minipdf_rejects_out_of_subset_bytes():
 
     with pytest.raises(UnsupportedPdfError, match="%PDF"):
         extract_pdf_cells(b"not a pdf at all")
-    compressed = write_pdf(_tables()).replace(
+    # a filter OTHER than FlateDecode is out of subset
+    lzw = write_pdf(_tables()).replace(
+        b"<< /Length", b"<< /Filter /LZWDecode /Length"
+    )
+    with pytest.raises(UnsupportedPdfError, match="filter"):
+        extract_pdf_cells(lzw)
+    # a filter CHAIN is out of subset even when Flate participates
+    chain = write_pdf(_tables(), compress=True).replace(
+        b"/Filter /FlateDecode",
+        b"/Filter [ /ASCII85Decode /FlateDecode ]",
+    )
+    with pytest.raises(UnsupportedPdfError, match="filter"):
+        extract_pdf_cells(chain)
+    # /FlateDecode claimed over non-deflate bytes must raise, never
+    # mis-extract (the stream body here is the uncompressed text ops)
+    corrupt = write_pdf(_tables()).replace(
         b"<< /Length", b"<< /Filter /FlateDecode /Length"
     )
-    with pytest.raises(UnsupportedPdfError, match="compressed"):
-        extract_pdf_cells(compressed)
+    with pytest.raises(UnsupportedPdfError, match="corrupt"):
+        extract_pdf_cells(corrupt)
+
+
+def test_minipdf_rejects_quote_show_text_operators():
+    """ADVICE r13: the ' and \" show-text operators are non-word
+    chars, invisible to the old \\b-based leftover scan — a stream
+    using them must raise, never silently drop the text."""
+    import pytest
+
+    from bow_hunter_pipeline_spark.sources.minipdf import (
+        UnsupportedPdfError,
+        extract_pdf_cells,
+        write_pdf,
+    )
+
+    for quote_op in (b"'", b'"'):
+        pdf = write_pdf([[["seen"]]])
+        # append a quote-operator text object to the content stream,
+        # fixing up /Length so the payload slice still covers it
+        extra = b"BT 72.0 700.0 Td (dropped) " + quote_op + b" ET\n"
+        old = b"(seen) Tj ET\n"
+        assert pdf.count(old) == 1
+        pdf = pdf.replace(old, old + extra)
+        m = re.search(rb"/Length (\d+)", pdf)
+        pdf = pdf.replace(
+            m.group(0),
+            b"/Length " + str(int(m.group(1)) + len(extra)).encode(),
+        )
+        with pytest.raises(UnsupportedPdfError, match="subset"):
+            extract_pdf_cells(pdf)
+
+
+def test_minipdf_flate_roundtrip():
+    """write_pdf(compress=True) → extract_pdf_cells is the identity:
+    the real-world PDF shape (Flate-compressed content streams,
+    /Length-exact payloads) reads back through stdlib zlib."""
+    from bow_hunter_pipeline_spark.sources.minipdf import (
+        extract_pdf_cells,
+        write_pdf,
+    )
+
+    pages = _tables()
+    pages[1][1][2] = r"n/a \ (50%)"
+    plain = write_pdf(pages)
+    flate = write_pdf(pages, compress=True)
+    assert b"/FlateDecode" in flate and b"/FlateDecode" not in plain
+    assert extract_pdf_cells(flate) == extract_pdf_cells(plain)
 
 
 def test_binaryfile_scan_to_grid_on_real_pdf_bytes(spark, tmp_path):
@@ -176,7 +239,8 @@ def test_binaryfile_scan_to_grid_on_real_pdf_bytes(spark, tmp_path):
 def test_minipdf_roundtrip_property():
     """Hypothesis: write_pdf → extract_pdf_cells is the identity on
     arbitrary non-empty printable cell grids (escapes, ragged rows,
-    multi-page)."""
+    multi-page) — in BOTH stream modes, uncompressed and
+    FlateDecode."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -208,10 +272,10 @@ def test_minipdf_roundtrip_property():
         max_size=3,
     )
 
-    @given(pages)
+    @given(pages, st.booleans())
     @settings(max_examples=60, deadline=None)
-    def run(pgs):
-        got = extract_pdf_cells(write_pdf(pgs))
+    def run(pgs, compress):
+        got = extract_pdf_cells(write_pdf(pgs, compress=compress))
         # expected: row/col indices are PER-PAGE geometric ranks — a
         # row is indexed among the page's non-empty rows, a column
         # among x-positions that appear anywhere on the page
