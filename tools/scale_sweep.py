@@ -150,6 +150,20 @@ def _read_baseline() -> tuple[dict[str, float], str]:
     return base, notes
 
 PASSES = 2
+# Entries with a small sf0.1 wall flap on host noise (r13: a ~3 s base
+# swung h3_dup_span_flags's ratio 7.1x -> 10.4x while its sf1 leg sat
+# stable) — for those, the adjudication methodology is promoted into
+# the gate: 4 warm passes at BOTH scales, median, instead of best-of-2.
+NOISY_BASE_SEC = 5.0
+EXTRA_PASSES = 2
+
+
+def _reduce(samples: list[float]) -> float:
+    import statistics
+
+    if len(samples) > PASSES:
+        return statistics.median(samples)
+    return min(samples)
 
 
 def main() -> None:
@@ -165,25 +179,50 @@ def main() -> None:
         extra_conf={"spark.driver.memory": "8g"},
     )
     qs = registry.queries()
-    results: dict[str, dict[str, float]] = {}
+
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        return time.perf_counter() - t0
+
+    samples: dict[str, dict[str, list[float]]] = {
+        n: {"sf0.1": [], "sf1": []} for n in QUERIES
+    }
     for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
         for name in QUERIES:
             qs[name](spark, sf_dir).count()  # warmup (codegen/JIT)
         for _ in range(PASSES):
             for name in QUERIES:
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                cur = results.setdefault(name, {})
-                cur[sf_name] = min(cur.get(sf_name, dt), dt)
+                samples[name][sf_name].append(timed(name, sf_dir))
         print(f"{sf_name} done", file=sys.stderr)
+    # noisy-base re-probe: small sf0.1 walls get 2 extra warm passes
+    # at BOTH scales so their ratio is a median-of-4, not best-of-2
+    noisy = [
+        n for n in QUERIES if min(samples[n]["sf0.1"]) < NOISY_BASE_SEC
+    ]
+    for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        for _ in range(EXTRA_PASSES):
+            for name in noisy:
+                samples[name][sf_name].append(timed(name, sf_dir))
+    if noisy:
+        print(
+            f"median-of-4 applied to {len(noisy)} noisy-base entries",
+            file=sys.stderr,
+        )
+    results = {
+        n: {sf: _reduce(v) for sf, v in per.items()}
+        for n, per in samples.items()
+    }
 
     lines = [
         "# SCALE1 — sf0.1 vs sf1 (10×) wall-clock, local[32]",
         "",
         "Generated by `tools/scale_sweep.py` over the FK-consistent",
         "10× replication of the sf0.1 fixtures (`tools/make_sf1.py`).",
-        "Best-of-2 after a warmup pass. The column to read is the",
+        "Best-of-2 after a warmup pass; entries with a sub-5s sf0.1",
+        "wall use the MEDIAN of 4 warm passes at both scales (noisy",
+        "bases flap best-of-2 ratios — the r13 adjudication method,",
+        "promoted into the gate). The column to read is the",
         "RATIO: ~≤10× means the plan scales with volume (shuffle/scan",
         "bound — healthy); well under 10× means fixed overheads still",
         "dominate at this size; well OVER 10× is a nonlinear cliff and",
