@@ -2379,3 +2379,14 @@ FROM lineitem, (SELECT unnest(generate_series(0, 2)) AS pipeline_version) v
 WHERE l_orderkey % 3 = v.pipeline_version
 GROUP BY l_linenumber, v.pipeline_version
 """
+
+TX_PIPELINE_VACUUM_READERS = """
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 4)
+            AS DOUBLE) AS sum_price,
+       CAST(v.pipeline_version AS INT) AS pipeline_version
+FROM lineitem, (SELECT unnest(generate_series(2, 3)) AS pipeline_version) v
+WHERE l_orderkey % 5 = v.pipeline_version
+GROUP BY l_linenumber, v.pipeline_version
+"""

@@ -3256,3 +3256,135 @@ def tx_concurrent_pipeline_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+DECL_VACRD_ROOT = "/tmp/bhps_decl_vacrd"
+
+
+def tx_pipeline_vacuum_readers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+ (NEW r14): CATALOG VACUUM UNDER A CONCURRENT READER
+    (VERDICT r13 task 7) — a reader resolving a RETAINED historical
+    pipeline version mid-vacuum must see exactly the pre-vacuum rows,
+    while versions below the retained window really lose their data
+    and history.
+
+    Mechanics: four ``run_atomic`` publishes (pipeline versions 0..3,
+    each a residue slice of lineitem), then ``pipeline_vacuum(keep_
+    publishes=2)``. The concurrent reader is injected at the per-table
+    ``tx.vacuum`` seam: after the FIRST table's unreachable files are
+    already deleted — genuinely mid-collection, not before or after —
+    it resolves pipeline version 2 across BOTH tables and must match
+    the pre-vacuum materialization row-for-row (retention keeps every
+    version a retained publish names, so the cross-table snapshot
+    stays consistent throughout). Post-vacuum laws asserted in-query
+    (a violation crashes the query → red driver row): version 2 still
+    exact, version 1 gone from history (KeyError), the below-window
+    table data really vacuumed (VersionVacuumedError), and the
+    manifest claim files GC'd to exactly the retained window — the
+    r14 publish-claim architecture's cleanup contract.
+
+    Scale: vacuum is O(history x tables) metadata + unreachable-file
+    deletes; the reader costs one manifest read (claim roll-forward is
+    a directory listing). No data-plane coupling at any volume.
+
+    Emits the gold rollup at the two retained pipeline versions for
+    the oracle's residue replay.
+    """
+    import shutil
+
+    from bow_hunter_pipeline_spark import declarative as decl
+    from bow_hunter_pipeline_spark.declarative import (
+        Pipeline,
+        pipeline_snapshot,
+        pipeline_vacuum,
+    )
+    from bow_hunter_pipeline_spark.functions.exact import dsum
+    from bow_hunter_pipeline_spark.warehouse_tx import (
+        VersionVacuumedError,
+    )
+
+    shutil.rmtree(DECL_VACRD_ROOT, ignore_errors=True)
+
+    def build(residue: int) -> Pipeline:
+        pipe = Pipeline(DECL_VACRD_ROOT)
+
+        @pipe.table()
+        def bronze(s, up):
+            return read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_extendedprice"
+            ).filter(F.col("l_orderkey") % 5 == residue)
+
+        @pipe.table(inputs=("bronze",))
+        def gold(s, up):
+            return up["bronze"].groupBy("l_linenumber").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum("l_extendedprice", "sum_price"),
+            )
+
+        return pipe
+
+    with legtime.leg("build"):
+        for v in range(4):
+            build(v).run_atomic(spark)  # pipeline versions 0..3
+
+    def read_v2() -> list[tuple]:
+        return sorted(
+            tuple(r)
+            for r in pipeline_snapshot(
+                spark, DECL_VACRD_ROOT, "gold", version=2
+            ).collect()
+        )
+
+    pre = read_v2()
+
+    # concurrent reader at the per-table collection seam: fires after
+    # the first table's files are deleted, before the second table's
+    state: dict = {"fired": False, "mid": None}
+    real_vacuum = decl.tx.vacuum
+
+    def vacuum_and_peek(spark_, path, **kw):
+        n = real_vacuum(spark_, path, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            state["mid"] = read_v2()
+        return n
+
+    decl.tx.vacuum = vacuum_and_peek
+    try:
+        pipeline_vacuum(spark, DECL_VACRD_ROOT, keep_publishes=2)
+    finally:
+        decl.tx.vacuum = real_vacuum
+    assert state["fired"], "vacuum never reached the per-table seam"
+    assert state["mid"] == pre, (
+        "mid-vacuum reader of a retained version saw inconsistent rows"
+    )
+    assert read_v2() == pre, "retained version changed across vacuum"
+    # below the window: history trimmed, data really gone
+    try:
+        pipeline_snapshot(spark, DECL_VACRD_ROOT, "gold", version=1)
+        raise AssertionError("trimmed pipeline version still resolvable")
+    except KeyError:
+        pass
+    try:
+        decl.tx.snapshot(spark, f"{DECL_VACRD_ROOT}/gold", 0).count()
+        raise AssertionError("below-window table data survived vacuum")
+    except VersionVacuumedError:
+        pass
+    # claim files GC'd to exactly the retained window
+    assert decl._claim_versions(DECL_VACRD_ROOT) == [2, 3], (
+        decl._claim_versions(DECL_VACRD_ROOT)
+    )
+
+    out = []
+    for v in (2, 3):
+        out.append(
+            pipeline_snapshot(
+                spark, DECL_VACRD_ROOT, "gold", version=v
+            ).select(
+                "l_linenumber",
+                "n_rows",
+                "sum_price",
+                F.lit(v).cast("int").alias("pipeline_version"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -47,7 +47,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_plan_fingerprints.py forces those queries into the
 # driver-checked prefix — the mechanical form of the rotation rule
 # "changed plan ⇒ re-proof" (VERDICT r09, What's-missing #1).
-ROUND = 13
+ROUND = 14
 
 # --- oracle SQL fragments (DuckDB dialect = ANSI here) -----------------
 
@@ -1159,6 +1159,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pipeline.tx_concurrent_pipeline_occ,
         oracles_f.TX_CONCURRENT_PIPELINE_OCC,
     ),
+    # E2+ (NEW r14): catalog vacuum under a concurrent reader — a
+    # retained historical pipeline version resolved mid-collection
+    # stays exact; below-window history/data/claims really go
+    # (VERDICT r13 task 7)
+    "e2_tx_pipeline_vacuum_readers": (
+        pipeline.tx_pipeline_vacuum_readers,
+        oracles_f.TX_PIPELINE_VACUUM_READERS,
+    ),
     # E2+ (NEW r11): tri-clause MERGE (matched update / not-matched
     # insert / not-matched-by-source delete scoped to a region)
     "e2_tx_merge_sync": (pipeline.tx_merge_sync, oracles_f.TX_MERGE_SYNC),
@@ -1811,74 +1819,70 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-13 prefix. Lead item: f_pareto_frontier — the
-    # registry's only never-green row (r11/r12 hash-only reds that
-    # were bit-identical to DuckDB locally, including under the strict
-    # arrow-canonical hash). r13 deletes its conversion surfaces
-    # entirely: output is (segment string, o_orderkey bigint,
-    # day_idx int, price double) — no DATE, no DECIMAL — on BOTH
-    # sides, and every exported query now runs under the
-    # registry-level session pin (UTC + inferTimestampNTZ).
-    # Then every r13-stamped changed plan, then the 16 remaining
-    # r03/r04-vintage age re-checks the r12 verdict queued (task 4),
-    # then the oldest r05-vintage proofs fill the rest. Nothing is
+    # --- round-14 prefix. Lead item: e2_tx_pipeline_vacuum_readers —
+    # the round's one addition (VERDICT r13 task 7: catalog vacuum
+    # under a concurrent reader). Then the 5 r14-stamped changed
+    # plans (the true-CAS publish rework touches the declarative
+    # pipeline family; FlateDecode touches the PDF ingest), then the
+    # 18 remaining r05-vintage age re-checks, then the first 26
+    # r06-vintage proofs (the 14 left over queue for r15). Nothing is
     # ever dropped, only reordered.
     # --- first-proof rows (mirrored in NEW_IN_PREFIX below) ---
-    "f_pareto_frontier",
-    "e2_tx_concurrent_pipeline_occ",
-    # --- plans changed in r13 (fingerprint-stamped; re-proof) ---
+    "e2_tx_pipeline_vacuum_readers",
+    # --- plans changed in r14 (fingerprint-stamped; re-proof) ---
     "a2_a3_pdf_ingest",
     "e2_tx_atomic_pipeline",
-    "e2_tx_incremental_pipeline",
+    "e2_tx_concurrent_pipeline_occ",
     "e2_tx_declarative_pipeline",
-    "h2_ann_cascade_topk",
-    "h3_bigram_counts",
-    "h3_bigram_lm_quality",
-    "e2_tx_vacuum_retention",
-    # --- age re-checks: the 16 remaining r03/r04-vintage proofs ---
-    "udf_cogrouped_order_profile",
-    "udf_grouped_agg_floorsum",
-    "udf_grouped_map_neighbors",
-    "udf_scalar_token_stats",
-    "udf_table_function",
-    "f_higher_order_arrays",
-    "f_map_functions",
-    "f_nested_struct_roundtrip",
-    "f_q13_customer_distribution",
-    "f_q17_small_quantity",
-    "f_recursive_hierarchy",
-    "f_string_functions",
-    "f_try_arithmetic",
-    "f_unpivot_metrics",
-    "f_window_distribution",
-    "h6_url_strip",
-    # --- next-oldest surviving proofs (r05 vintage) ---
-    "a5_orc_roundtrip",
-    "f_above_avg_orders",
-    "f_argmin_cheapest_per_brand",
-    "f_argminmax_per_customer",
-    "f_array_agg_years",
-    "f_array_set_ops",
-    "f_bitwise_ops",
-    "f_conditional_agg",
-    "f_conditional_scalars",
-    "f_corr_qty_price",
-    "f_date_arithmetic",
-    "f_disjunctive_join",
-    "f_full_outer_reconciliation",
-    "f_histogram_order_values",
-    "f_null_safe_join",
-    "f_paginated_top_orders",
-    "f_q10_returned_items",
-    "f_q11_important_stock",
-    "f_q14_promo_revenue",
-    "f_q16_supplier_part_counts",
-    "f_q18_large_volume",
-    "f_q20_majority_shippers",
-    "f_q22_sales_opportunity",
-    "f_q3_shipping_priority",
+    "e2_tx_incremental_pipeline",
+    # --- age re-checks: the 18 remaining r05-vintage proofs ---
     "f_q4_priority_exists",
+    "f_q5_local_supplier_volume",
+    "f_q6_forecast_revenue",
+    "f_q7_volume_shipping",
+    "f_q8_market_share",
+    "f_sql_text_interface",
+    "f_union_schema_evolution",
+    "g5_nearest_sensor_join",
+    "h1_bucketed_lsh_pairs",
+    "h1_minhash_error_audit",
+    "h2_filtered_ivf_topk",
+    "h2_ivf_pq_topk",
+    "h4_dow_hour_heatmap",
+    "h4_gap_fill_interpolate",
+    "h5_hll_error_bound",
+    "h6_dsir_proxy",
+    "h6_link_bfs_reach",
+    "h6_minhash_decontaminate",
+    # --- next-oldest surviving proofs (r06 vintage, 26 of 40) ---
+    "a4_dpp_pruned_join",
+    "a4_dynamic_partition_backfill",
+    "a4_zstd_roundtrip",
+    "a5_json_corrupt_records",
+    "a5_text_roundtrip",
+    "e2_scd2_point_in_time",
+    "e3_referential_integrity",
+    "e5_incremental_join_maintenance",
+    "e5_retractable_rollup",
+    "f_asof_forward_recovery",
+    "f_equi_depth_histogram",
+    "f_interval_range_frame",
+    "f_multiset_ops",
+    "f_ntile_customer_tiers",
+    "f_q12_late_shipment",
+    "f_q19_discounted_parts",
+    "g1_gini_concentration",
+    "g4_seasonal_naive_forecast",
+    "g4_seasonality_index",
+    "h1_kmeans_convergence_audit",
+    "h1_lsh_param_sweep",
+    "h1_method_agreement",
+    "h2_binary_hamming_search",
+    "h2_filtered_vector_search",
+    "h2_hybrid_rrf",
+    "h2_int8_search_audit",
 ]
+
 
 # Queries registered AFTER the round-9 prefix froze — no driver row
 # yet; they MUST lead the round-10 rotation prefix. The prefix test
@@ -1892,12 +1896,8 @@ PENDING_DRIVER_QUEUE = [
 # a slot; prefix membership of every changed plan is enforced by
 # tests/test_plan_fingerprints.py). Reset each round.
 NEW_IN_PREFIX = [
-    # a red row never retires a query: the skyline re-queues as a
-    # first-proof row until it proves green (r11/r12 rows were
-    # hash-only reds; r13 deletes the DATE/DECIMAL surfaces entirely)
-    "f_pareto_frontier",
-    # the round's one addition (VERDICT r12 task 8)
-    "e2_tx_concurrent_pipeline_occ",
+    # the round's one addition (VERDICT r13 task 7)
+    "e2_tx_pipeline_vacuum_readers",
 ]
 
 
