@@ -84,6 +84,10 @@ HEADLINE = [
     # Python-side cost center the injected fake used to hide)
     "e2_tx_concurrent_pipeline_occ",
     "a2_a3_pdf_ingest",
+    # round 14: catalog vacuum under a concurrent reader (four
+    # publishes + collection + mid-vacuum historical resolve — the
+    # retention/GC cost center of the claim-file publish architecture)
+    "e2_tx_pipeline_vacuum_readers",
 ]
 
 

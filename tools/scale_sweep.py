@@ -115,6 +115,9 @@ QUERIES = [
     "e2_tx_incremental_pipeline",
     "e2_tx_concurrent_pipeline_occ",
     "a2_a3_pdf_ingest",
+    # round-14 addition: vacuum + concurrent reader (metadata-plane
+    # cost must stay O(history x tables), volume-decoupled)
+    "e2_tx_pipeline_vacuum_readers",
 ]
 
 SCALE_MD = os.path.join(
