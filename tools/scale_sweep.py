@@ -216,6 +216,55 @@ def main() -> None:
         n: {sf: _reduce(v) for sf, v in per.items()}
         for n, per in samples.items()
     }
+    spark.stop()
+
+    def _gate_flag(name: str, ratio: float) -> bool:
+        prev = baseline.get(name)
+        if prev is None:
+            return False
+        if prev > 0 and ratio / prev > RATIO_WORSEN_MAX:
+            return True
+        return ratio > 10 >= prev
+
+    def _ratio(name: str) -> float:
+        a, b = results[name]["sf0.1"], results[name]["sf1"]
+        return b / a if a > 0 else float("inf")
+
+    # FRESH-JVM auto-adjudication (r14): the sweep's own trailing
+    # passes run in the most GC/page-cache-polluted regime of its
+    # single shared JVM, which flagged 4 phantom regressions in r14
+    # (one entry read 8.6x in-sweep, 1.3x fresh). Any gate flag is
+    # re-probed in a SUBPROCESS JVM (warm median-of-4 at both scales,
+    # tools/scale_reprobe.py — the sweep session is stopped first so
+    # two Spark JVMs never share /tmp state); the fresh measurement
+    # REPLACES the in-sweep one, and only flags that survive it gate.
+    flagged = [n for n in QUERIES if _gate_flag(n, _ratio(n))]
+    reprobed: list[str] = []
+    if flagged and not os.environ.get("BHPS_SCALE_NO_REPROBE"):
+        import json
+        import subprocess
+
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scale_reprobe.py")
+        print(
+            f"re-probing {len(flagged)} gate flags in a fresh JVM: "
+            f"{flagged}", file=sys.stderr,
+        )
+        proc = subprocess.run(
+            [sys.executable, tool, *flagged],
+            capture_output=True, text=True,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            fresh = json.loads(proc.stdout.strip().splitlines()[-1])
+            for name, per in fresh.items():
+                results[name] = {"sf0.1": per["sf0.1"], "sf1": per["sf1"]}
+                reprobed.append(name)
+        else:
+            print(
+                f"re-probe failed (rc={proc.returncode}); keeping "
+                f"in-sweep measurements\n{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
 
     lines = [
         "# SCALE1 — sf0.1 vs sf1 (10×) wall-clock, local[32]",
@@ -257,6 +306,14 @@ def main() -> None:
         if ratio > 10:
             cliffs.append((name, ratio))
     lines.append("")
+    if reprobed:
+        lines.append(
+            "Fresh-JVM re-probe (warm median-of-4, subprocess — "
+            "tools/scale_reprobe.py) replaced the in-sweep values for "
+            "this run's gate flags: " + ", ".join(f"`{n}`" for n in reprobed)
+            + ". Only flags surviving the re-probe gate."
+        )
+        lines.append("")
     if cliffs:
         lines.append("## Super-linear queries (ratio > 10×)")
         lines.append("")
@@ -273,7 +330,6 @@ def main() -> None:
     with open(SCALE_MD, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
-    spark.stop()
     if regressions and not os.environ.get("BHPS_SCALE_NO_GATE"):
         for name, prev, ratio in regressions:
             print(
