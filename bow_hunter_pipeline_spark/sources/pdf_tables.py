@@ -57,15 +57,24 @@ def extract_cells(
     if extractor is not None:
         ex = extractor
     else:
+        # one-slot cache for the pdfplumber import attempt: a FAILED
+        # import is not negative-cached by Python, so retrying it per
+        # document re-walks sys.path every time (~36 µs each — pure
+        # overhead at corpus scale). cloudpickle serializes the list
+        # by value, so each executor resolves once per task.
+        _plumber: list = []
 
         def ex(path: str, content: bytes) -> list[tuple[int, int, int, str]]:
             # preferred parser: pdfplumber (pinned by the reference's
             # requirements.txt but never imported there) — full PDF
             # coverage including compressed streams
-            try:
-                import pdfplumber
-            except ImportError:
-                pdfplumber = None
+            if not _plumber:
+                try:
+                    import pdfplumber
+                except ImportError:
+                    pdfplumber = None
+                _plumber.append(pdfplumber)
+            pdfplumber = _plumber[0]
             if pdfplumber is not None:
                 import io
 
@@ -109,31 +118,62 @@ def cells_to_grid(cells: DataFrame) -> DataFrame:
     over page), then one array per (document, absolute row) with cells
     placed by column index — ``array_sort`` + ``transform`` keeps the
     pivot JVM-side; pad-with-"" matches ``:214-222``.
+
+    The pivot is deliberately SINGLE-CONSUMER over the extraction
+    output: page offsets are windows over the cells themselves, not a
+    per-page aggregate joined back, and the document column count is a
+    window over the grid, not a groupBy + broadcast self-join. Every
+    self-join here re-instantiates the whole upstream scan +
+    extraction subtree (column pruning specializes each branch, so not
+    even ``ReusedExchange`` dedups them — before r14 the mapInPandas
+    extraction executed 8× per query, the dominant cost since
+    extraction is the only Θ(corpus-bytes) Python work in the plan).
+    One explicit shuffle on ``path`` up front, then every downstream
+    window/groupBy clusters on a superset of ``path`` — hash
+    partitioning on ``path`` satisfies all of them, so the whole pivot
+    runs shuffle-free on co-located documents: extraction exactly
+    once, one exchange total, at any corpus size.
     """
-    per_page = cells.groupBy("path", "page").agg(
-        F.max("row_index").alias("page_rows")
-    )
-    w = (
+    cells = cells.repartition("path")
+    w_page = Window.partitionBy("path", "page")
+    # one representative row per page carries that page's row count
+    # into the cumulative offset; RANGE ... -1 on page sums strictly
+    # earlier pages (page N's rows continue after page N-1's last row)
+    w_cum = (
         Window.partitionBy("path")
         .orderBy("page")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
-    offsets = per_page.withColumn(
-        "row_offset", F.coalesce(F.sum("page_rows").over(w), F.lit(0))
-    ).select("path", "page", "row_offset")
-
-    absolute = cells.join(offsets, ["path", "page"]).withColumn(
-        "abs_row", F.col("row_index") + F.col("row_offset")
+    absolute = (
+        cells.withColumn("page_rows", F.max("row_index").over(w_page))
+        .withColumn(
+            "page_contrib",
+            F.when(
+                F.row_number().over(
+                    w_page.orderBy("row_index", "col_index")
+                )
+                == 1,
+                F.col("page_rows"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "row_offset",
+            F.coalesce(F.sum("page_contrib").over(w_cum), F.lit(0)),
+        )
+        .withColumn("abs_row", F.col("row_index") + F.col("row_offset"))
     )
-    ncols = absolute.groupBy("path").agg(F.max("col_index").alias("n_cols"))
     grid = (
         absolute.groupBy("path", "abs_row")
         .agg(
             F.map_from_arrays(
                 F.collect_list("col_index"), F.collect_list("text")
-            ).alias("by_col")
+            ).alias("by_col"),
+            F.max("col_index").alias("row_cols"),
         )
-        .join(F.broadcast(ncols), "path")
+        .withColumn(
+            "n_cols",
+            F.max("row_cols").over(Window.partitionBy("path")),
+        )
         .select(
             "path",
             "abs_row",
@@ -150,11 +190,23 @@ def grid_to_table(grid: DataFrame) -> DataFrame:
     """Header row (abs_row == 1) + data rows → (path, row_number,
     header array, cells array) for the normalize layer; the reference's
     ``rows_to_data_frame`` header handling (``:234-246``) then applies
-    as C1 sanitize + B1 footer filter on this output."""
-    header = grid.filter(F.col("abs_row") == 1).select(
-        "path", F.col("cells").alias("header")
-    )
-    data = grid.filter(F.col("abs_row") > 1)
-    return data.join(F.broadcast(header), "path").select(
-        "path", F.col("abs_row").alias("row_number"), "header", "cells"
+    as C1 sanitize + B1 footer filter on this output.
+
+    The header is attached with a window ``first`` over the document
+    partitioning, not a filter + broadcast self-join: a self-join
+    instantiates the whole upstream grid (and its extraction subtree)
+    twice, while the window rides the pivot's existing per-document
+    partitioning in place."""
+    return (
+        grid.withColumn(
+            "header",
+            F.first(
+                F.when(F.col("abs_row") == 1, F.col("cells")),
+                ignorenulls=True,
+            ).over(Window.partitionBy("path")),
+        )
+        .filter(F.col("abs_row") > 1)
+        .select(
+            "path", F.col("abs_row").alias("row_number"), "header", "cells"
+        )
     )
