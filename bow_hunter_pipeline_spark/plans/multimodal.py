@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -291,9 +291,11 @@ def patch_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     map, embedding arithmetic in built-ins, bounded probe broadcast,
     per-probe top-k window — does not change.
 
-    Scale: patchify is a narrow map (no shuffle); scoring is
-    probes x corpus with a 5-row broadcast probe side (the exact
-    baseline; the IVF/LSH family is the pruned path at volume).
+    Scale: patchify is a narrow map (no shuffle), and the probe
+    branch filters BELOW it (the predicate reaches the parquet scan),
+    so the corpus is decoded exactly once plus the 5 probe docs;
+    scoring is probes x corpus with a 5-row broadcast probe side (the
+    exact baseline; the IVF/LSH family is the pruned path at volume).
     """
     n_patches = N_PATCHES
 
@@ -319,21 +321,32 @@ def patch_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = read_table(spark, sf_dir, "documents")
-    patches = with_payload(docs).mapInPandas(patchify, _PATCH_SCHEMA)
-    # pool: emb[d] = sum over patches of (patch_sum * (d+1)) % MOD —
-    # integer arithmetic end to end, replayable in any engine
-    emb = patches.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, {EMBED_DIM}), d -> "
-            f"aggregate(patch_sums, cast(0 as bigint), "
-            f"(acc, s) -> acc + (s * d) % {EMBED_MOD}))"
-        ).alias("emb"),
-    )
-    probes = emb.filter(F.col("doc_id") < N_EMBED_PROBES).select(
+
+    def embed(source: DataFrame) -> DataFrame:
+        # pool: emb[d] = sum over patches of (patch_sum * (d+1)) % MOD
+        # — integer arithmetic end to end, replayable in any engine
+        return with_payload(source).mapInPandas(
+            patchify, _PATCH_SCHEMA
+        ).select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, {EMBED_DIM}), d -> "
+                f"aggregate(patch_sums, cast(0 as bigint), "
+                f"(acc, s) -> acc + (s * d) % {EMBED_MOD}))"
+            ).alias("emb"),
+        )
+
+    # the probe filter is applied BELOW the patchify (r14): a filter
+    # on mapInPandas OUTPUT cannot push through the opaque Python
+    # stage, so filtering the pooled embeddings decoded the ENTIRE
+    # corpus a second time just to keep the 5 probe rows. Filtering
+    # the source first reaches the parquet scan (PushedFilters) and
+    # the probe branch decodes exactly the probe docs — decode cost
+    # is 1× the corpus + 5 docs at any volume.
+    probes = embed(docs.filter(F.col("doc_id") < N_EMBED_PROBES)).select(
         F.col("doc_id").alias("q_doc"), F.col("emb").alias("q_emb")
     )
-    cands = emb.select(
+    cands = embed(docs).select(
         F.col("doc_id").alias("n_doc"), F.col("emb").alias("n_emb")
     )
     dot = F.aggregate(
@@ -526,29 +539,27 @@ def keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     kf = with_payload(docs).mapInPandas(
         fake_keyframes, "doc_id bigint, frame_idx int, fp string"
     )
-    dup = (
-        kf.groupBy("fp")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("fp")
+    # SINGLE-CONSUMER over the decode stage (r14): the previous shape
+    # — groupBy(fp) for the duplicate set, a semi-join back onto kf,
+    # and a separate groupBy(doc_id) — instantiated the mapInPandas
+    # decode subtree 3× per query (column pruning specializes each
+    # branch, so ReusedExchange never dedups them; with a real ffmpeg
+    # decoder in this seam that is 3× the dominant cost). A window
+    # over fp marks corpus-duplicated fingerprints in place: decode
+    # runs ONCE, and only the tiny (doc_id, frame_idx, fp) rows
+    # shuffle — by fp for the mark, by doc_id for the rollup. fp
+    # groups are collision-sized, so the windowed collect_set is
+    # bounded exactly like the old aggregate.
+    marked = kf.withColumn(
+        "nd", F.size(F.collect_set("doc_id").over(Window.partitionBy("fp")))
     )
-    # no broadcast hint: the duplicate-fingerprint set is usually tiny
-    # but unbounded at corpus scale — let AQE pick the join strategy
-    flagged = kf.join(dup, "fp", "left_semi")
-    per_doc = kf.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keyframes")
-    )
-    per_doc_dup = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_keyframes")
-    )
-    joined = per_doc.join(per_doc_dup, "doc_id", "left").select(
-        "doc_id",
-        "n_keyframes",
-        F.coalesce("n_dup_keyframes", F.lit(0))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keyframes"),
+        F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
         .cast("bigint")
         .alias("n_dup_keyframes"),
     )
-    return joined.select(
+    return per_doc.select(
         "doc_id",
         "n_keyframes",
         "n_dup_keyframes",

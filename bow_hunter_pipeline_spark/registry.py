@@ -1821,16 +1821,20 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ROTATION = [
     # --- round-14 prefix. Lead item: e2_tx_pipeline_vacuum_readers —
     # the round's one addition (VERDICT r13 task 7: catalog vacuum
-    # under a concurrent reader). Then the 5 r14-stamped changed
+    # under a concurrent reader). Then the 7 r14-stamped changed
     # plans (the true-CAS publish rework touches the declarative
-    # pipeline family; FlateDecode touches the PDF ingest), then the
-    # 18 remaining r05-vintage age re-checks, then the first 26
-    # r06-vintage proofs (the 14 left over queue for r15). Nothing is
-    # ever dropped, only reordered.
+    # pipeline family; FlateDecode + the single-pass grid pivot touch
+    # the PDF ingest; the keyframe dedup and patch-embed retrieval
+    # went single-consumer / filter-below-decode over their decode
+    # stages), then the 18 remaining r05-vintage age re-checks, then
+    # the first 24 r06-vintage proofs (the 16 left over queue for
+    # r15). Nothing is ever dropped, only reordered.
     # --- first-proof rows (mirrored in NEW_IN_PREFIX below) ---
     "e2_tx_pipeline_vacuum_readers",
     # --- plans changed in r14 (fingerprint-stamped; re-proof) ---
     "a2_a3_pdf_ingest",
+    "mm_keyframe_dedup",
+    "mm_patch_embed_search",
     "e2_tx_atomic_pipeline",
     "e2_tx_concurrent_pipeline_occ",
     "e2_tx_declarative_pipeline",
@@ -1879,8 +1883,6 @@ _DRIVER_ROTATION = [
     "h1_method_agreement",
     "h2_binary_hamming_search",
     "h2_filtered_vector_search",
-    "h2_hybrid_rrf",
-    "h2_int8_search_audit",
 ]
 
 
