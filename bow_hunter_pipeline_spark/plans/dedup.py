@@ -35,6 +35,7 @@ from bow_hunter_pipeline_spark.functions.text import (
     tokens,
     word_shingles,
 )
+from bow_hunter_pipeline_spark.functions.localframe import local_df
 from bow_hunter_pipeline_spark.io.readers import read_table
 
 NUM_PERM = 16
@@ -1071,7 +1072,7 @@ def _incremental_lsh_build(
     tx.create_table(spark, store, empty_sig)
     tx.create_table(
         spark, pairs,
-        spark.createDataFrame([], "doc_a bigint, doc_b bigint"),
+        local_df(spark, [], "doc_a bigint, doc_b bigint"),
     )
 
     def update_index(batch_df: DataFrame, batch_id: int) -> None:

@@ -23,6 +23,7 @@ from bow_hunter_pipeline_spark.functions.exact import (
     to_double,
 )
 from bow_hunter_pipeline_spark import legtime
+from bow_hunter_pipeline_spark.functions.localframe import local_df
 from bow_hunter_pipeline_spark.io.readers import read_table
 from bow_hunter_pipeline_spark.operators.explode import gate_split_explode
 from bow_hunter_pipeline_spark.operators.upsert import duplicate_keys, upsert
@@ -48,7 +49,7 @@ def population_explode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = cust.groupBy("c_nationkey").agg(
         F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias("gmu_list")
     )
-    junk = spark.createDataFrame(_JUNK_ROWS, "c_nationkey int, gmu_list string")
+    junk = local_df(spark, _JUNK_ROWS, "c_nationkey int, gmu_list string")
     stage = stage.unionByName(junk)
 
     exploded = gate_split_explode(
@@ -2112,18 +2113,25 @@ def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     with legtime.leg("build"):
         base = li.repartition(8)
         tx.create_table(spark, TX_DFMERGE_PATH, base)
-        n_rows = li.count()
+        # ONE bounded-scalar pass sizes the filter AND picks the max
+        # composite key (max-of-struct == ORDER BY k1 DESC, k2 DESC
+        # LIMIT 1 on a unique key): the separate count + global
+        # sort-limit jobs each re-scanned lineitem (guide §1.2 —
+        # don't pay two passes for two scalars)
+        st = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.struct("l_orderkey", "l_linenumber", "l_quantity")
+            ).alias("mx"),
+        ).collect()[0]
+        n_rows = st.n
         bits = max(16_384, 16 * (n_rows // 8 + 1))
         keys = ["l_orderkey", "l_linenumber"]
         index = tx.build_bloom_index_table(
             spark, TX_DFMERGE_PATH, keys, bits=bits
         )
 
-    head = (
-        li.orderBy(F.desc("l_orderkey"), F.desc("l_linenumber"))
-        .limit(1)
-        .collect()
-    )
+    head = [st.mx] if st.mx is not None else []
     rows = [(-2, 1, 5.0)]  # the insert leg
     if head:
         r = head[0]
@@ -2134,8 +2142,8 @@ def tx_df_planned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(r.l_quantity) + 50.0,
             )
         )
-    updates = spark.createDataFrame(
-        rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
+    updates = local_df(
+        spark, rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
     )
 
     # the actions checkpoint is the DF planner's input — a real
@@ -2223,14 +2231,26 @@ def tx_incremental_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = read_table(spark, sf_dir, "orders")
     proj = orders.select("o_orderkey", "o_custkey", "o_orderpriority")
-    base = proj.filter(F.col("o_orderkey") % 3 != 0).repartition(8)
-    cdc = proj.filter(F.col("o_orderkey") % 3 == 0).repartition(2)
+    is_cdc = F.col("o_orderkey") % 3 == 0
+    base = proj.filter(~is_cdc).repartition(8)
+    cdc = proj.filter(is_cdc).repartition(2)
     # build leg: table creation + index registration happen once; the
     # append_indexed/refresh calls below ARE the steady-state serve path
     with legtime.leg("build"):
         tx.create_table(spark, TX_IBLOOM_PATH, base)
-        # ~16 bits/key keeps the per-file filter honest at any sf
-        n_rows = orders.count()
+        # ONE bounded-scalar pass over orders: the count that sizes
+        # the filter (~16 bits/key keeps it honest at any sf) plus
+        # every probe key the lookup section needs (min/max, first
+        # CDC-only key, first base key) — previously 4 separate scan
+        # jobs for 4 scalars (guide §1.2)
+        st = orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mx"),
+            F.min(F.when(is_cdc, F.col("o_orderkey"))).alias("ck"),
+            F.min(F.when(~is_cdc, F.col("o_orderkey"))).alias("bk"),
+        ).collect()[0]
+        n_rows = st.n
         bits = max(16_384, 16 * (n_rows // 8 + 1))
         idx = tx.register_bloom_index(
             spark, TX_IBLOOM_PATH, "o_orderkey", bits
@@ -2262,19 +2282,7 @@ def tx_incremental_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert inc_words.exceptAll(full_words).count() == 0  # law 2
         assert full_words.exceptAll(inc_words).count() == 0  # law 2
 
-    b = orders.agg(
-        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
-    ).collect()[0]
-    ck = (
-        cdc.agg(F.min("o_orderkey").alias("ck")).collect()[0].ck
-        if b.mn is not None
-        else None
-    )
-    bk = (
-        base.agg(F.min("o_orderkey").alias("bk")).collect()[0].bk
-        if b.mn is not None
-        else None
-    )
+    b, ck, bk = st, st.ck, st.bk
     probes = [-1]
     if b.mn is not None:
         tx.delete_where_dv(
@@ -2441,7 +2449,8 @@ def tx_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     if head is not None:  # zero-row fixture: nothing to merge
         # full logical schema; matched rows take only update_cols, so
         # the dummy non-updated values never land
-        updates = spark.createDataFrame(
+        updates = local_df(
+            spark,
             [(int(head), 0, "X", 0.0)],
             "o_orderkey bigint, o_custkey bigint, "
             "o_orderpriority string, revenue double",
@@ -2500,7 +2509,16 @@ def tx_composite_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # default saturates past ~4k keys/file and pruning silently
         # dies) — one bounded scalar count, the sizing call a real
         # OPTIMIZE makes
-        n_rows = li.count()
+        # ONE bounded-scalar pass: the count that sizes the filter
+        # and the min composite key (min-of-struct == ORDER BY k1,
+        # k2 LIMIT 1 on a unique key) — previously two full scans
+        st = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(
+                F.struct("l_orderkey", "l_linenumber", "l_quantity")
+            ).alias("mn"),
+        ).collect()[0]
+        n_rows = st.n
         bits = max(16_384, 16 * (n_rows // 8 + 1))
         index = tx.build_bloom_index_table(
             spark,
@@ -2509,8 +2527,7 @@ def tx_composite_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=bits,
         )
 
-    # bounded 1-row collect: the minimum composite key
-    head = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()
+    head = [st.mn] if st.mn is not None else []
     rows = [(-1, 1, 7.0)]  # the insert leg
     if head:
         r = head[0]
@@ -2521,8 +2538,8 @@ def tx_composite_pruned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(r.l_quantity) + 100.0,
             )
         )
-    updates = spark.createDataFrame(
-        rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
+    updates = local_df(
+        spark, rows, "l_orderkey bigint, l_linenumber int, l_quantity double"
     )
     _, n_rw, _, n_stats = tx.merge_pruned_composite(
         spark,
@@ -2668,8 +2685,8 @@ def tx_declarative_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for exp in sorted(exps)
     ]
-    quarantine = spark.createDataFrame(
-        q_rows, "section string, k1 string, k2 string, n_rows bigint"
+    quarantine = local_df(
+        spark, q_rows, "section string, k1 string, k2 string, n_rows bigint"
     ).select(
         "section",
         "k1",
@@ -2944,7 +2961,8 @@ def tx_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = orders.filter(urgent & even).withColumn(
         "o_custkey", -F.col("o_custkey")
     ).unionByName(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (-1, "1-URGENT", -77, 111.0),
                 (-2, "1-URGENT", -88, 222.0),

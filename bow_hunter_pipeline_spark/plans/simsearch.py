@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark import legtime
+from bow_hunter_pipeline_spark.functions.localframe import local_df
 from bow_hunter_pipeline_spark.io.readers import read_table
 
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -1939,8 +1940,8 @@ def compact_stream_cell_store(
     high_water = int(mark["compacted_through"])
     if listing:
         high_water = max(high_water, max(a for _, a, _, _ in listing))
-    files_df = spark.createDataFrame(
-        listing or [], "cell bigint, arrival bigint, path string, size bigint"
+    files_df = local_df(
+        spark, listing, "cell bigint, arrival bigint, path string, size bigint"
     )
     w_cell = Window.partitionBy("cell")
     w_run = (
@@ -1986,7 +1987,8 @@ def compact_stream_cell_store(
         # to their (cell, bin) via a broadcast assignment join, write
         # hive-partitioned by cell in a single pass (the per-cell loop
         # ran hundreds of tiny jobs; cell count never bounds this) ---
-        asg = spark.createDataFrame(
+        asg = local_df(
+            spark,
             [(os.path.abspath(p), c, b) for p, c, b in to_pack],
             "path string, cell bigint, bin bigint",
         )

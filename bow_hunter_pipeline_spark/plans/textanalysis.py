@@ -750,9 +750,17 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy(F.col("token").alias("w2")).agg(
         F.count(F.lit(1)).alias("c2")
     )
-    ctx = trans.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # r14 (guide §1.2/§2.3): derive the context and total counts from
+    # the tables already built instead of re-exploding the corpus —
+    # c(w1·) = Σ_w2 c(w1 w2) (one shuffle of the DISTINCT-bigram
+    # table, whose exchange subtree Catalyst can reuse for the score
+    # join) and N = Σ c2 (a scalar over the vocab table). The old
+    # plan ran four Θ(corpus-tokens) explode passes (ctx, bi, vocab,
+    # total); this one runs two (bi, vocab) — values identical by the
+    # marginalization identities above.
+    ctx = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    total = vocab.agg(F.sum("c2").alias("n_total"))
 
     p = F.lit(0.75) * (
         F.col("c12").cast("double") / F.col("c1").cast("double")
@@ -891,23 +899,43 @@ def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bow_hunter_pipeline_spark.functions.text import word_shingles
 
     docs = read_table(spark, sf_dir, "documents")
+    # r14 single-pass rewrite (guide §2.4): the old plan consumed the
+    # exploded+md5'd span table THREE times (dup groupBy, per-doc
+    # groupBy, spans⋈dup join) — the Θ(tokens) fan-out and per-span
+    # md5 ran 3× from the scan, plus two hash exchanges on `h`. Now:
+    #   * n_spans needs no explode at all — docs have unique doc_id,
+    #     so it is size(word_shingles(text)) per row, map-only (the
+    #     explode-drops-empty semantics are kept by filtering
+    #     n_spans >= 1: `explode` emits nothing for empty arrays);
+    #   * the span table is built ONCE, repartitioned by `h`
+    #     (HashPartitioning(h) satisfies every downstream clustering
+    #     on a superset of h), collapsed to one row per (h, doc_id)
+    #     with an exchange-free groupBy, and the distinct-doc count
+    #     per fingerprint is an exchange-free count() window over h —
+    #     rows-per-h of the collapsed frame IS count_distinct(doc_id).
+    # One explode pass (was 3) and one exchange carrying spans
+    # (was 2 + the doc-grain one); the doc-grain rollup shuffles only
+    # duplicated (h, doc_id) groups.
+    sh = word_shingles(F.col("text"), DUP_SPAN_W)
+    per_doc = docs.select(
+        "doc_id", F.size(sh).cast("bigint").alias("n_spans")
+    ).filter(F.col("n_spans") >= 1)
     spans = docs.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), DUP_SPAN_W)).alias("span"),
     ).select("doc_id", F.md5("span").alias("h"))
-    dup = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans")
+    by_h_doc = (
+        spans.repartition("h")
+        .groupBy("h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     dup_per_doc = (
-        spans.join(dup, "h")
+        by_h_doc.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("nd") >= 2)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .agg(F.sum("c").alias("n_dup_spans"))
     )
     return (
         per_doc.join(dup_per_doc, "doc_id", "left")

@@ -1819,70 +1819,72 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-14 prefix. Lead item: e2_tx_pipeline_vacuum_readers —
-    # the round's one addition (VERDICT r13 task 7: catalog vacuum
-    # under a concurrent reader). Then the 7 r14-stamped changed
-    # plans (the true-CAS publish rework touches the declarative
-    # pipeline family; FlateDecode + the single-pass grid pivot touch
-    # the PDF ingest; the keyframe dedup and patch-embed retrieval
-    # went single-consumer / filter-below-decode over their decode
-    # stages), then the 18 remaining r05-vintage age re-checks, then
-    # the first 24 r06-vintage proofs (the 16 left over queue for
-    # r15). Nothing is ever dropped, only reordered.
+    # --- round-14 prefix (updated mid-round after the optimization
+    # pass). Lead item: e2_tx_pipeline_vacuum_readers — the round's
+    # one addition (VERDICT r13 task 7). Then EVERY r14-stamped
+    # changed plan: the true-CAS publish rework, FlateDecode + the
+    # single-pass grid pivot, the decode-once multimodal plans, and
+    # the round's optimization sweep — the Arrow local-frame rework
+    # (functions/localframe.py) touches every transactional plan that
+    # builds driver-held metadata frames (createDataFrame(list) became
+    # Arrow-backed; the actions checkpoint is written driver-side), so
+    # the whole e2_tx/h4_streaming-cdf/h1-index family re-proves. The
+    # remaining slots carry the oldest age re-checks that still fit;
+    # the rest of the r05/r06 queue moves to r15. Nothing is ever
+    # dropped, only reordered.
     # --- first-proof rows (mirrored in NEW_IN_PREFIX below) ---
     "e2_tx_pipeline_vacuum_readers",
     # --- plans changed in r14 (fingerprint-stamped; re-proof) ---
     "a2_a3_pdf_ingest",
+    "b3_d1_d2_population_explode",
+    "e2_tx_append_evolution",
+    "e2_tx_atomic_pipeline",
+    "e2_tx_bloom_pruned_lookup",
+    "e2_tx_bloom_table_lookup",
+    "e2_tx_column_rename",
+    "e2_tx_composite_pruned_merge",
+    "e2_tx_concurrent_pipeline_occ",
+    "e2_tx_constraint_quarantine",
+    "e2_tx_declarative_pipeline",
+    "e2_tx_delete_restore",
+    "e2_tx_df_planned_merge",
+    "e2_tx_drop_column",
+    "e2_tx_dv_delete",
+    "e2_tx_dv_purge",
+    "e2_tx_generated_columns",
+    "e2_tx_guarded_merge",
+    "e2_tx_incremental_bloom_index",
+    "e2_tx_incremental_pipeline",
+    "e2_tx_manifest_export",
+    "e2_tx_merge_pruned",
+    "e2_tx_merge_sync",
+    "e2_tx_merge_timetravel",
+    "e2_tx_partition_evolution",
+    "e2_tx_replace_where",
+    "e2_tx_schema_evolution",
+    "e2_tx_shallow_clone",
+    "e2_tx_timetravel_asof",
+    "e2_tx_update_change_feed",
+    "e2_tx_vacuum_retention",
+    "e2_tx_zorder_pruned_delete",
+    "ep3_flagship_pipeline",
+    "h1_incremental_lsh_index",
+    "h1_lsh_compacted_index",
+    "h2_ivf_nightly_maintenance",
+    "h2_ivf_stream_compacted_search",
+    "h4_streaming_cdc_stateful",
+    "h4_streaming_cdf_apply",
+    "h4_streaming_cdf_change_files",
+    "h4_streaming_cdf_ivm",
+    "h4_streaming_tx_merge",
     "mm_keyframe_dedup",
     "mm_patch_embed_search",
-    "e2_tx_atomic_pipeline",
-    "e2_tx_concurrent_pipeline_occ",
-    "e2_tx_declarative_pipeline",
-    "e2_tx_incremental_pipeline",
-    # --- age re-checks: the 18 remaining r05-vintage proofs ---
+    "h3_bigram_lm_quality",
+    "h3_dup_span_flags",
+    # --- age re-checks (oldest vintage that fits this round) ---
     "f_q4_priority_exists",
     "f_q5_local_supplier_volume",
     "f_q6_forecast_revenue",
-    "f_q7_volume_shipping",
-    "f_q8_market_share",
-    "f_sql_text_interface",
-    "f_union_schema_evolution",
-    "g5_nearest_sensor_join",
-    "h1_bucketed_lsh_pairs",
-    "h1_minhash_error_audit",
-    "h2_filtered_ivf_topk",
-    "h2_ivf_pq_topk",
-    "h4_dow_hour_heatmap",
-    "h4_gap_fill_interpolate",
-    "h5_hll_error_bound",
-    "h6_dsir_proxy",
-    "h6_link_bfs_reach",
-    "h6_minhash_decontaminate",
-    # --- next-oldest surviving proofs (r06 vintage, 26 of 40) ---
-    "a4_dpp_pruned_join",
-    "a4_dynamic_partition_backfill",
-    "a4_zstd_roundtrip",
-    "a5_json_corrupt_records",
-    "a5_text_roundtrip",
-    "e2_scd2_point_in_time",
-    "e3_referential_integrity",
-    "e5_incremental_join_maintenance",
-    "e5_retractable_rollup",
-    "f_asof_forward_recovery",
-    "f_equi_depth_histogram",
-    "f_interval_range_frame",
-    "f_multiset_ops",
-    "f_ntile_customer_tiers",
-    "f_q12_late_shipment",
-    "f_q19_discounted_parts",
-    "g1_gini_concentration",
-    "g4_seasonal_naive_forecast",
-    "g4_seasonality_index",
-    "h1_kmeans_convergence_audit",
-    "h1_lsh_param_sweep",
-    "h1_method_agreement",
-    "h2_binary_hamming_search",
-    "h2_filtered_vector_search",
 ]
 
 

@@ -57,6 +57,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bow_hunter_pipeline_spark.functions.localframe import (
+    local_df,
+    local_keys_df,
+    write_parquet_rows,
+)
 from bow_hunter_pipeline_spark.operators.upsert import upsert
 
 _LOG_DIR = "_log"
@@ -538,12 +543,13 @@ def _dv_rows(
     schema_ddl = "__dv_key string, __dv_idx bigint"
     if inline:
         pairs = [(k, int(i)) for k, ids in inline.items() for i in ids]
-        parts.append(spark.createDataFrame(pairs, schema_ddl))
+        parts.append(local_df(spark, pairs, schema_ddl))
     if blobs:
         dirs = sorted(
             {_dv_blob_dir(ref["f"], table) for ref in blobs.values()}
         )
-        cur = spark.createDataFrame(
+        cur = local_df(
+            spark,
             [
                 (
                     k,
@@ -1006,7 +1012,8 @@ def _read_live(
         "__idx", F.col("_metadata.row_index")
     )
     if live_dvs:
-        key_map = spark.createDataFrame(
+        key_map = local_df(
+            spark,
             [
                 (k, os.path.abspath(os.path.join(table, k)))
                 for k in live_dvs
@@ -1704,7 +1711,12 @@ def write_actions_checkpoint(
     existence row, so the frame alone reconstructs the live set.
     The write itself is driver-O(files) once per version — the same
     cost the JSON checkpoint already pays — and every subsequent
-    find phase is distributed."""
+    find phase is distributed. The rows are driver-held already, so
+    the parquet is written DIRECTLY via Arrow (one atomic rename, no
+    Spark job): routing them through ``createDataFrame(list)`` +
+    ``coalesce`` re-enters a Python worker once per parallelism slice
+    (~5.5 s of pure boundary overhead per checkpoint at local[32] —
+    optimization guide §4)."""
     if version is None:
         version = _versions(table)[-1]
     rels, logged = _replay(table, version)
@@ -1741,19 +1753,18 @@ def write_actions_checkpoint(
                     file_stats[col] = (lo, hi)
         for col, (lo, hi) in file_stats.items():
             rows.append((rel, col, int(lo), int(hi)))
-    df = spark.createDataFrame(
-        rows or [], "file string, col string, lo bigint, hi bigint"
-    )
     out_dir = os.path.join(table, _ACTIONS_DIR)
     os.makedirs(out_dir, exist_ok=True)
     final = os.path.join(out_dir, f"actions-v{version:08d}.parquet")
     tmp = final + f".{uuid.uuid4().hex}.tmp"
-    df.coalesce(max(1, len(rows) // 250_000 + 1)).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    write_parquet_rows(
+        rows, "file string, col string, lo bigint, hi bigint", tmp
+    )
     if os.path.isdir(final):
         shutil.rmtree(final)
-    os.rename(tmp, final)
+    elif os.path.exists(final):
+        os.unlink(final)
+    os.replace(tmp, final)
     return final
 
 
@@ -1831,9 +1842,7 @@ def _composite_find_df(
     # list — the commit doesn't enumerate carried files (it removes
     # only the rewrite set), so nothing ever needs them materialized
     carry_df = files.join(
-        spark.createDataFrame(
-            [(r,) for r in rewrite] or [], "file string"
-        ),
+        local_df(spark, [(r,) for r in rewrite], "file string"),
         "file",
         "left_anti",
     )
@@ -2837,7 +2846,8 @@ def delete_where_dv(
         spark, table, candidates, dvs, with_file=True, with_pos=True,
         schema=table_schema(table, read_v),
     )
-    rel_map = spark.createDataFrame(
+    rel_map = local_df(
+        spark,
         [(os.path.abspath(os.path.join(table, r)), r) for r in candidates],
         "__abs string, k string",
     )
@@ -3180,7 +3190,7 @@ def _bloom_words_for_files(
     from bow_hunter_pipeline_spark.functions.text import hash64
 
     if not rels:
-        return spark.createDataFrame([], _BLOOM_WORDS_SCHEMA)
+        return local_df(spark, [], _BLOOM_WORDS_SCHEMA)
     abs_table = os.path.abspath(table)
     paths = [os.path.join(table, r) for r in rels]
     df = spark.read.parquet(*paths).select(
@@ -3271,7 +3281,7 @@ def register_bloom_index(
         os.makedirs(idx_dir, exist_ok=True)
         # one empty typed part so the parts dir is always readable
         _bloom_write_part(
-            spark, idx_dir, spark.createDataFrame([], _BLOOM_WORDS_SCHEMA)
+            spark, idx_dir, local_df(spark, [], _BLOOM_WORDS_SCHEMA)
         )
     refresh_bloom_index(spark, table, cols, bits=bits)
     return idx_dir
@@ -3320,7 +3330,7 @@ def _bloom_write_part(
         # empty frame can emit zero data parts under repartition;
         # land one empty TYPED part so the parts dir stays readable
         tmp2 = idx_dir + f".{uuid.uuid4().hex}.tmp"
-        spark.createDataFrame([], _BLOOM_WORDS_SCHEMA).coalesce(
+        local_df(spark, [], _BLOOM_WORDS_SCHEMA).coalesce(
             1
         ).write.parquet(tmp2)
         for part in sorted(_glob.glob(os.path.join(tmp2, "*.parquet"))):
@@ -3362,7 +3372,7 @@ def refresh_bloom_index(
     else:
         os.makedirs(idx_dir, exist_ok=True)
         _bloom_write_part(
-            spark, idx_dir, spark.createDataFrame([], _BLOOM_WORDS_SCHEMA)
+            spark, idx_dir, local_df(spark, [], _BLOOM_WORDS_SCHEMA)
         )
     to_scan = [r for r in rels if r not in covered]
     if to_scan:
@@ -3372,8 +3382,8 @@ def refresh_bloom_index(
         # never match a probe position (positions are >= 0), and a
         # sentinel-only file is correctly never a candidate — a
         # zero-row file holds nothing.
-        sentinels = spark.createDataFrame(
-            [(r, -1, 0) for r in to_scan], _BLOOM_WORDS_SCHEMA
+        sentinels = local_df(
+            spark, [(r, -1, 0) for r in to_scan], _BLOOM_WORDS_SCHEMA
         )
         _bloom_write_part(
             spark,
@@ -3398,8 +3408,8 @@ def vacuum_bloom_index(
     cols = [col] if isinstance(col, str) else list(col)
     idx_dir = _bloom_incr_dir(table, cols, bits)
     rels = set(live_files(table, version))
-    live_df = spark.createDataFrame(
-        [(r,) for r in sorted(rels)] or [], "file string"
+    live_df = local_df(
+        spark, [(r,) for r in sorted(rels)], "file string"
     )
     kept = (
         spark.read.parquet(idx_dir)
@@ -3573,9 +3583,7 @@ def _bloom_candidates_join(
     The driver materializes file NAMES only."""
     if not values:
         return [], live_files(table, version)
-    probes = spark.createDataFrame(
-        [(v,) for v in dict.fromkeys(values)], ["k"]
-    )
+    probes = local_keys_df(spark, dict.fromkeys(values))
     return _bloom_candidates_join_df(spark, table, index_path, probes, version)
 
 
