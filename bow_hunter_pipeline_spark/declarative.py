@@ -66,7 +66,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark import warehouse_tx as tx
@@ -177,21 +177,34 @@ class Pipeline:
 
     def _split(
         self, spec: TableSpec, frame: DataFrame
-    ) -> tuple[DataFrame, dict[str, int], DataFrame | None, DataFrame | None]:
+    ) -> tuple[
+        DataFrame,
+        Callable[[], dict[str, int]],
+        DataFrame | None,
+        DataFrame | None,
+    ]:
         """Expectation routing shared by :meth:`run` and
-        :meth:`run_atomic`: returns ``(clean, q_counts, quarantined,
-        pinned)`` — ``quarantined`` is the exploded violation frame
-        (or None), ``pinned`` the persisted evaluation the caller
-        must unpersist after its writes.
+        :meth:`run_atomic`: returns ``(clean, counts, quarantined,
+        pinned)`` — ``counts`` resolves to the per-expectation
+        violation totals, ``quarantined`` is the exploded violation
+        frame (or None), ``pinned`` a persisted evaluation the caller
+        must unpersist after its writes (or None).
 
-        ONE execution per declared table (VERDICT r11 ask #5): the
-        quarantine split, the violation counts, and the caller's
-        clean write all read the SAME pinned evaluation of the
-        transform instead of re-running its lineage (O(depth)
-        recomputation on a deep DAG); blocks spill to disk if the
-        table is bigger than memory."""
+        ONE execution per declared table (VERDICT r11 ask #5), and —
+        since r14 — ZERO extra jobs for it: the violation counts ride
+        the caller's own write as ``Observation`` metrics on the
+        tagging projection (a ``CollectMetrics`` node every written
+        row flows through), so ``counts`` must only be resolved AFTER
+        a write has executed the plan. The pre-write counting job (a
+        full evaluation of the transform) survives only where the
+        counts must gate the write itself: ``on_violation='fail'``
+        (violations must leave the table unwritten) and append-mode
+        tables (``append_idempotent`` may skip the write entirely on
+        txn replay, which would leave the observation forever
+        unresolved). The quarantine split keeps the persist ONLY when
+        there are two consumers (clean + quarantine writes)."""
         if not spec.expectations:
-            return frame, {}, None, None
+            return frame, (lambda: {}), None, None
         # one codegen'd projection tags each row with every failed
         # expectation (NULL verdict == violation)
         verdicts = {
@@ -203,32 +216,73 @@ class Pipeline:
                 *[F.when(~ok, F.lit(n)) for n, ok in verdicts.items()]
             )
         )
-        marked = frame.withColumn("_violations", tags).persist()
-        bad = marked.filter(F.size("_violations") > 0)
-        clean = marked.filter(F.size("_violations") == 0).drop(
-            "_violations"
+        tagged = frame.withColumn("_violations", tags)
+        if spec.on_violation == "fail" or spec.mode == "append":
+            # eager path: counts computed before any write
+            marked = tagged.persist()
+            by_exp = (
+                marked.filter(F.size("_violations") > 0)
+                .select(
+                    F.explode("_violations").alias("failed_expectation")
+                )
+                .groupBy("failed_expectation")
+                .count()
+                .collect()
+            )  # bounded: one row per declared expectation
+            q_counts = {r.failed_expectation: r["count"] for r in by_exp}
+            if spec.on_violation == "fail" and q_counts:
+                marked.unpersist()
+                raise ExpectationFailed(
+                    f"{spec.name}: {sorted(q_counts.items())}"
+                )
+            quarantined = None
+            if spec.on_violation == "quarantine":
+                quarantined = marked.filter(
+                    F.size("_violations") > 0
+                ).select(
+                    F.explode("_violations").alias("failed_expectation"),
+                    *[c for c in marked.columns if c != "_violations"],
+                )
+            clean = marked.filter(F.size("_violations") == 0).drop(
+                "_violations"
+            )
+            return clean, (lambda: q_counts), quarantined, marked
+        # observed path: the counts ride the first write's job
+        obs = Observation()
+        observed = tagged.observe(
+            obs,
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.array_contains("_violations", F.lit(n)), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias(n)
+                for n in spec.expectations
+            ],
         )
-        by_exp = (
-            bad.select(
-                F.explode("_violations").alias("failed_expectation")
-            )
-            .groupBy("failed_expectation")
-            .count()
-            .collect()
-        )  # bounded: one row per declared expectation
-        q_counts = {r.failed_expectation: r["count"] for r in by_exp}
-        if spec.on_violation == "fail" and q_counts:
-            marked.unpersist()
-            raise ExpectationFailed(
-                f"{spec.name}: {sorted(q_counts.items())}"
-            )
+        pinned = None
         quarantined = None
+        src = observed
         if spec.on_violation == "quarantine":
-            quarantined = bad.select(
+            # two consumers read the tagged evaluation — pin it so
+            # the second write replays cached blocks, not lineage
+            src = observed.persist()
+            pinned = src
+            quarantined = src.filter(F.size("_violations") > 0).select(
                 F.explode("_violations").alias("failed_expectation"),
-                *[c for c in bad.columns if c != "_violations"],
+                *[c for c in src.columns if c != "_violations"],
             )
-        return clean, q_counts, quarantined, marked
+        clean = src.filter(F.size("_violations") == 0).drop("_violations")
+
+        def counts() -> dict[str, int]:
+            # blocks until a write has run the observed plan; zero
+            # entries are dropped to match the eager path's shape
+            return {n: int(v) for n, v in obs.get.items() if v}
+
+        return clean, counts, quarantined, pinned
 
     def _materialize(
         self,
@@ -279,7 +333,19 @@ class Pipeline:
             else:
                 upstream[i] = tx.snapshot(spark, path_i)
         frame = spec.transform(spark, upstream)
-        clean, q_counts, quarantined, pinned = self._split(spec, frame)
+        clean, counts, quarantined, pinned = self._split(spec, frame)
+        obs_rows = None
+        if spec.mode != "append":
+            # replace/create writers always execute the clean frame's
+            # plan, so its committed row count can ride the write job
+            # as an observation instead of a post-write count job.
+            # Append tables keep the snapshot count: their committed
+            # total is prior rows + this increment (and the write may
+            # be skipped on txn replay, leaving the metric unresolved).
+            obs_rows = Observation()
+            clean = clean.observe(
+                obs_rows, F.count(F.lit(1)).alias("rows")
+            )
         try:
             if quarantined is not None:
                 qname = spec.name + "__quarantine"
@@ -293,12 +359,16 @@ class Pipeline:
             # accumulate pinned evaluations of failed tables
             if pinned is not None:
                 pinned.unpersist()
-        # the post-write count reads the COMMITTED parquet (a
-        # footer-cheap scan of what was just written), never the
-        # transform lineage
-        n = tx.snapshot(
-            spark, self.path(spec.name), versions[spec.name]
-        ).count()
+        q_counts = counts()
+        if obs_rows is not None:
+            n = int(obs_rows.get["rows"])
+        else:
+            # the post-write count reads the COMMITTED parquet (a
+            # footer-cheap scan of what was just written), never the
+            # transform lineage
+            n = tx.snapshot(
+                spark, self.path(spec.name), versions[spec.name]
+            ).count()
         stats[spec.name] = {"rows": n, "quarantined": q_counts}
 
     def run(self, spark: SparkSession) -> dict[str, dict]:
