@@ -49,7 +49,7 @@ def population_explode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = cust.groupBy("c_nationkey").agg(
         F.array_join(F.array_sort(F.collect_list("c_custkey")), ",").alias("gmu_list")
     )
-    junk = local_df(spark, _JUNK_ROWS, "c_nationkey int, gmu_list string")
+    junk = spark.createDataFrame(_JUNK_ROWS, "c_nationkey int, gmu_list string")
     stage = stage.unionByName(junk)
 
     exploded = gate_split_explode(

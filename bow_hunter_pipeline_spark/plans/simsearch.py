@@ -1504,26 +1504,62 @@ def ann_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(_scored_pairs(pairs))
 
 
-def _ivf_cell_assign(emb: DataFrame, batch: DataFrame) -> DataFrame:
-    """Nearest-fixed-centroid assignment (the broadcast cross-score +
-    argmax ``ivf_topk`` uses), shared by the at-rest store build and
-    its probe side."""
-    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
+def _centroid_rows(emb: DataFrame) -> list:
+    """Bounded driver collect of the K fixed coarse centroids (sorted
+    by id for deterministic expression layout)."""
+    return sorted(
+        emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        .collect(),
+        key=lambda r: r.cent_id,
     )
-    scored = batch.crossJoin(F.broadcast(cent)).withColumn(
-        "acos",
-        dot_fold("embedding", "cvec")
-        / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
+
+
+def _float_lit(vals) -> Column:
+    """A literal ``array<float>`` column. Exact: the values came out
+    of a float column, so Python-float round-trip and the cast back
+    to float reproduce the stored bits."""
+    return F.array(*[F.lit(float(v)) for v in vals]).cast("array<float>")
+
+
+def _ivf_cell_assign(
+    emb: DataFrame, batch: DataFrame, cent_rows: list | None = None
+) -> DataFrame:
+    """Nearest-fixed-centroid assignment (the same argmax ``ivf_topk``
+    ranks), shared by the at-rest store build and its probe side — as
+    a MAP-SIDE projection since r14: the K coarse centroids become
+    literal arrays (bounded collect), and the argmax is ``array_max``
+    over per-centroid ``(acos, -cent_id)`` structs — the exact order
+    the old window (acos DESC, cent_id ASC, NaN-greatest) applied. The
+    batch is never crossJoined K-fold, shuffled, or window-sorted:
+    assignment costs K fused dot products per row inside the batch's
+    own scan (guide §2.4 — the exchange existed only to rank K
+    candidate copies this projection never materializes, and at scale
+    it carried the full embedding payload)."""
+    if cent_rows is None:
+        cent_rows = _centroid_rows(emb)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    dot_fold("embedding", _float_lit(r.cvec))
+                    / (
+                        F.sqrt(norm2_fold("embedding"))
+                        * F.sqrt(norm2_fold(_float_lit(r.cvec)))
+                    )
+                ).alias("acos"),
+                F.lit(-int(r.cent_id)).cast("bigint").alias("nc"),
+            )
+            for r in cent_rows
+        ]
     )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("acos").desc(), F.col("cent_id")
-    )
-    return (
-        scored.withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
+    return batch.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(scored)["nc"]).cast("bigint").alias("cell_id"),
     )
 
 
@@ -1533,9 +1569,10 @@ def _ivf_store_build(
     """Build the ``partitionBy(cell_id)`` vector store from three
     incremental arrival batches; returns the embeddings frame."""
     emb = read_table(spark, sf_dir, "embeddings")
+    cents = _centroid_rows(emb)  # one bounded collect for all batches
     for i in range(3):  # incremental arrivals
         _ivf_cell_assign(
-            emb, emb.filter(F.col("vec_id") % 3 == i)
+            emb, emb.filter(F.col("vec_id") % 3 == i), cents
         ).write.partitionBy("cell_id").mode("append").parquet(store)
     return emb
 
@@ -1760,17 +1797,27 @@ def _ivf_stream_build(
     store = os.path.join(work, "cells")
 
     emb = read_table(spark, sf_dir, "embeddings")
-    for i in range(3):  # staged arrival files, deterministic order
-        staging = os.path.join(work, f"_stage{i}")
-        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    # stage all three deterministic arrival files in ONE job: a
+    # partitioned write splits the corpus by arrival group (each
+    # group lands in a single task, so one file per directory),
+    # replacing three filtered scan+coalesce jobs
+    staging = os.path.join(work, "_stage")
+    (
+        emb.withColumn("g", (F.col("vec_id") % 3).cast("int"))
+        .repartition(3, "g")
+        .write.partitionBy("g")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    for i in range(3):
+        part = glob.glob(
+            os.path.join(staging, f"g={i}", "part-*.parquet")
+        )[0]
         dest = os.path.join(feed, f"arrival{i}.parquet")
         shutil.move(part, dest)
-        shutil.rmtree(staging)
         t = 1_700_000_000 + i * 100
         os.utime(dest, (t, t))
+    shutil.rmtree(staging)
 
     land = _ivf_stream_lander(emb, store)
     stream = spark.readStream.schema(emb.schema).option(
@@ -1789,6 +1836,7 @@ def _ivf_stream_build(
 def _ivf_stream_lander(emb: DataFrame, store: str):
     """The foreachBatch lander — module-level so the redelivery
     idempotence contract is unit-testable."""
+    cent_cache: list = []  # collected once per lander, not per batch
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         # Compaction high-water guard: a batch at or below the mark
@@ -1799,13 +1847,15 @@ def _ivf_stream_lander(emb: DataFrame, store: str):
         mark = _stream_store_mark(store)
         if int(batch_id) <= mark["compacted_through"]:
             return
+        if not cent_cache:
+            cent_cache.extend(_centroid_rows(emb))
         sess = batch_df.sparkSession
         key = "spark.sql.sources.partitionOverwriteMode"
         old = sess.conf.get(key, None)
         sess.conf.set(key, "dynamic")
         try:
             (
-                _ivf_cell_assign(emb, batch_df)
+                _ivf_cell_assign(emb, batch_df, cent_cache)
                 .withColumn("arrival", F.lit(int(batch_id)).cast("int"))
                 .write.partitionBy("cell_id", "arrival")
                 .mode("overwrite")
@@ -2320,21 +2370,31 @@ def _retrain_centroids(at_rest: DataFrame) -> DataFrame:
 
 
 def _exact_reassign(frame: DataFrame, cents: DataFrame) -> DataFrame:
-    """Exact integer argmin over the broadcast retrained centroids;
-    input needs (vec_id, xi [, carried cols]); adds ``new_cell``."""
-    carry = [c for c in frame.columns if c not in ("vec_id", "xi")]
-    scored = frame.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        *carry,
-        F.struct(
-            _int_d2(F.col("xi"), F.col("cvec")).alias("d"),
-            F.col("cent_id").alias("cell"),
-        ).alias("t"),
+    """Exact integer argmin over the retrained centroids — a MAP-SIDE
+    projection since r14: the K (localCheckpoint'd) centroid rows are
+    collected once and become literal bigint arrays; ``array_min``
+    over per-centroid ``(d, cell)`` structs is the same lexicographic
+    (min d, then min cell) the old crossJoin + groupBy(min(struct))
+    computed, with zero exchange and no K-fold row blowup (the old
+    shape shuffled every carried column — embedding payload included —
+    just to collapse the K candidate copies back to one). Keeps every
+    input column; adds ``new_cell``."""
+    rows = sorted(cents.collect(), key=lambda r: r.cent_id)
+    scored = F.array(
+        *[
+            F.struct(
+                _int_d2(
+                    F.col("xi"),
+                    F.array(*[F.lit(int(v)) for v in r.cvec]).cast(
+                        "array<bigint>"
+                    ),
+                ).alias("d"),
+                F.lit(int(r.cent_id)).cast("bigint").alias("cell"),
+            )
+            for r in rows
+        ]
     )
-    return scored.groupBy("vec_id").agg(
-        F.min("t").alias("t"),
-        *[F.first(c).alias(c) for c in carry],
-    ).select("vec_id", *carry, F.col("t.cell").alias("new_cell"))
+    return frame.withColumn("new_cell", F.array_min(scored)["cell"])
 
 
 def _recluster_moved_cells(
@@ -2386,7 +2446,9 @@ def _recluster_moved_cells(
     )
     # materialize: the rewrite below overwrites the very files this
     # frame's lineage reads — checkpoint severs the self-overwrite
-    best = _exact_reassign(scaled, cents).localCheckpoint()
+    # (xi dropped first: the checkpoint holds only what the rewrite
+    # and move-set computations read)
+    best = _exact_reassign(scaled, cents).drop("xi").localCheckpoint()
     moves = best.filter(F.col("new_cell") != F.col("old_cell"))
     # bounded collect: affected cell ids (<= 2K of the K cells)
     aff = sorted(
@@ -2502,6 +2564,8 @@ def _exact_cell_serve(
     """Serve the re-clustered store: probes re-assign under the new
     centroids; the search reads only the probed cells' directories
     and ranks by the same exact integer distance."""
+    # the map-side reassign keeps xi on the row, so the probe frame
+    # needs no join back to emb for its own vector
     probes = _exact_reassign(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
             "vec_id", _scaled_vec("embedding").alias("xi")
@@ -2510,12 +2574,7 @@ def _exact_cell_serve(
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("new_cell").alias("q_cell"),
-    ).join(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("q_id"),
-            _scaled_vec("embedding").alias("q_xi"),
-        ),
-        "q_id",
+        F.col("xi").alias("q_xi"),
     )
     cells = sorted(
         r.q_cell for r in probes.select("q_cell").distinct().collect()
@@ -2611,9 +2670,12 @@ def ivf_nightly_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert before == listing(), "post-recluster replay mutated store"
         # integrity across the whole cycle: exactly one live row per
         # vector, no loss and no duplication through land→pack→move
+        # (total + distinct in one aggregation pass)
         at_rest = spark.read.schema(schema).parquet(store)
-        n_rows, n_vecs = at_rest.count(), emb.count()
-        n_distinct = at_rest.select("vec_id").distinct().count()
+        n_rows, n_distinct = at_rest.agg(
+            F.count(F.lit(1)), F.countDistinct("vec_id")
+        ).first()
+        n_vecs = emb.count()
         assert n_rows == n_vecs == n_distinct, (n_rows, n_vecs, n_distinct)
     return _exact_cell_serve(spark, emb, store, schema, cents)
 

@@ -1836,7 +1836,11 @@ _DRIVER_ROTATION = [
     "e2_tx_pipeline_vacuum_readers",
     # --- plans changed in r14 (fingerprint-stamped; re-proof) ---
     "a2_a3_pdf_ingest",
-    "b3_d1_d2_population_explode",
+    # (b3_d1_d2_population_explode left the r14 set late in the
+    # round: its only r14 delta — an Arrow local-frame hop for the
+    # 3-row junk fixture — was reverted to free its slot for the IVF
+    # rework, restoring its round-9 fingerprint byte-for-byte, so its
+    # standing driver proof is valid again.)
     "e2_tx_append_evolution",
     "e2_tx_atomic_pipeline",
     "e2_tx_bloom_pruned_lookup",
@@ -1881,10 +1885,17 @@ _DRIVER_ROTATION = [
     "mm_patch_embed_search",
     "h3_bigram_lm_quality",
     "h3_dup_span_flags",
-    # --- age re-checks (oldest vintage that fits this round) ---
-    "f_q4_priority_exists",
-    "f_q5_local_supplier_volume",
-    "f_q6_forecast_revenue",
+    # --- plans changed by the r14 optimization sweep's IVF rework
+    # (map-side centroid assignment/reassignment) ---
+    "h2_ivf_index_at_rest",
+    "h2_ivf_compacted_search",
+    "h2_ivf_streaming_maintenance",
+    "h2_ivf_recluster_moves",
+    # The r05/r06 age re-check queue (f_q4_priority_exists,
+    # f_q5_local_supplier_volume, f_q6_forecast_revenue were this
+    # round's candidates) moves to r15: changed plans outrank age
+    # re-checks for the 50 slots, and nothing is ever dropped, only
+    # reordered.
 ]
 
 
