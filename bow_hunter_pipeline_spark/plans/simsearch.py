@@ -1518,11 +1518,57 @@ def _centroid_rows(emb: DataFrame) -> list:
     )
 
 
-def _float_lit(vals) -> Column:
-    """A literal ``array<float>`` column. Exact: the values came out
-    of a float column, so Python-float round-trip and the cast back
-    to float reproduce the stored bits."""
-    return F.array(*[F.lit(float(v)) for v in vals]).cast("array<float>")
+def _sql_double(v: float) -> str:
+    """Exact double literal for a generated SQL string: a quoted
+    string cast, because Java's parseDouble of Python's shortest
+    round-trip repr reproduces the double bit-for-bit, while unquoted
+    decimal text parses as DECIMAL and risks a double rounding on the
+    way to double/float."""
+    return "CAST('%r' AS DOUBLE)" % float(v)
+
+
+def _sqrt_norm(vals) -> float:
+    """sqrt(Σv²) in Python doubles — the same strict left fold
+    norm2_fold runs (IEEE-754 throughout), then the same correctly-
+    rounded sqrt, so it is bit-identical to
+    ``F.sqrt(norm2_fold(literal))`` and can be precomputed on the
+    driver for a constant vector."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def _cent_array_lit(cent_rows) -> Column:
+    """The K coarse centroids as ONE literal
+    ``array<struct<cv:array<float>, nrm:double, nc:bigint>>`` built
+    from a single SQL string — one py4j hop, constant-folded to a
+    Literal before execution. Building the same constant as K
+    per-centroid Python expression trees (K fold constructions, 64
+    ``lit`` hops per vector) made driver-side expression CONSTRUCTION
+    the bottleneck of the warm serve path: ~1.0 s/call vs ~74 ms for
+    this form, measured on the r14 probe (OPTIMIZATION_r14.md §h2).
+    The float elements are exact: each value came out of a float
+    column, and double→float cast of a float-valued double is
+    lossless."""
+    parts = []
+    for r in cent_rows:
+        cv = ",".join("CAST(%s AS FLOAT)" % _sql_double(v) for v in r.cvec)
+        parts.append(
+            "named_struct('cv',array(%s),'nrm',%s,'nc',%dL)"
+            % (cv, _sql_double(_sqrt_norm(r.cvec)), -int(r.cent_id))
+        )
+    # the outer cast is a structural no-op when K > 0 (every element
+    # already has exactly this type) but pins the element type when
+    # the centroid set is EMPTY — a bare array() is array<void> and
+    # the transform lambda's field extraction fails analysis
+    return F.expr(
+        "CAST(array(%s) AS "
+        "array<struct<cv:array<float>,nrm:double,nc:bigint>>)"
+        % ",".join(parts)
+    )
 
 
 def _ivf_cell_assign(
@@ -1538,23 +1584,22 @@ def _ivf_cell_assign(
     assignment costs K fused dot products per row inside the batch's
     own scan (guide §2.4 — the exchange existed only to rank K
     candidate copies this projection never materializes, and at scale
-    it carried the full embedding payload)."""
+    it carried the full embedding payload). The K-way score array is
+    ONE ``transform`` lambda over the literal centroid array — the
+    fold expressions are constructed once per call regardless of K
+    (per-centroid Python trees made construction the warm-path
+    bottleneck; see _cent_array_lit)."""
     if cent_rows is None:
         cent_rows = _centroid_rows(emb)
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    dot_fold("embedding", _float_lit(r.cvec))
-                    / (
-                        F.sqrt(norm2_fold("embedding"))
-                        * F.sqrt(norm2_fold(_float_lit(r.cvec)))
-                    )
-                ).alias("acos"),
-                F.lit(-int(r.cent_id)).cast("bigint").alias("nc"),
-            )
-            for r in cent_rows
-        ]
+    scored = F.transform(
+        _cent_array_lit(cent_rows),
+        lambda c: F.struct(
+            (
+                dot_fold("embedding", c["cv"])
+                / (F.sqrt(norm2_fold("embedding")) * c["nrm"])
+            ).alias("acos"),
+            c["nc"].alias("nc"),
+        ),
     )
     return batch.select(
         "vec_id",
@@ -1810,11 +1855,28 @@ def _ivf_stream_build(
         .parquet(staging)
     )
     for i in range(3):
-        part = glob.glob(
+        hits = glob.glob(
             os.path.join(staging, f"g={i}", "part-*.parquet")
-        )[0]
+        )
         dest = os.path.join(feed, f"arrival{i}.parquet")
-        shutil.move(part, dest)
+        if hits:
+            shutil.move(hits[0], dest)
+        else:
+            # empty arrival group (degenerate corpus): partitionBy
+            # writes no directory for it, but the feed must keep its
+            # deterministic 3-file shape — stage a schema-only file
+            empty_dir = os.path.join(work, "_stage_empty")
+            (
+                emb.limit(0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(empty_dir)
+            )
+            shutil.move(
+                glob.glob(os.path.join(empty_dir, "part-*.parquet"))[0],
+                dest,
+            )
+            shutil.rmtree(empty_dir)
         t = 1_700_000_000 + i * 100
         os.utime(dest, (t, t))
     shutil.rmtree(staging)
@@ -2378,21 +2440,28 @@ def _exact_reassign(frame: DataFrame, cents: DataFrame) -> DataFrame:
     computed, with zero exchange and no K-fold row blowup (the old
     shape shuffled every carried column — embedding payload included —
     just to collapse the K candidate copies back to one). Keeps every
-    input column; adds ``new_cell``."""
+    input column; adds ``new_cell``. Like _ivf_cell_assign, the K-way
+    distance array is one ``transform`` lambda over a single-SQL-hop
+    literal centroid array, so the fold is constructed once per call
+    regardless of K (see _cent_array_lit)."""
     rows = sorted(cents.collect(), key=lambda r: r.cent_id)
-    scored = F.array(
-        *[
-            F.struct(
-                _int_d2(
-                    F.col("xi"),
-                    F.array(*[F.lit(int(v)) for v in r.cvec]).cast(
-                        "array<bigint>"
-                    ),
-                ).alias("d"),
-                F.lit(int(r.cent_id)).cast("bigint").alias("cell"),
-            )
-            for r in rows
-        ]
+    parts = []
+    for r in rows:
+        parts.append(
+            "named_struct('cv',array(%s),'cell',%dL)"
+            % (",".join("%dL" % int(v) for v in r.cvec), int(r.cent_id))
+        )
+    # same empty-set type pin as _cent_array_lit
+    cents_lit = F.expr(
+        "CAST(array(%s) AS array<struct<cv:array<bigint>,cell:bigint>>)"
+        % ",".join(parts)
+    )
+    scored = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            _int_d2(F.col("xi"), c["cv"]).alias("d"),
+            c["cell"].alias("cell"),
+        ),
     )
     return frame.withColumn("new_cell", F.array_min(scored)["cell"])
 
