@@ -53,7 +53,7 @@ import re
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1828,16 +1828,34 @@ def _composite_find_df(
         )
     clean = acts.filter(disjoint).select("file").distinct()
     survivors_df = files.join(clean, "file", "left_anti")
-    n_stats = survivors_df.count()
+    # the survivors count RIDES the candidate collect as an
+    # Observation metric instead of running its own Spark job — the
+    # find phase is one job total (guide §1.2: two scalars, one pass)
+    stats_obs = Observation()
+    survivors_df = survivors_df.observe(
+        stats_obs, F.count(F.lit(1)).alias("n")
+    )
 
     cand_df = survivors_df
-    if bloom_index is not None and n_stats:
+    if bloom_index is not None:
         probes = updates.select(_bloom_key_expr(keys).alias("k"))
         hits, indexed = _bloom_hits_dfs(spark, bloom_index, probes)
-        cand_df = survivors_df.join(hits, "file", "semi").unionByName(
-            survivors_df.join(indexed, "file", "left_anti")
-        ).distinct()
+        # one pass over survivors via marker left-joins (both sides
+        # are distinct-on-file): keep a file if some probe fully hits
+        # it, or the index does not cover it — the same
+        # (survivors ∩ hits) ∪ (survivors ∖ indexed) the old
+        # semi/anti union computed, without instantiating the
+        # survivors subtree twice
+        cand_df = (
+            survivors_df.join(
+                hits.withColumn("__hit", F.lit(1)), "file", "left"
+            )
+            .join(indexed.withColumn("__idx", F.lit(1)), "file", "left")
+            .filter(F.col("__hit").isNotNull() | F.col("__idx").isNull())
+            .select("file")
+        )
     rewrite = sorted(r.file for r in cand_df.collect())
+    n_stats = int(stats_obs.get["n"])
     # carry BY REFERENCE: the anti-join stays a plan, never a driver
     # list — the commit doesn't enumerate carried files (it removes
     # only the rewrite set), so nothing ever needs them materialized
@@ -1872,7 +1890,14 @@ def merge_pruned_composite_df(
     rewrite, carry_df, n_stats = _composite_find_df(
         spark, table, updates, keys, b, read_v, bloom_index, actions_path
     )
-    n_carry = carry_df.count()
+    # |carry| by log arithmetic, not a third Spark job: the carry set
+    # is (checkpoint files ∖ rewrite), the checkpoint is exactly the
+    # live set at read_v (version-matched in _composite_find_df), and
+    # rewrite ⊆ that set — so |carry| = |live| − |rewrite|. The
+    # replay list is the same O(files) driver state the version
+    # resolution already walks; the SET still only exists as the
+    # lazy carry_df plan.
+    n_carry = len(live_files(table, read_v)) - len(rewrite)
     next_v = _merge_rewrite_commit(
         spark, table, rewrite, updates, keys, update_cols, read_v,
         "MERGE_PRUNED_COMPOSITE_DF",
@@ -3187,8 +3212,6 @@ def _bloom_words_for_files(
     are FILE-LOCAL, which is what makes incremental maintenance
     exact: the words of an untouched file never change, so
     filter-old ∪ scan-new is bit-identical to a full rebuild."""
-    from bow_hunter_pipeline_spark.functions.text import hash64
-
     if not rels:
         return local_df(spark, [], _BLOOM_WORDS_SCHEMA)
     abs_table = os.path.abspath(table)
@@ -3196,13 +3219,7 @@ def _bloom_words_for_files(
     df = spark.read.parquet(*paths).select(
         _bloom_key_expr(cols).alias("k"), _norm_file_path().alias("fp")
     )
-    positions = F.array(
-        *[
-            hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
-            % F.lit(bits)
-            for j in range(BLOOM_FILE_K)
-        ]
-    )
+    positions = _bloom_positions_sql(bits)
     return (
         df.select(
             # log-relative file name, derived executor-side
@@ -3362,13 +3379,19 @@ def refresh_bloom_index(
     rels = live_files(table, version)
     covered: set[str] = set()
     if os.path.isdir(idx_dir):
-        covered = {
-            r.file
-            for r in spark.read.parquet(idx_dir)
-            .select("file")
-            .distinct()
-            .collect()
-        }
+        # the coverage column is read with pyarrow on the driver —
+        # zero Spark jobs for the steady-state "nothing new" refresh.
+        # Driver memory is the same O(files) set the old collect
+        # materialized; the sidecar parts are plain parquet wherever
+        # the table lives.
+        import pyarrow.dataset as _ds
+
+        covered = set(
+            _ds.dataset(idx_dir, format="parquet")
+            .to_table(columns=["file"])
+            .column("file")
+            .to_pylist()
+        )
     else:
         os.makedirs(idx_dir, exist_ok=True)
         _bloom_write_part(
@@ -3417,11 +3440,15 @@ def vacuum_bloom_index(
         .groupBy("file", "w")
         .agg(F.first("bits").alias("bits"))
     )
-    kept_rows = kept.count()
+    # the kept-row count rides the rewrite job as an Observation
+    # metric instead of a separate count() pass over the parts
+    kept_obs = Observation()
+    kept = kept.observe(kept_obs, F.count(F.lit(1)).alias("n"))
     import glob as _glob
 
     old_parts = _glob.glob(os.path.join(idx_dir, "*.parquet"))
     new_parts = _bloom_write_part(spark, idx_dir, kept)
+    kept_rows = int(kept_obs.get["n"])
     for p in old_parts:
         os.unlink(p)
     if not new_parts:  # zero-row table: keep the dir readable
@@ -3540,20 +3567,30 @@ def _bloom_index_bits(index_path: str) -> int:
     return int(m.group(1)) if m else BLOOM_FILE_BITS
 
 
+def _bloom_positions_sql(bits: int) -> "F.Column":
+    """The ``BLOOM_FILE_K`` probe positions of key column ``k`` as ONE
+    parsed SQL expression — a single py4j hop where the per-position
+    Python tree (md5 → substring → conv → cast → ``%``) paid four
+    constructions per call site (~0.15-0.3 s of driver wall under
+    load, measured r14). The SQL text is the :func:`hash64` tree
+    verbatim, so build and probe bit layouts stay byte-identical."""
+    return F.expr(
+        "array(%s)"
+        % ",".join(
+            "CAST(conv(substring(md5(concat('fbloom%d|',"
+            "CAST(k AS STRING))),1,15),16,10) AS BIGINT) %% %d"
+            % (j, bits)
+            for j in range(BLOOM_FILE_K)
+        )
+    )
+
+
 def _bloom_probe_positions_df(
     probes: DataFrame, bits: int = BLOOM_FILE_BITS
 ) -> DataFrame:
     """DataFrame twin: ``probes`` carries one DISTINCT key per row in
     column ``k`` (the composite rendering for multi-column keys)."""
-    from bow_hunter_pipeline_spark.functions.text import hash64
-
-    pos = F.array(
-        *[
-            hash64(F.concat(F.lit(f"fbloom{j}|"), F.col("k").cast("string")))
-            % F.lit(bits)
-            for j in range(BLOOM_FILE_K)
-        ]
-    )
+    pos = _bloom_positions_sql(bits)
     return (
         probes.select("k", F.array_distinct(pos).alias("ps"))
         .select("k", F.size("ps").alias("n_pos"), F.explode("ps").alias("p"))
@@ -3602,8 +3639,14 @@ def _bloom_candidates_join_df(
     n_pos and mask every candidate)."""
     rels = live_files(table, version)
     hits, indexed_df = _bloom_hits_dfs(spark, index_path, probes)
-    cand_set = {r.file for r in hits.collect()}
-    indexed = {r.file for r in indexed_df.collect()}
+    # ONE collect for both sets: every hit file is in the sidecar, so
+    # (file, hit-marker) over the coverage frame carries the hit set
+    # and the indexed set in the same bounded O(files-in-index) job
+    cover = indexed_df.join(
+        hits.withColumn("__hit", F.lit(1)), "file", "left"
+    ).collect()
+    indexed = {r.file for r in cover}
+    cand_set = {r.file for r in cover if r["__hit"] is not None}
     return [r for r in rels if r in cand_set or r not in indexed], rels
 
 
