@@ -363,12 +363,12 @@ class Pipeline:
         if obs_rows is not None:
             n = int(obs_rows.get["rows"])
         else:
-            # the post-write count reads the COMMITTED parquet (a
-            # footer-cheap scan of what was just written), never the
-            # transform lineage
-            n = tx.snapshot(
+            # the post-write count reads the COMMITTED parquet footers
+            # (what was just written), never the transform lineage —
+            # zero Spark jobs for the DV-free append table
+            n = tx.snapshot_count(
                 spark, self.path(spec.name), versions[spec.name]
-            ).count()
+            )
         stats[spec.name] = {"rows": n, "quarantined": q_counts}
 
     def run(self, spark: SparkSession) -> dict[str, dict]:
@@ -781,3 +781,27 @@ def pipeline_snapshot(
             + (f" as of version {version}" if version is not None else "")
         )
     return tx.snapshot(spark, os.path.join(root, name), tables[name])
+
+
+def pipeline_snapshot_count(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> int:
+    """``pipeline_snapshot(...).count()`` through
+    :func:`warehouse_tx.snapshot_count` — manifest-routed version
+    resolution, then parquet-footer row counts (zero Spark jobs for a
+    DV-free table)."""
+    m = _read_manifest(root)
+    tables = m["tables"]
+    if version is not None and version != m["version"]:
+        past = [h for h in m.get("history", []) if h["version"] == version]
+        if not past:
+            raise KeyError(
+                f"pipeline at {root!r} has no published version {version}"
+            )
+        tables = past[0]["tables"]
+    if name not in tables:
+        raise KeyError(
+            f"table {name!r} not published by pipeline at {root!r}"
+            + (f" as of version {version}" if version is not None else "")
+        )
+    return tx.snapshot_count(spark, os.path.join(root, name), tables[name])

@@ -2735,6 +2735,7 @@ def tx_atomic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bow_hunter_pipeline_spark.declarative import (
         Pipeline,
         pipeline_snapshot,
+        pipeline_snapshot_count,
     )
     from bow_hunter_pipeline_spark.functions.exact import dsum
 
@@ -2776,9 +2777,9 @@ def tx_atomic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, DECL_ATOMIC_ROOT, "gold"
             ).collect()
         )
-        run1_bronze_rows = pipeline_snapshot(
+        run1_bronze_rows = pipeline_snapshot_count(
             spark, DECL_ATOMIC_ROOT, "bronze"
-        ).count()
+        )
 
     observed: dict[str, int] = {}
 
@@ -2792,9 +2793,11 @@ def tx_atomic_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()
         )
         assert got == run1_gold, f"gold visible mid-run after {name}"
-        observed[name] = pipeline_snapshot(
+        # footer-sum count through the manifest — the all-or-none
+        # probe costs metadata reads, not a Spark job per commit
+        observed[name] = pipeline_snapshot_count(
             spark, DECL_ATOMIC_ROOT, "bronze"
-        ).count()
+        )
 
     build(True).run_atomic(spark, on_table_committed=observe)
     assert set(observed) == {"bronze", "silver", "gold"}, observed

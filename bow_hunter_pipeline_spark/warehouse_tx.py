@@ -962,6 +962,39 @@ def snapshot(
     )
 
 
+def snapshot_count(
+    spark: SparkSession, table: str, version: int | None = None
+) -> int:
+    """``snapshot(...).count()`` without a Spark job when the version
+    carries no deletion vectors: committed files are immutable
+    parquet, so their footer row counts are authoritative — the same
+    metadata a count() scan opens, minus the job (guide §1.2). A
+    DV-bearing version falls back to the scan-based count so the
+    anti-join arithmetic stays in one code path."""
+    rels = live_files(table, version)
+    live = set(rels)
+    dvs = {
+        r: ref
+        for r, ref in _replay_dvs(table, version).items()
+        if r in live and ref
+    }
+    if dvs:
+        return snapshot(spark, table, version).count()
+    import pyarrow.parquet as pq
+
+    try:
+        return sum(
+            pq.read_metadata(os.path.join(table, r)).num_rows
+            for r in rels
+        )
+    except FileNotFoundError:
+        raise VersionVacuumedError(
+            f"version {version if version is not None else 'latest'} "
+            f"of {table} references vacuumed data file(s); re-read at "
+            "or above the retention window"
+        )
+
+
 def _norm_file_path() -> "F.Column":
     """``_metadata.file_path`` (a ``file:///...`` URI) normalized to a
     plain absolute path, for joining against log-relative names."""
