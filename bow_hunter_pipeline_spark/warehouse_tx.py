@@ -1859,8 +1859,18 @@ def _composite_find_df(
             (F.col("col") == pk)
             & ((F.col("hi") < F.lit(lo_b)) | (F.col("lo") > F.lit(hi_b)))
         )
-    clean = acts.filter(disjoint).select("file").distinct()
-    survivors_df = files.join(clean, "file", "left_anti")
+    # survivors as ONE aggregation over the checkpoint: a file is
+    # pruned iff SOME of its stat rows proves a disjoint range —
+    # max(disjoint) per file (the existence rows' NULLs are ignored
+    # by max; an all-NULL file — no stats — stays a candidate). The
+    # previous files.distinct ∖ clean.distinct anti-join shape paid
+    # three aggregation exchanges over the same scan.
+    survivors_df = (
+        acts.groupBy("file")
+        .agg(F.max(disjoint).alias("__pruned"))
+        .filter(~F.coalesce(F.col("__pruned"), F.lit(False)))
+        .select("file")
+    )
     # the survivors count RIDES the candidate collect as an
     # Observation metric instead of running its own Spark job — the
     # find phase is one job total (guide §1.2: two scalars, one pass)
@@ -1872,19 +1882,21 @@ def _composite_find_df(
     cand_df = survivors_df
     if bloom_index is not None:
         probes = updates.select(_bloom_key_expr(keys).alias("k"))
-        hits, indexed = _bloom_hits_dfs(spark, bloom_index, probes)
-        # one pass over survivors via marker left-joins (both sides
-        # are distinct-on-file): keep a file if some probe fully hits
-        # it, or the index does not cover it — the same
-        # (survivors ∩ hits) ∪ (survivors ∖ indexed) the old
-        # semi/anti union computed, without instantiating the
-        # survivors subtree twice
+        # keep a file if some probe fully hits it, or the index does
+        # not cover it — the same (survivors ∩ hits) ∪ (survivors ∖
+        # indexed) the old semi/anti union computed, now ONE join of
+        # two frames both hash-clustered by file (the groupBy above,
+        # the marks repartition) — exchange-free past their scans
         cand_df = (
             survivors_df.join(
-                hits.withColumn("__hit", F.lit(1)), "file", "left"
+                _bloom_marks_df(spark, bloom_index, probes),
+                "file",
+                "left",
             )
-            .join(indexed.withColumn("__idx", F.lit(1)), "file", "left")
-            .filter(F.col("__hit").isNotNull() | F.col("__idx").isNull())
+            .filter(
+                F.coalesce(F.col("__hit"), F.lit(False))
+                | F.col("__idx").isNull()
+            )
             .select("file")
         )
     rewrite = sorted(r.file for r in cand_df.collect())
@@ -3330,9 +3342,7 @@ def register_bloom_index(
     if not os.path.isdir(idx_dir):
         os.makedirs(idx_dir, exist_ok=True)
         # one empty typed part so the parts dir is always readable
-        _bloom_write_part(
-            spark, idx_dir, local_df(spark, [], _BLOOM_WORDS_SCHEMA)
-        )
+        _bloom_seed_part(idx_dir)
     refresh_bloom_index(spark, table, cols, bits=bits)
     return idx_dir
 
@@ -3343,6 +3353,21 @@ def registered_bloom_indexes(table: str) -> list[dict]:
         return []
     with open(cfg_path) as fh:
         return json.load(fh)["indexes"]
+
+
+def _bloom_seed_part(idx_dir: str) -> str:
+    """Land one EMPTY typed part so the parts dir is always readable
+    — written driver-side with pyarrow (an empty frame is driver
+    data; routing it through a Spark write paid a full shuffle+write
+    job, and ``_bloom_write_part``'s empty-repartition fallback paid
+    two). Same schema the Spark-written parts carry."""
+    dest = os.path.join(
+        idx_dir, f"part-{uuid.uuid4().hex[:12]}-0.parquet"
+    )
+    tmp = dest + f".{uuid.uuid4().hex[:8]}.tmp"
+    write_parquet_rows([], _BLOOM_WORDS_SCHEMA, tmp)
+    os.replace(tmp, dest)
+    return dest
 
 
 def _bloom_write_part(
@@ -3379,17 +3404,7 @@ def _bloom_write_part(
     if not moved and not _glob.glob(os.path.join(idx_dir, "*.parquet")):
         # empty frame can emit zero data parts under repartition;
         # land one empty TYPED part so the parts dir stays readable
-        tmp2 = idx_dir + f".{uuid.uuid4().hex}.tmp"
-        local_df(spark, [], _BLOOM_WORDS_SCHEMA).coalesce(
-            1
-        ).write.parquet(tmp2)
-        for part in sorted(_glob.glob(os.path.join(tmp2, "*.parquet"))):
-            dest = os.path.join(
-                idx_dir, f"part-{uuid.uuid4().hex[:12]}-0.parquet"
-            )
-            os.replace(part, dest)
-            moved.append(dest)
-        shutil.rmtree(tmp2, ignore_errors=True)
+        moved.append(_bloom_seed_part(idx_dir))
     return moved
 
 
@@ -3427,9 +3442,7 @@ def refresh_bloom_index(
         )
     else:
         os.makedirs(idx_dir, exist_ok=True)
-        _bloom_write_part(
-            spark, idx_dir, local_df(spark, [], _BLOOM_WORDS_SCHEMA)
-        )
+        _bloom_seed_part(idx_dir)
     to_scan = [r for r in rels if r not in covered]
     if to_scan:
         # one COVERAGE SENTINEL row (w = -1) per scanned file: a
@@ -3485,9 +3498,7 @@ def vacuum_bloom_index(
     for p in old_parts:
         os.unlink(p)
     if not new_parts:  # zero-row table: keep the dir readable
-        _bloom_write_part(
-            spark, idx_dir, spark.createDataFrame([], _BLOOM_WORDS_SCHEMA)
-        )
+        _bloom_seed_part(idx_dir)
     return kept_rows, len(new_parts) or 1
 
 
@@ -3671,47 +3682,68 @@ def _bloom_candidates_join_df(
     here (duplicates would inflate per-position hit counts past
     n_pos and mask every candidate)."""
     rels = live_files(table, version)
-    hits, indexed_df = _bloom_hits_dfs(spark, index_path, probes)
-    # ONE collect for both sets: every hit file is in the sidecar, so
-    # (file, hit-marker) over the coverage frame carries the hit set
+    # ONE collect for both sets: the marks frame carries the hit flag
     # and the indexed set in the same bounded O(files-in-index) job
-    cover = indexed_df.join(
-        hits.withColumn("__hit", F.lit(1)), "file", "left"
-    ).collect()
+    cover = _bloom_marks_df(spark, index_path, probes).collect()
     indexed = {r.file for r in cover}
-    cand_set = {r.file for r in cover if r["__hit"] is not None}
+    cand_set = {r.file for r in cover if r["__hit"]}
     return [r for r in rels if r in cand_set or r not in indexed], rels
 
 
-def _bloom_hits_dfs(
+def _bloom_marks_df(
     spark: SparkSession, index_path: str, probes: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """(files some probe fully hits, files the index covers) as
-    DATAFRAMES — the executor-side half of the candidate law
-    ``candidates = (survivors ∩ hits) ∪ (survivors ∖ indexed)``,
-    shared by the list-returning join path and the all-DataFrame find
-    phase (:func:`_composite_find_df`). Duplicate word rows (a
-    double-covered file) can only over-count position hits, i.e. add
-    false positives — never false negatives."""
-    side = spark.read.parquet(index_path)
+) -> DataFrame:
+    """ONE row per file the index covers: ``__hit`` TRUE when some
+    probe's every distinct position is set in the file's filter, plus
+    a literal ``__idx`` marker (NULL-fills under an outer join, so
+    consumers can tell indexed-but-missed from not-indexed) — the
+    executor-side half of the candidate law ``candidates =
+    (survivors ∩ hits) ∪ (survivors ∖ indexed)``, shared by the
+    list-returning join path and the all-DataFrame find phase
+    (:func:`_composite_find_df`).
+
+    Single-pass shape: the sidecar is hash-clustered by ``file``
+    once, the probe positions broadcast onto it as a LEFT join (a
+    file none of whose words match any probe keeps its row — that IS
+    the coverage set), and both aggregation levels (distinct
+    positions per (file, probe), any-full-hit per file) ride the one
+    clustering exchange-free. The previous hits/indexed subtree pair
+    re-scanned the sidecar and paid three aggregation exchanges —
+    8 AQE stage-jobs per probe batch in the r14 job audit, all of
+    them this plan.
+
+    Duplicate word rows (a double-covered file) can only over-count
+    position hits, i.e. add false positives — never false negatives:
+    DISTINCT (w, mask) counts each probe position once no matter how
+    many parts repeat it (a raw row count would overshoot n_pos and
+    turn the full-hit test into a FALSE NEGATIVE)."""
+    side = spark.read.parquet(index_path).repartition(F.col("file"))
     pb = _bloom_probe_positions_df(
         probes.select("k").distinct(), _bloom_index_bits(index_path)
+    ).select(
+        "k",
+        "n_pos",
+        F.col("w").alias("pw"),
+        F.col("mask").alias("pmask"),
     )
-    hits = (
-        side.join(F.broadcast(pb), "w")
-        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
-        # DISTINCT positions: a double-covered file (two refresh parts
-        # carrying the same words) matches each position twice; a raw
-        # row count would overshoot n_pos and turn the == filter into
-        # a FALSE NEGATIVE. Distinct (w, mask) counts each probe
-        # position once no matter how many parts repeat it.
+    per_probe = (
+        side.join(
+            F.broadcast(pb),
+            (F.col("w") == F.col("pw"))
+            & (F.col("bits").bitwiseAND(F.col("pmask")) != 0),
+            "left",
+        )
+        # unmatched sidecar rows group under (file, NULL, NULL):
+        # nhit == n_pos is NULL there, max() ignores it — the file
+        # stays covered without ever counting as a hit
         .groupBy("file", "k", "n_pos")
-        .agg(F.count_distinct(F.col("w"), F.col("mask")).alias("nhit"))
-        .filter(F.col("nhit") == F.col("n_pos"))
-        .select("file")
-        .distinct()
+        .agg(F.count_distinct(F.col("pw"), F.col("pmask")).alias("nhit"))
     )
-    return hits, side.select("file").distinct()
+    return (
+        per_probe.groupBy("file")
+        .agg(F.max(F.col("nhit") == F.col("n_pos")).alias("__hit"))
+        .withColumn("__idx", F.lit(1))
+    )
 
 
 def _bloom_candidates(
