@@ -89,3 +89,29 @@ def bucketed_join(spark, left_table: str, right_table: str, on: list[str]) -> Da
     sides resolve from the catalog so the bucketing metadata applies
     and the planner elides the exchanges (asserted in tests)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def spread_small_scan(df: DataFrame, spark) -> DataFrame:
+    """INPUT-SKEW GUARD (optimization guide §2.5): when the upstream
+    scan resolves to fewer partitions than the session's parallelism
+    — a handful of small or single-row-group files, the shape of any
+    freshly-seeded corpus (and of the bench fixtures) — every
+    map-side stage above the scan runs nearly single-threaded however
+    many cores the cluster has. Re-spread the RAW rows with one
+    round-robin exchange, which is cheaper than the per-row fan-out /
+    Python work it unblocks (that is why the caller applies this
+    BELOW the heavy projection, not above it).
+
+    SCALE-ADAPTIVE by construction, not configuration: the guard asks
+    the planner for the scan's actual partition count and is the
+    IDENTITY when the scan already spreads (a production table's scan
+    yields >= parallelism splits via ``maxPartitionBytes``), so no
+    exchange ever enters the at-scale plan. Round-robin repartition
+    is retry-safe here: the input is a deterministic file scan and
+    ``spark.sql.execution.sortBeforeRepartition`` (default on) pins
+    the row-to-partition assignment under task retries (SPARK-38388).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df

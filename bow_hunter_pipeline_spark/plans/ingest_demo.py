@@ -106,7 +106,18 @@ def pdf_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized; headers ride each row as a map lookup so schema
     drift across documents can't skew partitions.
     """
-    docs = read_table(spark, sf_dir, "documents").select(
+    # the per-document render UDF + extraction below run in the SCAN
+    # stage (the pivot's one exchange comes after), so a scan that
+    # collapsed to fewer partitions than the session has cores
+    # single-threads the Θ(corpus-bytes) Python work (guide §2.5
+    # input skew — measured: a 1.9 s single-task job at sf0.1).
+    # spread_small_scan re-spreads the raw doc_id rows only when that
+    # happens; at scale it is the identity.
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan
+
+    docs = spread_small_scan(
+        read_table(spark, sf_dir, "documents"), spark
+    ).select(
         F.concat(F.lit("doc_"), F.col("doc_id")).alias("path"),
         _render_pdf_udf().alias("content"),
     )

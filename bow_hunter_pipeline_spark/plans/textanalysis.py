@@ -897,8 +897,15 @@ def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     can reach, only a peak-footprint valve.
     """
     from bow_hunter_pipeline_spark.functions.text import word_shingles
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan
 
-    docs = read_table(spark, sf_dir, "documents")
+    # the Θ(tokens) shingle+md5 fan-out below runs in the SCAN stage
+    # (before the one exchange), so a scan that collapsed to fewer
+    # partitions than the session has cores single-threads the whole
+    # dominant cost (guide §2.5 input skew — measured: one 3.2 s
+    # single-task job at sf0.1). spread_small_scan re-spreads the raw
+    # doc rows only when that happens; at scale it is the identity.
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), spark)
     # r14 single-pass rewrite (guide §2.4): the old plan consumed the
     # exploded+md5'd span table THREE times (dup groupBy, per-doc
     # groupBy, spans⋈dup join) — the Θ(tokens) fan-out and per-span
@@ -916,11 +923,24 @@ def dup_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One explode pass (was 3) and one exchange carrying spans
     # (was 2 + the doc-grain one); the doc-grain rollup shuffles only
     # duplicated (h, doc_id) groups.
+    from bow_hunter_pipeline_spark.functions.text import tokens
+
     sh = word_shingles(F.col("text"), DUP_SPAN_W)
-    per_doc = docs.select(
+    # the has-spans gate as the CHEAP token-count test, identical by
+    # word_shingles' own definition (nonempty ⟺ n_tokens ≥ W): a
+    # filter written as n_spans >= 1 is substituted-and-pushed below
+    # the spread exchange by the optimizer, which re-single-threads
+    # the whole shingle construction in the scan stage (and computes
+    # it twice). The cheap gate pushes harmlessly; both branches
+    # share it, so the scan+filter+exchange subtree is identical and
+    # ReusedExchange dedups it — the corpus is read and spread once.
+    gated = docs.filter(
+        F.size(tokens(F.col("text"))) >= F.lit(DUP_SPAN_W)
+    )
+    per_doc = gated.select(
         "doc_id", F.size(sh).cast("bigint").alias("n_spans")
-    ).filter(F.col("n_spans") >= 1)
-    spans = docs.select(
+    )
+    spans = gated.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), DUP_SPAN_W)).alias("span"),
     ).select("doc_id", F.md5("span").alias("h"))

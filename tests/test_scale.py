@@ -338,3 +338,32 @@ def test_dv_blob_read_sources_positions_from_parquet_scan(
     )
     assert "LeftAnti" in plan, plan[:800]
     assert "_dv" in plan, "DV positions not sourced from the blob scan"
+
+
+def test_spread_small_scan_respreads_tiny_scan(spark, tmp_path):
+    """A single-file single-row-group scan collapses to one partition
+    and single-threads every map stage above it; spread_small_scan
+    must insert exactly one round-robin exchange to the session
+    parallelism — values untouched."""
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan
+
+    p = str(tmp_path / "tiny")
+    spark.range(0, 100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+    out = spread_small_scan(df, spark)
+    n = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == n
+    assert "RoundRobinPartitioning" in out._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r.id for r in out.collect()) == list(range(100))
+
+
+def test_spread_small_scan_identity_on_wide_scan(spark):
+    """A frame already at (or near) session parallelism passes through
+    untouched — the at-scale plan gains no exchange."""
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan
+
+    n = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, numPartitions=n)
+    out = spread_small_scan(df, spark)
+    assert out is df
