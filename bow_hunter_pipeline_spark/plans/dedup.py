@@ -1054,22 +1054,49 @@ def _incremental_lsh_build(
     pairs = os.path.join(work, "pairs")
 
     docs = _with_near_copies(read_table(spark, sf_dir, "documents"))
+    # stage all three deterministic arrival files in ONE job (the
+    # same partitioned-write shape the IVF stream build uses): each
+    # arrival group lands in a single task, so one file per directory
+    # — where the filtered coalesce(1) loop paid three scan+write jobs
+    staging = os.path.join(work, "_stage")
+    (
+        docs.withColumn("g", (F.col("doc_id") % 3).cast("int"))
+        .repartition(3, "g")
+        .write.partitionBy("g")
+        .mode("overwrite")
+        .parquet(staging)
+    )
     for i in range(3):
-        staging = os.path.join(work, f"_stage{i}")
-        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        hits = glob.glob(os.path.join(staging, f"g={i}", "part-*.parquet"))
         dest = os.path.join(feed, f"arrival{i}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(staging)
+        if hits:
+            shutil.move(hits[0], dest)
+        else:
+            # empty arrival group (degenerate corpus): partitionBy
+            # writes no directory for it; stage a schema-only file so
+            # the feed keeps its deterministic 3-file shape
+            empty_dir = os.path.join(work, "_stage_empty")
+            docs.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                empty_dir
+            )
+            shutil.move(
+                glob.glob(os.path.join(empty_dir, "part-*.parquet"))[0],
+                dest,
+            )
+            shutil.rmtree(empty_dir)
         t = 1_700_000_000 + i * 100
         os.utime(dest, (t, t))
+    shutil.rmtree(staging)
 
     # Empty tx tables up front so EVERY batch (including 0) is one
-    # idempotent append — no create/append asymmetry on replay.
-    empty_sig = _minhash_buckets(docs.limit(0))
-    tx.create_table(spark, store, empty_sig)
+    # idempotent append — no create/append asymmetry on replay. The
+    # store's schema is stated as DDL: deriving it by running
+    # _minhash_buckets over a 0-row frame built the full NUM_PERM
+    # expression tree and ran its eager localCheckpoint job just to
+    # read .schema off the result.
+    tx.create_table(
+        spark, store, local_df(spark, [], "doc_id bigint, band_key string")
+    )
     tx.create_table(
         spark, pairs,
         local_df(spark, [], "doc_a bigint, doc_b bigint"),
@@ -1077,7 +1104,9 @@ def _incremental_lsh_build(
 
     def update_index(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        new = _minhash_buckets(batch_df).localCheckpoint()
+        # _minhash_buckets already localCheckpoints its result — a
+        # second checkpoint here re-serialized the same rows per batch
+        new = _minhash_buckets(batch_df)
         a, b = new.alias("a"), new.alias("b")
         cand = a.join(
             b,
