@@ -1652,42 +1652,71 @@ def compact_cell_store(
     """
     import glob
     import os
+    import shutil
     import uuid
+
+    from bow_hunter_pipeline_spark.functions.localframe import local_df
 
     if min_file_bytes is None:
         min_file_bytes = target_bytes // 2
+    # plan driver-side (the O(files) listing every maintenance pass
+    # holds anyway): first-fit running-sum bins per cell, path-ordered
+    to_pack: list[tuple[str, int, int]] = []  # (abs path, cell, bin)
     n_rewritten = n_carried = 0
     for cell_dir in sorted(glob.glob(os.path.join(store, "cell_id=*"))):
+        cell = int(os.path.basename(cell_dir).split("=", 1)[1])
         files = sorted(glob.glob(os.path.join(cell_dir, "*.parquet")))
         sizes = {f: os.path.getsize(f) for f in files}
         small = [f for f in files if sizes[f] < min_file_bytes]
         if len(small) < 2:
             n_carried += len(files)
             continue
-        n_bins = max(1, -(-sum(sizes[f] for f in small) // target_bytes))
+        run = 0
+        for f in small:
+            to_pack.append((os.path.abspath(f), cell, run // target_bytes))
+            run += sizes[f]
+        n_rewritten += len(small)
+        n_carried += len(files) - len(small)
+    if to_pack:
+        # --- execute as ONE job (the compact_stream_cell_store shape;
+        # the per-cell loop paid one Spark write job per cell — cell
+        # count never bounds this): read every packable file, route
+        # rows to their (cell, bin) via a broadcast assignment join,
+        # write hive-partitioned by cell in a single pass ---
+        asg = local_df(spark, to_pack, "path string, cell bigint, bin bigint")
+        n_bins = len({(c, b) for _, c, b in to_pack})
         packed = (
             spark.read.schema("vec_id bigint, embedding array<float>")
-            .parquet(*small)
-            .coalesce(n_bins)
+            .parquet(*[p for p, _, _ in to_pack])
+            .withColumn(
+                "path",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+            )
+            .join(F.broadcast(asg), "path")
+            .repartition(n_bins, "cell", "bin")
+            .select("vec_id", "embedding", "cell")
         )
-        tmp = os.path.join(cell_dir, f"_packing-{uuid.uuid4().hex[:8]}")
-        packed.write.parquet(tmp)
+        tmp = os.path.join(store, f"_packing-{uuid.uuid4().hex[:8]}")
+        packed.write.partitionBy("cell").parquet(tmp)
         for i, part in enumerate(
-            sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+            sorted(glob.glob(os.path.join(tmp, "cell=*", "*.parquet")))
         ):
+            cell = int(
+                os.path.basename(os.path.dirname(part)).split("=", 1)[1]
+            )
             os.replace(
                 part,
                 os.path.join(
-                    cell_dir, f"packed-{uuid.uuid4().hex[:8]}-{i}.parquet"
+                    store,
+                    f"cell_id={cell}",
+                    f"packed-{uuid.uuid4().hex[:8]}-{i}.parquet",
                 ),
             )
-        for f in small:
-            os.unlink(f)
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
-        n_rewritten += len(small)
-        n_carried += len(files) - len(small)
+        for p, _, _ in to_pack:
+            os.unlink(p)
     return n_rewritten, n_carried
 
 
