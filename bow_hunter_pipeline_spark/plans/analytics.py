@@ -127,7 +127,17 @@ def top_k_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     once on p_brand; the upstream agg already reduced cardinality to
     one row per (brand, part).
     """
-    li = read_table(spark, sf_dir, "lineitem")
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan_by
+
+    # The partial aggregation below does the Θ(lineitem) decimal work
+    # in the SCAN stage, and the sf0.1 fixture is one ~11 MB file →
+    # one task pays it all (guide §2.5 input skew). The KEYED guard
+    # hash-clusters on the group key, so its exchange doubles as the
+    # aggregation's exchange (§2.4) — measured 1.27 s → 0.77 s at
+    # sf0.1; at scale (thousands of splits) it is the identity.
+    li = spread_small_scan_by(
+        read_table(spark, sf_dir, "lineitem"), spark, "l_partkey"
+    )
     part = read_table(spark, sf_dir, "part")
     revenue = money("l_extendedprice") * one_minus("l_discount")
     # Aggregate BEFORE joining: collapse lineitem to one row per part
@@ -942,10 +952,14 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = deg.filter(
         F.col("n_nbrs") + 1 >= F.lit(DBSCAN_MIN_PTS)
     ).select(F.col("src").alias("pid"))
+    # materialized ONCE for the propagation loop: the old shape
+    # re-derived this subtree (two semi joins + their exchanges)
+    # EVERY round (§2.4)
     core_edges = (
         pairs.join(core.withColumnRenamed("pid", "src"), "src", "semi")
         .join(core.withColumnRenamed("pid", "dst"), "dst", "semi")
         .select("src", "dst")
+        .localCheckpoint()
     )
     labels = _min_label_propagate(
         core_edges,

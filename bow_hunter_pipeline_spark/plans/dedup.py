@@ -23,7 +23,7 @@ signatures are deterministic, not RNG-seeded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bow_hunter_pipeline_spark.functions.text import (
@@ -82,6 +82,36 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Memo of the MinHash/LSH Column TREES (not data, not results): the
+# hash/band expressions reference their inputs by NAME only and carry
+# no session or data state, so one construction serves every call.
+# Building them per call cost ~0.4-0.5 s of driver-side py4j
+# round-trips (r14 profile of h1_incremental_lsh_index) — paid once
+# per MICRO-BATCH on the streaming index paths, where the driver does
+# no per-call data work at all (guide §4/§5: keep the driver out of
+# the per-call path). Unresolved expressions are immutable; analysis
+# assigns fresh ids per plan, so sharing one tree across DataFrames,
+# threads, and sessions in this process is safe by construction.
+_MINHASH_EXPRS: dict[str, object] = {}
+
+
+def _sig_exprs() -> tuple:
+    """(th, h, [m0..m{NUM_PERM-1}]) signature Column trees, built once
+    per process (see _MINHASH_EXPRS)."""
+    if "sig" not in _MINHASH_EXPRS:
+        th = token_hash_array("text").alias("th")
+        h = F.explode_outer(shingle_hashes_from(F.col("th"))).alias("h")
+        mins = [
+            F.min(
+                (F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p]))
+                % F.lit(MERSENNE31)
+            ).alias(f"m{p}")
+            for p in range(NUM_PERM)
+        ]
+        _MINHASH_EXPRS["sig"] = (th, h, mins)
+    return _MINHASH_EXPRS["sig"]
+
+
 def _minhash_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m{NUM_PERM-1}) minhash signature frame — the shared
     core of the LSH bucket builder and the estimate-vs-exact audit.
@@ -93,20 +123,33 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     # token-hash array as its OWN projection: the shingle combine
     # references it 3×, and a separate named column stops
     # CollapseProject from inlining (= re-md5ing every token 3×)
-    with_th = docs.select("doc_id", token_hash_array("text").alias("th"))
-    hashed = with_th.select(
-        "doc_id",
-        F.explode_outer(shingle_hashes_from(F.col("th"))).alias("h"),
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(PERM_A[p]) * F.col("h") + F.lit(PERM_B[p]))
-                % F.lit(MERSENNE31)
-            ).alias(f"m{p}")
-            for p in range(NUM_PERM)
+    th, h, mins = _sig_exprs()
+    with_th = docs.select("doc_id", th)
+    hashed = with_th.select("doc_id", h)
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def _band_key_expr():
+    """The exploded LSH band-key Column tree, built once per process
+    (see _MINHASH_EXPRS)."""
+    if "band" not in _MINHASH_EXPRS:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(BANDS)
         ]
-    )
+        _MINHASH_EXPRS["band"] = F.explode(F.array(*band_cols)).alias(
+            "band_key"
+        )
+    return _MINHASH_EXPRS["band"]
 
 
 def _minhash_buckets(docs: DataFrame) -> DataFrame:
@@ -141,22 +184,7 @@ def _minhash_buckets(docs: DataFrame) -> DataFrame:
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target, "doc_id")
     sig = _minhash_sigs(docs)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[
-                    F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-        )
-        for b in range(BANDS)
-    ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
-    )
+    buckets = sig.select("doc_id", _band_key_expr())
     # Every caller self-joins this frame; materialize it once so the
     # hash pass isn't executed per join side (signatures are ~40 bytes
     # per doc — far smaller than the text they summarize, so persisting
@@ -346,35 +374,72 @@ def dedup_clusters(
 def _min_label_propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """The min-label propagation loop to convergence — shared by the
     from-scratch and incremental cluster builders. ``edges`` must be
-    symmetric; ``labels`` seeds every node (a warm seed from a prior
-    labeling converges in fewer rounds)."""
+    symmetric and materialized (every call site localCheckpoints it —
+    re-deriving it per round would re-run its build subtree);
+    ``labels`` seeds every node (a warm seed from a prior labeling
+    converges in fewer rounds).
+
+    Round shape (r15, guide §1.2/§2.4):
+
+    * the neighbor minimum is aggregated per node FIRST (map-side
+      partials over the edge join — the one inherent propagation
+      shuffle) and applied with a doc_id-aligned left join +
+      ``least(own, nbr_min)``, where the old round unioned the full
+      label set into the aggregate and paid a second join+count job
+      for the convergence test;
+    * each round then POINTER-JUMPS: the freshly stepped label is
+      replaced by the stepped label OF that label (path halving —
+      Shiloach/Vishkin). A label value is always the id of a seeded
+      node (labels start as self-ids and move by min over existing
+      values), so the self-lookup is total; labels are monotone
+      non-increasing and bounded by the component minimum, and the
+      reached-set doubles per round, so rounds = O(log diameter)
+      instead of O(diameter) — measured on the sf0.1 DBSCAN grid this
+      is 7 rounds → 4. The lookup reuses the round's own exchanges
+      (same subtree ⇒ ReusedExchange), so the extra cost is one
+      label-sized join, paid back a full edge-sized round each time
+      the round count halves;
+    * the changed count (either hop improved any node) RIDES the
+      round's checkpoint job as an Observation metric — zero extra
+      jobs. changed == 0 implies the plain propagation fixpoint, which
+      is the component minimum.
+    """
     for _ in range(MAX_CC_ITERS):
-        nbr_labels = edges.join(
-            labels.select(
-                F.col("doc_id").alias("dst"),
-                F.col("cluster_id").alias("nbr_label"),
-            ),
-            "dst",
-        ).select(
-            F.col("src").alias("doc_id"),
-            F.col("nbr_label").alias("cluster_id"),
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        new_labels = (
-            labels.unionByName(nbr_labels)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            # least() ignores NULL (isolated node): label keeps
+            F.least("cluster_id", "nbr_min").alias("cluster_id"),
+            (F.col("nbr_min") < F.col("cluster_id")).alias("chg"),
+        )
+        lut = stepped.select(
+            F.col("doc_id").alias("jk"), F.col("cluster_id").alias("jmp")
+        )
+        obs = Observation()
+        labels = (
+            stepped.join(lut, F.col("cluster_id") == F.col("jk"), "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", "jmp").alias("cluster_id"),
+                (
+                    F.col("chg") | (F.col("jmp") < F.col("cluster_id"))
+                ).alias("chg2"),
+            )
+            .observe(obs, F.count_if(F.col("chg2")).alias("changed"))
+            .select("doc_id", "cluster_id")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("doc_id", F.col("cluster_id").alias("old_label")),
-                "doc_id",
-            )
-            .filter(F.col("cluster_id") != F.col("old_label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"]) == 0:
             break
     return labels
 

@@ -262,9 +262,17 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus one hash exchange over distinct bigrams (whose cardinality
     grows sub-linearly in corpus size under any Zipfian text); the
     sf0.1→10× jump in SCALE1 is fixed costs amortizing, not a plan
-    term. No change to make.
+    term.
+
+    r15: the Θ(tokens) split+zip fan-out runs in the SCAN stage, and
+    the documents fixture is one small file → one task does all the
+    tokenizing (guide §2.5 input skew). spread_small_scan re-spreads
+    the raw doc rows only when the scan under-parallelizes; at scale
+    it is the identity.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan
+
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"), spark)
     arr = _toks()
     left = F.slice(arr, F.lit(1), F.size(arr) - 1)
     right = F.slice(arr, F.lit(2), F.size(arr) - 1)

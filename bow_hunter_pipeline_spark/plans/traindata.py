@@ -560,6 +560,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per row (twice for the LSH leg, whose bucket build re-reads
     the survivors). No O(n²), no collect, no Python.
     """
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan
+
     base = read_table(spark, sf_dir, "documents")
     exact_c = base.filter(F.col("doc_id") % 25 == 0).withColumn(
         "doc_id", F.col("doc_id") + 10000
@@ -569,7 +571,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + 20000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" near dup tail")))
     )
-    corpus = base.unionByName(exact_c).unionByName(near_c)
+    # The regex-heavy quality gate below evaluates in the SCAN stage
+    # (under the md5(text) window exchange), and the documents fixture
+    # is one small file ∪ two filtered copies → ~3 partitions, so one
+    # task pays nearly the whole per-row rlike/filter cost (guide §2.5
+    # input skew). spread_small_scan re-spreads the raw corpus rows
+    # only when the scan under-parallelizes; at scale it is the
+    # identity (one guard exchange above the union, below the gate).
+    corpus = spread_small_scan(
+        base.unionByName(exact_c).unionByName(near_c), spark
+    )
 
     toks = tokens(F.col("text"))
     n_words = F.size(toks)

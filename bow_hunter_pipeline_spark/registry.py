@@ -47,7 +47,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # tests/test_plan_fingerprints.py forces those queries into the
 # driver-checked prefix — the mechanical form of the rotation rule
 # "changed plan ⇒ re-proof" (VERDICT r09, What's-missing #1).
-ROUND = 14
+ROUND = 15
 
 # --- oracle SQL fragments (DuckDB dialect = ANSI here) -----------------
 
@@ -1819,83 +1819,45 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # listed follows in registry order — nothing is ever dropped, only
 # reordered.
 _DRIVER_ROTATION = [
-    # --- round-14 prefix (updated mid-round after the optimization
-    # pass). Lead item: e2_tx_pipeline_vacuum_readers — the round's
-    # one addition (VERDICT r13 task 7). Then EVERY r14-stamped
-    # changed plan: the true-CAS publish rework, FlateDecode + the
-    # single-pass grid pivot, the decode-once multimodal plans, and
-    # the round's optimization sweep — the Arrow local-frame rework
-    # (functions/localframe.py) touches every transactional plan that
-    # builds driver-held metadata frames (createDataFrame(list) became
-    # Arrow-backed; the actions checkpoint is written driver-side), so
-    # the whole e2_tx/h4_streaming-cdf/h1-index family re-proves. The
-    # remaining slots carry the oldest age re-checks that still fit;
-    # the rest of the r05/r06 queue moves to r15. Nothing is ever
-    # dropped, only reordered.
-    # --- first-proof rows (mirrored in NEW_IN_PREFIX below) ---
-    "e2_tx_pipeline_vacuum_readers",
-    # --- plans changed in r14 (fingerprint-stamped; re-proof) ---
-    "a2_a3_pdf_ingest",
-    # (b3_d1_d2_population_explode left the r14 set late in the
-    # round: its only r14 delta — an Arrow local-frame hop for the
-    # 3-row junk fixture — was reverted to free its slot for the IVF
-    # rework, restoring its round-9 fingerprint byte-for-byte, so its
-    # standing driver proof is valid again.)
-    "e2_tx_append_evolution",
-    "e2_tx_atomic_pipeline",
-    "e2_tx_bloom_pruned_lookup",
-    "e2_tx_bloom_table_lookup",
-    "e2_tx_column_rename",
-    "e2_tx_composite_pruned_merge",
-    "e2_tx_concurrent_pipeline_occ",
-    "e2_tx_constraint_quarantine",
-    "e2_tx_declarative_pipeline",
-    "e2_tx_delete_restore",
-    "e2_tx_df_planned_merge",
-    "e2_tx_drop_column",
-    "e2_tx_dv_delete",
-    "e2_tx_dv_purge",
-    "e2_tx_generated_columns",
-    "e2_tx_guarded_merge",
-    "e2_tx_incremental_bloom_index",
-    "e2_tx_incremental_pipeline",
-    "e2_tx_manifest_export",
-    "e2_tx_merge_pruned",
-    "e2_tx_merge_sync",
-    "e2_tx_merge_timetravel",
-    "e2_tx_partition_evolution",
-    "e2_tx_replace_where",
-    "e2_tx_schema_evolution",
-    "e2_tx_shallow_clone",
-    "e2_tx_timetravel_asof",
-    "e2_tx_update_change_feed",
-    "e2_tx_vacuum_retention",
-    "e2_tx_zorder_pruned_delete",
-    "ep3_flagship_pipeline",
+    # --- round-15 prefix (second optimization round). EVERY
+    # r15-stamped changed plan, grouped by the change that drifted it:
+    # the CC-loop rework (Observation convergence + pointer jumping in
+    # _min_label_propagate — drifts every cluster builder), the
+    # MinHash expression-tree memo (plans/dedup._MINHASH_EXPRS —
+    # drifts every LSH/signature consumer), and the input-skew spread
+    # guards (g3 keyed, b3 stage spread, h3 bigram / h6 curation
+    # round-robin). Remaining slots carry the r05/r06 age re-check
+    # queue deferred from r14. Nothing is ever dropped, only
+    # reordered.
+    # --- CC-loop rework (dedup._min_label_propagate) ---
+    "g5_dbscan_clusters",
+    "h1_dedup_clusters",
+    "h1_incremental_dedup_clusters",
+    "h6_leakage_safe_split",
+    # --- MinHash/LSH expression memo (plans/dedup) ---
+    "h1_minhash_lsh_pairs",
+    "h1_minhash_error_audit",
+    "h1_bucketed_lsh_pairs",
+    "h1_lsh_param_sweep",
+    "h1_method_agreement",
     "h1_incremental_lsh_index",
     "h1_lsh_compacted_index",
-    "h2_ivf_nightly_maintenance",
-    "h2_ivf_stream_compacted_search",
-    "h4_streaming_cdc_stateful",
-    "h4_streaming_cdf_apply",
-    "h4_streaming_cdf_change_files",
-    "h4_streaming_cdf_ivm",
-    "h4_streaming_tx_merge",
-    "mm_keyframe_dedup",
-    "mm_patch_embed_search",
-    "h3_bigram_lm_quality",
-    "h3_dup_span_flags",
-    # --- plans changed by the r14 optimization sweep's IVF rework
-    # (map-side centroid assignment/reassignment) ---
-    "h2_ivf_index_at_rest",
-    "h2_ivf_compacted_search",
-    "h2_ivf_streaming_maintenance",
-    "h2_ivf_recluster_moves",
-    # The r05/r06 age re-check queue (f_q4_priority_exists,
-    # f_q5_local_supplier_volume, f_q6_forecast_revenue were this
-    # round's candidates) moves to r15: changed plans outrank age
-    # re-checks for the 50 slots, and nothing is ever dropped, only
-    # reordered.
+    "h1_cc_alternating_star",
+    "h1_edit_distance_pairs",
+    "h6_corpus_release_pipeline",
+    "h6_dedup_apply",
+    "h6_minhash_decontaminate",
+    # --- input-skew spread guards (guide §2.5) ---
+    "g3_top_k_per_group",
+    "h3_bigram_counts",
+    "h6_curation_pipeline",
+    "b3_d1_d2_population_explode",
+    "ep3_flagship_pipeline",
+    # --- r05/r06 age re-check queue (deferred from r14): changed
+    # plans outrank age re-checks; these take the remaining slots ---
+    "f_q4_priority_exists",
+    "f_q5_local_supplier_volume",
+    "f_q6_forecast_revenue",
 ]
 
 
@@ -1911,8 +1873,7 @@ PENDING_DRIVER_QUEUE = [
 # a slot; prefix membership of every changed plan is enforced by
 # tests/test_plan_fingerprints.py). Reset each round.
 NEW_IN_PREFIX = [
-    # the round's one addition (VERDICT r13 task 7)
-    "e2_tx_pipeline_vacuum_readers",
+    # r15 adds no queries (optimization round)
 ]
 
 

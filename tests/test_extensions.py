@@ -263,7 +263,7 @@ def test_driver_rotation_prefix_is_stable():
     checked: set[str] = set()
     for rnd in (
         "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08",
-        "r09", "r10", "r11", "r12", "r13",
+        "r09", "r10", "r11", "r12", "r13", "r14",
     ):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
@@ -606,7 +606,7 @@ def test_rotation_finishes_registry_this_round():
     checked: set[str] = set()
     for rnd in (
         "r01", "r02", "r03", "r04", "r05", "r06", "r07", "r08",
-        "r09", "r10", "r11", "r12", "r13",
+        "r09", "r10", "r11", "r12", "r13", "r14",
     ):
         path = f"/root/repo/CORRECTNESS_{rnd}.json"
         if os.path.exists(path):
