@@ -160,27 +160,19 @@ IVF_CENTROID_IDS = [10, 20, 30, 40]  # deterministic coarse centroids
 
 
 def _ivf_assign(emb: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cell_id) IVF cell assignment — broadcast
-    cross-score against the K fixed centroids, argmax by cosine with
-    ties to the lower centroid id. Shared by ivf_topk and the IVF-PQ
-    composition."""
-    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-    )
-    scored_assign = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "acos",
-        dot_fold("embedding", "cvec")
-        / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
-    )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("acos").desc(), F.col("cent_id")
-    )
-    return (
-        scored_assign.withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell_id"))
-    )
+    """(vec_id, embedding, cell_id) IVF cell assignment — argmax by
+    cosine against the K fixed centroids with ties to the lower
+    centroid id. Shared by ivf_topk and the IVF-PQ composition.
+
+    r15: unified onto the at-rest family's MAP-SIDE form
+    (:func:`_ivf_cell_assign`) — the old shape crossJoined the full
+    embedding payload K-fold through a BroadcastNestedLoopJoin and
+    ranked the K copies with a row_number window (a vec_id exchange +
+    sort carrying the embeddings, §2.4/§3); now assignment is K fused
+    dot products inside the scan projection, with the identical
+    (acos DESC, cent_id ASC, NaN-greatest) order folded into one
+    array_max over (acos, -cent_id) structs."""
+    return _ivf_cell_assign(emb, emb)
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1177,29 +1169,37 @@ def ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake partitioned by cell_id, each probe reads nprobe partitions.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cvec"),
-    )
-    pscored = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "acos",
-            dot_fold("embedding", "cvec")
-            / (F.sqrt(norm2_fold("embedding")) * F.sqrt(norm2_fold("cvec"))),
-        )
-    )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("acos").desc(), F.col("cent_id")
+    # r15: the nprobe-best cells come from the SAME map-side scored
+    # array the assignment uses (§2.4) — ascending struct sort on
+    # (acos, nc=-cent_id) then reverse reproduces the old window's
+    # (acos DESC, cent_id ASC, NaN-greatest) order exactly, and the
+    # top-IVF_NPROBE slice explodes to one row per probed cell. The
+    # old shape crossJoined each probe K-fold through a
+    # BroadcastNestedLoopJoin and ranked the copies with a row_number
+    # window.
+    scored = F.transform(
+        _cent_array_lit(_centroid_rows(emb)),
+        lambda c: F.struct(
+            (
+                dot_fold("embedding", c["cv"])
+                / (F.sqrt(norm2_fold("embedding")) * c["nrm"])
+            ).alias("acos"),
+            c["nc"].alias("nc"),
+        ),
     )
     probe_cells = (
-        pscored.withColumn("arn", F.row_number().over(aw))
-        .filter(F.col("arn") <= IVF_NPROBE)
+        emb.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qe"),
-            F.col("cent_id").alias("q_cell"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(scored)), 1, IVF_NPROBE)
+            ).alias("probe"),
+        )
+        .select(
+            "q_id",
+            "qe",
+            (-F.col("probe.nc")).cast("bigint").alias("q_cell"),
         )
     )
     cands = _ivf_assign(emb).select(
@@ -1571,6 +1571,26 @@ def _cent_array_lit(cent_rows) -> Column:
     )
 
 
+def _cell_id_expr(cent_rows) -> Column:
+    """The nearest-centroid ``cell_id`` Column for a FIXED centroid
+    list — pure expression tree over the ``embedding`` column, so one
+    construction serves every DataFrame (see _ivf_cell_assign). Split
+    out so per-batch callers (the streaming lander) can build it once
+    per centroid set instead of once per micro-batch (~70 ms/call of
+    driver-side construction, guide §4/§5)."""
+    scored = F.transform(
+        _cent_array_lit(cent_rows),
+        lambda c: F.struct(
+            (
+                dot_fold("embedding", c["cv"])
+                / (F.sqrt(norm2_fold("embedding")) * c["nrm"])
+            ).alias("acos"),
+            c["nc"].alias("nc"),
+        ),
+    )
+    return (-F.array_max(scored)["nc"]).cast("bigint").alias("cell_id")
+
+
 def _ivf_cell_assign(
     emb: DataFrame, batch: DataFrame, cent_rows: list | None = None
 ) -> DataFrame:
@@ -1591,21 +1611,7 @@ def _ivf_cell_assign(
     bottleneck; see _cent_array_lit)."""
     if cent_rows is None:
         cent_rows = _centroid_rows(emb)
-    scored = F.transform(
-        _cent_array_lit(cent_rows),
-        lambda c: F.struct(
-            (
-                dot_fold("embedding", c["cv"])
-                / (F.sqrt(norm2_fold("embedding")) * c["nrm"])
-            ).alias("acos"),
-            c["nc"].alias("nc"),
-        ),
-    )
-    return batch.select(
-        "vec_id",
-        "embedding",
-        (-F.array_max(scored)["nc"]).cast("bigint").alias("cell_id"),
-    )
+    return batch.select("vec_id", "embedding", _cell_id_expr(cent_rows))
 
 
 def _ivf_store_build(
@@ -1928,6 +1934,7 @@ def _ivf_stream_lander(emb: DataFrame, store: str):
     """The foreachBatch lander — module-level so the redelivery
     idempotence contract is unit-testable."""
     cent_cache: list = []  # collected once per lander, not per batch
+    expr_cache: list = []  # cell_id Column built once, not per batch
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         # Compaction high-water guard: a batch at or below the mark
@@ -1940,13 +1947,18 @@ def _ivf_stream_lander(emb: DataFrame, store: str):
             return
         if not cent_cache:
             cent_cache.extend(_centroid_rows(emb))
+            # the assignment expression depends only on the centroid
+            # literals: one construction serves every micro-batch
+            # (driver-side py4j tree building is per-batch overhead
+            # the stream thread pays otherwise, guide §4/§5)
+            expr_cache.append(_cell_id_expr(cent_cache))
         sess = batch_df.sparkSession
         key = "spark.sql.sources.partitionOverwriteMode"
         old = sess.conf.get(key, None)
         sess.conf.set(key, "dynamic")
         try:
             (
-                _ivf_cell_assign(emb, batch_df, cent_cache)
+                batch_df.select("vec_id", "embedding", expr_cache[0])
                 .withColumn("arrival", F.lit(int(batch_id)).cast("int"))
                 .write.partitionBy("cell_id", "arrival")
                 .mode("overwrite")

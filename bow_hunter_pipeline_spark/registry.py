@@ -1847,6 +1847,19 @@ _DRIVER_ROTATION = [
     "h6_corpus_release_pipeline",
     "h6_dedup_apply",
     "h6_minhash_decontaminate",
+    # --- IVF rework: _ivf_assign unified onto the map-side
+    # _ivf_cell_assign form; nprobe probe side map-side; the
+    # _cell_id_expr split + per-batch lander expression cache ---
+    "h2_ivf_topk",
+    "h2_ivf_pq_topk",
+    "h2_filtered_ivf_topk",
+    "h2_ivf_nprobe_topk",
+    "h2_ivf_index_at_rest",
+    "h2_ivf_compacted_search",
+    "h2_ivf_nightly_maintenance",
+    "h2_ivf_recluster_moves",
+    "h2_ivf_stream_compacted_search",
+    "h2_ivf_streaming_maintenance",
     # --- input-skew spread guards (guide §2.5) ---
     "g3_top_k_per_group",
     "h3_bigram_counts",
