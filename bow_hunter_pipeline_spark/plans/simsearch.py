@@ -1553,6 +1553,13 @@ def _cent_array_lit(cent_rows) -> Column:
     The float elements are exact: each value came out of a float
     column, and double→float cast of a float-valued double is
     lossless."""
+    return F.expr(_cent_array_lit_sql(cent_rows))
+
+
+def _cent_array_lit_sql(cent_rows) -> str:
+    """The SQL string behind :func:`_cent_array_lit` — pure Python
+    (no py4j), so it doubles as the canonical VALUE key for the
+    cell_id expression memo (_CELL_EXPR_CACHE)."""
     parts = []
     for r in cent_rows:
         cv = ",".join("CAST(%s AS FLOAT)" % _sql_double(v) for v in r.cvec)
@@ -1564,31 +1571,45 @@ def _cent_array_lit(cent_rows) -> Column:
     # already has exactly this type) but pins the element type when
     # the centroid set is EMPTY — a bare array() is array<void> and
     # the transform lambda's field extraction fails analysis
-    return F.expr(
+    return (
         "CAST(array(%s) AS "
         "array<struct<cv:array<float>,nrm:double,nc:bigint>>)"
         % ",".join(parts)
     )
 
 
+# Memo of cell_id Column TREES keyed by the centroid literal SQL (a
+# canonical serialization of the centroid VALUES, built in pure
+# Python): the fold expressions cost ~0.2 s/call of driver-side py4j
+# construction, and the store build + probe paths call with the same
+# centroid set 4x per query (per arrival batch + per probe side). An
+# expression tree carries no session or data state — one construction
+# serves every DataFrame (guide §4/§5). Keyed by VALUE, so a retrained
+# centroid set gets its own entry.
+_CELL_EXPR_CACHE: dict[str, Column] = {}
+
+
 def _cell_id_expr(cent_rows) -> Column:
     """The nearest-centroid ``cell_id`` Column for a FIXED centroid
     list — pure expression tree over the ``embedding`` column, so one
-    construction serves every DataFrame (see _ivf_cell_assign). Split
-    out so per-batch callers (the streaming lander) can build it once
-    per centroid set instead of once per micro-batch (~70 ms/call of
-    driver-side construction, guide §4/§5)."""
-    scored = F.transform(
-        _cent_array_lit(cent_rows),
-        lambda c: F.struct(
-            (
-                dot_fold("embedding", c["cv"])
-                / (F.sqrt(norm2_fold("embedding")) * c["nrm"])
-            ).alias("acos"),
-            c["nc"].alias("nc"),
-        ),
-    )
-    return (-F.array_max(scored)["nc"]).cast("bigint").alias("cell_id")
+    construction serves every DataFrame (see _ivf_cell_assign),
+    memoized per centroid set (see _CELL_EXPR_CACHE)."""
+    lit = _cent_array_lit_sql(cent_rows)
+    if lit not in _CELL_EXPR_CACHE:
+        scored = F.transform(
+            F.expr(lit),
+            lambda c: F.struct(
+                (
+                    dot_fold("embedding", c["cv"])
+                    / (F.sqrt(norm2_fold("embedding")) * c["nrm"])
+                ).alias("acos"),
+                c["nc"].alias("nc"),
+            ),
+        )
+        _CELL_EXPR_CACHE[lit] = (
+            (-F.array_max(scored)["nc"]).cast("bigint").alias("cell_id")
+        )
+    return _CELL_EXPR_CACHE[lit]
 
 
 def _ivf_cell_assign(
