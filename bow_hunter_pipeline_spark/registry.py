@@ -1860,6 +1860,16 @@ _DRIVER_ROTATION = [
     "h2_ivf_recluster_moves",
     "h2_ivf_stream_compacted_search",
     "h2_ivf_streaming_maintenance",
+    # --- delete_where_dv find-scan fold (one localCheckpoint pass;
+    # drifts every dv consumer incl. the h4_streaming_cdf family) ---
+    "e2_tx_dv_delete",
+    "e2_tx_dv_purge",
+    "e2_tx_incremental_bloom_index",
+    "e2_tx_bloom_table_lookup",
+    "h4_streaming_cdc_stateful",
+    "h4_streaming_cdf_apply",
+    "h4_streaming_cdf_change_files",
+    "h4_streaming_cdf_ivm",
     # --- input-skew spread guards (guide §2.5) ---
     "g3_top_k_per_group",
     "h3_bigram_counts",

@@ -2926,6 +2926,15 @@ def delete_where_dv(
         .select("__file", F.col("__idx").alias("idx"))
         .join(F.broadcast(rel_map), F.col("__file") == F.col("__abs"))
         .select("k", "idx")
+        # r15 (guide §1.2): materialize the find result ONCE — the old
+        # shape ran the predicate scan for the counts collect and then
+        # AGAIN for whichever position path won (the inline collect or
+        # the executor-side blob write). Positions still never cross
+        # to the driver unbounded: the checkpoint is executor-side
+        # block storage, the same O(deleted-in-touched-files) rows the
+        # blob write materializes anyway (reliable checkpoint on a
+        # real cluster).
+        .localCheckpoint()
     )
     counts = {
         row["k"]: int(row["n"])
