@@ -171,7 +171,19 @@ def _ivf_assign(emb: DataFrame) -> DataFrame:
     sort carrying the embeddings, §2.4/§3); now assignment is K fused
     dot products inside the scan projection, with the identical
     (acos DESC, cent_id ASC, NaN-greatest) order folded into one
-    array_max over (acos, -cent_id) structs."""
+    array_max over (acos, -cent_id) structs.
+
+    The spread guard below matters precisely BECAUSE the exchange is
+    gone: the old window shuffle accidentally re-parallelized the
+    single-split local fixture scan, so removing it fused the whole
+    downstream serve pipeline (assignment + cell join + pair scoring)
+    into the scan's one task (measured at 10×: a 1.96 s single-task
+    job). spread_small_scan restores the parallelism explicitly and
+    is the identity once the scan has >= parallelism/2 splits
+    (guide §2.5)."""
+    from bow_hunter_pipeline_spark.operators.scale import spread_small_scan
+
+    emb = spread_small_scan(emb, emb.sparkSession)
     return _ivf_cell_assign(emb, emb)
 
 
