@@ -52,14 +52,14 @@ def population_explode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     junk = spark.createDataFrame(_JUNK_ROWS, "c_nationkey int, gmu_list string")
     stage = stage.unionByName(junk)
 
-    # The split+explode below fans each stage row out to Θ(customers)
-    # rows, but the stage table is structurally tiny at EVERY scale
-    # (one row per nation + junk ≈ 30) — AQE coalesces the post-agg
-    # side to one partition and a single task pays the whole fan-out
-    # (guide §2.5). An explicit round-robin of ≤30 rows costs nothing
-    # and caps the explode's skew at one nation per task; measured
-    # 1.17 s → 0.88 s at sf0.1.
-    stage = stage.repartition(spark.sparkContext.defaultParallelism)
+    # r15 examined-and-REJECTED: spreading the ~30 stage rows before
+    # the explode (guide §2.5) measured as a consistent LOSS here —
+    # interleaved best-of-3 read 1.10/1.15 s unspread vs 1.33/1.65 s
+    # spread at sf0.1, and a wash at sf1. Each stage row carries the
+    # ~40 KB per-nation CSV payload, so the round-robin exchange
+    # (plus its sortBeforeRepartition pass) moves nearly all of the
+    # stage bytes to buy parallelism the cheap split+explode does not
+    # need; the explode already lands on the agg's shuffle partitions.
 
     exploded = gate_split_explode(
         stage, "gmu_list", "unit", element_type="bigint"
